@@ -1,0 +1,407 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational / analytic operator inventory (SURVEY.md §2.2) over the
+  * TPC-H-ish tables. Each query is a declarative DataFrame plan —
+  * Catalyst handles pushdown, pruning and join planning; broadcast
+  * hints mark the dimension sides explicitly so the plan stays
+  * shuffle-light at 100 TB fact-table scale.
+  *
+  * Correctness conventions (SURVEY.md §6): every computed column is
+  * aliased identically in Spark and DuckDB SQL; double aggregates are
+  * ROUND(·,4) on both sides; every query has a total deterministic
+  * ORDER BY.
+  */
+object Relational {
+
+  /** R1: scan + filter + projection. Both predicate and projection must
+    * reach the parquet reader (PushedFilters / ReadSchema). */
+  val qScanPushdown = QueryDef(
+    "q_scan_pushdown",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("2001-01-01").cast("timestamp") &&
+          col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '2001-01-01' AND l_returnflag = 'R'
+            ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice"""))
+
+  /** R2: TPC-H Q1 pricing summary — multi-aggregate groupBy with
+    * map-side partial aggregation (one shuffle of 6 groups). */
+  val q1PricingSummary = QueryDef(
+    "q1_pricing_summary",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+              ROUND(SUM(l_quantity), 4) AS sum_qty,
+              ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+              ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+              ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+              ROUND(AVG(l_quantity), 4) AS avg_qty,
+              ROUND(AVG(l_extendedprice), 4) AS avg_price,
+              ROUND(AVG(l_discount), 4) AS avg_disc,
+              COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus"""))
+
+  /** R3: TPC-H Q3 shipping priority — selective dim filter, 3-way join,
+    * agg, top-k. Customer is the small side at scale → broadcast. */
+  val q3ShippingPriority = QueryDef(
+    "q3_shipping_priority",
+    (s, d) => {
+      val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+      li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          col("o_orderdate").cast("date").as("o_orderdate"), col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT l_orderkey,
+              ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+              CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-03-15'
+              AND l_shipdate  > TIMESTAMP '1998-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10"""))
+
+  /** R4: multi-way join through the full dimension chain
+    * (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region);
+    * all dims broadcast, so the only shuffles are fact-side agg. */
+  val q5LocalSupplier = QueryDef(
+    "q5_local_supplier",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    },
+    Some("""SELECT r_name, n_name,
+              ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+              COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+            GROUP BY r_name, n_name
+            ORDER BY r_name, n_name"""))
+
+  /** R5: explicit broadcast dim join (no shuffle on the fact side). */
+  val qBroadcastJoin = QueryDef(
+    "q_broadcast_join",
+    (s, d) => {
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 4).as("total_bal"))
+        .orderBy("n_name")
+    },
+    Some("""SELECT n_name, COUNT(*) AS n_customers,
+              ROUND(SUM(c_acctbal), 4) AS total_bal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name"""))
+
+  /** R6: left-semi join (EXISTS). */
+  val qSemiJoin = QueryDef(
+    "q_semi_join",
+    (s, d) => {
+      val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      Tables.customer(s, d)
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+            ORDER BY c_custkey"""))
+
+  /** R7: left-anti join (NOT EXISTS). */
+  val qAntiJoin = QueryDef(
+    "q_anti_join",
+    (s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            ORDER BY c_custkey"""))
+
+  /** R8: window rank per group (top 3 orders by price per priority).
+    * Rank compares raw parquet doubles — no fp arithmetic, exact. */
+  val qWindowRank = QueryDef(
+    "q_window_rank",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rnk", rank().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
+        .orderBy("o_orderpriority", "rnk", "o_orderkey")
+    },
+    Some("""SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+              SELECT o_orderpriority, o_orderkey, o_totalprice,
+                     RANK() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+              FROM orders) t
+            WHERE rnk <= 3
+            ORDER BY o_orderpriority, rnk, o_orderkey"""))
+
+  /** R9: running sum window (cumulative revenue per customer over
+    * order date). Integer-exact frame; doubles rounded. */
+  val qWindowRunning = QueryDef(
+    "q_window_running",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("running_total", round(sum(col("o_totalprice")).over(w), 4))
+        .select(col("o_custkey"), col("o_orderkey"), col("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+              ROUND(SUM(o_totalprice) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total
+            FROM orders
+            ORDER BY o_custkey, o_orderkey"""))
+
+  /** R10: distinct aggregation. */
+  val qCountDistinct = QueryDef(
+    "q_count_distinct",
+    (s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust,
+              COUNT(*) AS n_orders
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** R11: conditional aggregation (CASE WHEN pivot-style). */
+  val qConditionalAgg = QueryDef(
+    "q_conditional_agg",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("n_high_disc"),
+          round(sum(when(col("l_tax") > 0.04, col("l_extendedprice")).otherwise(0.0)), 4).as("taxed_price"),
+          round(sum(when(col("l_linestatus") === "F", col("l_quantity")).otherwise(0.0)), 4).as("qty_f"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+              SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_high_disc,
+              ROUND(SUM(CASE WHEN l_tax > 0.04 THEN l_extendedprice ELSE 0.0 END), 4) AS taxed_price,
+              ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0.0 END), 4) AS qty_f
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** R12: global sort + limit (top-k) — Spark plans TakeOrderedAndProject,
+    * no full sort materialization. */
+  val qTopK = QueryDef(
+    "q_topk",
+    (s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"""))
+
+  /** R13: rollup hierarchical aggregation. */
+  val qRollup = QueryDef(
+    "q_rollup",
+    (s, d) => {
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 4).as("bal"))
+        .orderBy(asc_nulls_first("n_name"), asc_nulls_first("c_mktsegment"))
+    },
+    Some("""SELECT n_name, c_mktsegment, COUNT(*) AS n, ROUND(SUM(c_acctbal), 4) AS bal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY ROLLUP(n_name, c_mktsegment)
+            ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST"""))
+
+  /** R14: exact percentiles (linear interpolation — Spark `percentile`
+    * ≡ DuckDB `quantile_cont`). */
+  val qPercentiles = QueryDef(
+    "q_percentiles",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(percentile(col("l_quantity"), lit(0.5)), 4).as("med_qty"),
+          round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90_price"),
+          round(percentile(col("l_extendedprice"), lit(0.99)), 4).as("p99_price"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+              ROUND(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+              ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+              ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** R15: union + dedup. */
+  val qUnionDedup = QueryDef(
+    "q_union_dedup",
+    (s, d) => {
+      val a = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey"))
+      val b = Tables.customer(s, d).filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("custkey"))
+      a.union(b).distinct().orderBy("custkey")
+    },
+    Some("""SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+            UNION
+            SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+            ORDER BY custkey"""))
+
+  /** R16: scalar string/date functions (codegen'd builtins, no UDFs). */
+  val qScalarFuncs = QueryDef(
+    "q_scalar_funcs",
+    (s, d) => {
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          length(col("p_name")).as("name_len"),
+          substring(col("p_type"), 1, 5).as("type5"),
+          concat(col("p_brand"), lit("-"), col("p_size").cast("string")).as("brand_size"),
+          (col("p_size") % 7).as("size_mod"))
+        .orderBy("p_partkey")
+    },
+    Some("""SELECT p_partkey, UPPER(p_brand) AS brand_u, LENGTH(p_name) AS name_len,
+              SUBSTR(p_type, 1, 5) AS type5,
+              CONCAT(p_brand, '-', CAST(p_size AS VARCHAR)) AS brand_size,
+              p_size % 7 AS size_mod
+            FROM part ORDER BY p_partkey"""))
+
+  /** R17: as-of join — for each purchase event, the most recent 'view'
+    * event of the same user at-or-before its timestamp. Implemented
+    * shuffle-once: tag + union + last(ignoreNulls) window ordered by
+    * (ts, side) — views sort before purchases at equal ts so the join
+    * is inclusive, matching DuckDB ASOF (>=) semantics. Linear work,
+    * single hash-partition by user — no per-user cross product. */
+  val qAsofJoin = QueryDef(
+    "q_asof_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+          lit(0).as("side"), col("event_id").as("view_event_id"),
+          lit(null).cast("long").as("purchase_event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+          lit(1).as("side"), lit(null).cast("long").as("view_event_id"),
+          col("event_id").as("purchase_event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("side"), col("view_event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      views.union(purchases)
+        .withColumn("matched_view", last(col("view_event_id"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("purchase_event_id"), col("user_id"), col("ms").as("purchase_ms"),
+          col("matched_view").as("view_event_id"))
+        .orderBy("purchase_event_id")
+    },
+    Some("""SELECT p.event_id AS purchase_event_id, p.user_id,
+              epoch_ms(p.ts) AS purchase_ms, v.event_id AS view_event_id
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON p.user_id = v.user_id AND p.ts >= v.ts
+            ORDER BY purchase_event_id"""))
+
+  /** R18: higher-order array aggregation (codegen'd, no UDF):
+    * L2 norm and mean over the embedding array, accumulated in double. */
+  val qVectorAgg = QueryDef(
+    "q_vector_agg",
+    (s, d) => {
+      val emb = col("embedding").cast("array<double>")
+      Tables.embeddings(s, d)
+        .select(
+          col("vec_id"),
+          round(sqrt(aggregate(emb, lit(0.0),
+            (acc, x) => acc + x * x)), 6).as("l2_norm"),
+          round(aggregate(emb, lit(0.0), (acc, x) => acc + x) / size(col("embedding")), 6).as("mean_val"))
+        .orderBy("vec_id")
+    },
+    Some("""SELECT vec_id,
+              ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2_norm,
+              ROUND(list_sum(CAST(embedding AS DOUBLE[])) / len(embedding), 6) AS mean_val
+            FROM embeddings ORDER BY vec_id"""))
+
+  /** R19: approximate count-distinct (HLL sketch). Engine-specific
+    * estimates → no cross-engine oracle; spec asserts error bound. */
+  val qApproxDistinct = QueryDef(
+    "q_approx_distinct",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+    None)
+
+  val all: Seq[QueryDef] = Seq(
+    qScanPushdown, q1PricingSummary, q3ShippingPriority, q5LocalSupplier,
+    qBroadcastJoin, qSemiJoin, qAntiJoin, qWindowRank, qWindowRunning,
+    qCountDistinct, qConditionalAgg, qTopK, qRollup, qPercentiles,
+    qUnionDedup, qScalarFuncs, qAsofJoin, qVectorAgg, qApproxDistinct)
+}
