@@ -18,15 +18,15 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    * parquet reader rejects; read nanos as long and truncate to the
-    * microsecond precision Spark timestamps carry (integer `div`, no
-    * double round-trip — ns epoch values exceed 2^53).
+    * parquet reader rejects; the session (see [[Sessions.local]]) sets
+    * spark.sql.legacy.parquet.nanosAsLong so ts arrives as a long,
+    * truncated here to the microsecond precision Spark timestamps
+    * carry (integer `div`, no double round-trip — ns epoch values
+    * exceed 2^53).
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, d: String): DataFrame =
     load(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

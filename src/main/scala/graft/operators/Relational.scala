@@ -1,21 +1,46 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational / analytic operator inventory (SURVEY.md §2.2) over the
   * TPC-H-ish tables. Each query is a declarative DataFrame plan —
   * Catalyst handles pushdown, pruning and join planning; broadcast
-  * hints mark the dimension sides explicitly so the plan stays
-  * shuffle-light at 100 TB fact-table scale.
+  * hints mark ONLY true dimension sides (nation/region — fixed 25/5
+  * rows) so the plan stays shuffle-light yet OOM-safe at 100 TB
+  * fact-table scale; sf-proportional tables join via shuffle and AQE
+  * may downgrade to broadcast at runtime when sizes allow.
   *
   * Correctness conventions (SURVEY.md §6): every computed column is
-  * aliased identically in Spark and DuckDB SQL; double aggregates are
-  * ROUND(·,4) on both sides; every query has a total deterministic
+  * aliased identically in Spark and DuckDB SQL; double sums are
+  * accumulated in exact DECIMAL(38,6) (order-independent — immune to
+  * partial-aggregation summation order) then ROUND(·,4) and cast back
+  * to double on both sides; every query has a total deterministic
   * ORDER BY.
   */
 object Relational {
+
+  /** Exact decimal sum of a double expression: per-element cast is
+    * deterministic, decimal addition is associative/commutative, so the
+    * result is independent of partitioning — unlike double sums whose
+    * last-ulp noise flips ROUND boundaries between engines. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(38,6)"))
+
+  /** Rounded stable sum, emitted as double (matches the oracle's
+    * CAST(ROUND(SUM(CAST(x AS DECIMAL(38,6))), 4) AS DOUBLE)). */
+  private def rsum(c: Column): Column = round(dsum(c), 4).cast("double")
+
+  /** Stable mean: exact decimal sum → double, divided by count. */
+  private def ravg(c: Column): Column =
+    round(dsum(c).cast("double") / count(c), 4)
+
+  /** Oracle-side SQL for rsum / ravg. */
+  private def oSum(expr: String): String =
+    s"CAST(ROUND(SUM(CAST(($expr) AS DECIMAL(38,6))), 4) AS DOUBLE)"
+  private def oAvg(expr: String): String =
+    s"ROUND(CAST(SUM(CAST(($expr) AS DECIMAL(38,6))) AS DOUBLE) / COUNT($expr), 4)"
 
   /** R1: scan + filter + projection. Both predicate and projection must
     * reach the parquet reader (PushedFilters / ReadSchema). */
@@ -43,24 +68,24 @@ object Relational {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 4).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_extendedprice")), 4).as("avg_price"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
+          rsum(col("l_quantity")).as("sum_qty"),
+          rsum(col("l_extendedprice")).as("sum_base_price"),
+          rsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          rsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+          ravg(col("l_quantity")).as("avg_qty"),
+          ravg(col("l_extendedprice")).as("avg_price"),
+          ravg(col("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
-    Some("""SELECT l_returnflag, l_linestatus,
-              ROUND(SUM(l_quantity), 4) AS sum_qty,
-              ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
-              ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-              ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-              ROUND(AVG(l_quantity), 4) AS avg_qty,
-              ROUND(AVG(l_extendedprice), 4) AS avg_price,
-              ROUND(AVG(l_discount), 4) AS avg_disc,
+    Some(s"""SELECT l_returnflag, l_linestatus,
+              ${oSum("l_quantity")} AS sum_qty,
+              ${oSum("l_extendedprice")} AS sum_base_price,
+              ${oSum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+              ${oSum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+              ${oAvg("l_quantity")} AS avg_qty,
+              ${oAvg("l_extendedprice")} AS avg_price,
+              ${oAvg("l_discount")} AS avg_disc,
               COUNT(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -68,7 +93,10 @@ object Relational {
             ORDER BY l_returnflag, l_linestatus"""))
 
   /** R3: TPC-H Q3 shipping priority — selective dim filter, 3-way join,
-    * agg, top-k. Customer is the small side at scale → broadcast. */
+    * agg, top-k. Both orders and customer are sf-proportional, so no
+    * forced broadcast hints: lineitem⋈orders and ⋈customer plan as
+    * shuffled joins and AQE downgrades to broadcast at runtime only
+    * when the built side actually fits. */
   val q3ShippingPriority = QueryDef(
     "q3_shipping_priority",
     (s, d) => {
@@ -77,17 +105,17 @@ object Relational {
         .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
       val li = Tables.lineitem(s, d)
         .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
-      li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        .agg(rsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .select(col("l_orderkey"), col("revenue"),
           col("o_orderdate").cast("date").as("o_orderdate"), col("o_orderpriority"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     },
-    Some("""SELECT l_orderkey,
-              ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+    Some(s"""SELECT l_orderkey,
+              ${oSum("l_extendedprice * (1 - l_discount)")} AS revenue,
               CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
             FROM customer
             JOIN orders   ON c_custkey = o_custkey
@@ -100,8 +128,10 @@ object Relational {
             LIMIT 10"""))
 
   /** R4: multi-way join through the full dimension chain
-    * (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region);
-    * all dims broadcast, so the only shuffles are fact-side agg. */
+    * (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region).
+    * Only nation (25 rows) and region (5 rows) are true fixed-size
+    * dimensions → broadcast; orders/customer/supplier grow with sf and
+    * join via shuffle (AQE may still pick broadcast at runtime). */
   val q5LocalSupplier = QueryDef(
     "q5_local_supplier",
     (s, d) => {
@@ -109,18 +139,18 @@ object Relational {
       val ord = Tables.orders(s, d)
         .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-      li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+        .agg(rsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("r_name", "n_name")
     },
-    Some("""SELECT r_name, n_name,
-              ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+    Some(s"""SELECT r_name, n_name,
+              ${oSum("l_extendedprice * (1 - l_discount)")} AS revenue,
               COUNT(*) AS n_items
             FROM lineitem
             JOIN orders   ON l_orderkey = o_orderkey
@@ -140,11 +170,11 @@ object Relational {
       Tables.customer(s, d)
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 4).as("total_bal"))
+        .agg(count(lit(1)).as("n_customers"), rsum(col("c_acctbal")).as("total_bal"))
         .orderBy("n_name")
     },
-    Some("""SELECT n_name, COUNT(*) AS n_customers,
-              ROUND(SUM(c_acctbal), 4) AS total_bal
+    Some(s"""SELECT n_name, COUNT(*) AS n_customers,
+              ${oSum("c_acctbal")} AS total_bal
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name ORDER BY n_name"""))
 
@@ -164,29 +194,49 @@ object Relational {
                           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
             ORDER BY c_custkey"""))
 
-  /** R7: left-anti join (NOT EXISTS). */
+  /** R7: left-anti join (NOT EXISTS). Anti-joins against *urgent*
+    * orders only, so the expected result is non-empty — an all-orders
+    * anti-join returns 0 rows on this data and would vacuously match
+    * any bug that yields empty output. */
   val qAntiJoin = QueryDef(
     "q_anti_join",
     (s, d) => {
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
       Tables.customer(s, d)
-        .join(Tables.orders(s, d).select(col("o_custkey")),
-          col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy("c_custkey")
     },
     Some("""SELECT c_custkey, c_name FROM customer
-            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
             ORDER BY c_custkey"""))
 
   /** R8: window rank per group (top 3 orders by price per priority).
-    * Rank compares raw parquet doubles — no fp arithmetic, exact. */
+    * Rank compares raw parquet doubles — no fp arithmetic, exact.
+    *
+    * Two-phase top-k: a single window partitioned by the 5-value
+    * priority key would funnel the whole table into 5 tasks. Phase 1
+    * ranks within (input-partition, priority) — full parallelism, and
+    * any row in the global top-3 is necessarily in its partition-local
+    * top-3 (local rank ≤ global rank; ordering is a strict total order
+    * thanks to the o_orderkey tiebreak). Phase 2 re-ranks the surviving
+    * ≤ 3·partitions rows per priority — trivially small. */
   val qWindowRank = QueryDef(
     "q_window_rank",
     (s, d) => {
-      val w = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val ord = col("o_totalprice").desc
+      val wLocal = Window.partitionBy(col("pid"), col("o_orderpriority"))
+        .orderBy(ord, col("o_orderkey"))
+      val wGlobal = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(ord, col("o_orderkey"))
       Tables.orders(s, d)
-        .withColumn("rnk", rank().over(w))
+        .withColumn("pid", spark_partition_id())
+        .withColumn("lrnk", rank().over(wLocal))
+        .filter(col("lrnk") <= 3)
+        .withColumn("rnk", rank().over(wGlobal))
         .filter(col("rnk") <= 3)
         .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
         .orderBy("o_orderpriority", "rnk", "o_orderkey")
@@ -208,14 +258,15 @@ object Relational {
         .orderBy(col("o_orderdate"), col("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.orders(s, d)
-        .withColumn("running_total", round(sum(col("o_totalprice")).over(w), 4))
+        .withColumn("running_total",
+          round(sum(col("o_totalprice").cast("decimal(38,6)")).over(w), 4).cast("double"))
         .select(col("o_custkey"), col("o_orderkey"), col("running_total"))
         .orderBy("o_custkey", "o_orderkey")
     },
     Some("""SELECT o_custkey, o_orderkey,
-              ROUND(SUM(o_totalprice) OVER (
+              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS running_total
             FROM orders
             ORDER BY o_custkey, o_orderkey"""))
 
@@ -240,14 +291,14 @@ object Relational {
         .groupBy(col("l_returnflag"))
         .agg(
           sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("n_high_disc"),
-          round(sum(when(col("l_tax") > 0.04, col("l_extendedprice")).otherwise(0.0)), 4).as("taxed_price"),
-          round(sum(when(col("l_linestatus") === "F", col("l_quantity")).otherwise(0.0)), 4).as("qty_f"))
+          rsum(when(col("l_tax") > 0.04, col("l_extendedprice")).otherwise(0.0)).as("taxed_price"),
+          rsum(when(col("l_linestatus") === "F", col("l_quantity")).otherwise(0.0)).as("qty_f"))
         .orderBy("l_returnflag")
     },
-    Some("""SELECT l_returnflag,
+    Some(s"""SELECT l_returnflag,
               SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_high_disc,
-              ROUND(SUM(CASE WHEN l_tax > 0.04 THEN l_extendedprice ELSE 0.0 END), 4) AS taxed_price,
-              ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0.0 END), 4) AS qty_f
+              ${oSum("CASE WHEN l_tax > 0.04 THEN l_extendedprice ELSE 0.0 END")} AS taxed_price,
+              ${oSum("CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0.0 END")} AS qty_f
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   /** R12: global sort + limit (top-k) — Spark plans TakeOrderedAndProject,
@@ -270,10 +321,10 @@ object Relational {
       Tables.customer(s, d)
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .rollup(col("n_name"), col("c_mktsegment"))
-        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 4).as("bal"))
+        .agg(count(lit(1)).as("n"), rsum(col("c_acctbal")).as("bal"))
         .orderBy(asc_nulls_first("n_name"), asc_nulls_first("c_mktsegment"))
     },
-    Some("""SELECT n_name, c_mktsegment, COUNT(*) AS n, ROUND(SUM(c_acctbal), 4) AS bal
+    Some(s"""SELECT n_name, c_mktsegment, COUNT(*) AS n, ${oSum("c_acctbal")} AS bal
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             GROUP BY ROLLUP(n_name, c_mktsegment)
             ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST"""))
@@ -343,28 +394,38 @@ object Relational {
     (s, d) => {
       val ev = Tables.events(s, d)
       val views = ev.filter(col("event_type") === "view")
-        .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
           lit(0).as("side"), col("event_id").as("view_event_id"),
           lit(null).cast("long").as("purchase_event_id"))
       val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
           lit(1).as("side"), lit(null).cast("long").as("view_event_id"),
           col("event_id").as("purchase_event_id"))
+      // Full microsecond precision for the as-of comparison (events
+      // carry sub-ms timestamps); views sort before purchases at equal
+      // ts so the join is inclusive (view.ts <= purchase.ts), and ties
+      // among equal-ts views break on the larger view_event_id.
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ms"), col("side"), col("view_event_id"))
+        .orderBy(col("us"), col("side"), col("view_event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       views.union(purchases)
         .withColumn("matched_view", last(col("view_event_id"), ignoreNulls = true).over(w))
         .filter(col("side") === 1)
-        .select(col("purchase_event_id"), col("user_id"), col("ms").as("purchase_ms"),
+        .select(col("purchase_event_id"), col("user_id"),
+          expr("us div 1000").as("purchase_ms"),
           col("matched_view").as("view_event_id"))
         .orderBy("purchase_event_id")
     },
+    // Deterministic oracle: DuckDB ASOF leaves the equal-ts tie choice
+    // unspecified, so spell the as-of out as a correlated argmax with
+    // an explicit (ts, event_id) tie-break matching the window above.
     Some("""SELECT p.event_id AS purchase_event_id, p.user_id,
-              epoch_ms(p.ts) AS purchase_ms, v.event_id AS view_event_id
-            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
-              ON p.user_id = v.user_id AND p.ts >= v.ts
+              epoch_ms(p.ts) AS purchase_ms,
+              (SELECT v.event_id FROM events v
+               WHERE v.event_type = 'view' AND v.user_id = p.user_id
+                 AND v.ts <= p.ts
+               ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS view_event_id
+            FROM events p WHERE p.event_type = 'purchase'
             ORDER BY purchase_event_id"""))
 
   /** R18: higher-order array aggregation (codegen'd, no UDF):

@@ -7,7 +7,9 @@ same parquet tables and compare row-sets.  Usage:
 import json, math, os, subprocess, sys, glob
 
 SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") else "/root/testdata/sf0.01"
-OUT = "/tmp/graft_verify"
+# OUT is keyed by the sf dir so --skip-verify can never silently compare
+# stale Spark outputs from a different scale factor.
+OUT = f"/tmp/graft_verify_{os.path.basename(SF.rstrip('/'))}"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 if "--skip-verify" not in sys.argv:
@@ -33,7 +35,7 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v): return "NaN"
         return f"{v:.6f}"
-    if hasattr(v, "isoformat"): return v.isoformat()[:23]
+    if hasattr(v, "isoformat"): return v.isoformat()  # full µs precision
     if isinstance(v, list): return "[" + ",".join(norm(x) for x in v) + "]"
     return str(v)
 
