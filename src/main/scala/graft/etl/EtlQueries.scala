@@ -1,0 +1,181 @@
+package graft.etl
+
+import graft.QueryDef
+import org.apache.spark.sql.functions._
+
+/** Coverage entries E1-E7 (SURVEY.md §2.1) with DuckDB oracles. The
+  * oracle SQL mirrors each pipeline stage as a CTE over the same
+  * checked-in CSV; shared fragments below keep the two sides literally
+  * in sync.
+  */
+object EtlQueries {
+
+  private val csv = ZipEtl.csvPath
+
+  private val oIngest =
+    s"""ingest AS (
+       |  SELECT * FROM read_csv('$csv', header=true, columns={
+       |    'state_fips':'INTEGER','state':'VARCHAR','state_abbr':'VARCHAR',
+       |    'zipcode':'VARCHAR','county':'VARCHAR','city':'VARCHAR',
+       |    'last_updated':'DATE'})
+       |)""".stripMargin
+
+  private val oDedup =
+    """dedup AS (
+      |  SELECT state_fips, state, state_abbr, zipcode, county, city, last_updated
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY zipcode, state_abbr
+      |          ORDER BY last_updated DESC, state_fips DESC, county DESC, city DESC) AS rn
+      |        FROM ingest)
+      |  WHERE rn = 1
+      |)""".stripMargin
+
+  // Integer-exact enrichment stub — identical arithmetic to ZipEtl.enrich.
+  private val oEnrich =
+    """enriched AS (
+      |  SELECT *,
+      |    zipcode || '_' || state_abbr AS composite_key,
+      |    -90 + CAST(CAST(zipcode AS BIGINT) * 7919 % 18000 AS DOUBLE) / 100.0 AS latitude,
+      |    -180 + CAST(CAST(zipcode AS BIGINT) * 104729 % 36000 AS DOUBLE) / 100.0 AS longitude,
+      |    CAST(zipcode AS BIGINT) * 31 % 4000 AS elevation,
+      |    'UTC' || CASE WHEN CAST(zipcode AS BIGINT) % 25 - 12 >= 0
+      |        THEN '+' || CAST(CAST(zipcode AS BIGINT) % 25 - 12 AS VARCHAR)
+      |        ELSE CAST(CAST(zipcode AS BIGINT) % 25 - 12 AS VARCHAR) END AS timezone,
+      |    CASE state_fips % 4 WHEN 0 THEN 'Eastern' WHEN 1 THEN 'Central'
+      |                        WHEN 2 THEN 'Mountain' ELSE 'Pacific' END AS tz_region
+      |  FROM dedup
+      |)""".stripMargin
+
+  private val oBaseline =
+    s"""baseline AS (
+       |  SELECT state_fips, state, state_abbr, zipcode, county, city, last_updated,
+       |         composite_key, latitude, longitude,
+       |         CASE WHEN CAST(zipcode AS BIGINT) % 10 = 7 THEN NULL ELSE elevation END AS elevation,
+       |         timezone, tz_region, last_updated AS last_modified
+       |  FROM enriched WHERE CAST(zipcode AS BIGINT) % 3 = 0
+       |)""".stripMargin
+
+  private val oValidKeys =
+    s"""valid_keys AS (
+       |  SELECT composite_key FROM baseline
+       |  WHERE latitude IS NOT NULL AND longitude IS NOT NULL
+       |    AND elevation IS NOT NULL AND timezone IS NOT NULL
+       |    AND last_modified >= DATE '${ZipEtl.freshThreshold}'
+       |)""".stripMargin
+
+  private val oExcluded =
+    """excluded AS (
+      |  SELECT zipcode || '_' || state_abbr AS composite_key, *
+      |  FROM dedup
+      |  WHERE zipcode || '_' || state_abbr NOT IN (SELECT composite_key FROM valid_keys)
+      |)""".stripMargin
+
+  /** E1: schema'd CSV ingest. */
+  val csvIngest = QueryDef(
+    "etl_csv_ingest",
+    (s, _) => ZipEtl.ingest(s)
+      .orderBy("zipcode", "state_abbr", "last_updated", "county", "city"),
+    Some(s"""WITH $oIngest
+             SELECT * FROM ingest
+             ORDER BY zipcode, state_abbr, last_updated, county, city"""))
+
+  /** E2: dedup by composite key, deterministic last-wins. */
+  val dedupeByKey = QueryDef(
+    "etl_dedupe_by_key",
+    (s, _) => ZipEtl.dedupeLastWins(ZipEtl.ingest(s))
+      .orderBy("zipcode", "state_abbr"),
+    Some(s"""WITH $oIngest, $oDedup
+             SELECT * FROM dedup ORDER BY zipcode, state_abbr"""))
+
+  /** E3: incremental exclusion of complete+fresh records. */
+  val excludeProcessed = QueryDef(
+    "etl_exclude_processed",
+    (s, _) => {
+      val deduped = ZipEtl.dedupeLastWins(ZipEtl.ingest(s))
+      ZipEtl.excludeProcessed(deduped, ZipEtl.processedBaseline(s))
+        .orderBy("composite_key")
+    },
+    Some(s"""WITH $oIngest, $oDedup, $oEnrich, $oBaseline, $oValidKeys, $oExcluded
+             SELECT * FROM excluded ORDER BY composite_key"""))
+
+  /** E4: deterministic enrichment + broadcast tz_region dim join. */
+  val enrichQ = QueryDef(
+    "etl_enrich",
+    (s, _) => ZipEtl.enrich(ZipEtl.dedupeLastWins(ZipEtl.ingest(s)))
+      .orderBy("composite_key"),
+    Some(s"""WITH $oIngest, $oDedup, $oEnrich
+             SELECT * FROM enriched ORDER BY composite_key"""))
+
+  /** E5: upsert / merge-by-key — delta (all enriched records stamped
+    * with the run date) over the simulated baseline. */
+  val upsertMerge = QueryDef(
+    "etl_upsert_merge",
+    (s, _) => {
+      val base = ZipEtl.processedBaseline(s)
+      val delta = ZipEtl.enrich(ZipEtl.dedupeLastWins(ZipEtl.ingest(s)))
+        .withColumn("last_modified", lit(ZipEtl.runDate).cast("date"))
+      ZipEtl.upsert(base, delta).orderBy("composite_key")
+    },
+    Some(s"""WITH $oIngest, $oDedup, $oEnrich, $oBaseline,
+             delta AS (
+               SELECT *, DATE '${ZipEtl.runDate}' AS last_modified FROM enriched
+             ),
+             merged AS (
+               SELECT state_fips, state, state_abbr, zipcode, county, city,
+                      last_updated, composite_key, latitude, longitude, elevation,
+                      timezone, tz_region, last_modified
+               FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY composite_key
+                       ORDER BY last_modified DESC, src DESC) AS rn
+                     FROM (SELECT *, 0 AS src FROM baseline
+                           UNION ALL BY NAME
+                           SELECT *, 1 AS src FROM delta))
+               WHERE rn = 1
+             )
+             SELECT * FROM merged ORDER BY composite_key"""))
+
+  /** E7: the composed end-to-end pipeline — post-run target table. */
+  val pipelineQ = QueryDef(
+    "etl_pipeline",
+    (s, _) => ZipEtl.pipeline(s).orderBy("composite_key"),
+    Some(s"""WITH $oIngest, $oDedup, $oEnrich, $oBaseline, $oValidKeys,
+             fresh AS (
+               SELECT * FROM dedup
+               WHERE zipcode || '_' || state_abbr NOT IN (SELECT composite_key FROM valid_keys)
+             ),
+             fresh_enriched AS (
+               SELECT *,
+                 zipcode || '_' || state_abbr AS composite_key,
+                 -90 + CAST(CAST(zipcode AS BIGINT) * 7919 % 18000 AS DOUBLE) / 100.0 AS latitude,
+                 -180 + CAST(CAST(zipcode AS BIGINT) * 104729 % 36000 AS DOUBLE) / 100.0 AS longitude,
+                 CAST(zipcode AS BIGINT) * 31 % 4000 AS elevation,
+                 'UTC' || CASE WHEN CAST(zipcode AS BIGINT) % 25 - 12 >= 0
+                     THEN '+' || CAST(CAST(zipcode AS BIGINT) % 25 - 12 AS VARCHAR)
+                     ELSE CAST(CAST(zipcode AS BIGINT) % 25 - 12 AS VARCHAR) END AS timezone,
+                 CASE state_fips % 4 WHEN 0 THEN 'Eastern' WHEN 1 THEN 'Central'
+                                     WHEN 2 THEN 'Mountain' ELSE 'Pacific' END AS tz_region,
+                 DATE '${ZipEtl.runDate}' AS last_modified
+               FROM fresh
+             ),
+             merged AS (
+               SELECT state_fips, state, state_abbr, zipcode, county, city,
+                      last_updated, composite_key, latitude, longitude, elevation,
+                      timezone, tz_region, last_modified
+               FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY composite_key
+                       ORDER BY last_modified DESC, src DESC) AS rn
+                     FROM (SELECT *, 0 AS src FROM baseline
+                           UNION ALL BY NAME
+                           SELECT *, 1 AS src FROM fresh_enriched))
+               WHERE rn = 1
+             )
+             SELECT * FROM merged ORDER BY composite_key"""))
+
+  /** E6: run-condition gate scenarios (rows-only; logic asserted in the
+    * ScalaTest spec). */
+  val ledgerQ = QueryDef(
+    "etl_ledger",
+    (s, _) => Ledger.scenarios(s).orderBy("scenario"),
+    None)
+
+  val all: Seq[QueryDef] = Seq(
+    csvIngest, dedupeByKey, excludeProcessed, enrichQ, upsertMerge,
+    pipelineQ, ledgerQ)
+}

@@ -1,0 +1,25 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+
+/** E9/IO4: batched parallel sink. The reference batches rows into
+  * PostgreSQL from an ActionBlock (`DataflowProcessor.cs:222-247`,
+  * BatchRecordSaveCount=25); in Spark, per-partition batched parallel
+  * writes are native to the sink — every partition streams its rows
+  * into its own file concurrently. partitionBy gives the directory
+  * layout downstream reads prune on (e.g. state_code or a date column),
+  * which is the scale-relevant knob.
+  */
+object Sink {
+
+  /** Partitioned parquet write; maxRecordsPerFile bounds file size the
+    * way BatchRecordSaveCount bounds the reference's insert batches. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+      maxRecordsPerFile: Long = 0L): Unit = {
+    val w = df.write.mode("overwrite")
+    val sized = if (maxRecordsPerFile > 0)
+      w.option("maxRecordsPerFile", maxRecordsPerFile) else w
+    (if (partitionCols.nonEmpty) sized.partitionBy(partitionCols: _*) else sized)
+      .parquet(path)
+  }
+}
