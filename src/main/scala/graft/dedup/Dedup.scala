@@ -1,0 +1,171 @@
+package graft.dedup
+
+import graft.functions.Text
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over a (doc_id, text) corpus
+  * (SURVEY.md §2.4 D1-D4). Every shape is a declarative plan with one
+  * keyed shuffle per stage and NO all-pairs comparison anywhere: the
+  * quadratic step is always confined to hash buckets (LSH bands /
+  * simhash chunks), which is what makes near-dup detection feasible on
+  * 100 TB — candidate generation is linear, verification touches only
+  * candidate pairs.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- D1
+
+  /** Exact dedup: group by md5 of the canonical text, keep the lowest
+    * doc_id per group. One hash-partitioned aggregation. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), Text.fingerprintMd5(col("text")).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_docs"))
+
+  // ---------------------------------------------------------------- D2
+
+  val NumHashes = 64
+  val Bands = 16
+  val RowsPerBand = NumHashes / Bands // 4
+  /** Buckets above this size are dropped from candidate generation —
+    * a degenerate shingle (e.g. empty text) would otherwise create a
+    * quadratic bucket. The skew-safety valve SURVEY §5 calls for. */
+  val MaxBucket = 100
+
+  /** MinHash signatures: sig[i] = min over shingles of h_i(shingle),
+    * with h_i = xxhash64(i, shingle) — 64 independent hash functions
+    * from one primitive. Shaped as explode → 64 parallel MIN
+    * aggregates: a codegen'd hash aggregation with map-side partials
+    * (one doc_id-keyed shuffle of 64-long rows), rather than nested
+    * interpreted array lambdas that re-evaluate the shingle chain per
+    * hash function. */
+  def minhashSignatures(docs: DataFrame, shingleK: Int = 3): DataFrame = {
+    val exploded = docs
+      .select(col("doc_id"), explode(Text.shingles(col("text"), shingleK)).as("sh"))
+    val mins = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    exploded.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH band keys: band j hashes rows [j*r, (j+1)*r) of the signature
+    * together with j, so equal band keys ⇒ equal sub-signature. */
+  def bandKeys(sig: Column): Column =
+    transform(sequence(lit(0), lit(Bands - 1)),
+      j => xxhash64(j, element_at(sig, j * RowsPerBand + 1),
+        element_at(sig, j * RowsPerBand + 2),
+        element_at(sig, j * RowsPerBand + 3),
+        element_at(sig, j * RowsPerBand + 4)))
+
+  /** D2: MinHash+LSH candidate pairs: shingle → signature → explode
+    * band keys → bucket self-join (a.doc_id < b.doc_id) → distinct.
+    * Work is linear in corpus size plus sum of bucket-size² with
+    * buckets capped at MaxBucket; never an all-pairs product. */
+  def minhashLshCandidates(docs: DataFrame, shingleK: Int = 3): DataFrame = {
+    val banded = minhashSignatures(docs, shingleK)
+      .select(col("doc_id"), explode(bandKeys(col("sig"))).as("band_key"))
+    val bucketed = banded
+      .join(banded.groupBy("band_key").count().filter(col("count") <= MaxBucket),
+        Seq("band_key"))
+      .select("band_key", "doc_id")
+    bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  // ---------------------------------------------------------------- D3
+
+  /** SimHash (Charikar, STOC'02): 64-bit sketch where bit j is the
+    * sign of Σ over shingle hashes of ±1 on that hash's bit j. Shaped
+    * like minhash: explode shingle hashes, 64 parallel SUM aggregates
+    * (codegen'd, map-side partial), then pack the sign bits with static
+    * bit arithmetic. */
+  def simhashSignatures(docs: DataFrame, shingleK: Int = 2): DataFrame = {
+    val exploded = docs
+      .select(col("doc_id"),
+        explode(transform(Text.shingles(col("text"), shingleK), s => xxhash64(s))).as("h"))
+    val sums = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$j"))
+    val packed = (0 until 64).map(j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    exploded.groupBy("doc_id")
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
+  }
+
+  /** D3: simhash near-dup candidates by the pigeonhole principle:
+    * hamming(a,b) ≤ 3 ⇒ at least one of the four 16-bit chunks is
+    * equal, so bucket on (chunk_idx, chunk_value) and verify the full
+    * hamming distance only inside buckets. */
+  def simhashCandidates(docs: DataFrame, maxHamming: Int = 3,
+      shingleK: Int = 2): DataFrame = {
+    val sh = simhashSignatures(docs, shingleK)
+    val chunked = sh.select(col("doc_id"), col("simhash"),
+      explode(transform(sequence(lit(0), lit(3)),
+        j => struct(j.as("chunk_idx"),
+          call_function("shiftright", col("simhash"), j * 16)
+            .bitwiseAND(0xFFFFL).as("chunk_val"))))
+        .as("c"))
+      .select(col("doc_id"), col("simhash"),
+        col("c.chunk_idx"), col("c.chunk_val"))
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  // ---------------------------------------------------------------- D4
+
+  /** D4: n-gram Jaccard verification — exact similarity computed ONLY
+    * on candidate pairs (from D2/D3), never all pairs. Joining the
+    * shingle sets back in is two hash joins on doc_id. */
+  def jaccardVerify(candidates: DataFrame, docs: DataFrame,
+      shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sets = docs.select(col("doc_id"), Text.shingles(col("text"), shingleK).as("sh"))
+    candidates
+      .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), Seq("doc_a"))
+      .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  // ------------------------------------------------------- test harness
+
+  /** Deterministic planted near-duplicates: docs with id % 50 == 0 are
+    * copied (id + 1,000,000) with a 4-word suffix — Jaccard vs the
+    * original ≈ 0.85 on 3-shingles. The synthetic corpus makes the
+    * rows-only LSH entries non-trivially non-empty at every sf and
+    * gives the specs known-positive pairs to assert recall on. */
+  def withPlantedDups(docs: DataFrame): DataFrame = {
+    val planted = docs.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" planted near duplicate suffix")).as("text"))
+    docs.select("doc_id", "text").unionByName(planted)
+  }
+
+  /** Exact planted copies (doc_id + 2,000,000): the positives for the
+    * simhash entry. On short word-salad documents a 4-word suffix
+    * legitimately moves more than 3 of 64 simhash bits (per-bit sums
+    * hover near zero with ~50 features), so simhash's planted positives
+    * are verbatim copies — hamming 0 — while MinHash keeps the
+    * suffix-mutated ones (Jaccard ≈ 0.85). */
+  def withPlantedExactDups(docs: DataFrame): DataFrame = {
+    val planted = docs.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    docs.select("doc_id", "text").unionByName(planted)
+  }
+}

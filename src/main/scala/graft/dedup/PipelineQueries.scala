@@ -1,0 +1,212 @@
+package graft.dedup
+
+import graft.{QueryDef, Tables}
+import graft.functions.Text
+import graft.multimodal.Multimodal
+import graft.similarity.Ann
+import org.apache.spark.sql.functions._
+
+/** Coverage entries D1-D12 (SURVEY.md §2.4) over the documents /
+  * embeddings tables. Oracle-gated entries mirror the exact arithmetic
+  * in DuckDB; bucketed-LSH entries are rows-only (no SQL equivalent of
+  * the hash family) and get recall/behavior specs instead.
+  */
+object PipelineQueries {
+
+  /** Canonicalization mirrored in DuckDB. */
+  private val oCanon =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+
+  /** D1: exact dedup via content-hash groupBy. */
+  val dedupExact = QueryDef(
+    "dedup_exact",
+    (s, d) => Dedup.exactDedup(Tables.documents(s, d)).orderBy("content_hash"),
+    Some(s"""SELECT md5($oCanon) AS content_hash,
+               MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_docs
+             FROM documents GROUP BY 1 ORDER BY content_hash"""))
+
+  /** D2: MinHash+LSH candidate pairs on the corpus + planted
+    * near-dups (rows-only: the hash family has no SQL oracle). */
+  val dedupMinhashLsh = QueryDef(
+    "dedup_minhash_lsh",
+    (s, d) => Dedup.minhashLshCandidates(
+      Dedup.withPlantedDups(Tables.documents(s, d)))
+      .orderBy("doc_a", "doc_b"),
+    None)
+
+  /** D3: SimHash near-dup candidates (rows-only; planted exact copies
+    * are the guaranteed positives — see Dedup.withPlantedExactDups). */
+  val dedupSimhash = QueryDef(
+    "dedup_simhash",
+    (s, d) => Dedup.simhashCandidates(
+      Dedup.withPlantedExactDups(Tables.documents(s, d)))
+      .orderBy("doc_a", "doc_b"),
+    None)
+
+  /** D4: n-gram Jaccard verification over the D2 candidates
+    * (rows-only). */
+  val dedupNgramJaccard = QueryDef(
+    "dedup_ngram_jaccard",
+    (s, d) => {
+      val corpus = Dedup.withPlantedDups(Tables.documents(s, d))
+      Dedup.jaccardVerify(Dedup.minhashLshCandidates(corpus), corpus)
+        .orderBy("doc_a", "doc_b")
+    },
+    None)
+
+  /** D5: exact embedding-cosine near-dup pairs, label-blocked. The
+    * oracle spells out dot/norm with the same double arithmetic and
+    * summation order (list fold) as the Spark plan. */
+  val dedupEmbeddingCosine = QueryDef(
+    "dedup_embedding_cosine",
+    (s, d) => Ann.cosineNearDupPairs(Tables.embeddings(s, d), 0.30)
+      .orderBy("vec_a", "vec_b"),
+    Some("""WITH e AS (SELECT vec_id, label,
+                  CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            pairs AS (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                ROUND(
+                  list_sum(list_transform(list_zip(a.emb, b.emb), p -> p[1] * p[2]))
+                  / (sqrt(list_sum(list_transform(a.emb, x -> x * x)))
+                   * sqrt(list_sum(list_transform(b.emb, x -> x * x)))), 6) AS cos_sim
+              FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+            SELECT * FROM pairs WHERE cos_sim >= 0.30 ORDER BY vec_a, vec_b"""))
+
+  /** D6: brute-force cosine top-k — queries are vec_id % 100 == 0,
+    * broadcast against the corpus. */
+  val annBruteforceTopK = QueryDef(
+    "ann_bruteforce_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.bruteForceTopK(emb, emb.filter(col("vec_id") % 100 === 0), 10)
+        .orderBy("q_id", "rnk")
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id % 100 = 0),
+            scored AS (
+              SELECT q.q_id, e.vec_id,
+                ROUND(
+                  list_sum(list_transform(list_zip(q.q_emb, e.emb), p -> p[1] * p[2]))
+                  / (sqrt(list_sum(list_transform(q.q_emb, x -> x * x)))
+                   * sqrt(list_sum(list_transform(e.emb, x -> x * x)))), 6) AS cos_sim
+              FROM q JOIN e ON e.vec_id <> q.q_id),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                          ORDER BY cos_sim DESC, vec_id) AS rnk
+              FROM scored)
+            SELECT q_id, vec_id, cos_sim, rnk FROM ranked
+            WHERE rnk <= 10 ORDER BY q_id, rnk"""))
+
+  /** D7: LSH-bucketed ANN (rows-only; recall vs D6 asserted in spec). */
+  val annLsh = QueryDef(
+    "ann_lsh",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.lshTopK(emb, emb.filter(col("vec_id") % 100 === 0), 10)
+        .orderBy("q_id", "rnk")
+    },
+    None)
+
+  /** D8: marker-word language ID. */
+  val textLangId = QueryDef(
+    "text_lang_id",
+    (s, d) => {
+      val t = col("text")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        Text.markerHits(t, Text.langMarkers.toMap.apply("en")).as("en_hits"),
+        Text.markerHits(t, Text.langMarkers.toMap.apply("de")).as("de_hits"),
+        Text.markerHits(t, Text.langMarkers.toMap.apply("es")).as("es_hits"),
+        Text.markerHits(t, Text.langMarkers.toMap.apply("fr")).as("fr_hits"),
+        Text.langId(t).as("lang_pred"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH w AS (SELECT doc_id, string_split($oCanon, ' ') AS ws FROM documents),
+             h AS (SELECT doc_id,
+               len(list_filter(ws, x -> x IN ('the','a','of','and','is'))) AS en_hits,
+               len(list_filter(ws, x -> x IN ('der','die','und','das','ist'))) AS de_hits,
+               len(list_filter(ws, x -> x IN ('el','los','y','las','es'))) AS es_hits,
+               len(list_filter(ws, x -> x IN ('le','la','et','les','des'))) AS fr_hits
+             FROM w)
+             SELECT doc_id, en_hits, de_hits, es_hits, fr_hits,
+               CASE WHEN en_hits >= greatest(de_hits, es_hits, fr_hits) THEN 'en'
+                    WHEN de_hits >= greatest(en_hits, es_hits, fr_hits) THEN 'de'
+                    WHEN es_hits >= greatest(en_hits, de_hits, fr_hits) THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+             FROM h ORDER BY doc_id"""))
+
+  /** D9: quality scoring. */
+  val textQualityScore = QueryDef(
+    "text_quality_score",
+    (s, d) => {
+      val comps = Text.qualityComponents(col("text"))
+      Tables.documents(s, d).select(
+        (col("doc_id") +: comps.map { case (n, c) => c.as(n) }) :+
+          Text.qualityScore(col("text")).as("quality"): _*)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH c AS (SELECT doc_id, text, $oCanon AS canon FROM documents),
+             m AS (SELECT doc_id, text, canon,
+                     len(string_split(canon, ' ')) AS n_words,
+                     greatest(length(text), 1) AS text_len
+                   FROM c)
+             SELECT doc_id, n_words,
+               CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / text_len AS punct_ratio,
+               CAST(len(list_filter(string_split(canon, ' '),
+                 x -> x IN ('the','a','of','and','is','der','die','und','das','ist',
+                            'el','los','y','las','es','le','la','et','les','des'))) AS DOUBLE)
+                 / greatest(n_words, 1) AS stopword_ratio,
+               CAST(length(canon) - (n_words - 1) AS DOUBLE) / greatest(n_words, 1) AS mean_word_len,
+               floor((0.3 * least(1.0, CAST(n_words AS DOUBLE) / 100.0)
+                   + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / text_len)
+                   + 0.2 * least(1.0, CAST(len(list_filter(string_split(canon, ' '),
+                       x -> x IN ('the','a','of','and','is','der','die','und','das','ist',
+                                  'el','los','y','las','es','le','la','et','les','des'))) AS DOUBLE)
+                       / greatest(n_words, 1) * 5.0)
+                   + 0.2 * least(1.0, CAST(length(canon) - (n_words - 1) AS DOUBLE) / greatest(n_words, 1) / 8.0)) * 1e6 + 0.5) / 1e6 AS quality
+             FROM m ORDER BY doc_id"""))
+
+  /** D10: token counting — whitespace + BPE-ish regex. */
+  val textTokenCount = QueryDef(
+    "text_token_count",
+    (s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      Text.whitespaceTokenCount(col("text")).as("ws_tokens"),
+      Text.bpeTokenCount(col("text")).as("bpe_tokens"))
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id,
+               len(string_split($oCanon, ' ')) AS ws_tokens,
+               len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_tokens
+             FROM documents ORDER BY doc_id"""))
+
+  /** D11: document fingerprint — md5 (oracle) + winnowing (rows-only
+    * second entry below). */
+  val textFingerprint = QueryDef(
+    "text_fingerprint",
+    (s, d) => Tables.documents(s, d).select(
+      col("doc_id"), Text.fingerprintMd5(col("text")).as("fp_md5"))
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id, md5($oCanon) AS fp_md5
+             FROM documents ORDER BY doc_id"""))
+
+  /** D11b: winnowing fingerprint set (rows-only — xxhash64 rolling
+    * hashes have no DuckDB mirror). */
+  val textWinnow = QueryDef(
+    "text_winnow",
+    (s, d) => graft.functions.Winnow.fingerprints(Tables.documents(s, d))
+      .orderBy("doc_id"),
+    None)
+
+  /** D12: multimodal binary columns + typed metadata (rows-only;
+    * decode stub covered by spec). */
+  val mmBinaryMeta = QueryDef(
+    "mm_binary_meta",
+    (s, d) => Multimodal.binaryMeta(s, Tables.documents(s, d)),
+    None)
+
+  val all: Seq[QueryDef] = Seq(
+    dedupExact, dedupMinhashLsh, dedupSimhash, dedupNgramJaccard,
+    dedupEmbeddingCosine, annBruteforceTopK, annLsh,
+    textLangId, textQualityScore, textTokenCount, textFingerprint,
+    textWinnow, mmBinaryMeta)
+}

@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks (SURVEY.md §2.4 D8-D11) as pure,
+  * codegen'd column expressions — no UDFs anywhere, so every operator
+  * composes into whole-stage codegen and runs at scan speed on 100 TB.
+  * All shapes use Spark's higher-order array functions (transform /
+  * filter / aggregate) over split text.
+  */
+object Text {
+
+  /** Canonical form: lowercase, strip non-alphanumerics, collapse
+    * whitespace. The base for hashing/fingerprints so trivial
+    * formatting differences never defeat dedup. */
+  def canonical(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9\\s]", ""), "\\s+", " "))
+
+  def words(c: Column): Column = split(canonical(c), " ")
+
+  /** Word k-shingles: ["a","b","c","d"] with k=3 →
+    * ["a b c","b c d"]. Distinct set — shingle multiplicity does not
+    * matter for Jaccard. */
+  def shingles(c: Column, k: Int): Column = {
+    val ws = words(c)
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(ws) - k, lit(0))),
+      i => array_join(slice(ws, i + 1, lit(k)), " ")))
+  }
+
+  /** D10: token counts — whitespace tokens and a BPE-ish regex
+    * tokenization (letter runs | digit runs | single punctuation),
+    * the standard pre-tokenizer shape. */
+  def whitespaceTokenCount(c: Column): Column = size(words(c))
+  val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(lower(c), lit(bpePattern), lit(0)))
+
+  /** D8: marker-word language ID. Argmax of stopword-marker hits with
+    * a fixed priority tiebreak (en > de > es > fr) — deterministic on
+    * any input, including marker-free text. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "los", "y", "las", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  def markerHits(c: Column, markers: Seq[String]): Column =
+    size(filter(words(c), w => w.isin(markers: _*)))
+
+  def langId(c: Column): Column = {
+    val hits = langMarkers.map { case (l, m) => l -> markerHits(c, m) }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.foldRight(lit(langMarkers.head._1)) { case ((l, h), acc) =>
+      when(h === best, lit(l)).otherwise(acc)
+    }
+    // foldRight means earlier languages win ties (en first).
+  }
+
+  /** D9: quality-score components + composite. All ratios guarded
+    * against empty text; double arithmetic identical to the oracle. */
+  def qualityComponents(c: Column): Seq[(String, Column)] = {
+    val canon = canonical(c)
+    val nWords = size(split(canon, " "))
+    val textLen = greatest(length(c), lit(1))
+    val punctCount = length(c) - length(regexp_replace(c, "[^A-Za-z0-9\\s]", ""))
+    val punctRatio = punctCount.cast("double") / textLen
+    val stopRatio = markerHits(c, langMarkers.flatMap(_._2)).cast("double") /
+      greatest(nWords, lit(1))
+    val meanWordLen = (length(canon) - (nWords - 1)).cast("double") /
+      greatest(nWords, lit(1))
+    Seq(
+      "n_words" -> nWords,
+      "punct_ratio" -> punctRatio,
+      "stopword_ratio" -> stopRatio,
+      "mean_word_len" -> meanWordLen)
+  }
+
+  def qualityScore(c: Column): Column = {
+    val comp = qualityComponents(c).toMap
+    val score =
+      lit(0.3) * least(lit(1.0), comp("n_words").cast("double") / 100.0) +
+        lit(0.3) * (lit(1.0) - comp("punct_ratio")) +
+        lit(0.2) * least(lit(1.0), comp("stopword_ratio") * 5.0) +
+        lit(0.2) * least(lit(1.0), comp("mean_word_len") / 8.0)
+    // floor(x*1e6+0.5)/1e6 instead of ROUND(x,6): both engines compute
+    // the identical double, and floor of it is engine-independent —
+    // ROUND differs (half-up vs half-even) exactly when the score lands
+    // on a .5 ulp boundary, which weighted sums of small rationals do.
+    floor(score * 1e6 + 0.5) / 1e6
+  }
+
+  /** D11a: exact content fingerprint — md5 of the canonical form. */
+  def fingerprintMd5(c: Column): Column = md5(canonical(c))
+
+  /** k-gram rolling hashes of the canonical text, as an array column.
+    * The canonical form is expected to be a materialized column (not an
+    * inline expression) — lambda bodies re-evaluate their free
+    * references per element, so an inline regex chain here would run
+    * once per gram. */
+  def gramHashes(canonCol: Column, k: Int): Column = {
+    val n = greatest(length(canonCol) - (k - 1), lit(1))
+    transform(sequence(lit(1), n), i => xxhash64(canonCol.substr(i, lit(k))))
+  }
+}

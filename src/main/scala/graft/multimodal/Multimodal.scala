@@ -1,0 +1,89 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** D12: multimodal columns — image/audio/video as opaque binary with
+  * typed metadata (SURVEY.md §2.4). The Spark-side plumbing (schema,
+  * partitioning, per-partition batch shape) is real and tested; only
+  * the codec itself is a STUB — this container has no image/audio
+  * libraries, so decode produces a deterministic fake "feature" from
+  * the bytes. A real deployment swaps `decodeStub` for the actual
+  * codec; nothing else changes.
+  *
+  * Decode runs via mapPartitions over an iterator — the per-partition
+  * batch shape a vectorized (Arrow/pandas-style) decode UDF sees —
+  * and is the ONE sanctioned mapPartitions in the engine: codecs are
+  * genuinely imperative per-row work no Column expression expresses.
+  */
+object Multimodal {
+
+  val Modalities = Seq("image", "audio", "video")
+
+  val assetSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("modality", StringType),
+    StructField("content", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_frames", IntegerType))))))
+
+  /** Synthesize an asset table from the documents corpus: the text
+    * bytes stand in for an encoded payload; metadata is derived
+    * deterministically from doc_id. Pure column expressions. */
+  def syntheticAssets(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    docs.select(
+      id,
+      element_at(array(Modalities.map(lit): _*), (id % 3 + 1).cast("int")).as("modality"),
+      col("text").cast("binary").as("content"),
+      struct(
+        (lit(64) + id % 512).cast("int").as("width"),
+        (lit(64) + id % 256).cast("int").as("height"),
+        (lit(8000) + (id % 5) * 8000).cast("int").as("sample_rate"),
+        (lit(1) + id % 300).cast("int").as("n_frames")).as("meta"))
+  }
+
+  val featureSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("modality", StringType),
+    StructField("n_bytes", IntegerType),
+    StructField("feature", ArrayType(FloatType))))
+
+  /** STUB decode + feature-extract. Deterministic fake: "features" are
+    * byte-histogram statistics of the payload — stands in for e.g. a
+    * resized image tensor or mel spectrogram. Batch shape, schema and
+    * partitioning are exactly what the real codec path uses. */
+  def decodeFeatures(assets: DataFrame, featureDim: Int = 8): DataFrame = {
+    val enc = RowEncoder.encoderFor(featureSchema)
+    assets.select("doc_id", "modality", "content").mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]]("content")
+        val feature = new Array[Float](featureDim)
+        var i = 0
+        while (i < bytes.length) {
+          feature(i % featureDim) += (bytes(i) & 0xFF) / 255.0f
+          i += 1
+        }
+        Row(r.getAs[Long]("doc_id"), r.getAs[String]("modality"),
+          bytes.length, feature.toSeq)
+      }
+    }(enc)
+  }
+
+  /** The rows-only `mm_binary_meta` coverage entry: assets repartitioned
+    * by modality (the layout a decode fleet wants — one codec per
+    * partition family), metadata flattened. */
+  def binaryMeta(s: SparkSession, docs: DataFrame): DataFrame =
+    syntheticAssets(docs)
+      .repartition(col("modality"))
+      .select(col("doc_id"), col("modality"),
+        length(col("content")).as("n_bytes"),
+        col("meta.width"), col("meta.height"),
+        col("meta.sample_rate"), col("meta.n_frames"))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,116 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (SURVEY.md §2.4 D5-D7).
+  * Vector math is zip_with/aggregate higher-order functions in double —
+  * codegen'd, no UDF, identical summation order to the oracle.
+  *
+  * Scale shapes:
+  *  - D5 exact near-dup pairs are label-blocked (never a full cross
+  *    product): blocking is what real exact-verification passes do.
+  *  - D6 brute-force top-k broadcasts the (small) query set — a
+  *    map-side BroadcastNestedLoop scan of the corpus; the corpus is
+  *    never shuffled.
+  *  - D7 LSH buckets via random-hyperplane signs, multiple tables;
+  *    candidate generation is a bucket join like MinHash.
+  */
+object Ann {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  /** Cosine in double; inputs cast from float once. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = a.cast("array<double>")
+    val bd = b.cast("array<double>")
+    dot(ad, bd) / (norm(ad) * norm(bd))
+  }
+
+  // ---------------------------------------------------------------- D5
+
+  /** Exact embedding-cosine near-dup pairs within a blocking key
+    * (label): vec_id < vec_id, cosine ≥ threshold. */
+  def cosineNearDupPairs(emb: DataFrame, threshold: Double): DataFrame =
+    emb.as("a")
+      .join(emb.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(cosine(col("a.embedding"), col("b.embedding")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+
+  // ---------------------------------------------------------------- D6
+
+  /** Brute-force cosine top-k: every corpus row is scored against each
+    * broadcast query (map-side), then per-query top-k with a rank
+    * window — WindowGroupLimit keeps only k rows per query per
+    * partition before the (tiny) final shuffle. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.as("c")
+      .join(broadcast(queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"))),
+        col("c.vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("c.vec_id").as("vec_id"),
+        round(cosine(col("q_emb"), col("c.embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "vec_id", "cos_sim", "rnk")
+  }
+
+  // ---------------------------------------------------------------- D7
+
+  val Tables = 8
+  val PlanesPerTable = 8
+
+  /** Random-hyperplane signature (Charikar SimHash for vectors): plane
+    * (t,p) has deterministic ±1 Rademacher components derived from
+    * xxhash64(t, p, j); bucket key packs the sign bits. P[same bucket]
+    * = (1 - θ/π)^planes per table. */
+  def hyperplaneBucket(emb: Column, table: Column): Column = {
+    val ed = emb.cast("array<double>")
+    val bits = transform(sequence(lit(0), lit(PlanesPerTable - 1)), p => {
+      val proj = aggregate(zip_with(ed, sequence(lit(0), size(ed) - 1),
+        (x, j) => x * when(xxhash64(table, p, j).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, 1L).otherwise(0L)
+    })
+    aggregate(bits, lit(0L), (acc, b) => acc * 2 + b)
+  }
+
+  /** D7: LSH-bucketed ANN — candidates are corpus rows sharing any of
+    * the query's (table, bucket) keys; exact cosine re-ranks only the
+    * candidates. Recall vs D6 is asserted in the spec. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    def withBuckets(df: DataFrame, idCol: String): DataFrame =
+      df.select(col("vec_id").as(idCol), col("embedding"),
+        explode(transform(sequence(lit(0), lit(Tables - 1)),
+          t => struct(t.as("tbl"),
+            hyperplaneBucket(col("embedding"), t).as("bucket")))).as("tb"))
+        .select(col(idCol), col("embedding"), col("tb.tbl"), col("tb.bucket"))
+    val cBuckets = withBuckets(corpus, "vec_id")
+    val qBuckets = withBuckets(queries, "q_id")
+      .withColumnRenamed("embedding", "q_emb")
+    val candidates = cBuckets.as("c")
+      .join(broadcast(qBuckets.as("q")),
+        col("c.tbl") === col("q.tbl") && col("c.bucket") === col("q.bucket") &&
+          col("c.vec_id") =!= col("q.q_id"))
+    val scored = candidates
+      .select(col("q.q_id").as("q_id"), col("c.vec_id").as("vec_id"),
+        col("q.q_emb").as("q_emb"), col("c.embedding").as("embedding"))
+      .distinct()
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "vec_id", "cos_sim", "rnk")
+  }
+}

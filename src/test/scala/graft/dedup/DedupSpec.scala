@@ -1,0 +1,79 @@
+package graft.dedup
+
+import graft.SparkSpec
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Specs for the dedup block D1-D4 (SURVEY.md §2.4): recall on planted
+  * near-duplicates, precision of the verification pass, bucket-cap
+  * behavior. */
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf)
+  private lazy val planted = Dedup.withPlantedDups(docs).cache()
+  private lazy val plantedPairs = docs.filter(col("doc_id") % 50 === 0)
+    .select(col("doc_id").as("doc_a"), (col("doc_id") + 1000000L).as("doc_b"))
+
+  test("D1: exact dedup groups verbatim duplicates and keeps min doc_id") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "The quick brown fox"),
+      (2L, "the quick  brown FOX!"), // same canonical form
+      (3L, "something else entirely")).toDF("doc_id", "text")
+    val out = Dedup.exactDedup(corpus).collect()
+    assert(out.length === 2)
+    val dupGroup = out.find(_.getAs[Long]("n_docs") == 2L).get
+    assert(dupGroup.getAs[Long]("keeper_doc_id") === 1L)
+  }
+
+  test("D2: MinHash+LSH finds every planted near-duplicate pair") {
+    val cands = Dedup.minhashLshCandidates(planted)
+    val found = plantedPairs.join(cands, Seq("doc_a", "doc_b"), "left_semi").count()
+    val expected = plantedPairs.count()
+    assert(expected > 0)
+    assert(found === expected,
+      s"LSH recall on planted dups: $found/$expected")
+  }
+
+  test("D2: LSH produces no self-pairs and respects doc_a < doc_b") {
+    val cands = Dedup.minhashLshCandidates(planted).cache()
+    assert(cands.filter(col("doc_a") >= col("doc_b")).count() === 0)
+    cands.unpersist()
+  }
+
+  test("D3: SimHash finds every planted exact duplicate at hamming 0") {
+    val exactPlanted = Dedup.withPlantedExactDups(docs)
+    val exactPairs = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("doc_a"), (col("doc_id") + 2000000L).as("doc_b"))
+    val cands = Dedup.simhashCandidates(exactPlanted).cache()
+    val found = exactPairs.join(cands, Seq("doc_a", "doc_b"), "left_semi").count()
+    val expected = exactPairs.count()
+    assert(expected > 0)
+    assert(found === expected, s"SimHash recall on exact dups: $found/$expected")
+    // identical text ⇒ hamming 0 for the planted pairs
+    val nonZero = exactPairs.join(cands, Seq("doc_a", "doc_b"))
+      .filter(col("hamming") =!= 0).count()
+    assert(nonZero === 0)
+    cands.unpersist()
+  }
+
+  test("D4: Jaccard verification scores planted pairs high and is confined to candidates") {
+    val cands = Dedup.minhashLshCandidates(planted)
+    val verified = Dedup.jaccardVerify(cands, planted, threshold = 0.5).cache()
+    val found = plantedPairs.join(verified, Seq("doc_a", "doc_b"), "left_semi").count()
+    assert(found === plantedPairs.count())
+    // verification can only shrink the candidate set
+    assert(verified.count() <= cands.count())
+    val badJ = verified.filter(col("jaccard") < 0.5 || col("jaccard") > 1.0).count()
+    assert(badJ === 0)
+    verified.unpersist()
+  }
+
+  test("D2: oversized buckets are dropped (skew cap)") {
+    import spark.implicits._
+    // 150 identical docs → one bucket of 150 > MaxBucket → no pairs
+    val degenerate = (0 until 150).map(i => (i.toLong, "same text for everyone here"))
+      .toDF("doc_id", "text")
+    assert(Dedup.minhashLshCandidates(degenerate).count() === 0)
+  }
+}

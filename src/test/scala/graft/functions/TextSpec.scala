@@ -1,0 +1,78 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Specs for text analysis D8-D11. */
+class TextSpec extends SparkSpec {
+  import org.apache.spark.sql.Row
+
+  private def one(text: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    Seq((1L, text)).toDF("doc_id", "text")
+  }
+
+  test("canonical lowercases, strips punctuation, collapses whitespace") {
+    val out = one("  Hello,   WORLD!! 42 ").select(Text.canonical(col("text"))).head.getString(0)
+    assert(out === "hello world 42")
+  }
+
+  test("D8: language ID picks the language with most marker hits") {
+    val cases = Seq(
+      "the cat and the dog is a friend of mine" -> "en",
+      "der hund und die katze das ist gut" -> "de",
+      "el perro y los gatos las casas es bueno" -> "es",
+      "le chien et la maison les arbres des fleurs" -> "fr",
+      "xyzzy qwerty plugh" -> "en") // no markers → priority default
+    cases.foreach { case (text, expected) =>
+      val got = one(text).select(Text.langId(col("text"))).head.getString(0)
+      assert(got === expected, s"text: $text")
+    }
+  }
+
+  test("D9: quality score is bounded and ranks clean text above noise") {
+    val clean = "the report covers quarterly results and the outlook is strong " * 3
+    val noise = "@@## $$%% ^^&& !!?? ||}{"
+    val q = (t: String) => one(t).select(Text.qualityScore(col("text"))).head.getDouble(0)
+    assert(q(clean) > q(noise))
+    assert(q(clean) <= 1.0 && q(noise) >= 0.0)
+  }
+
+  test("D10: token counts — whitespace vs BPE-ish") {
+    val df = one("Hello, world! The answer is 42.")
+    val r = df.select(
+      Text.whitespaceTokenCount(col("text")).as("ws"),
+      Text.bpeTokenCount(col("text")).as("bpe")).head
+    assert(r.getAs[Int]("ws") === 6)
+    // hello , world ! the answer is 42 . → 9
+    assert(r.getAs[Int]("bpe") === 9)
+  }
+
+  test("D11: md5 fingerprint is canonicalization-invariant") {
+    val a = one("The  Quick brown FOX!").select(Text.fingerprintMd5(col("text"))).head.getString(0)
+    val b = one("the quick brown fox").select(Text.fingerprintMd5(col("text"))).head.getString(0)
+    assert(a === b)
+  }
+
+  test("D11b: winnowing shares fingerprints for overlapping docs, not disjoint ones") {
+    import spark.implicits._
+    val common = "a shared long passage about distributed query engines and storage"
+    val docs = Seq(
+      (1L, s"prefix one $common suffix alpha"),
+      (2L, s"totally different start $common other ending"),
+      (3L, "unrelated material concerning gardening tips and recipes only")
+    ).toDF("doc_id", "text")
+    val fps = Winnow.fingerprints(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](r.fieldIndex("winnow_fps")).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, "overlapping docs must share fingerprints")
+    assert((fps(1L) & fps(3L)).isEmpty, "disjoint docs must not")
+  }
+
+  test("D11b: winnowing handles documents shorter than one window") {
+    import spark.implicits._
+    val docs = Seq((1L, "tiny")).toDF("doc_id", "text")
+    val fps = Winnow.fingerprints(docs).collect()
+    assert(fps.length === 1 &&
+      fps.head.getSeq[Long](fps.head.fieldIndex("winnow_fps")).nonEmpty)
+  }
+}

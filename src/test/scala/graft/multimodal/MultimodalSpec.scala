@@ -1,0 +1,48 @@
+package graft.multimodal
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Specs for D12: multimodal binary columns, typed metadata, and the
+  * stubbed decode path's plumbing (schema, batch shape, determinism). */
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  test("D12: synthetic assets carry opaque binary content and typed metadata") {
+    val assets = Multimodal.syntheticAssets(docs).cache()
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => (f.name, f.dataType)).toSeq
+    assert(shape(assets.schema) === shape(Multimodal.assetSchema))
+    assert(assets.count() === docs.count())
+    val mods = assets.select("modality").distinct().collect().map(_.getString(0)).toSet
+    assert(mods === Multimodal.Modalities.toSet)
+    assert(assets.filter(col("content").isNull || length(col("content")) === 0).count() === 0)
+    assets.unpersist()
+  }
+
+  test("D12: decode stub preserves rows, emits fixed-dim features, and is deterministic") {
+    val assets = Multimodal.syntheticAssets(docs)
+    val feats = Multimodal.decodeFeatures(assets).cache()
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => (f.name, f.dataType)).toSeq
+    assert(shape(feats.schema) === shape(Multimodal.featureSchema))
+    assert(feats.count() === docs.count())
+    assert(feats.filter(size(col("feature")) =!= 8).count() === 0)
+    // deterministic: two runs agree exactly
+    val again = Multimodal.decodeFeatures(assets)
+    val joined = feats.as("a").join(again.as("b"), Seq("doc_id"))
+      .filter(col("a.n_bytes") =!= col("b.n_bytes") ||
+        col("a.feature") =!= col("b.feature"))
+    assert(joined.count() === 0)
+    feats.unpersist()
+  }
+
+  test("D12: n_bytes matches the payload length") {
+    val assets = Multimodal.syntheticAssets(docs)
+    val feats = Multimodal.decodeFeatures(assets)
+    val bad = feats.join(assets.select(col("doc_id"), length(col("content")).as("len")), Seq("doc_id"))
+      .filter(col("n_bytes") =!= col("len"))
+    assert(bad.count() === 0)
+  }
+}
