@@ -7,7 +7,8 @@ object SparkEntry {
 
   /** All implemented coverage-checklist entries. */
   def allDefs: Seq[QueryDef] =
-    operators.Relational.all ++ etl.EtlQueries.all ++ dedup.PipelineQueries.all
+    operators.Relational.all ++ etl.EtlQueries.all ++
+      dedup.PipelineQueries.all ++ streaming.StreamQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

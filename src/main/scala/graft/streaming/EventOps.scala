@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event/stream processing over the events table (SURVEY.md §2.3).
+  * Each operator is defined once as a DataFrame transform and applied
+  * to BOTH the batch table (oracle-gated parity queries S1/S2/S5) and
+  * the streaming source (S3/S4/S6 specs) — the definition of
+  * Structured Streaming's unified model.
+  *
+  * The reference's event loop (`ServiceBusWorker.cs:47-160`) is a
+  * single-consumer message pump; these shapes scale it out: tumbling
+  * windows and sessions shuffle once on their grouping key, and
+  * watermarks bound state instead of an unbounded dictionary.
+  */
+object EventOps {
+
+  val SessionGapMinutes = 30
+
+  /** S1: tumbling-window aggregation (batch parity via date_trunc —
+    * exactly what window(ts, "1 hour") produces for aligned hours). */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(38,6)")), 4).cast("double").as("sum_value"))
+
+  /** S2: gap-based sessionization via lag + running sum — one keyed
+    * shuffle on user_id, linear within each user's timeline. A new
+    * session starts when the gap from the previous event exceeds
+    * SessionGapMinutes. */
+  def sessionize(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = lit(SessionGapMinutes * 60L * 1000000L)
+    val withSession = events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withSession
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        round(sum(col("value").cast("decimal(38,6)")), 4).cast("double").as("sum_value"))
+  }
+
+  /** S5: JSON props extraction — schema'd from_json, no string
+    * munging. */
+  val propsSchema = StructType(Seq(StructField("k", LongType)))
+  def extractProps(events: DataFrame): DataFrame =
+    events.select(col("event_id"), col("user_id"),
+      from_json(col("props"), propsSchema).getField("k").as("k"))
+}

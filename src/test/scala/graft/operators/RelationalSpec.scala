@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Specs for the relational core R1-R19: plan-shape assertions (the
+  * properties that matter at 100 TB) plus the R19 error-bound contract.
+  * Value-level correctness is gated by the DuckDB oracle (Verify). */
+class RelationalSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("R1: filter and projection reach the parquet scan") {
+    val p = plan("q_scan_pushdown")
+    assert(p.contains("PushedFilters: ["), "filters must be pushed to the scan")
+    assert(p.contains("l_shipdate") && p.contains("l_returnflag"))
+    // pruned read schema: none of the untouched wide columns
+    assert(!p.contains("l_comment"), "projection pruning must drop unused columns")
+  }
+
+  test("R8: window rank pre-filters with WindowGroupLimit before any exchange") {
+    val p = plan("q_window_rank")
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("R3/R4: no forced broadcast of sf-proportional tables") {
+    // code-level contract: only nation/region carry broadcast hints
+    val q5 = graft.SparkEntry.queries("q5_local_supplier")(spark, sf)
+    val hints = q5.queryExecution.logical.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint => h.name
+    }
+    // hints are resolved by now; check analyzed plan's ResolvedHint targets
+    val resolved = q5.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(resolved.nonEmpty, "dimension broadcasts present")
+    resolved.foreach { h =>
+      val cols = h.child.output.map(_.name).mkString(",")
+      assert(cols.contains("n_") || cols.contains("r_"),
+        s"only nation/region may be broadcast, saw: $cols")
+    }
+  }
+
+  test("R12: top-k plans as TakeOrderedAndProject, not a global sort") {
+    assert(plan("q_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("R19: HLL approximate count-distinct is within its error bound") {
+    val res = graft.SparkEntry.queries("q_approx_distinct")(spark, sf)
+      .withColumnRenamed("approx_parts", "approx").collect()
+    val exact = graft.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    res.foreach { r =>
+      val flag = r.getString(0)
+      val approx = r.getLong(1).toDouble
+      val ex = exact(flag).toDouble
+      // default rsd = 0.05; allow 4 sigma
+      assert(math.abs(approx - ex) / ex <= 0.20,
+        s"flag=$flag approx=$approx exact=$ex")
+    }
+  }
+
+  test("all relational queries execute and return rows at sf0.001") {
+    Relational.all.foreach { q =>
+      val n = q.fn(spark, sf).count()
+      assert(n >= 0, s"${q.name} failed")
+      if (q.name != "q_anti_join") // small sf may legitimately be empty
+        assert(n > 0, s"${q.name} returned no rows")
+    }
+  }
+}

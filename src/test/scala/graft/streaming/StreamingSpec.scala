@@ -1,0 +1,118 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import graft.{SparkSpec, Tables}
+import graft.etl.ZipEtl
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming specs (SURVEY.md §2.3 S3/S4/S6 + §2.1 E8): the same
+  * EventOps/pipeline transforms running under Structured Streaming
+  * with watermarks, stateful sessionization, and the file-drop
+  * trigger. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("S3: streaming windowed agg with watermark matches batch tumbling agg") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      (1L, ts("2026-01-01 10:05:00"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2026-01-01 10:45:00"), 1L, "view", 2.0, "{}"),
+      (3L, ts("2026-01-01 11:05:00"), 2L, "click", 3.0, "{}"),
+      (4L, ts("2026-01-01 11:30:00"), 2L, "view", 4.0, "{}"),
+      (5L, ts("2026-01-01 12:01:00"), 1L, "click", 5.0, "{}"))
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val sdf = stream.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // streaming variant: watermark + window() — the unbounded-input
+    // equivalent of EventOps.tumblingHourly
+    val agg = sdf.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(38,6)")), 4).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+    val q = agg.writeStream.format("memory").queryName("s3_out")
+      .outputMode("complete").start()
+    try {
+      stream.addData(events: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("s3_out")
+        .orderBy("window_start", "event_type").collect().toSeq
+      val batch = EventOps.tumblingHourly(
+        events.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+        .orderBy("window_start", "event_type").collect().toSeq
+      assert(streamed.map(_.toSeq) === batch.map(_.toSeq))
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("S4: flatMapGroupsWithState sessionization closes sessions on gap and matches batch logic") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StatefulSessions._
+    val evs = Seq(
+      Ev(1L, 1L, ts("2026-01-01 10:00:00"), 1.0),
+      Ev(1L, 2L, ts("2026-01-01 10:10:00"), 2.0),
+      Ev(1L, 3L, ts("2026-01-01 11:30:00"), 3.0), // gap > 30min → new session
+      Ev(2L, 4L, ts("2026-01-01 10:00:00"), 4.0),
+      // watermark driver: a late high-ts event to close user 1/2 state
+      Ev(3L, 5L, ts("2026-01-02 10:00:00"), 5.0))
+    val stream = MemoryStream[Ev]
+    val withWm = stream.toDS().withWatermark("ts", "0 seconds").as[Ev]
+    val q = StatefulSessions.sessions(spark, withWm)
+      .writeStream.format("memory").queryName("s4_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(evs.take(4): _*)
+      q.processAllAvailable()
+      stream.addData(evs.last) // advances watermark a day → timeouts fire
+      q.processAllAvailable()
+      stream.addData() // one more empty batch so timeout output is emitted
+      q.processAllAvailable()
+      val out = spark.table("s4_out").orderBy("user_id", "session_start").collect()
+      // expected: user1 [10:00-10:10] n=2 sum=3, user1 [11:30] n=1 sum=3, user2 [10:00] n=1
+      val u1 = out.filter(_.getAs[Long]("user_id") == 1L)
+      assert(u1.length === 2)
+      assert(u1(0).getAs[Long]("n_events") === 2L &&
+        u1(0).getAs[Double]("sum_value") === 3.0)
+      assert(u1(1).getAs[Long]("n_events") === 1L)
+      val u2 = out.filter(_.getAs[Long]("user_id") == 2L)
+      assert(u2.length === 1 && u2(0).getAs[Long]("n_events") === 1L)
+    } finally q.stop()
+  }
+
+  test("S6/E8: file-drop trigger runs the pipeline exactly once per file") {
+    val root = Files.createTempDirectory("graft_trigger")
+    val watch = s"$root/incoming"; val out = s"$root/out"; val cp = s"$root/cp"
+    Files.createDirectories(java.nio.file.Paths.get(watch))
+    // drop file 1: two rows, one duplicate key
+    Files.writeString(java.nio.file.Paths.get(s"$watch/drop1.csv"),
+      """state_fips,state,state_abbr,zipcode,county,city,last_updated
+        |6,California,CA,90001,Cedar County,Salem,2026-07-01
+        |6,California,CA,90001,Oak County,Dover,2026-07-15
+        |6,California,CA,90002,Pine County,Salem,2026-07-02
+        |""".stripMargin)
+    val q1 = FileTrigger.start(spark, watch, out, cp)
+    q1.awaitTermination()
+    val after1 = spark.read.parquet(out)
+    assert(after1.count() === 2, "dedup inside the triggered batch")
+    assert(after1.filter(col("zipcode") === "90001" &&
+      col("county") === "Oak County").count() === 1, "last-wins kept the newer row")
+    // drop file 2: restart picks up ONLY the new file (checkpointed)
+    Files.writeString(java.nio.file.Paths.get(s"$watch/drop2.csv"),
+      """state_fips,state,state_abbr,zipcode,county,city,last_updated
+        |48,Texas,TX,75001,Lake County,Hudson,2026-07-20
+        |""".stripMargin)
+    val q2 = FileTrigger.start(spark, watch, out, cp)
+    q2.awaitTermination()
+    val after2 = spark.read.parquet(out)
+    assert(after2.count() === 3, "second trigger processed only the new file")
+    assert(after2.filter(col("state_abbr") === "TX").count() === 1)
+    // enrichment ran inside the stream
+    assert(after2.filter(col("latitude").isNull || col("tz_region").isNull).count() === 0)
+  }
+}
