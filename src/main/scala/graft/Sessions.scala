@@ -25,5 +25,7 @@ object Sessions {
       // AQE re-plans at runtime: broadcast-downgrade of shuffle joins
       // when the built side turns out small, skew-join splitting.
       .config("spark.sql.adaptive.enabled", "true")
+      // graft's native expressions (graft_cosine, ...)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
 }

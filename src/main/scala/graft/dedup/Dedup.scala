@@ -35,17 +35,32 @@ object Dedup {
   val MaxBucket = 100
 
   /** MinHash signatures: sig[i] = min over shingles of h_i(shingle),
-    * with h_i = xxhash64(i, shingle) — 64 independent hash functions
-    * from one primitive. Shaped as explode → 64 parallel MIN
-    * aggregates: a codegen'd hash aggregation with map-side partials
-    * (one doc_id-keyed shuffle of 64-long rows), rather than nested
-    * interpreted array lambdas that re-evaluate the shingle chain per
-    * hash function. */
+    * where h_i = xxhash64(i, base) re-hashes the ONE string hash of the
+    * shingle with seed i — 64 fixed-width 8-byte hashes instead of 64
+    * string traversals (and no wrapping multiplies, which ANSI mode
+    * rejects). Shaped as explode → 64 parallel MIN aggregates: a hash
+    * aggregation with map-side partials (one doc_id-keyed shuffle of
+    * 64-long rows), rather than nested interpreted array lambdas that
+    * re-evaluate the shingle chain per hash function. */
+  /** Spread a skinny corpus across all cores before CPU-bound per-row
+    * text work: a small file scans as 1-2 partitions locally, and at
+    * scale the scan parallelism tracks bytes, not compute. Explicit N
+    * so AQE cannot coalesce the tiny shuffle back to one partition. */
+  private def spread(docs: DataFrame): DataFrame =
+    docs.repartition(
+      docs.sparkSession.sessionState.conf.numShufflePartitions, col("doc_id"))
+
+  /** (doc_id, exploded hashed shingle) — words split once per row,
+    * shingles as combined word hashes (no string building). */
+  private def explodedShingles(docs: DataFrame, k: Int): DataFrame =
+    spread(docs)
+      .select(col("doc_id"), Text.words(col("text")).as("ws"))
+      .select(col("doc_id"), explode(Text.shingleHashes(col("ws"), k)).as("h"))
+
   def minhashSignatures(docs: DataFrame, shingleK: Int = 3): DataFrame = {
-    val exploded = docs
-      .select(col("doc_id"), explode(Text.shingles(col("text"), shingleK)).as("sh"))
-    val mins = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
-    exploded.groupBy("doc_id")
+    val mins = (0 until NumHashes).map(i =>
+      min(xxhash64(lit(i), col("h"))).as(s"h$i"))
+    explodedShingles(docs, shingleK).groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
         array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
@@ -65,8 +80,12 @@ object Dedup {
     * Work is linear in corpus size plus sum of bucket-size² with
     * buckets capped at MaxBucket; never an all-pairs product. */
   def minhashLshCandidates(docs: DataFrame, shingleK: Int = 3): DataFrame = {
+    // banded is referenced three times (count filter + both self-join
+    // sides); cache the tiny (doc_id, band_key) table so the signature
+    // lineage — the expensive part — is computed exactly once.
     val banded = minhashSignatures(docs, shingleK)
       .select(col("doc_id"), explode(bandKeys(col("sig"))).as("band_key"))
+      .cache()
     val bucketed = banded
       .join(banded.groupBy("band_key").count().filter(col("count") <= MaxBucket),
         Seq("band_key"))
@@ -86,11 +105,9 @@ object Dedup {
     * (codegen'd, map-side partial), then pack the sign bits with static
     * bit arithmetic. */
   def simhashSignatures(docs: DataFrame, shingleK: Int = 2): DataFrame = {
-    val exploded = docs
-      .select(col("doc_id"),
-        explode(transform(Text.shingles(col("text"), shingleK), s => xxhash64(s))).as("h"))
+    val exploded = explodedShingles(docs, shingleK)
     val sums = (0 until 64).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$j"))
+      sum(shiftright(col("h"), j).bitwiseAND(1L) * 2L - 1L).as(s"b$j"))
     val packed = (0 until 64).map(j =>
       when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
@@ -132,7 +149,13 @@ object Dedup {
     * shingle sets back in is two hash joins on doc_id. */
   def jaccardVerify(candidates: DataFrame, docs: DataFrame,
       shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sets = docs.select(col("doc_id"), Text.shingles(col("text"), shingleK).as("sh"))
+    // hashed shingle SETS (distinct) — intersect/union over longs;
+    // cached because both join sides reference the same lineage
+    val sets = spread(docs)
+      .select(col("doc_id"), Text.words(col("text")).as("ws"))
+      .select(col("doc_id"),
+        array_distinct(Text.shingleHashes(col("ws"), shingleK)).as("sh"))
+      .cache()
     candidates
       .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), Seq("doc_a"))
       .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), Seq("doc_b"))

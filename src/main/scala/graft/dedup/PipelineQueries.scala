@@ -111,14 +111,16 @@ object PipelineQueries {
   val textLangId = QueryDef(
     "text_lang_id",
     (s, d) => {
-      val t = col("text")
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        Text.markerHits(t, Text.langMarkers.toMap.apply("en")).as("en_hits"),
-        Text.markerHits(t, Text.langMarkers.toMap.apply("de")).as("de_hits"),
-        Text.markerHits(t, Text.langMarkers.toMap.apply("es")).as("es_hits"),
-        Text.markerHits(t, Text.langMarkers.toMap.apply("fr")).as("fr_hits"),
-        Text.langId(t).as("lang_pred"))
+      val m = Text.langMarkers.toMap
+      Tables.documents(s, d)
+        .withColumn("ws", Text.words(col("text")))
+        .select(
+          col("doc_id"),
+          Text.markerHitsOnWords(col("ws"), m("en")).as("en_hits"),
+          Text.markerHitsOnWords(col("ws"), m("de")).as("de_hits"),
+          Text.markerHitsOnWords(col("ws"), m("es")).as("es_hits"),
+          Text.markerHitsOnWords(col("ws"), m("fr")).as("fr_hits"),
+          Text.langIdOnWords(col("ws")).as("lang_pred"))
         .orderBy("doc_id")
     },
     Some(s"""WITH w AS (SELECT doc_id, string_split($oCanon, ' ') AS ws FROM documents),

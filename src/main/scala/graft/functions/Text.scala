@@ -21,12 +21,33 @@ object Text {
 
   /** Word k-shingles: ["a","b","c","d"] with k=3 →
     * ["a b c","b c d"]. Distinct set — shingle multiplicity does not
-    * matter for Jaccard. */
+    * matter for Jaccard.
+    *
+    * NOTE: prefer [[shingleHashes]] in operator paths — this string
+    * form re-evaluates `ws` (the full canonical+split chain) once per
+    * shingle, because lambda bodies re-evaluate their free references
+    * per element. Kept for debuggability/display. */
   def shingles(c: Column, k: Int): Column = {
     val ws = words(c)
     array_distinct(transform(
       sequence(lit(0), greatest(size(ws) - k, lit(0))),
       i => array_join(slice(ws, i + 1, lit(k)), " ")))
+  }
+
+  /** Hashed word k-shingles: xxhash64-combined hashes of k consecutive
+    * words, built with zip_with over k aligned slices of the
+    * once-hashed word array — every subexpression appears as a
+    * function ARGUMENT (evaluated once per row), never inside a lambda
+    * body, so cost is O(words·k) longs with no string building. The
+    * hash stands in for the shingle everywhere a set semantics is
+    * needed (minhash, Jaccard); collisions at 64 bits are negligible.
+    * Expects a materialized words column (see [[words]]). */
+  def shingleHashes(wsCol: Column, k: Int): Column = {
+    val wordHashes = transform(wsCol, w => xxhash64(w))
+    val len = greatest(size(wsCol) - (k - 1), lit(1))
+    (2 to k).foldLeft(slice(wordHashes, lit(1), len)) { (acc, j) =>
+      zip_with(acc, slice(wordHashes, lit(j), len), (a, b) => xxhash64(a, b))
+    }
   }
 
   /** D10: token counts — whitespace tokens and a BPE-ish regex
@@ -47,10 +68,18 @@ object Text {
     "fr" -> Seq("le", "la", "et", "les", "des"))
 
   def markerHits(c: Column, markers: Seq[String]): Column =
-    size(filter(words(c), w => w.isin(markers: _*)))
+    markerHitsOnWords(words(c), markers)
 
-  def langId(c: Column): Column = {
-    val hits = langMarkers.map { case (l, m) => l -> markerHits(c, m) }
+  /** Variant over an already-materialized words column — callers that
+    * need several marker counts should split once and pass the column,
+    * not re-derive words per count. */
+  def markerHitsOnWords(ws: Column, markers: Seq[String]): Column =
+    size(filter(ws, w => w.isin(markers: _*)))
+
+  def langId(c: Column): Column = langIdOnWords(words(c))
+
+  def langIdOnWords(ws: Column): Column = {
+    val hits = langMarkers.map { case (l, m) => l -> markerHitsOnWords(ws, m) }
     val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
     hits.foldRight(lit(langMarkers.head._1)) { case ((l, h), acc) =>
       when(h === best, lit(l)).otherwise(acc)

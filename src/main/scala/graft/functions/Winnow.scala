@@ -23,6 +23,8 @@ object Winnow {
   /** docs(doc_id, text) → (doc_id, winnow_fps array<long> sorted). */
   def fingerprints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
     val grams = docs
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
       .withColumn("canon", Text.canonical(col("text")))
       .select(col("doc_id"),
         posexplode(Text.gramHashes(col("canon"), k)).as(Seq("pos", "gram")))

@@ -338,8 +338,12 @@ object Relational {
         .groupBy(col("l_returnflag"))
         .agg(
           round(percentile(col("l_quantity"), lit(0.5)), 4).as("med_qty"),
-          round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90_price"),
-          round(percentile(col("l_extendedprice"), lit(0.99)), 4).as("p99_price"))
+          // one percentile aggregate for both price quantiles — a
+          // single sorted-counts state instead of two
+          percentile(col("l_extendedprice"), array(lit(0.9), lit(0.99))).as("pp"))
+        .select(col("l_returnflag"), col("med_qty"),
+          round(element_at(col("pp"), 1), 4).as("p90_price"),
+          round(element_at(col("pp"), 2), 4).as("p99_price"))
         .orderBy("l_returnflag")
     },
     Some("""SELECT l_returnflag,

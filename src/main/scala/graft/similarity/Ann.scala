@@ -25,24 +25,29 @@ object Ann {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
 
-  /** Cosine in double; inputs cast from float once. */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = a.cast("array<double>")
-    val bd = b.cast("array<double>")
-    dot(ad, bd) / (norm(ad) * norm(bd))
-  }
+  /** Cosine in double via the native codegen'd expression
+    * ([[graft.plans.CosineSimilarity]], registered by
+    * [[graft.plans.GraftExtensions]]); same summation order as the
+    * composable dot/norm form and the oracle. */
+  def cosine(a: Column, b: Column): Column =
+    call_function("graft_cosine", a.cast("array<double>"), b.cast("array<double>"))
 
   // ---------------------------------------------------------------- D5
 
   /** Exact embedding-cosine near-dup pairs within a blocking key
-    * (label): vec_id < vec_id, cosine ≥ threshold. */
-  def cosineNearDupPairs(emb: DataFrame, threshold: Double): DataFrame =
-    emb.as("a")
-      .join(emb.as("b"),
+    * (label): vec_id < vec_id, cosine ≥ threshold. Norms (and the
+    * float→double cast) are computed once per VECTOR before the join —
+    * per-pair work is just the dot product. */
+  def cosineNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val prepped = emb.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("emb"))
+    prepped.as("a")
+      .join(prepped.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(cosine(col("a.embedding"), col("b.embedding")), 6).as("cos_sim"))
+        round(cosine(col("a.emb"), col("b.emb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
+  }
 
   // ---------------------------------------------------------------- D6
 
