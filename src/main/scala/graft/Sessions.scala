@@ -27,5 +27,7 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       // graft's native expressions (graft_cosine, ...)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // keep bucketed-table metadata out of the repo working dir
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .getOrCreate()
 }

@@ -22,4 +22,17 @@ object Sink {
     (if (partitionCols.nonEmpty) sized.partitionBy(partitionCols: _*) else sized)
       .parquet(path)
   }
+
+  /** Bucketed catalog table: rows hash-partitioned into `buckets` files
+    * by `bucketCol` and sorted within each. Two tables bucketed the
+    * same way join WITHOUT a shuffle — the co-located-join layout for
+    * repeated large joins on a stable key (SURVEY §5); the spec asserts
+    * the Exchange-free plan. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -75,6 +75,30 @@ object Multimodal {
     }(enc)
   }
 
+  /** STUB resize: a real deployment decodes, resizes to (w, h) and
+    * re-encodes; the stub deterministically truncates/pads the payload
+    * to w*h bytes and stamps the new metadata. Plumbing (schema
+    * evolution, pure column ops for metadata, binary passthrough) is
+    * the real part. */
+  def resizeStub(assets: DataFrame, w: Int, h: Int): DataFrame =
+    assets
+      .withColumn("content",
+        substring(rpad(col("content").cast("string"), w * h, " "), 1, w * h)
+          .cast("binary"))
+      .withColumn("meta", struct(
+        lit(w).as("width"), lit(h).as("height"),
+        col("meta.sample_rate"), col("meta.n_frames")))
+
+  /** STUB frame sampling: select every `stride`-th frame index of a
+    * video asset — the metadata/row-expansion shape of real frame
+    * extraction (posexplode of a frame-index sequence), with the
+    * per-frame payload left to the decode stub. */
+  def sampleFrames(assets: DataFrame, stride: Int): DataFrame =
+    assets.filter(col("modality") === "video")
+      .select(col("doc_id"), col("meta.n_frames"),
+        posexplode(sequence(lit(0), col("meta.n_frames") - 1, lit(stride)))
+          .as(Seq("sample_idx", "frame_idx")))
+
   /** The rows-only `mm_binary_meta` coverage entry: assets repartitioned
     * by modality (the layout a decode fleet wants — one codec per
     * partition family), metadata flattened. */

@@ -38,6 +38,28 @@ class MultimodalSpec extends SparkSpec {
     feats.unpersist()
   }
 
+  test("D12: resize stub stamps new dimensions and normalizes payload size") {
+    val assets = Multimodal.syntheticAssets(docs)
+    val resized = Multimodal.resizeStub(assets, 32, 32).cache()
+    assert(resized.filter(col("meta.width") =!= 32 || col("meta.height") =!= 32).count() === 0)
+    assert(resized.filter(length(col("content")) =!= 32 * 32).count() === 0)
+    resized.unpersist()
+  }
+
+  test("D12: frame sampling explodes every stride-th frame of video assets") {
+    val assets = Multimodal.syntheticAssets(docs)
+    val frames = Multimodal.sampleFrames(assets, stride = 10).cache()
+    val videos = assets.filter(col("modality") === "video")
+    assert(frames.select("doc_id").distinct().count() === videos.count())
+    assert(frames.filter(col("frame_idx") % 10 =!= 0).count() === 0)
+    // per-doc sample count = ceil(n_frames / 10)
+    val bad = frames.groupBy("doc_id").agg(
+      count(lit(1)).as("n"), first("n_frames").as("nf"))
+      .filter(col("n") =!= ceil(col("nf") / 10.0).cast("long"))
+    assert(bad.count() === 0)
+    frames.unpersist()
+  }
+
   test("D12: n_bytes matches the payload length") {
     val assets = Multimodal.syntheticAssets(docs)
     val feats = Multimodal.decodeFeatures(assets)
