@@ -113,6 +113,7 @@ object PipelineQueries {
     (s, d) => {
       val m = Text.langMarkers.toMap
       Tables.documents(s, d)
+        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
         .withColumn("ws", Text.words(col("text")))
         .select(
           col("doc_id"),
@@ -137,14 +138,20 @@ object PipelineQueries {
                     ELSE 'fr' END AS lang_pred
              FROM h ORDER BY doc_id"""))
 
-  /** D9: quality scoring. */
+  /** D9: quality scoring — canon/words materialized once per row, and
+    * the corpus spread across cores before the regex-heavy stage. */
   val textQualityScore = QueryDef(
     "text_quality_score",
     (s, d) => {
-      val comps = Text.qualityComponents(col("text"))
-      Tables.documents(s, d).select(
+      val docs = Tables.documents(s, d)
+      val spreadDocs = docs.repartition(
+        s.sessionState.conf.numShufflePartitions, col("doc_id"))
+        .withColumn("canon", Text.canonical(col("text")))
+        .withColumn("ws", split(col("canon"), " "))
+      val comps = Text.qualityComponentsOn(col("text"), col("canon"), col("ws"))
+      spreadDocs.select(
         (col("doc_id") +: comps.map { case (n, c) => c.as(n) }) :+
-          Text.qualityScore(col("text")).as("quality"): _*)
+          Text.qualityScoreOn(comps.toMap).as("quality"): _*)
         .orderBy("doc_id")
     },
     Some(s"""WITH c AS (SELECT doc_id, text, $oCanon AS canon FROM documents),
@@ -171,10 +178,12 @@ object PipelineQueries {
   /** D10: token counting — whitespace + BPE-ish regex. */
   val textTokenCount = QueryDef(
     "text_token_count",
-    (s, d) => Tables.documents(s, d).select(
-      col("doc_id"),
-      Text.whitespaceTokenCount(col("text")).as("ws_tokens"),
-      Text.bpeTokenCount(col("text")).as("bpe_tokens"))
+    (s, d) => Tables.documents(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+      .select(
+        col("doc_id"),
+        Text.whitespaceTokenCount(col("text")).as("ws_tokens"),
+        Text.bpeTokenCount(col("text")).as("bpe_tokens"))
       .orderBy("doc_id"),
     Some(s"""SELECT doc_id,
                len(string_split($oCanon, ' ')) AS ws_tokens,

@@ -88,14 +88,16 @@ object Text {
   }
 
   /** D9: quality-score components + composite. All ratios guarded
-    * against empty text; double arithmetic identical to the oracle. */
-  def qualityComponents(c: Column): Seq[(String, Column)] = {
-    val canon = canonical(c)
-    val nWords = size(split(canon, " "))
-    val textLen = greatest(length(c), lit(1))
-    val punctCount = length(c) - length(regexp_replace(c, "[^A-Za-z0-9\\s]", ""))
+    * against empty text; double arithmetic identical to the oracle.
+    * The On-variant takes materialized canon/words columns so the
+    * regex chain runs once per row regardless of how many components
+    * reference it. */
+  def qualityComponentsOn(text: Column, canon: Column, ws: Column): Seq[(String, Column)] = {
+    val nWords = size(ws)
+    val textLen = greatest(length(text), lit(1))
+    val punctCount = length(text) - length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))
     val punctRatio = punctCount.cast("double") / textLen
-    val stopRatio = markerHits(c, langMarkers.flatMap(_._2)).cast("double") /
+    val stopRatio = markerHitsOnWords(ws, langMarkers.flatMap(_._2)).cast("double") /
       greatest(nWords, lit(1))
     val meanWordLen = (length(canon) - (nWords - 1)).cast("double") /
       greatest(nWords, lit(1))
@@ -106,8 +108,10 @@ object Text {
       "mean_word_len" -> meanWordLen)
   }
 
-  def qualityScore(c: Column): Column = {
-    val comp = qualityComponents(c).toMap
+  def qualityComponents(c: Column): Seq[(String, Column)] =
+    qualityComponentsOn(c, canonical(c), words(c))
+
+  def qualityScoreOn(comp: Map[String, Column]): Column = {
     val score =
       lit(0.3) * least(lit(1.0), comp("n_words").cast("double") / 100.0) +
         lit(0.3) * (lit(1.0) - comp("punct_ratio")) +
@@ -119,6 +123,9 @@ object Text {
     // on a .5 ulp boundary, which weighted sums of small rationals do.
     floor(score * 1e6 + 0.5) / 1e6
   }
+
+  def qualityScore(c: Column): Column =
+    qualityScoreOn(qualityComponents(c).toMap)
 
   /** D11a: exact content fingerprint — md5 of the canonical form. */
   def fingerprintMd5(c: Column): Column = md5(canonical(c))

@@ -74,20 +74,15 @@ object Ann {
   val Tables = 8
   val PlanesPerTable = 8
 
-  /** Random-hyperplane signature (Charikar SimHash for vectors): plane
-    * (t,p) has deterministic ±1 Rademacher components derived from
-    * xxhash64(t, p, j); bucket key packs the sign bits. P[same bucket]
-    * = (1 - θ/π)^planes per table. */
-  def hyperplaneBucket(emb: Column, table: Column): Column = {
-    val ed = emb.cast("array<double>")
-    val bits = transform(sequence(lit(0), lit(PlanesPerTable - 1)), p => {
-      val proj = aggregate(zip_with(ed, sequence(lit(0), size(ed) - 1),
-        (x, j) => x * when(xxhash64(table, p, j).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, 1L).otherwise(0L)
-    })
-    aggregate(bits, lit(0L), (acc, b) => acc * 2 + b)
-  }
+  /** Random-hyperplane bucket codes, one per hash table (Charikar
+    * SimHash for vectors): plane (t,p) has deterministic ±1 Rademacher
+    * components derived from xxhash64(t, p, j); each bucket code packs
+    * the sign bits. P[same bucket] = (1 - θ/π)^planes per table.
+    * Computed by the native [[graft.plans.HyperplaneBuckets]]
+    * expression (fused loop + per-partition sign matrix). */
+  def hyperplaneBuckets(emb: Column): Column =
+    call_function("graft_hyperplane_buckets", emb.cast("array<double>"),
+      lit(Tables), lit(PlanesPerTable))
 
   /** D7: LSH-bucketed ANN — candidates are corpus rows sharing any of
     * the query's (table, bucket) keys; exact cosine re-ranks only the
@@ -95,10 +90,9 @@ object Ann {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     def withBuckets(df: DataFrame, idCol: String): DataFrame =
       df.select(col("vec_id").as(idCol), col("embedding"),
-        explode(transform(sequence(lit(0), lit(Tables - 1)),
-          t => struct(t.as("tbl"),
-            hyperplaneBucket(col("embedding"), t).as("bucket")))).as("tb"))
-        .select(col(idCol), col("embedding"), col("tb.tbl"), col("tb.bucket"))
+        hyperplaneBuckets(col("embedding")).as("buckets"))
+        .select(col(idCol), col("embedding"),
+          posexplode(col("buckets")).as(Seq("tbl", "bucket")))
     val cBuckets = withBuckets(corpus, "vec_id")
     val qBuckets = withBuckets(queries, "q_id")
       .withColumnRenamed("embedding", "q_emb")
