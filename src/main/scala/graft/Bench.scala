@@ -28,9 +28,14 @@ object Bench {
     names.foreach { name =>
       try {
         runOnce(name) // warm-up
-        val t0 = System.nanoTime()
-        runOnce(name)
-        timings(name) = (System.nanoTime() - t0) / 1e9
+        // min of two timed runs — damps machine noise without hiding
+        // real plan cost
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          runOnce(name)
+          (System.nanoTime() - t0) / 1e9
+        }
+        timings(name) = ts.min
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)

@@ -147,8 +147,17 @@ object ZipEtl {
     * `ServiceBusWorker.cs:96-141`, steps 2-4) — one lazy plan from CSV
     * to the post-run state of the target table. */
   def pipeline(s: SparkSession, path: String = csvPath): DataFrame = {
-    val baseline = processedBaseline(s, path)
-    val fresh = excludeProcessed(dedupeLastWins(ingest(s, path)), baseline)
+    // deduped feeds both the baseline branch and the fresh branch;
+    // cache it so the CSV parse + dedup window run once (at deployment
+    // scale the baseline is a real table, not a derived branch).
+    val deduped = dedupeLastWins(ingest(s, path)).cache()
+    val z = col("zipcode").cast("long")
+    val baseline = enrich(deduped)
+      .filter(z % 3 === 0)
+      .withColumn("elevation", when(z % 10 === 7, lit(null).cast("long"))
+        .otherwise(col("elevation")))
+      .withColumn("last_modified", col("last_updated"))
+    val fresh = excludeProcessed(deduped, baseline)
     val delta = enrich(fresh.drop("composite_key"))
       .withColumn("last_modified", lit(runDate).cast("date"))
     upsert(baseline, delta)

@@ -65,6 +65,19 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("no coverage query plans a cartesian product") {
+    // BroadcastNestedLoopJoin is allowed only for the brute-force ANN
+    // entries (intentional broadcast-query-set scan)
+    val bnljAllowed = Set("ann_bruteforce_topk")
+    graft.SparkEntry.queries.keys.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+      if (!bnljAllowed(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans an unexpected nested-loop join")
+    }
+  }
+
   test("all relational queries execute and return rows at sf0.001") {
     Relational.all.foreach { q =>
       val n = q.fn(spark, sf).count()

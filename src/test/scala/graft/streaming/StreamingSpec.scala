@@ -50,6 +50,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("S3: watermark drops events later than the threshold in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, String, Double)]
+    val sdf = stream.toDF().toDF("event_id", "ts", "event_type", "value")
+    val agg = sdf.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
+    val q = agg.writeStream.format("memory").queryName("s3_late")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, ts("2026-01-01 10:05:00"), "view", 1.0))
+      q.processAllAvailable()
+      // advance watermark far past the 10:00 window
+      stream.addData((2L, ts("2026-01-01 13:00:00"), "view", 1.0))
+      q.processAllAvailable()
+      // late event for the closed 10:00 window — must be dropped
+      stream.addData((3L, ts("2026-01-01 10:20:00"), "view", 1.0))
+      q.processAllAvailable()
+      stream.addData((4L, ts("2026-01-01 15:00:00"), "view", 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("s3_late")
+        .filter(col("window_start") === ts("2026-01-01 10:00:00")).collect()
+      assert(closed.length === 1)
+      assert(closed.head.getAs[Long]("n_events") === 1L,
+        "the late event must not be counted into the closed window")
+    } finally q.stop()
+  }
+
   test("S4: flatMapGroupsWithState sessionization closes sessions on gap and matches batch logic") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
