@@ -127,7 +127,9 @@ object Dedup {
   def simhashCandidates(docs: DataFrame, maxHamming: Int = 3,
       shingleK: Int = 2): DataFrame = {
     val sh = simhashSignatures(docs, shingleK)
-    val chunked = sh.select(col("doc_id"), col("simhash"),
+    // cached: referenced by the bucket-count filter and both self-join
+    // sides — the signature aggregation runs once
+    val raw = sh.select(col("doc_id"), col("simhash"),
       explode(transform(sequence(lit(0), lit(3)),
         j => struct(j.as("chunk_idx"),
           call_function("shiftright", col("simhash"), j * 16)
@@ -135,6 +137,14 @@ object Dedup {
         .as("c"))
       .select(col("doc_id"), col("simhash"),
         col("c.chunk_idx"), col("c.chunk_val"))
+      .cache()
+    // same skew valve as the minhash bands: a degenerate corpus (many
+    // identical sketches) would otherwise make one chunk bucket
+    // quadratic
+    val chunked = raw
+      .join(raw.groupBy("chunk_idx", "chunk_val").count()
+        .filter(col("count") <= MaxBucket), Seq("chunk_idx", "chunk_val"))
+      .select("doc_id", "simhash", "chunk_idx", "chunk_val")
     chunked.as("a")
       .join(chunked.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&

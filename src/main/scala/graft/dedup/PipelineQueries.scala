@@ -107,6 +107,16 @@ object PipelineQueries {
     },
     None)
 
+  /** D7-alt: IVF ANN (rows-only; recall vs D6 asserted in spec). */
+  val annIvf = QueryDef(
+    "ann_ivf",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.similarity.Ivf.topK(emb, emb.filter(col("vec_id") % 100 === 0), 10)
+        .orderBy("q_id", "rnk")
+    },
+    None)
+
   /** D8: marker-word language ID. */
   val textLangId = QueryDef(
     "text_lang_id",
@@ -217,7 +227,7 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhashLsh, dedupSimhash, dedupNgramJaccard,
-    dedupEmbeddingCosine, annBruteforceTopK, annLsh,
+    dedupEmbeddingCosine, annBruteforceTopK, annLsh, annIvf,
     textLangId, textQualityScore, textTokenCount, textFingerprint,
     textWinnow, mmBinaryMeta)
 }

@@ -1,0 +1,107 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** D7-alt: IVF (inverted-file) approximate nearest neighbor — the
+  * other standard scale path besides LSH. A small coarse codebook
+  * partitions the corpus into cells; a query probes only the nprobe
+  * nearest cells and re-ranks candidates with the exact native cosine.
+  *
+  * Scale shape: the codebook is tiny BY CONSTRUCTION (√N-ish cells for
+  * billions of vectors), so it broadcasts as a literal; assignment is
+  * one map-side pass over the corpus; at deployment the corpus is
+  * written partitioned/bucketed by cell so a probe reads nprobe/cells
+  * of the data. Training is deterministic: hash-sampled seeds plus one
+  * Lloyd refinement step, all as DataFrame aggregations — no MLlib, no
+  * driver-side iteration over data.
+  */
+object Ivf {
+
+  /** Deterministic coarse codebook: seeds = the `cells` corpus vectors
+    * with smallest xxhash64(vec_id), refined by one Lloyd step
+    * (assign → per-cell element-wise mean). Returns the centroids as
+    * driver values — the codebook is the one structure small enough to
+    * collect (cells × dim doubles). */
+  def trainCodebook(corpus: DataFrame, cells: Int): Seq[Seq[Double]] = {
+    val seeds = corpus
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
+        xxhash64(col("vec_id")).as("h"))
+      .orderBy("h")
+      .limit(cells)
+      .select("emb")
+      .collect()
+      .map(_.getSeq[Double](0).toSeq)
+      .toSeq
+    // one Lloyd step: assign every vector to its max-cosine seed, then
+    // element-wise mean per cell (posexplode + (cell, dim) aggregation)
+    val assigned = assignCells(corpus, seeds)
+    val means = assigned
+      .select(col("cell"), posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("dim", "v")))
+      .groupBy("cell", "dim")
+      .agg(avg("v").as("m"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("cell"), transform(col("dm"), x => x.getField("m")).as("centroid"))
+      .collect()
+      .map(r => r.getAs[Int]("cell") -> r.getSeq[Double](1).toSeq)
+      .toMap
+    // a cell that captured no vectors keeps its seed
+    seeds.indices.map(i => means.getOrElse(i, seeds(i)))
+  }
+
+  /** Cosine scores of a vector against every centroid, as an array
+    * column. Built as a STATIC array of native graft_cosine calls (the
+    * codebook is tiny by construction) rather than a lambda over a
+    * literal array — attribute references captured inside
+    * higher-order-function lambdas survive self-join attribute
+    * deduplication incorrectly. */
+  private def cellScores(emb: Column, codebook: Seq[Seq[Double]]): Column =
+    array(codebook.map(c =>
+      call_function("graft_cosine", emb.cast("array<double>"), typedlit(c))): _*)
+
+  /** Map-side cell assignment: argmax cosine over the codebook. */
+  def assignCells(df: DataFrame, codebook: Seq[Seq[Double]]): DataFrame = {
+    val scores = cellScores(col("embedding"), codebook)
+    df.withColumn("cell",
+      (array_position(scores, array_max(scores)) - 1).cast("int"))
+  }
+
+  /** The nprobe highest-scoring cells for each query vector. */
+  private def probeCells(emb: Column, codebook: Seq[Seq[Double]],
+      nprobe: Int): Column = {
+    val scored = array(codebook.indices.map { p =>
+      struct(
+        (-call_function("graft_cosine", emb.cast("array<double>"),
+          typedlit(codebook(p)))).as("neg"),
+        lit(p).as("cell"))
+    }: _*)
+    transform(slice(array_sort(scored), lit(1), lit(nprobe)),
+      x => x.getField("cell"))
+  }
+
+  /** IVF top-k: corpus rows in the query's probed cells, re-ranked by
+    * exact cosine. Recall vs brute force is asserted in the spec. */
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int,
+      cells: Int = 16, nprobe: Int = 4): DataFrame = {
+    val codebook = trainCodebook(corpus, cells)
+    val corpusCells = assignCells(corpus, codebook)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val queryCells = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        explode(probeCells(col("embedding"), codebook, nprobe)).as("cell"))
+    val scored = corpusCells.as("c")
+      .join(broadcast(queryCells.as("q")),
+        col("c.cell") === col("q.cell") && col("c.vec_id") =!= col("q.q_id"))
+      .select(col("q.q_id").as("q_id"), col("c.vec_id").as("vec_id"),
+        round(Ann.cosine(col("q.q_emb"), col("c.embedding")), 6).as("cos_sim"))
+      .distinct()
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "vec_id", "cos_sim", "rnk")
+  }
+}

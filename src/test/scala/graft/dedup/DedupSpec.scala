@@ -69,11 +69,12 @@ class DedupSpec extends SparkSpec {
     verified.unpersist()
   }
 
-  test("D2: oversized buckets are dropped (skew cap)") {
+  test("D2/D3: oversized buckets are dropped (skew cap)") {
     import spark.implicits._
     // 150 identical docs → one bucket of 150 > MaxBucket → no pairs
     val degenerate = (0 until 150).map(i => (i.toLong, "same text for everyone here"))
       .toDF("doc_id", "text")
     assert(Dedup.minhashLshCandidates(degenerate).count() === 0)
+    assert(Dedup.simhashCandidates(degenerate).count() === 0)
   }
 }

@@ -29,6 +29,25 @@ class AnnSpec extends SparkSpec {
     topk.unpersist()
   }
 
+  test("D7-alt: IVF ANN recalls planted identical neighbors and matches exact cosines") {
+    val queries = emb.filter(col("vec_id") % 100 === 0).cache()
+    val plantedCorpus = emb.select("vec_id", "embedding", "label").unionByName(
+      queries.select((col("vec_id") + 1000000L).as("vec_id"),
+        col("embedding"), col("label")))
+    val res = Ivf.topK(plantedCorpus, queries, 10).cache()
+    val nq = queries.count()
+    val hits = res.filter(col("vec_id") === col("q_id") + 1000000L).count()
+    assert(hits === nq, s"identical planted vector shares the query's cell: $hits/$nq")
+    // IVF results are a subset of candidates ranked by the same exact
+    // cosine as brute force
+    val exact = Ann.bruteForceTopK(plantedCorpus, queries, 10)
+      .select(col("q_id"), col("vec_id"), col("cos_sim").as("exact_cos"))
+    val mismatches = res.join(exact, Seq("q_id", "vec_id"))
+      .filter(col("cos_sim") =!= col("exact_cos")).count()
+    assert(mismatches === 0)
+    res.unpersist(); queries.unpersist()
+  }
+
   test("D7: LSH ANN recalls planted near-identical neighbors") {
     import spark.implicits._
     // plant: for each query vector, a copy with id+1000000 (cosine 1)
