@@ -86,7 +86,10 @@ object Ledger {
 
   /** Deterministic gate scenario table for the rows-only `etl_ledger`
     * coverage entry: each row is one gate decision over a synthetic
-    * ledger state, using the real checksum of the checked-in CSV. The
+    * ledger state, using the real checksum of the checked-in CSV. All
+    * scenarios evaluate in ONE job — the per-scenario ledgers are
+    * tagged and unioned, and the blocking predicate aggregates per
+    * tag — rather than a count() round-trip per scenario. The
     * ScalaTest spec asserts each expectation; the driver gate checks
     * rows>0 + schema stability. */
   def scenarios(s: SparkSession): DataFrame = {
@@ -96,24 +99,38 @@ object Ledger {
     val fresh = "2026-07-20"  // within TTL of runDate
     val stale = "2026-05-01"  // outside TTL
 
-    def one(id: Long, status: String, active: Boolean, startD: String,
+    def one(id: Long, status: String, startD: String,
         endD: Option[String]): DataFrame = {
       val l = start(s, empty(s), id, "zipcodes.csv", checksum, startD)
       endD.map(e => finish(l, id, status, e)).getOrElse(l)
     }
 
+    // (name, ledger, forceRun, expected shouldRun)
     val cases = Seq(
       ("empty_ledger", empty(s), false, true),
-      ("in_flight", one(1, StatusRunning, true, fresh, None), false, false),
-      ("complete_fresh", one(2, StatusComplete, false, fresh, Some(fresh)), false, false),
-      ("complete_fresh_force", one(3, StatusComplete, false, fresh, Some(fresh)), true, true),
-      ("complete_stale", one(4, StatusComplete, false, stale, Some(stale)), false, true),
-      ("error_fresh", one(5, StatusError, false, fresh, Some(fresh)), false, false),
+      ("in_flight", one(1, StatusRunning, fresh, None), false, false),
+      ("complete_fresh", one(2, StatusComplete, fresh, Some(fresh)), false, false),
+      ("complete_fresh_force", one(3, StatusComplete, fresh, Some(fresh)), true, true),
+      ("complete_stale", one(4, StatusComplete, stale, Some(stale)), false, true),
+      ("error_fresh", one(5, StatusError, fresh, Some(fresh)), false, false),
       ("different_checksum",
         start(s, empty(s), 6, "other.csv", "deadbeef", fresh), false, true))
 
-    cases.map { case (name, ledger, force, expected) =>
-      (name, force, shouldRun(ledger, checksum, run, ZipEtl.ttlDays, force), expected)
+    val tagged = cases.map { case (name, ledger, _, _) =>
+      ledger.withColumn("scenario", lit(name))
+    }.reduce(_ unionByName _)
+    // the reference's blocking predicate (DataflowProcessor.cs:90),
+    // evaluated per scenario tag in one aggregation
+    val blockedCol = max(when(
+      col("file_checksum") === checksum &&
+        (col("is_active") ||
+          (col("start_date") >= date_sub(lit(run).cast("date"), ZipEtl.ttlDays) &&
+            col("end_date").isNotNull)), 1).otherwise(0))
+    val blocked = tagged.groupBy("scenario").agg(blockedCol.as("blocked"))
+      .collect().map(r => r.getAs[String]("scenario") -> (r.getAs[Int]("blocked") == 1))
+      .toMap
+    cases.map { case (name, _, force, expected) =>
+      (name, force, force || !blocked.getOrElse(name, false), expected)
     }.toDF("scenario", "force_run", "should_run", "expected")
   }
 }
