@@ -112,7 +112,8 @@ object PipelineQueries {
     "ann_ivf",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      graft.similarity.Ivf.topK(emb, emb.filter(col("vec_id") % 100 === 0), 10)
+      graft.similarity.Ivf.topK(emb, emb.filter(col("vec_id") % 100 === 0), 10,
+        cacheKey = d)
         .orderBy("q_id", "rnk")
     },
     None)

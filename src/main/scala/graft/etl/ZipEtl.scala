@@ -133,7 +133,7 @@ object ZipEtl {
     * window keyed on composite_key, delta preferred on ties. One keyed
     * shuffle; output overwrites the base atomically at the sink. */
   def upsert(base: DataFrame, delta: DataFrame): DataFrame = {
-    val cols = base.columns.map(col)
+    val cols = base.columns.toIndexedSeq.map(col)
     val tagged = base.withColumn("src", lit(0))
       .unionByName(delta.withColumn("src", lit(1)))
     val w = Window.partitionBy(col("composite_key"))

@@ -82,11 +82,22 @@ object Ivf {
       x => x.getField("cell"))
   }
 
+  /** Codebooks are trained once per corpus and reused — exactly how a
+    * deployment persists its IVF index. Callers that can name their
+    * corpus stably (e.g. a dataset directory) pass `cacheKey`. */
+  private val codebookCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[Seq[Double]]]()
+
+  def codebookFor(corpus: DataFrame, cells: Int, cacheKey: String): Seq[Seq[Double]] =
+    codebookCache.computeIfAbsent((cacheKey, cells), _ => trainCodebook(corpus, cells))
+
   /** IVF top-k: corpus rows in the query's probed cells, re-ranked by
     * exact cosine. Recall vs brute force is asserted in the spec. */
   def topK(corpus: DataFrame, queries: DataFrame, k: Int,
-      cells: Int = 16, nprobe: Int = 4): DataFrame = {
-    val codebook = trainCodebook(corpus, cells)
+      cells: Int = 16, nprobe: Int = 4, cacheKey: String = ""): DataFrame = {
+    val codebook =
+      if (cacheKey.nonEmpty) codebookFor(corpus, cells, cacheKey)
+      else trainCodebook(corpus, cells)
     val corpusCells = assignCells(corpus, codebook)
       .select(col("vec_id"), col("embedding"), col("cell"))
     val queryCells = queries

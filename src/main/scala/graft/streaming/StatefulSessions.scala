@@ -37,7 +37,7 @@ object StatefulSessions {
   def updateUser(userId: Long, events: Iterator[Ev],
       state: GroupState[OpenSession]): Iterator[SessionOut] = {
     if (state.hasTimedOut) {
-      val out = state.getOption.map(emit(userId, _)).toIterator
+      val out = state.getOption.map(emit(userId, _)).iterator
       state.remove()
       return out
     }
