@@ -78,11 +78,14 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
-  test("all relational queries execute and return rows at sf0.001") {
-    Relational.all.foreach { q =>
+  test("every coverage entry executes at sf0.001") {
+    // LSH candidate entries may legitimately be empty at tiny sf
+    val mayBeEmpty = Set("q_anti_join", "dedup_minhash_lsh", "dedup_simhash",
+      "dedup_ngram_jaccard", "dedup_embedding_cosine")
+    graft.SparkEntry.allDefs.foreach { q =>
       val n = q.fn(spark, sf).count()
       assert(n >= 0, s"${q.name} failed")
-      if (q.name != "q_anti_join") // small sf may legitimately be empty
+      if (!mayBeEmpty(q.name))
         assert(n > 0, s"${q.name} returned no rows")
     }
   }
