@@ -15,7 +15,7 @@ object StreamQueries {
     "q_tumbling_window",
     (s, d) => EventOps.tumblingHourly(Tables.events(s, d))
       .orderBy("window_start", "event_type"),
-    Some("""SELECT date_trunc('hour', ts) AS window_start, event_type,
+    Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
               COUNT(*) AS n_events,
               CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_value
             FROM events
@@ -42,7 +42,8 @@ object StreamQueries {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
                FROM y)
              SELECT user_id, session_seq, COUNT(*) AS n_events,
-               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+               CAST(MAX(ts) AS TIMESTAMP) AS session_end,
                CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_value
              FROM z GROUP BY user_id, session_seq
              ORDER BY user_id, session_seq"""))
