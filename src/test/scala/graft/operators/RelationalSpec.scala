@@ -78,6 +78,12 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("driver contract: entry() returns rows under a plain session") {
+    // the driver smoke-checks entry() with ITS OWN session — the query
+    // must not depend on graft session extensions or legacy confs
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+
   test("every coverage entry executes at sf0.001") {
     // LSH candidate entries may legitimately be empty at tiny sf
     val mayBeEmpty = Set("q_anti_join", "dedup_minhash_lsh", "dedup_simhash",
