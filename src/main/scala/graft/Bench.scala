@@ -27,19 +27,27 @@ object Bench {
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     names.foreach { name =>
       try {
-        runOnce(name) // warm-up
+        runOnce(name) // warm-up (JIT + codegen + file listing)
         // min of two timed runs — damps machine noise without hiding
-        // real plan cost
+        // real plan cost. Caches registered inside operators (LSH
+        // banded tables, the pipeline's dedup subtree) are cleared
+        // before each timed run so the timing covers the FULL compute,
+        // not a warm cache hit.
         val ts = (1 to 2).map { _ =>
+          spark.sqlContext.clearCache()
           val t0 = System.nanoTime()
           runOnce(name)
           (System.nanoTime() - t0) / 1e9
         }
+        spark.sqlContext.clearCache()
         timings(name) = ts.min
       } catch {
         case e: Throwable =>
+          // strip EVERYTHING outside printable ASCII — any control char
+          // would corrupt the driver's json.load of the bench line
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+            .replaceAll("[^\\x20-\\x7e]", " ")
+            .replaceAll("[\"\\\\]", " ").take(200)
       }
     }
     val qs = timings.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")

@@ -42,17 +42,8 @@ object Dedup {
     * aggregation with map-side partials (one doc_id-keyed shuffle of
     * 64-long rows), rather than nested interpreted array lambdas that
     * re-evaluate the shingle chain per hash function. */
-  /** Spread a skinny corpus across all cores before CPU-bound per-row
-    * text work: a small file scans as 1-2 partitions locally, and at
-    * scale the scan parallelism tracks bytes, not compute. Explicit N
-    * so AQE cannot coalesce the tiny shuffle back to one partition;
-    * skipped entirely when the source already has enough partitions —
-    * re-shuffling a 100 TB corpus that scans wide would be pure waste. */
-  private[dedup] def spread(docs: DataFrame): DataFrame = {
-    val n = docs.sparkSession.sessionState.conf.numShufflePartitions
-    if (docs.rdd.getNumPartitions >= n) docs
-    else docs.repartition(n, col("doc_id"))
-  }
+  private def spread(docs: DataFrame): DataFrame =
+    graft.functions.Spread(docs, col("doc_id"))
 
   /** (doc_id, exploded hashed shingle) — words split once per row,
     * shingles as combined word hashes (no string building). */

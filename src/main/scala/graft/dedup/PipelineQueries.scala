@@ -123,8 +123,7 @@ object PipelineQueries {
     "text_lang_id",
     (s, d) => {
       val m = Text.langMarkers.toMap
-      Tables.documents(s, d)
-        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+      graft.functions.Spread(Tables.documents(s, d), col("doc_id"))
         .withColumn("ws", Text.words(col("text")))
         .select(
           col("doc_id"),
@@ -154,9 +153,7 @@ object PipelineQueries {
   val textQualityScore = QueryDef(
     "text_quality_score",
     (s, d) => {
-      val docs = Tables.documents(s, d)
-      val spreadDocs = docs.repartition(
-        s.sessionState.conf.numShufflePartitions, col("doc_id"))
+      val spreadDocs = graft.functions.Spread(Tables.documents(s, d), col("doc_id"))
         .withColumn("canon", Text.canonical(col("text")))
         .withColumn("ws", split(col("canon"), " "))
       val comps = Text.qualityComponentsOn(col("text"), col("canon"), col("ws"))
@@ -189,8 +186,7 @@ object PipelineQueries {
   /** D10: token counting — whitespace + BPE-ish regex. */
   val textTokenCount = QueryDef(
     "text_token_count",
-    (s, d) => Tables.documents(s, d)
-      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+    (s, d) => graft.functions.Spread(Tables.documents(s, d), col("doc_id"))
       .select(
         col("doc_id"),
         Text.whitespaceTokenCount(col("text")).as("ws_tokens"),

@@ -89,14 +89,20 @@ object ZipEtl {
       .withColumn("timezone",
         concat(lit("UTC"), when(tzOff >= 0, concat(lit("+"), tzOff.cast("string")))
           .otherwise(tzOff.cast("string"))))
-    val tzDim = df.select(col("state_abbr").as("d_state_abbr"), col("state_fips"))
+    // dim keyed on the FULL (state_abbr, state_fips) pair: joining on
+    // abbr alone would silently duplicate rows if an input ever mapped
+    // one abbr to two fips values (the oracle computes tz_region from
+    // the row's own fips, so the join must be keyed the same way)
+    val tzDim = df.select(col("state_abbr").as("d_state_abbr"),
+      col("state_fips").as("d_state_fips"))
       .distinct()
       .withColumn("tz_region",
         element_at(array(lit("Eastern"), lit("Central"), lit("Mountain"), lit("Pacific")),
-          (col("state_fips") % 4 + 1).cast("int")))
-      .drop("state_fips")
-    enriched.join(broadcast(tzDim), col("state_abbr") === col("d_state_abbr"))
-      .drop("d_state_abbr")
+          (col("d_state_fips") % 4 + 1).cast("int")))
+    enriched.join(broadcast(tzDim),
+      col("state_abbr") === col("d_state_abbr") &&
+        col("state_fips") === col("d_state_fips"))
+      .drop("d_state_abbr", "d_state_fips")
   }
 
   /** Simulated target-DB baseline: the subset of enriched records

@@ -22,10 +22,7 @@ object Winnow {
 
   /** docs(doc_id, text) → (doc_id, winnow_fps array<long> sorted). */
   def fingerprints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
-    val n = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val wide = if (docs.rdd.getNumPartitions >= n) docs
-      else docs.repartition(n, col("doc_id"))
-    val grams = wide
+    val grams = Spread(docs, col("doc_id"))
       .withColumn("canon", Text.canonical(col("text")))
       .select(col("doc_id"),
         posexplode(Text.gramHashes(col("canon"), k)).as(Seq("pos", "gram")))

@@ -77,14 +77,16 @@ object Multimodal {
 
   /** STUB resize: a real deployment decodes, resizes to (w, h) and
     * re-encodes; the stub deterministically truncates/pads the payload
-    * to w*h bytes and stamps the new metadata. Plumbing (schema
+    * to w*h BYTES — all operations stay in binary space (a string
+    * round-trip would count characters, so any multi-byte UTF-8
+    * payload would break the size contract). Plumbing (schema
     * evolution, pure column ops for metadata, binary passthrough) is
     * the real part. */
   def resizeStub(assets: DataFrame, w: Int, h: Int): DataFrame =
     assets
       .withColumn("content",
-        substring(rpad(col("content").cast("string"), w * h, " "), 1, w * h)
-          .cast("binary"))
+        substring(concat(col("content"), lit(Array.fill[Byte](w * h)(0x20))),
+          1, w * h))
       .withColumn("meta", struct(
         lit(w).as("width"), lit(h).as("height"),
         col("meta.sample_rate"), col("meta.n_frames")))
@@ -99,12 +101,12 @@ object Multimodal {
         posexplode(sequence(lit(0), col("meta.n_frames") - 1, lit(stride)))
           .as(Seq("sample_idx", "frame_idx")))
 
-  /** The rows-only `mm_binary_meta` coverage entry: assets repartitioned
-    * by modality (the layout a decode fleet wants — one codec per
-    * partition family), metadata flattened. */
+  /** The rows-only `mm_binary_meta` coverage entry: flattened asset
+    * metadata. (No repartition here — the final orderBy would discard
+    * any layout immediately; a decode fleet repartitions by modality
+    * right before [[decodeFeatures]], where the layout is consumed.) */
   def binaryMeta(s: SparkSession, docs: DataFrame): DataFrame =
     syntheticAssets(docs)
-      .repartition(col("modality"))
       .select(col("doc_id"), col("modality"),
         length(col("content")).as("n_bytes"),
         col("meta.width"), col("meta.height"),

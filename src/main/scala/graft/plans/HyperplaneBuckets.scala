@@ -64,7 +64,7 @@ case class HyperplaneBuckets(child: Expression, tables: Int, planes: Int)
       val row = ctx.freshName("row")
       s"""
          |int $n = $a.numElements();
-         |if ($signs == null) {
+         |if ($signs == null || $signs[0].length < $n) {
          |  $signs = $cls.signMatrix($tables, $planes, $n);
          |}
          |long[] $out = new long[$tables];

@@ -47,8 +47,17 @@ object StatefulSessions {
     sorted.foreach { e =>
       val us = toUs(e.ts)
       open match {
-        case Some(s) if us - s.endUs <= GapUs =>
-          open = Some(OpenSession(s.startUs, math.max(s.endUs, us), s.n + 1, s.sum + e.value))
+        // in-watermark out-of-order events: anything within GapUs of
+        // the session's SPAN merges (extending either boundary)
+        case Some(s) if us >= s.startUs - GapUs && us <= s.endUs + GapUs =>
+          open = Some(OpenSession(math.min(s.startUs, us),
+            math.max(s.endUs, us), s.n + 1, s.sum + e.value))
+        // a late event more than GapUs BEFORE the open session is its
+        // own earlier session — emit it closed (a later bridging event
+        // inside the same batch was already handled by the sort; one
+        // arriving in a later batch is bounded by the watermark)
+        case Some(s) if us < s.startUs - GapUs =>
+          closed += emit(userId, OpenSession(us, us, 1L, e.value))
         case Some(s) =>
           closed += emit(userId, s)
           open = Some(OpenSession(us, us, 1L, e.value))

@@ -80,6 +80,27 @@ class EtlSpec extends SparkSpec {
     }
   }
 
+  test("E6: shouldRun (the production gate method) matches every scenario outcome") {
+    val checksum = Ledger.fileChecksum(ZipEtl.csvPath)
+    def one(id: Long, status: String, startD: String, endD: Option[String]) = {
+      val l = Ledger.start(spark, Ledger.empty(spark), id, "f.csv", checksum, startD)
+      endD.map(e => Ledger.finish(l, id, status, e)).getOrElse(l)
+    }
+    val fresh = "2026-07-20"; val stale = "2026-05-01"
+    val cases = Seq(
+      (Ledger.empty(spark), false, true),
+      (one(1, Ledger.StatusRunning, fresh, None), false, false),
+      (one(2, Ledger.StatusComplete, fresh, Some(fresh)), false, false),
+      (one(3, Ledger.StatusComplete, fresh, Some(fresh)), true, true),
+      (one(4, Ledger.StatusComplete, stale, Some(stale)), false, true),
+      (one(5, Ledger.StatusError, fresh, Some(fresh)), false, false),
+      (Ledger.start(spark, Ledger.empty(spark), 6, "o.csv", "deadbeef", fresh), false, true))
+    cases.zipWithIndex.foreach { case ((ledger, force, expected), i) =>
+      assert(Ledger.shouldRun(ledger, checksum, ZipEtl.runDate, ZipEtl.ttlDays, force)
+        === expected, s"case $i")
+    }
+  }
+
   test("E6: checksum is the stable SHA-256 of the input file") {
     val c1 = Ledger.fileChecksum(ZipEtl.csvPath)
     val c2 = Ledger.fileChecksum(ZipEtl.csvPath)

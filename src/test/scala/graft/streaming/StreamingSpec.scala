@@ -115,6 +115,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("S4: in-watermark out-of-order events extend the session backwards") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StatefulSessions._
+    val stream = MemoryStream[Ev]
+    val withWm = stream.toDS().withWatermark("ts", "2 hours").as[Ev]
+    val q = StatefulSessions.sessions(spark, withWm)
+      .writeStream.format("memory").queryName("s4_ooo")
+      .outputMode("append").start()
+    try {
+      stream.addData(Ev(1L, 1L, ts("2026-01-01 10:00:00"), 1.0))
+      q.processAllAvailable()
+      // late but within the watermark and within the gap of the span
+      stream.addData(Ev(1L, 2L, ts("2026-01-01 09:50:00"), 2.0))
+      q.processAllAvailable()
+      // far-future event closes the session via timeout
+      stream.addData(Ev(2L, 3L, ts("2026-01-02 10:00:00"), 3.0))
+      q.processAllAvailable()
+      stream.addData()
+      q.processAllAvailable()
+      val u1 = spark.table("s4_ooo").filter(col("user_id") === 1L).collect()
+      assert(u1.length === 1)
+      assert(u1.head.getAs[Timestamp]("session_start") === ts("2026-01-01 09:50:00"),
+        "the late event must extend the session's start backwards")
+      assert(u1.head.getAs[Long]("n_events") === 2L)
+    } finally q.stop()
+  }
+
   test("S6/E8: file-drop trigger runs the pipeline exactly once per file") {
     val root = Files.createTempDirectory("graft_trigger")
     val watch = s"$root/incoming"; val out = s"$root/out"; val cp = s"$root/cp"
