@@ -18,6 +18,12 @@ object Sample {
       operators.Skew.saltedJoin(orders, cust, "o_custkey").count())
 
     spark.sql("DROP TABLE IF EXISTS sample_orders")
+    // the in-memory catalog forgets tables across sessions but their
+    // warehouse directories persist; clear the location too
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File("/tmp/graft_warehouse/sample_orders"))
     etl.Sink.writeBucketed(orders, "sample_orders", "o_orderkey", 4)
     println(s"[sample] bucketed table rows: " +
       spark.table("sample_orders").count())

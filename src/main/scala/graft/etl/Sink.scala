@@ -29,10 +29,25 @@ object Sink {
     * repeated large joins on a stable key (SURVEY §5); the spec asserts
     * the Exchange-free plan. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // the in-memory catalog forgets managed tables across sessions but
+    // their warehouse directories persist; a stale location makes
+    // saveAsTable fail with LOCATION_ALREADY_EXISTS — clear it when the
+    // catalog has no record of the table
+    if (!spark.catalog.tableExists(table)) {
+      val loc = new java.io.File(new java.net.URI(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(table)).toString))
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      if (loc.exists()) rm(loc)
+    }
     df.write.mode("overwrite")
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+  }
 }
