@@ -13,7 +13,7 @@ class TextSpec extends SparkSpec {
   }
 
   test("canonical lowercases, strips punctuation, collapses whitespace") {
-    val out = one("  Hello,   WORLD!! 42 ").select(Text.canonical(col("text"))).head.getString(0)
+    val out = one("  Hello,   WORLD!! 42 ").select(Text.canonical(col("text"))).head().getString(0)
     assert(out === "hello world 42")
   }
 
@@ -25,7 +25,7 @@ class TextSpec extends SparkSpec {
       "le chien et la maison les arbres des fleurs" -> "fr",
       "xyzzy qwerty plugh" -> "en") // no markers → priority default
     cases.foreach { case (text, expected) =>
-      val got = one(text).select(Text.langId(col("text"))).head.getString(0)
+      val got = one(text).select(Text.langId(col("text"))).head().getString(0)
       assert(got === expected, s"text: $text")
     }
   }
@@ -33,7 +33,7 @@ class TextSpec extends SparkSpec {
   test("D9: quality score is bounded and ranks clean text above noise") {
     val clean = "the report covers quarterly results and the outlook is strong " * 3
     val noise = "@@## $$%% ^^&& !!?? ||}{"
-    val q = (t: String) => one(t).select(Text.qualityScore(col("text"))).head.getDouble(0)
+    val q = (t: String) => one(t).select(Text.qualityScore(col("text"))).head().getDouble(0)
     assert(q(clean) > q(noise))
     assert(q(clean) <= 1.0 && q(noise) >= 0.0)
   }
@@ -42,15 +42,15 @@ class TextSpec extends SparkSpec {
     val df = one("Hello, world! The answer is 42.")
     val r = df.select(
       Text.whitespaceTokenCount(col("text")).as("ws"),
-      Text.bpeTokenCount(col("text")).as("bpe")).head
+      Text.bpeTokenCount(col("text")).as("bpe")).head()
     assert(r.getAs[Int]("ws") === 6)
     // hello , world ! the answer is 42 . → 9
     assert(r.getAs[Int]("bpe") === 9)
   }
 
   test("D11: md5 fingerprint is canonicalization-invariant") {
-    val a = one("The  Quick brown FOX!").select(Text.fingerprintMd5(col("text"))).head.getString(0)
-    val b = one("the quick brown fox").select(Text.fingerprintMd5(col("text"))).head.getString(0)
+    val a = one("The  Quick brown FOX!").select(Text.fingerprintMd5(col("text"))).head().getString(0)
+    val b = one("the quick brown fox").select(Text.fingerprintMd5(col("text"))).head().getString(0)
     assert(a === b)
   }
 
