@@ -30,6 +30,7 @@ object Winnow {
     // emitted at its last position; distinct per doc = the fingerprint set.
     val winMin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(-(w - 1), Window.currentRow)
+    val ordered = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val byDoc = Window.partitionBy(col("doc_id"))
     grams
       .withColumn("wmin", min(col("gram")).over(winMin))
@@ -37,6 +38,11 @@ object Winnow {
       // docs shorter than one full window keep their single overall min
       .filter(col("pos") >= w - 1 ||
         (col("n_grams") < w && col("pos") === col("n_grams") - 1))
+      // a window min typically persists for ~w consecutive windows;
+      // dropping consecutive repeats (same sort, same WindowExec) cuts
+      // the collect_set input ~w-fold before the aggregation shuffle
+      .withColumn("prev_wmin", lag(col("wmin"), 1).over(ordered))
+      .filter(col("prev_wmin").isNull || col("wmin") =!= col("prev_wmin"))
       .groupBy("doc_id")
       .agg(array_sort(collect_set(col("wmin"))).as("winnow_fps"))
   }
