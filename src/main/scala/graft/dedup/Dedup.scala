@@ -34,14 +34,6 @@ object Dedup {
     * quadratic bucket. The skew-safety valve SURVEY §5 calls for. */
   val MaxBucket = 100
 
-  /** MinHash signatures: sig[i] = min over shingles of h_i(shingle),
-    * where h_i = xxhash64(i, base) re-hashes the ONE string hash of the
-    * shingle with seed i — 64 fixed-width 8-byte hashes instead of 64
-    * string traversals (and no wrapping multiplies, which ANSI mode
-    * rejects). Shaped as explode → 64 parallel MIN aggregates: a hash
-    * aggregation with map-side partials (one doc_id-keyed shuffle of
-    * 64-long rows), rather than nested interpreted array lambdas that
-    * re-evaluate the shingle chain per hash function. */
   private def spread(docs: DataFrame): DataFrame =
     graft.functions.Spread(docs, col("doc_id"))
 
@@ -52,6 +44,14 @@ object Dedup {
       .select(col("doc_id"), Text.words(col("text")).as("ws"))
       .select(col("doc_id"), explode(Text.shingleHashes(col("ws"), k)).as("h"))
 
+  /** MinHash signatures: sig[i] = min over shingles of h_i(shingle),
+    * where h_i = xxhash64(i, base) re-hashes the ONE hash of the
+    * shingle with seed i — 64 fixed-width 8-byte hashes instead of 64
+    * string traversals (and no wrapping multiplies, which ANSI mode
+    * rejects). Shaped as explode → 64 parallel MIN aggregates: a hash
+    * aggregation with map-side partials (one doc_id-keyed shuffle of
+    * 64-long rows), rather than nested interpreted array lambdas that
+    * re-evaluate the shingle chain per hash function. */
   def minhashSignatures(docs: DataFrame, shingleK: Int = 3): DataFrame = {
     val mins = (0 until NumHashes).map(i =>
       min(xxhash64(lit(i), col("h"))).as(s"h$i"))

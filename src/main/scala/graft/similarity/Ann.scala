@@ -5,8 +5,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (SURVEY.md §2.4 D5-D7).
-  * Vector math is zip_with/aggregate higher-order functions in double —
-  * codegen'd, no UDF, identical summation order to the oracle.
+  * Vector math runs through the native codegen'd graft_cosine
+  * expression (no UDF), with summation order identical to the oracle;
+  * the composable dot/norm helpers below remain for callers that need
+  * the building blocks.
   *
   * Scale shapes:
   *  - D5 exact near-dup pairs are label-blocked (never a full cross
@@ -35,9 +37,9 @@ object Ann {
   // ---------------------------------------------------------------- D5
 
   /** Exact embedding-cosine near-dup pairs within a blocking key
-    * (label): vec_id < vec_id, cosine ≥ threshold. Norms (and the
-    * float→double cast) are computed once per VECTOR before the join —
-    * per-pair work is just the dot product. */
+    * (label): vec_id < vec_id, cosine ≥ threshold. The float→double
+    * cast happens once per vector before the join; per-pair work is
+    * one fused native cosine loop. */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
     val prepped = emb.select(col("vec_id"), col("label"),
       col("embedding").cast("array<double>").as("emb"))
