@@ -1,0 +1,37 @@
+package graft
+
+import java.nio.file.Files
+import graft.streaming.EventOps
+import org.apache.spark.sql.functions._
+
+/** Source/sink format depth beyond the §2.5 checklist: schema'd
+  * JSON-lines and ORC round-trips must preserve the operators'
+  * results exactly — a user switching storage formats keeps identical
+  * semantics. */
+class IoSpec extends SparkSpec {
+
+  test("JSON-lines round-trip preserves event aggregation results") {
+    val dir = Files.createTempDirectory("graft_io").toString
+    val events = Tables.events(spark, sf)
+    events.write.mode("overwrite").json(s"$dir/events_json")
+    // explicit schema — no inference pass over the data at scale
+    val back = spark.read.schema(events.schema).json(s"$dir/events_json")
+    assert(back.count() === events.count())
+    val a = EventOps.tumblingHourly(events).orderBy("window_start", "event_type").collect()
+    val b = EventOps.tumblingHourly(back).orderBy("window_start", "event_type").collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
+
+  test("ORC round-trip preserves relational results and predicate pushdown") {
+    val dir = Files.createTempDirectory("graft_io").toString
+    val li = Tables.lineitem(spark, sf)
+    li.write.mode("overwrite").orc(s"$dir/lineitem_orc")
+    val back = spark.read.orc(s"$dir/lineitem_orc")
+    assert(back.count() === li.count())
+    val filtered = back.filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_quantity")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), "ORC scan must receive pushed filters")
+    assert(filtered.count() === li.filter(col("l_returnflag") === "R").count())
+  }
+}
