@@ -21,5 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplane_buckets"),
       (children: Seq[Expression]) => HyperplaneBuckets(children(0),
         children(1).eval().asInstanceOf[Int], children(2).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_vec_mean"),
+      new ExpressionInfo(classOf[VecMean].getName, "graft_vec_mean"),
+      (children: Seq[Expression]) => VecMean(children.head).toAggregateExpression()))
   }
 }

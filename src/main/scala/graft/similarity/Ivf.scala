@@ -35,16 +35,14 @@ object Ivf {
       .map(_.getSeq[Double](0).toSeq)
       .toSeq
     // one Lloyd step: assign every vector to its max-cosine seed, then
-    // element-wise mean per cell (posexplode + (cell, dim) aggregation)
+    // element-wise mean per cell via the native graft_vec_mean
+    // aggregate (one aggregation; the posexplode workaround needs three
+    // operators and a dim-fold row blow-up)
     val assigned = assignCells(corpus, seeds)
     val means = assigned
-      .select(col("cell"), posexplode(col("embedding").cast("array<double>"))
-        .as(Seq("dim", "v")))
-      .groupBy("cell", "dim")
-      .agg(avg("v").as("m"))
       .groupBy("cell")
-      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-      .select(col("cell"), transform(col("dm"), x => x.getField("m")).as("centroid"))
+      .agg(call_function("graft_vec_mean",
+        col("embedding").cast("array<double>")).as("centroid"))
       .collect()
       .map(r => r.getAs[Int]("cell") -> r.getSeq[Double](1).toSeq)
       .toMap

@@ -1,0 +1,53 @@
+package graft.plans
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Specs for the native Catalyst extensions registered by
+  * GraftExtensions. */
+class ExtensionsSpec extends SparkSpec {
+
+  test("graft_cosine matches the composable dot/norm formulation exactly") {
+    val emb = Tables.embeddings(spark, sf).limit(50)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val composable = graft.similarity.Ann.dot(col("e"), col("e")) /
+      (graft.similarity.Ann.norm(col("e")) * graft.similarity.Ann.norm(col("e")))
+    val diff = emb.select(
+      (call_function("graft_cosine", col("e"), col("e")) - composable).as("d"))
+      .filter(abs(col("d")) > 0).count()
+    assert(diff === 0, "native and composable cosine must agree bit-for-bit")
+  }
+
+  test("graft_vec_mean equals the posexplode mean and handles empty groups") {
+    import spark.implicits._
+    val df = Seq(
+      (0, Seq(1.0, 2.0, 3.0)),
+      (0, Seq(3.0, 4.0, 5.0)),
+      (1, Seq(10.0, 20.0, 30.0))).toDF("g", "v")
+    val native = df.groupBy("g")
+      .agg(call_function("graft_vec_mean", col("v")).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+    assert(native(0) === Seq(2.0, 3.0, 4.0))
+    assert(native(1) === Seq(10.0, 20.0, 30.0))
+    // null inputs are counted out
+    val withNull = Seq((0, Option(Seq(2.0, 4.0))), (0, Option.empty[Seq[Double]]))
+      .toDF("g", "v")
+      .groupBy("g").agg(call_function("graft_vec_mean", col("v")).as("m"))
+      .collect().head.getSeq[Double](1).toSeq
+    assert(withNull === Seq(2.0, 4.0))
+  }
+
+  test("graft_vec_mean works in SQL and under partial aggregation") {
+    import spark.implicits._
+    val big = (0 until 10000).map(i => (i % 7, Seq(i.toDouble, (i * 2).toDouble)))
+      .toDF("g", "v").repartition(8)
+    big.createOrReplaceTempView("vecs")
+    val rows = spark.sql(
+      "SELECT g, graft_vec_mean(v) AS m FROM vecs GROUP BY g ORDER BY g").collect()
+    assert(rows.length === 7)
+    // group 0: values 0,7,14,... mean = expected arithmetic mean
+    val g0 = (0 until 10000).filter(_ % 7 == 0).map(_.toDouble)
+    val expected = g0.sum / g0.size
+    assert(math.abs(rows.head.getSeq[Double](1).head - expected) < 1e-9)
+  }
+}
