@@ -215,6 +215,20 @@ object PipelineQueries {
       .orderBy("doc_id"),
     None)
 
+  /** Per-label centroid embeddings via the native graft_vec_mean
+    * aggregate (rows-only; exactness vs per-dimension arithmetic is
+    * asserted in ExtensionsSpec — a cross-engine double-sum oracle
+    * would be summation-order-dependent). */
+  val vecCentroid = QueryDef(
+    "q_vector_centroid",
+    (s, d) => Tables.embeddings(s, d)
+      .groupBy("label")
+      .agg(call_function("graft_vec_mean",
+        col("embedding").cast("array<double>")).as("centroid"),
+        count(lit(1)).as("n_vectors"))
+      .orderBy("label"),
+    None)
+
   /** D12: multimodal binary columns + typed metadata (rows-only;
     * decode stub covered by spec). */
   val mmBinaryMeta = QueryDef(
@@ -226,5 +240,5 @@ object PipelineQueries {
     dedupExact, dedupMinhashLsh, dedupSimhash, dedupNgramJaccard,
     dedupEmbeddingCosine, annBruteforceTopK, annLsh, annIvf,
     textLangId, textQualityScore, textTokenCount, textFingerprint,
-    textWinnow, mmBinaryMeta)
+    textWinnow, vecCentroid, mmBinaryMeta)
 }
