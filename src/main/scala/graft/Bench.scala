@@ -1,12 +1,16 @@
 package graft
 
-/** Benchmark main. Per query: one warm-up execution (JIT + codegen
-  * cache + file-listing caches), then one timed execution into the
-  * `noop` sink — a real end-to-end materialization of every output row
-  * that Catalyst cannot optimize away (a bare .count() lets the
-  * optimizer drop unreferenced projections, under-measuring
-  * compute-heavy queries). Failures are propagated into the JSON
-  * (`"errors"`) instead of being swallowed as fake timings.
+/** Benchmark main. Phase 1 warms EVERY query once (per-query warm-up
+  * alone leaves the first queries of a sweep paying global JIT/C2
+  * compilation, which swung sweep totals by up to 60%); phase 2 times
+  * each query as the min of two executions into the `noop` sink — a
+  * real end-to-end materialization of every output row that Catalyst
+  * cannot optimize away (a bare .count() lets the optimizer drop
+  * unreferenced projections, under-measuring compute-heavy queries).
+  * Operator-internal caches are cleared before each timed run so the
+  * timing covers the full compute, not a warm cache hit. Failures are
+  * propagated into the JSON (`"errors"`) instead of being swallowed as
+  * fake timings.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -25,14 +29,21 @@ object Bench {
       else SparkEntry.queries.keys.toSeq.sorted
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
-    names.foreach { name =>
-      try {
-        runOnce(name) // warm-up (JIT + codegen + file listing)
-        // min of two timed runs — damps machine noise without hiding
-        // real plan cost. Caches registered inside operators (LSH
-        // banded tables, the pipeline's dedup subtree) are cleared
-        // before each timed run so the timing covers the FULL compute,
-        // not a warm cache hit.
+    def guarded(name: String)(body: => Unit): Unit =
+      try body catch {
+        case e: Throwable =>
+          // strip EVERYTHING outside printable ASCII — any control char
+          // would corrupt the driver's json.load of the bench line
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[^\\x20-\\x7e]", " ")
+            .replaceAll("[\"\\\\]", " ").take(200)
+      }
+    // phase 1: global warm-up
+    names.foreach(name => guarded(name)(runOnce(name)))
+    spark.sqlContext.clearCache()
+    // phase 2: timed
+    names.filterNot(errors.contains).foreach { name =>
+      guarded(name) {
         val ts = (1 to 2).map { _ =>
           spark.sqlContext.clearCache()
           val t0 = System.nanoTime()
@@ -41,13 +52,6 @@ object Bench {
         }
         spark.sqlContext.clearCache()
         timings(name) = ts.min
-      } catch {
-        case e: Throwable =>
-          // strip EVERYTHING outside printable ASCII — any control char
-          // would corrupt the driver's json.load of the bench line
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[^\\x20-\\x7e]", " ")
-            .replaceAll("[\"\\\\]", " ").take(200)
       }
     }
     val qs = timings.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
