@@ -208,10 +208,15 @@ object PipelineQueries {
              FROM documents ORDER BY doc_id"""))
 
   /** D11b: winnowing fingerprint set (rows-only — xxhash64 rolling
-    * hashes have no DuckDB mirror). */
+    * hashes have no DuckDB mirror). The Scala API returns the raw
+    * array<long>; the coverage entry serializes it to JSON because the
+    * driver's row-sorting harness can't hash ndarray cells. */
   val textWinnow = QueryDef(
     "text_winnow",
     (s, d) => graft.functions.Winnow.fingerprints(Tables.documents(s, d))
+      .select(col("doc_id"),
+        size(col("winnow_fps")).as("n_fps"),
+        to_json(col("winnow_fps")).as("winnow_fps"))
       .orderBy("doc_id"),
     None)
 
@@ -224,8 +229,14 @@ object PipelineQueries {
     (s, d) => Tables.embeddings(s, d)
       .groupBy("label")
       .agg(call_function("graft_vec_mean",
-        col("embedding").cast("array<double>")).as("centroid"),
+        col("embedding").cast("array<double>")).as("centroid_arr"),
         count(lit(1)).as("n_vectors"))
+      // serialize for the driver harness (raw array cells are unhashable
+      // there); round to 6dp so cross-partition summation-order noise in
+      // the mean's last bits can't flap the serialized form
+      .select(col("label"),
+        to_json(transform(col("centroid_arr"), x => round(x, 6))).as("centroid"),
+        col("n_vectors"))
       .orderBy("label"),
     None)
 

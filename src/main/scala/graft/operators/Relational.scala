@@ -296,7 +296,7 @@ object Relational {
         .orderBy("l_returnflag")
     },
     Some(s"""SELECT l_returnflag,
-              SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_high_disc,
+              CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_disc,
               ${oSum("CASE WHEN l_tax > 0.04 THEN l_extendedprice ELSE 0.0 END")} AS taxed_price,
               ${oSum("CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0.0 END")} AS qty_f
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))

@@ -41,7 +41,7 @@ object StreamQueries {
                  PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
                FROM y)
-             SELECT user_id, session_seq, COUNT(*) AS n_events,
+             SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, COUNT(*) AS n_events,
                CAST(MIN(ts) AS TIMESTAMP) AS session_start,
                CAST(MAX(ts) AS TIMESTAMP) AS session_end,
                CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_value

@@ -21,7 +21,8 @@ if "--skip-verify" not in sys.argv:
         print(r.stdout[-3000:]); print(r.stderr[-2000:]); sys.exit(1)
 
 import duckdb
-import pyarrow.parquet as pq
+import numpy as np
+import pandas as pd
 
 con = duckdb.connect()
 for t in TABLES:
@@ -31,13 +32,38 @@ for t in TABLES:
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 
+class Unhashable(Exception):
+    pass
+
 def norm(v):
-    if isinstance(v, float):
-        if math.isnan(v): return "NaN"
-        return f"{v:.6f}"
-    if hasattr(v, "isoformat"): return v.isoformat()  # full µs precision
-    if isinstance(v, list): return "[" + ",".join(norm(x) for x in v) + "]"
-    return str(v)
+    """Driver-strength normalization: TYPE-TAGGED and full-precision.
+    The driver materializes both sides as pandas frames, so DuckDB
+    HUGEINT (e.g. SUM(int)) arrives as float64 while Spark BIGINT is
+    int64 — those MUST compare unequal here (5 != 5.0), and floats must
+    keep full repr precision, or this replica passes code the driver
+    fails (the r2 q_conditional_agg/q_sessionize blind spot)."""
+    if v is None or v is pd.NaT:
+        return "∅"
+    if isinstance(v, np.ndarray):
+        raise Unhashable("raw array cell (driver harness crashes on these)")
+    if isinstance(v, (bool, np.bool_)):
+        return f"b:{bool(v)}"
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f): return "f:nan"
+        return f"f:{f!r}"
+    if hasattr(v, "isoformat"): return f"t:{v.isoformat()}"  # full µs precision
+    if isinstance(v, (list, tuple)):
+        raise Unhashable("raw list cell (driver harness crashes on these)")
+    if isinstance(v, (bytes, bytearray)):
+        return f"y:{bytes(v).hex()}"
+    return f"s:{v}"
+
+def rows_of(df):
+    cols = sorted(df.columns)  # driver sorts columns by name
+    return sorted(tuple(norm(v) for v in row) for row in df[cols].itertuples(index=False, name=None))
 
 fails, passes = [], []
 for name, sql in sorted(oracle.items()):
@@ -45,19 +71,18 @@ for name, sql in sorted(oracle.items()):
     if not glob.glob(f"{spark_dir}/*.parquet"):
         fails.append((name, "no spark output")); continue
     try:
-        sdf = con.execute(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").fetchall()
-        scols = [d[0] for d in con.description]
-        ddf = con.execute(sql).fetchall()
-        dcols = [d[0] for d in con.description]
+        # .df() (not fetchall) so values carry the same pandas dtypes the
+        # driver sees: HUGEINT->float64, BIGINT->int64, DECIMAL->float64
+        sdf = con.execute(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").df()
+        ddf = con.execute(sql).df()
     except Exception as e:
         fails.append((name, f"exec error: {str(e)[:200]}")); continue
-    if sorted(scols) != sorted(dcols):
-        fails.append((name, f"schema: spark={scols} duck={dcols}")); continue
-    # driver sorts columns by name before hashing values
-    sidx = [scols.index(c) for c in sorted(scols)]
-    didx = [dcols.index(c) for c in sorted(dcols)]
-    srows = sorted(tuple(norm(r[i]) for i in sidx) for r in sdf)
-    drows = sorted(tuple(norm(r[i]) for i in didx) for r in ddf)
+    if sorted(sdf.columns) != sorted(ddf.columns):
+        fails.append((name, f"schema: spark={list(sdf.columns)} duck={list(ddf.columns)}")); continue
+    try:
+        srows, drows = rows_of(sdf), rows_of(ddf)
+    except Unhashable as e:
+        fails.append((name, str(e))); continue
     if len(srows) != len(drows):
         fails.append((name, f"rowcount: spark={len(srows)} duck={len(drows)}")); continue
     if srows != drows:
