@@ -65,10 +65,8 @@ object Dedup {
     * together with j, so equal band keys ⇒ equal sub-signature. */
   def bandKeys(sig: Column): Column =
     transform(sequence(lit(0), lit(Bands - 1)),
-      j => xxhash64(j, element_at(sig, j * RowsPerBand + 1),
-        element_at(sig, j * RowsPerBand + 2),
-        element_at(sig, j * RowsPerBand + 3),
-        element_at(sig, j * RowsPerBand + 4)))
+      j => xxhash64(
+        j +: (1 to RowsPerBand).map(r => element_at(sig, j * RowsPerBand + r)): _*))
 
   /** D2: MinHash+LSH candidate pairs: shingle → signature → explode
     * band keys → bucket self-join (a.doc_id < b.doc_id) → distinct.

@@ -72,17 +72,27 @@ object PipelineQueries {
               FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
             SELECT * FROM pairs WHERE cos_sim >= 0.30 ORDER BY vec_a, vec_b"""))
 
-  /** D6: brute-force cosine top-k — queries are vec_id % 100 == 0,
-    * broadcast against the corpus. */
+  /** Query-set bound for the ANN coverage entries: "every 100th vec"
+    * alone is corpus-PROPORTIONAL (1%), which breaks the broadcast
+    * contract at 100× — the id-range cap makes the bound ABSOLUTE
+    * (≤ [[Ann.MaxBroadcastQueries]] queries at any corpus size) while
+    * staying deterministic and oracle-mirrorable, unlike limit(). */
+  private val QueryIdBound = Ann.MaxBroadcastQueries * 100L
+  private def boundedQueries(emb: org.apache.spark.sql.DataFrame) =
+    emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < QueryIdBound)
+
+  /** D6: brute-force cosine top-k — a bounded query set broadcast
+    * against the corpus. */
   val annBruteforceTopK = QueryDef(
     "ann_bruteforce_topk",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      Ann.bruteForceTopK(emb, emb.filter(col("vec_id") % 100 === 0), 10)
+      Ann.bruteForceTopK(emb, boundedQueries(emb), 10)
         .orderBy("q_id", "rnk")
     },
-    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-            q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id % 100 = 0),
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e
+                  WHERE vec_id % 100 = 0 AND vec_id < ${Ann.MaxBroadcastQueries * 100L}),
             scored AS (
               SELECT q.q_id, e.vec_id,
                 ROUND(
@@ -102,7 +112,7 @@ object PipelineQueries {
     "ann_lsh",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      Ann.lshTopK(emb, emb.filter(col("vec_id") % 100 === 0), 10)
+      Ann.lshTopK(emb, boundedQueries(emb), 10)
         .orderBy("q_id", "rnk")
     },
     None)
@@ -112,7 +122,7 @@ object PipelineQueries {
     "ann_ivf",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      graft.similarity.Ivf.topK(emb, emb.filter(col("vec_id") % 100 === 0), 10,
+      graft.similarity.Ivf.topK(emb, boundedQueries(emb), 10,
         cacheKey = d)
         .orderBy("q_id", "rnk")
     },

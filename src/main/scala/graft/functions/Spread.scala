@@ -11,7 +11,15 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Spread {
   def apply(df: DataFrame, key: Column): DataFrame = {
-    val n = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions >= n) df else df.repartition(n, key)
+    val conf = df.sparkSession.sessionState.conf
+    val n = conf.numShufflePartitions
+    if (df.isStreaming) return df.repartition(n, key)
+    // estimate scan width from optimizer stats (bytes / split size) —
+    // no df.rdd touch, which would force physical planning + RDD
+    // lineage per invocation and throws outright on streaming frames
+    val approxScanParts =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes /
+        BigInt(math.max(conf.filesMaxPartitionBytes, 1L))
+    if (approxScanParts >= n) df else df.repartition(n, key)
   }
 }

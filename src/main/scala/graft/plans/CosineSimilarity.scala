@@ -49,7 +49,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var nb = 0.0
     i = 0
     while (i < ys.numElements()) { val y = ys.getDouble(i); nb += y * y; i += 1 }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    // zero-norm guard: 0/0 would be NaN, and Spark sorts NaN ABOVE every
+    // double, so a zero embedding would rank first in every desc top-k
+    if (denom == 0.0) 0.0 else dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -61,6 +64,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      val denom = ctx.freshName("denom")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
@@ -73,7 +77,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |for (int $i = 0; $i < $b.numElements(); $i++) {
          |  double $y = $b.getDouble($i); $nb += $y * $y;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |${ev.value} = $denom == 0.0 ? 0.0 : $dot / $denom;
        """.stripMargin
     })
 

@@ -11,6 +11,26 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * [[graft.Sessions.local]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Builder-time scalar argument: accepts any foldable integral
+    * expression (SQL integer literals parse as INT or BIGINT depending
+    * on magnitude) and fails with a named-argument message instead of a
+    * bare ClassCastException/NPE for anything else. */
+  private def intArg(e: Expression, fn: String, argName: String): Int = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn: argument '$argName' must be a constant integer, got non-foldable ${e.sql}")
+    e.eval() match {
+      case i: Int => i
+      case l: Long if l.isValidInt => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument '$argName' must be a constant integer, got " +
+          s"${if (other == null) "NULL" else other.toString} (${e.dataType.sql})")
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("graft_cosine"),
@@ -20,7 +40,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplane_buckets"),
       (children: Seq[Expression]) => HyperplaneBuckets(children(0),
-        children(1).eval().asInstanceOf[Int], children(2).eval().asInstanceOf[Int])))
+        intArg(children(1), "graft_hyperplane_buckets", "tables"),
+        intArg(children(2), "graft_hyperplane_buckets", "planesPerTable"))))
     ext.injectFunction((
       new FunctionIdentifier("graft_vec_mean"),
       new ExpressionInfo(classOf[VecMean].getName, "graft_vec_mean"),

@@ -57,6 +57,12 @@ case class VecMean(
   override def merge(buffer: Array[Double], other: Array[Double]): Array[Double] = {
     if (other.isEmpty) return buffer
     if (buffer.isEmpty) return other
+    // partials that first-saw different dimensions for the same group
+    // (mixed-dimension input split across partitions) cannot be added
+    // element-wise: keep the count-dominant partial, mirroring
+    // update()'s skip-mismatched-row rule
+    if (buffer.length != other.length)
+      return if (buffer(0) >= other(0)) buffer else other
     var i = 0
     while (i < buffer.length) { buffer(i) += other(i); i += 1 }
     buffer

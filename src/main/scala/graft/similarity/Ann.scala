@@ -21,6 +21,20 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
+  /** Contract bound for every broadcast query side in this file: a
+    * broadcast that grows with the corpus (e.g. "1% of vectors") is a
+    * guaranteed executor OOM at 100× scale, so callers must bound
+    * their query set ABSOLUTELY (id-range filter / limit) and
+    * corpus-scale query sets must use the `broadcastQueries = false`
+    * shuffle-join paths instead. */
+  val MaxBroadcastQueries = 4096
+
+  /** Skew valve for D5 label blocks, same role as [[Dedup.MaxBucket]]:
+    * a power-law label (half the corpus under one label) would make one
+    * block all-pairs. Hash-ordered row_number keeps a deterministic,
+    * unbiased sample of at most this many vectors per label. */
+  val MaxBlock = 10000
+
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
@@ -39,10 +53,21 @@ object Ann {
   /** Exact embedding-cosine near-dup pairs within a blocking key
     * (label): vec_id < vec_id, cosine ≥ threshold. The float→double
     * cast happens once per vector before the join; per-pair work is
-    * one fused native cosine loop. */
-  def cosineNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    * one fused native cosine loop.
+    *
+    * Blocks are capped at `maxBlock` rows ([[MaxBlock]]): within-block
+    * work is quadratic by design (this is the exact verification pass),
+    * so one skewed label must not be allowed to go all-pairs. The cap
+    * shuffle shares the join's label partitioning — no extra exchange. */
+  def cosineNearDupPairs(emb: DataFrame, threshold: Double,
+      maxBlock: Int = MaxBlock): DataFrame = {
+    val byLabel = Window.partitionBy(col("label"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
     val prepped = emb.select(col("vec_id"), col("label"),
       col("embedding").cast("array<double>").as("emb"))
+      .withColumn("rn", row_number().over(byLabel))
+      .filter(col("rn") <= maxBlock)
+      .drop("rn")
     prepped.as("a")
       .join(prepped.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
@@ -56,7 +81,13 @@ object Ann {
   /** Brute-force cosine top-k: every corpus row is scored against each
     * broadcast query (map-side), then per-query top-k with a rank
     * window — WindowGroupLimit keeps only k rows per query per
-    * partition before the (tiny) final shuffle. */
+    * partition before the (tiny) final shuffle.
+    *
+    * The query side MUST be bounded per [[MaxBroadcastQueries]] — brute
+    * force is N×Q work and only makes sense as the small-Q exact
+    * baseline; a corpus-scale query set belongs on
+    * [[lshTopK]]`(broadcastQueries = false)` or
+    * [[Ivf.topK]]`(broadcastQueries = false)`. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val scored = corpus.as("c")
       .join(broadcast(queries.select(col("vec_id").as("q_id"),
@@ -88,8 +119,16 @@ object Ann {
 
   /** D7: LSH-bucketed ANN — candidates are corpus rows sharing any of
     * the query's (table, bucket) keys; exact cosine re-ranks only the
-    * candidates. Recall vs D6 is asserted in the spec. */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    * candidates. Recall vs D6 is asserted in the spec.
+    *
+    * `broadcastQueries = true` (the default) force-broadcasts the
+    * bucketed query side and is only valid for query sets bounded per
+    * [[MaxBroadcastQueries]]; with `false` the candidate join is a
+    * plain equi-join on (tbl, bucket) — both sides shuffle on the
+    * bucket keys, which is the corpus-scale-query-set shape (e.g.
+    * batch-scoring every document against the corpus). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      broadcastQueries: Boolean = true): DataFrame = {
     def withBuckets(df: DataFrame, idCol: String): DataFrame =
       df.select(col("vec_id").as(idCol), col("embedding"),
         hyperplaneBuckets(col("embedding")).as("buckets"))
@@ -98,8 +137,9 @@ object Ann {
     val cBuckets = withBuckets(corpus, "vec_id")
     val qBuckets = withBuckets(queries, "q_id")
       .withColumnRenamed("embedding", "q_emb")
+    val qSide = if (broadcastQueries) broadcast(qBuckets.as("q")) else qBuckets.as("q")
     val candidates = cBuckets.as("c")
-      .join(broadcast(qBuckets.as("q")),
+      .join(qSide,
         col("c.tbl") === col("q.tbl") && col("c.bucket") === col("q.bucket") &&
           col("c.vec_id") =!= col("q.q_id"))
     val scored = candidates

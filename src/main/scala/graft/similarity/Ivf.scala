@@ -90,9 +90,16 @@ object Ivf {
     codebookCache.computeIfAbsent((cacheKey, cells), _ => trainCodebook(corpus, cells))
 
   /** IVF top-k: corpus rows in the query's probed cells, re-ranked by
-    * exact cosine. Recall vs brute force is asserted in the spec. */
+    * exact cosine. Recall vs brute force is asserted in the spec.
+    *
+    * `broadcastQueries = true` (the default) force-broadcasts the
+    * probed query side and is only valid for query sets bounded per
+    * [[Ann.MaxBroadcastQueries]]; with `false` the probe join is a
+    * plain equi-join on cell — both sides shuffle on the cell id,
+    * the corpus-scale-query-set shape. */
   def topK(corpus: DataFrame, queries: DataFrame, k: Int,
-      cells: Int = 16, nprobe: Int = 4, cacheKey: String = ""): DataFrame = {
+      cells: Int = 16, nprobe: Int = 4, cacheKey: String = "",
+      broadcastQueries: Boolean = true): DataFrame = {
     val codebook =
       if (cacheKey.nonEmpty) codebookFor(corpus, cells, cacheKey)
       else trainCodebook(corpus, cells)
@@ -101,8 +108,9 @@ object Ivf {
     val queryCells = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         explode(probeCells(col("embedding"), codebook, nprobe)).as("cell"))
+    val qSide = if (broadcastQueries) broadcast(queryCells.as("q")) else queryCells.as("q")
     val scored = corpusCells.as("c")
-      .join(broadcast(queryCells.as("q")),
+      .join(qSide,
         col("c.cell") === col("q.cell") && col("c.vec_id") =!= col("q.q_id"))
       .select(col("q.q_id").as("q_id"), col("c.vec_id").as("vec_id"),
         round(Ann.cosine(col("q.q_emb"), col("c.embedding")), 6).as("cos_sim"))

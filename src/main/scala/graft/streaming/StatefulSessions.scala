@@ -43,28 +43,56 @@ object StatefulSessions {
     }
     val sorted = events.toSeq.sortBy(e => (toUs(e.ts), e.event_id))
     var open = state.getOption
+    // late events > GapUs before the open session accumulate here so
+    // that consecutive late events within GapUs of EACH OTHER form one
+    // merged earlier session (not singletons), matching batch
+    // EventOps.sessionize; a pending session that grows to within GapUs
+    // of the open session merges into it at absorb time.
+    var pending: Option[OpenSession] = None
     val closed = Seq.newBuilder[SessionOut]
+
+    def mergeSpan(a: OpenSession, b: OpenSession): OpenSession =
+      OpenSession(math.min(a.startUs, b.startUs), math.max(a.endUs, b.endUs),
+        a.n + b.n, a.sum + b.sum)
+
+    /** Resolve the pending earlier session against s: merge if it
+      * bridges (gap-close), otherwise emit it closed (sorted input ⇒
+      * no later event can reach back into it). */
+    def absorbPending(s: OpenSession): OpenSession = pending match {
+      case Some(p) if p.endUs + GapUs >= s.startUs =>
+        pending = None; mergeSpan(p, s)
+      case Some(p) =>
+        closed += emit(userId, p); pending = None; s
+      case None => s
+    }
+
     sorted.foreach { e =>
       val us = toUs(e.ts)
+      val single = OpenSession(us, us, 1L, e.value)
       open match {
         // in-watermark out-of-order events: anything within GapUs of
         // the session's SPAN merges (extending either boundary)
         case Some(s) if us >= s.startUs - GapUs && us <= s.endUs + GapUs =>
-          open = Some(OpenSession(math.min(s.startUs, us),
-            math.max(s.endUs, us), s.n + 1, s.sum + e.value))
-        // a late event more than GapUs BEFORE the open session is its
-        // own earlier session — emit it closed (a later bridging event
-        // inside the same batch was already handled by the sort; one
-        // arriving in a later batch is bounded by the watermark)
+          open = Some(mergeSpan(s, single))
+        // a late event more than GapUs BEFORE the open session extends
+        // (or starts) the pending earlier session
         case Some(s) if us < s.startUs - GapUs =>
-          closed += emit(userId, OpenSession(us, us, 1L, e.value))
+          pending match {
+            case Some(p) if us <= p.endUs + GapUs =>
+              pending = Some(mergeSpan(p, single))
+            case Some(p) =>
+              closed += emit(userId, p); pending = Some(single)
+            case None => pending = Some(single)
+          }
         case Some(s) =>
-          closed += emit(userId, s)
-          open = Some(OpenSession(us, us, 1L, e.value))
+          closed += emit(userId, absorbPending(s))
+          open = Some(single)
         case None =>
-          open = Some(OpenSession(us, us, 1L, e.value))
+          open = Some(single)
       }
     }
+    open = open.map(absorbPending)
+    pending.foreach { p => closed += emit(userId, p) }
     open.foreach { s =>
       state.update(s)
       // close the session once the watermark passes its end + gap

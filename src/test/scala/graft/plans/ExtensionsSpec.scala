@@ -37,6 +37,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(withNull === Seq(2.0, 4.0))
   }
 
+  test("graft_vec_mean survives mixed-dimension groups split across partitions") {
+    import spark.implicits._
+    // 100 dim-2 rows + 3 dim-1 rows in one group, spread across
+    // partitions: partials that first-saw different dimensions reach
+    // merge(), which must keep the count-dominant buffer (no AIOOBE,
+    // no element-wise mixing of different dimensions)
+    val rows = (0 until 100).map(_ => (0, Seq(1.0, 2.0))) ++
+      (0 until 3).map(_ => (0, Seq(9.0)))
+    val m = rows.toDF("g", "v").repartition(8)
+      .groupBy("g").agg(call_function("graft_vec_mean", col("v")).as("m"))
+      .collect().head.getSeq[Double](1).toSeq
+    assert(m === Seq(1.0, 2.0), "count-dominant dimension wins")
+  }
+
   test("graft_vec_mean works in SQL and under partial aggregation") {
     import spark.implicits._
     val big = (0 until 10000).map(i => (i % 7, Seq(i.toDouble, (i * 2).toDouble)))

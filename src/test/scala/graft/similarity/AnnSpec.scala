@@ -48,6 +48,58 @@ class AnnSpec extends SparkSpec {
     res.unpersist(); queries.unpersist()
   }
 
+  test("D5: cosine of a zero-norm vector is 0.0 and ranks last, never NaN-first") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.9f, 0.1f), 0),
+      (3L, Seq(0.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    val queries = Seq((10L, Seq(1.0f, 0.05f), 0)).toDF("vec_id", "embedding", "label")
+    val res = Ann.bruteForceTopK(corpus, queries, 3).collect()
+    val zeroRow = res.find(_.getAs[Long]("vec_id") == 3L).get
+    assert(zeroRow.getAs[Double]("cos_sim") === 0.0,
+      "zero-norm must score 0.0, not NaN (Spark sorts NaN above every double)")
+    assert(zeroRow.getAs[Int]("rnk") === 3, "zero vector must rank last")
+  }
+
+  test("D5: label-block cap bounds quadratic work on a skewed label") {
+    import spark.implicits._
+    val skewed = (0 until 60).map(i => (i.toLong, Seq(1.0f, i.toFloat / 100f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val capped = Ann.cosineNearDupPairs(skewed, -1.0, maxBlock = 10)
+    assert(capped.count() === 45L, "a capped block pairs at most C(maxBlock,2)")
+    val full = Ann.cosineNearDupPairs(skewed, -1.0, maxBlock = Int.MaxValue)
+    assert(full.count() === (60L * 59L) / 2L)
+    // the default cap is far above every label block at test scale:
+    // capped and uncapped agree on the real corpus
+    val defCap = Ann.cosineNearDupPairs(emb, 0.30)
+    val unCap = Ann.cosineNearDupPairs(emb, 0.30, maxBlock = Int.MaxValue)
+    assert(defCap.exceptAll(unCap).count() === 0)
+    assert(unCap.exceptAll(defCap).count() === 0)
+  }
+
+  test("D7/IVF: broadcastQueries=false equals the broadcast path and plans no query-side broadcast") {
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable size-based auto-broadcast so any BroadcastExchange in
+      // the plan can only come from a forced hint
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val lshS = Ann.lshTopK(emb, queries, 10, broadcastQueries = false)
+      assert(!lshS.queryExecution.executedPlan.toString.contains("BroadcastExchange"),
+        "the shuffle variant must not broadcast the query side")
+      val lshB = Ann.lshTopK(emb, queries, 10)
+      assert(lshB.queryExecution.executedPlan.toString.contains("BroadcastExchange"),
+        "the bounded-query variant force-broadcasts")
+      assert(lshS.exceptAll(lshB).count() === 0)
+      assert(lshB.exceptAll(lshS).count() === 0)
+      val ivfS = Ivf.topK(emb, queries, 10, cacheKey = sf, broadcastQueries = false)
+      assert(!ivfS.queryExecution.executedPlan.toString.contains("BroadcastExchange"))
+      val ivfB = Ivf.topK(emb, queries, 10, cacheKey = sf)
+      assert(ivfS.exceptAll(ivfB).count() === 0)
+      assert(ivfB.exceptAll(ivfS).count() === 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("D7: LSH ANN recalls planted near-identical neighbors") {
     import spark.implicits._
     // plant: for each query vector, a copy with id+1000000 (cosine 1)

@@ -143,6 +143,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("S4: consecutive late events within one gap merge into ONE earlier session") {
+    import StatefulSessions._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    def us(s: String): Long = Timestamp.valueOf(s).getTime * 1000L
+    // open session 10:00–10:05; two late events at 08:00 and 08:10 are
+    // each > 30 min before the open session but within 30 min of each
+    // other — batch sessionize would make them ONE session, so the
+    // stateful path must too (not two singletons)
+    val state = TestGroupState.create[OpenSession](
+      org.apache.spark.api.java.Optional.of(OpenSession(us("2026-01-01 10:00:00"),
+        us("2026-01-01 10:05:00"), 2L, 5.0)),
+      GroupStateTimeout.EventTimeTimeout, 0L, org.apache.spark.api.java.Optional.of(0L), false)
+    val out = updateUser(1L, Iterator(
+      Ev(1L, 10L, ts("2026-01-01 08:00:00"), 1.0),
+      Ev(1L, 11L, ts("2026-01-01 08:10:00"), 2.0)), state).toSeq
+    assert(out.length === 1, s"one merged earlier session, got $out")
+    assert(out.head.session_start === ts("2026-01-01 08:00:00"))
+    assert(out.head.session_end === ts("2026-01-01 08:10:00"))
+    assert(out.head.n_events === 2L && out.head.sum_value === 3.0)
+    assert(state.get.n === 2L, "the open session is untouched")
+  }
+
+  test("S4: a late chain that reaches within one gap of the open session bridges into it") {
+    import StatefulSessions._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    def us(s: String): Long = Timestamp.valueOf(s).getTime * 1000L
+    // open 10:00–10:05; late events 09:10 and 09:40: 09:40 merges into
+    // the open span (20 min before start), and the 09:10 pending
+    // session is then within 30 min of the extended start → all one
+    // session, nothing emitted closed
+    val state = TestGroupState.create[OpenSession](
+      org.apache.spark.api.java.Optional.of(OpenSession(us("2026-01-01 10:00:00"),
+        us("2026-01-01 10:05:00"), 2L, 5.0)),
+      GroupStateTimeout.EventTimeTimeout, 0L, org.apache.spark.api.java.Optional.of(0L), false)
+    val out = updateUser(1L, Iterator(
+      Ev(1L, 10L, ts("2026-01-01 09:10:00"), 1.0),
+      Ev(1L, 11L, ts("2026-01-01 09:40:00"), 2.0)), state).toSeq
+    assert(out.isEmpty, s"everything bridges into the open session, got $out")
+    assert(state.get.n === 4L && state.get.sum === 8.0)
+    assert(state.get.startUs === us("2026-01-01 09:10:00"))
+  }
+
   test("S6/E8: file-drop trigger runs the pipeline exactly once per file") {
     val root = Files.createTempDirectory("graft_trigger")
     val watch = s"$root/incoming"; val out = s"$root/out"; val cp = s"$root/cp"
