@@ -185,6 +185,33 @@ class StreamingSpec extends SparkSpec {
     assert(state.get.startUs === us("2026-01-01 09:10:00"))
   }
 
+  test("E8-Kafka: kafka-wire messages decode and run the same triggered pipeline") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_kafka")
+    val out = s"$root/out"; val cp = s"$root/cp"
+    // kafka wire shape: (key, value, topic, partition, offset, ts, tsType)
+    val stream = MemoryStream[(Array[Byte], Array[Byte], String, Int, Long, Timestamp, Int)]
+    val msgs = Seq(
+      "6,California,CA,90001,Cedar County,Salem,2026-07-01",
+      "6,California,CA,90001,Oak County,Dover,2026-07-15",
+      "6,California,CA,90002,Pine County,Salem,2026-07-02")
+    stream.addData(msgs.zipWithIndex.map { case (m, i) =>
+      (Array.empty[Byte], m.getBytes("UTF-8"), "zips", 0, i.toLong,
+        ts("2026-07-20 00:00:00"), 0)
+    }: _*)
+    val kafkaShaped = stream.toDF()
+      .toDF("key", "value", "topic", "partition", "offset", "timestamp", "timestampType")
+    val q = FileTrigger.attach(FileTrigger.decodeKafka(kafkaShaped), out, cp)
+    q.awaitTermination()
+    val res = spark.read.parquet(out)
+    assert(res.count() === 2, "dedup inside the triggered batch")
+    assert(res.filter(col("zipcode") === "90001" &&
+      col("county") === "Oak County").count() === 1, "last-wins kept the newer row")
+    assert(res.filter(col("latitude").isNull || col("tz_region").isNull).count() === 0,
+      "enrichment ran inside the stream")
+  }
+
   test("S6/E8: file-drop trigger runs the pipeline exactly once per file") {
     val root = Files.createTempDirectory("graft_trigger")
     val watch = s"$root/incoming"; val out = s"$root/out"; val cp = s"$root/cp"
