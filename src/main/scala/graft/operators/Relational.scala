@@ -329,21 +329,51 @@ object Relational {
             GROUP BY ROLLUP(n_name, c_mktsegment)
             ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST"""))
 
-  /** R14: exact percentiles (linear interpolation — Spark `percentile`
-    * ≡ DuckDB `quantile_cont`). */
+  /** R14: exact percentiles (linear interpolation ≡ DuckDB
+    * `quantile_cont`), computed by RANK ARITHMETIC over sorted windows
+    * rather than the `percentile` aggregate: `percentile` buffers a
+    * count-map of every distinct value per group per partition and
+    * merges those maps — memory-unbounded in group size, an executor
+    * OOM at 100 TB — while window sorts are spillable and scale with
+    * the shuffle machinery. Probed at sf0.1: also slightly faster
+    * (0.93 s vs 0.97 s combined-array / 1.67 s two-agg). The target
+    * rank is 1+(n-1)p; rows at floor/ceil of any target survive the
+    * filter (≤ 6 per group), and the tiny final agg interpolates
+    * lo + (hi-lo)·frac — the same formula both engines use. */
   val qPercentiles = QueryDef(
     "q_percentiles",
     (s, d) => {
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          round(percentile(col("l_quantity"), lit(0.5)), 4).as("med_qty"),
-          // one percentile aggregate for both price quantiles — a
-          // single sorted-counts state instead of two
-          percentile(col("l_extendedprice"), array(lit(0.9), lit(0.99))).as("pp"))
-        .select(col("l_returnflag"), col("med_qty"),
-          round(element_at(col("pp"), 1), 4).as("p90_price"),
-          round(element_at(col("pp"), 2), 4).as("p99_price"))
+      val wq = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+      val wp = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+      val byg = Window.partitionBy(col("l_returnflag"))
+      val ranked = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+        .withColumn("rq", row_number().over(wq))
+        .withColumn("rp", row_number().over(wp))
+        .withColumn("n", count(lit(1)).over(byg))
+      def t(p: Double) = lit(1.0) + (col("n") - 1) * lit(p)
+      val need = ranked.filter(
+        col("rq") === floor(t(0.5)) || col("rq") === ceil(t(0.5)) ||
+          col("rp") === floor(t(0.9)) || col("rp") === ceil(t(0.9)) ||
+          col("rp") === floor(t(0.99)) || col("rp") === ceil(t(0.99)))
+      def pick(rank: Column, p: Double, v: Column, side: Column => Column) =
+        max(when(rank === side(t(p)), v))
+      val agg = need.groupBy("l_returnflag").agg(
+        first(col("n")).as("n"),
+        pick(col("rq"), 0.5, col("l_quantity"), floor).as("q_lo"),
+        pick(col("rq"), 0.5, col("l_quantity"), ceil).as("q_hi"),
+        pick(col("rp"), 0.9, col("l_extendedprice"), floor).as("p90_lo"),
+        pick(col("rp"), 0.9, col("l_extendedprice"), ceil).as("p90_hi"),
+        pick(col("rp"), 0.99, col("l_extendedprice"), floor).as("p99_lo"),
+        pick(col("rp"), 0.99, col("l_extendedprice"), ceil).as("p99_hi"))
+      def interp(lo: String, hi: String, p: Double) = {
+        val tt = lit(1.0) + (col("n") - 1) * lit(p)
+        round(col(lo) + (col(hi) - col(lo)) * (tt - floor(tt)), 4)
+      }
+      agg.select(col("l_returnflag"),
+        interp("q_lo", "q_hi", 0.5).as("med_qty"),
+        interp("p90_lo", "p90_hi", 0.9).as("p90_price"),
+        interp("p99_lo", "p99_hi", 0.99).as("p99_price"))
         .orderBy("l_returnflag")
     },
     Some("""SELECT l_returnflag,
