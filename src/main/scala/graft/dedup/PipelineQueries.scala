@@ -257,9 +257,54 @@ object PipelineQueries {
     (s, d) => Multimodal.binaryMeta(s, Tables.documents(s, d)),
     None)
 
+  private def T(frac: Double): String = graft.functions.Splits.hexThreshold(frac)
+  private val oBucket = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)"
+
+  /** D13: deterministic hash split (train/val/test) — the oracle
+    * reproduces the assignment from the same md5-prefix arithmetic. */
+  val hashSplit = QueryDef(
+    "q_hash_split",
+    (s, d) => graft.functions.Splits.hashSplit(
+      Tables.documents(s, d).select("doc_id"), col("doc_id"))
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id,
+               CASE WHEN $oBucket < '${T(0.8)}' THEN 'train'
+                    WHEN $oBucket < '${T(0.9)}' THEN 'val'
+                    ELSE 'test' END AS split
+             FROM documents ORDER BY doc_id"""))
+
+  /** D14: deterministic stratified mixture sampling — per-language
+    * keep rates (downsample dominant en, keep most zh), mirrored
+    * verbatim in the oracle. */
+  val stratifiedSample = QueryDef(
+    "q_stratified_sample",
+    (s, d) => graft.functions.Splits.stratifiedSample(
+      Tables.documents(s, d).select("doc_id", "lang"),
+      col("doc_id"), col("lang"),
+      Seq("en" -> 0.5, "zh" -> 0.9, "de" -> 0.75), defaultRate = 0.25)
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id, lang FROM documents
+             WHERE $oBucket <
+               CASE lang WHEN 'en' THEN '${T(0.5)}' WHEN 'zh' THEN '${T(0.9)}'
+                         WHEN 'de' THEN '${T(0.75)}' ELSE '${T(0.25)}' END
+             ORDER BY doc_id"""))
+
+  /** D15: duplicate-cluster resolution over the D2 candidate graph
+    * (rows-only: the pairs themselves have no SQL oracle; component
+    * semantics are spec-asserted on explicit graphs). */
+  val dedupClusters = QueryDef(
+    "dedup_clusters",
+    (s, d) => {
+      val corpus = Dedup.withPlantedDups(Tables.documents(s, d))
+      Clusters.connectedComponents(Dedup.minhashLshCandidates(corpus))
+        .orderBy("doc_id")
+    },
+    None)
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhashLsh, dedupSimhash, dedupNgramJaccard,
     dedupEmbeddingCosine, annBruteforceTopK, annLsh, annIvf,
     textLangId, textQualityScore, textTokenCount, textFingerprint,
-    textWinnow, vecCentroid, mmBinaryMeta)
+    textWinnow, vecCentroid, mmBinaryMeta, hashSplit, stratifiedSample,
+    dedupClusters)
 }

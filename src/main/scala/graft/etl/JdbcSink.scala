@@ -1,0 +1,164 @@
+package graft.etl
+
+import java.sql.{Connection, DriverManager, PreparedStatement, Types}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** E5 production variant: transactional upsert into a JDBC table — the
+  * reference's `BulkInsertOrUpdateAsync` into PostgreSQL
+  * (`DataflowProcessor.cs:222-247`). Spark's own `df.write.jdbc` is
+  * INSERT-only, so upsert runs per-partition as TWO BATCHED statements
+  * per `batchSize` rows: a batched UPDATE, then a batched INSERT for
+  * the rows whose update count was 0. That shape is portable across
+  * every JDBC dialect (MERGE/ON CONFLICT source-clause rules differ
+  * per engine — Derby only MERGEs from base tables, PostgreSQL grew
+  * MERGE in 15), still ~2 round-trips per batch, and mirrors the
+  * reference's ActionBlock batching re-expressed on the cluster.
+  *
+  * Caller contract: one row per key (run dedupe first — E2). Duplicate
+  * keys split across partitions would race their update/insert pairs;
+  * with unique keys partitions touch disjoint rows and cannot
+  * deadlock.
+  *
+  * Scale shape: the DataFrame side streams partition-at-a-time holding
+  * at most `batchSize` rows (no driver collect, no whole-partition
+  * buffering); total parallelism is one connection per partition, so
+  * coalesce to what the database tolerates — the knob the reference
+  * hardcodes as its ActionBlock MaxDegreeOfParallelism.
+  */
+object JdbcSink {
+
+  /** ANSI DDL type for a Spark field (VARCHAR sized — Derby needs
+    * concrete lengths). */
+  private def sqlType(dt: DataType): String = dt match {
+    case StringType => "VARCHAR(4096)"
+    case LongType => "BIGINT"
+    case IntegerType => "INTEGER"
+    case ShortType => "SMALLINT"
+    case DoubleType => "DOUBLE"
+    case FloatType => "REAL"
+    case BooleanType => "BOOLEAN"
+    case DateType => "DATE"
+    case TimestampType => "TIMESTAMP"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case other =>
+      throw new IllegalArgumentException(
+        s"JdbcSink: no JDBC mapping for ${other.sql} — serialize it first " +
+          "(e.g. to_json for arrays/structs)")
+  }
+
+  /** java.sql.Types code for typed NULL binds. */
+  private def typeCode(dt: DataType): Int = dt match {
+    case StringType => Types.VARCHAR
+    case LongType => Types.BIGINT
+    case IntegerType => Types.INTEGER
+    case ShortType => Types.SMALLINT
+    case DoubleType => Types.DOUBLE
+    case FloatType => Types.REAL
+    case BooleanType => Types.BOOLEAN
+    case DateType => Types.DATE
+    case TimestampType => Types.TIMESTAMP
+    case _: DecimalType => Types.DECIMAL
+    case _ => Types.OTHER
+  }
+
+  /** Create the target table with a primary key on `keyCols` if it does
+    * not exist yet. */
+  def ensureTable(url: String, table: String, schema: StructType,
+      keyCols: Seq[String]): Unit = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val exists =
+        try { conn.getMetaData.getTables(null, null, table.toUpperCase, null).next() }
+        catch { case _: Exception => false }
+      if (!exists) {
+        val cols = schema.fields.map { f =>
+          val nn = if (keyCols.contains(f.name)) " NOT NULL" else ""
+          s"${f.name} ${sqlType(f.dataType)}$nn"
+        }.mkString(", ")
+        val pk = s", PRIMARY KEY (${keyCols.mkString(", ")})"
+        val st = conn.createStatement()
+        try st.executeUpdate(s"CREATE TABLE $table ($cols$pk)")
+        finally st.close()
+      }
+    } finally conn.close()
+  }
+
+  /** Bind row fields at `fieldIdxs` (schema positions) to consecutive
+    * statement parameters, typed NULLs included. */
+  private def bind(ps: PreparedStatement, row: Row, fieldIdxs: Seq[Int],
+      codes: Array[Int]): Unit = {
+    var p = 1
+    fieldIdxs.foreach { i =>
+      if (row.isNullAt(i)) ps.setNull(p, codes(i))
+      else ps.setObject(p, row.get(i))
+      p += 1
+    }
+  }
+
+  /** Upsert `df` into `table` keyed by `keyCols`. Creates the table on
+    * first use. Each partition is one transaction. */
+  def upsert(df: DataFrame, url: String, table: String, keyCols: Seq[String],
+      batchSize: Int = 1000): Unit = {
+    val schema = df.schema
+    require(keyCols.nonEmpty && keyCols.forall(schema.fieldNames.contains),
+      s"keyCols $keyCols must be columns of ${schema.fieldNames.toSeq}")
+    schema.fields.foreach(f => sqlType(f.dataType)) // fail fast on types
+    ensureTable(url, table, schema, keyCols)
+
+    val cols = schema.fieldNames.toSeq
+    val nonKey = cols.filterNot(keyCols.contains)
+    val keyIdx = keyCols.map(cols.indexOf)
+    val nonKeyIdx = nonKey.map(cols.indexOf)
+    val allIdx = cols.indices.toSeq
+    val codes = schema.fields.map(f => typeCode(f.dataType))
+    val updateSql =
+      if (nonKey.isEmpty) ""
+      else s"UPDATE $table SET ${nonKey.map(c => s"$c = ?").mkString(", ")} " +
+        s"WHERE ${keyCols.map(k => s"$k = ?").mkString(" AND ")}"
+    val insertSql = s"INSERT INTO $table (${cols.mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    // key-only tables have nothing to update: probe existence instead
+    val probeSql = s"SELECT 1 FROM $table " +
+      s"WHERE ${keyCols.map(k => s"$k = ?").mkString(" AND ")}"
+
+    df.foreachPartition { rows: Iterator[Row] =>
+      if (rows.nonEmpty) {
+        val conn: Connection = DriverManager.getConnection(url)
+        conn.setAutoCommit(false)
+        try {
+          val upd = if (nonKey.isEmpty) None else Some(conn.prepareStatement(updateSql))
+          val ins = conn.prepareStatement(insertSql)
+          val probe = if (nonKey.isEmpty) Some(conn.prepareStatement(probeSql)) else None
+          try {
+            def flush(batch: Seq[Row]): Unit = if (batch.nonEmpty) {
+              val missed: Seq[Row] = upd match {
+                case Some(u) =>
+                  batch.foreach { r => bind(u, r, nonKeyIdx ++ keyIdx, codes); u.addBatch() }
+                  val counts = u.executeBatch()
+                  batch.zip(counts).collect { case (r, 0) => r }
+                case None =>
+                  val p = probe.get
+                  batch.filter { r =>
+                    bind(p, r, keyIdx, codes)
+                    val rs = p.executeQuery()
+                    try !rs.next() finally rs.close()
+                  }
+              }
+              if (missed.nonEmpty) {
+                missed.foreach { r => bind(ins, r, allIdx, codes); ins.addBatch() }
+                ins.executeBatch()
+              }
+            }
+            rows.grouped(batchSize).foreach(g => flush(g.toSeq))
+            conn.commit()
+          } finally {
+            upd.foreach(_.close()); ins.close(); probe.foreach(_.close())
+          }
+        } catch {
+          case e: Throwable => conn.rollback(); throw e
+        } finally conn.close()
+      }
+    }
+  }
+}

@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** D13/D14: deterministic dataset splitting and mixture sampling for
+  * training pipelines. Both assign by the first 4 hex chars of
+  * md5(key) compared lexicographically against precomputed thresholds:
+  *  - engine-independent: any system with md5 reproduces the exact
+  *    assignment (the DuckDB oracle mirrors it verbatim);
+  *  - shuffle-free: a map-side projection — no sampling RNG, no
+  *    repartition — so at 100 TB the split costs one scan;
+  *  - stable: a document's assignment depends only on its key, never
+  *    on corpus size or row order, the property that keeps train/test
+  *    contamination-free across recrawls (rand()-based splits
+  *    reshuffle on every run).
+  * 65536 buckets give 1/65536 rate granularity — plenty for mixture
+  * weights; widen [[hashBucket]] if finer rates are ever needed.
+  */
+object Splits {
+
+  /** Lowercase 4-hex-char threshold for a cumulative fraction; a
+    * fraction ≥ 1 returns "g", which sorts above every hex string, so
+    * rate 1.0 keeps ALL rows (even bucket "ffff"). */
+  def hexThreshold(frac: Double): String =
+    if (frac >= 1.0) "g" else f"${math.max((frac * 65536).toLong, 0L)}%04x"
+
+  /** The first 4 hex chars of md5 of the key's string form. */
+  def hashBucket(key: Column): Column =
+    substring(md5(key.cast("string").cast("binary")), 1, 4)
+
+  /** Assign each row a split name by cumulative weight: a row lands in
+    * the first split whose cumulative threshold exceeds its hash
+    * bucket. Weights must sum to ~1; the last split absorbs rounding. */
+  def hashSplit(df: DataFrame, key: Column,
+      weights: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0),
+      "weights must be non-empty and non-negative")
+    val cum = weights.scanLeft(0.0)(_ + _._2).tail
+    val b = hashBucket(key)
+    val cases = weights.init.zip(cum.init).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), c)) =>
+        val cond = b < lit(hexThreshold(c))
+        Some(acc.fold(when(cond, name))(_.when(cond, name)))
+    }
+    df.withColumn("split",
+      cases.fold(lit(weights.last._1): Column)(_.otherwise(weights.last._1)))
+  }
+
+  /** Keep each row with its stratum's rate — deterministic mixture
+    * rebalancing (e.g. downsample a dominant language or source to hit
+    * a target training mix). Strata missing from `rates` keep
+    * `defaultRate` of their rows. */
+  def stratifiedSample(df: DataFrame, key: Column, stratum: Column,
+      rates: Seq[(String, Double)], defaultRate: Double = 1.0): DataFrame = {
+    val thr = rates.foldLeft(Option.empty[Column]) {
+      case (acc, (s, r)) =>
+        val c = stratum === lit(s)
+        val t = lit(hexThreshold(r))
+        Some(acc.fold(when(c, t))(_.when(c, t)))
+    }.fold(lit(hexThreshold(defaultRate)): Column)(
+      _.otherwise(hexThreshold(defaultRate)))
+    df.filter(hashBucket(key) < thr)
+  }
+}

@@ -1,0 +1,65 @@
+package graft.functions
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Specs for deterministic hash splitting and stratified mixture
+  * sampling (D13/D14). */
+class SplitsSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf).cache()
+
+  test("hashSplit is exhaustive, exclusive, deterministic, and near the weights") {
+    val split = Splits.hashSplit(docs.select("doc_id"), col("doc_id")).cache()
+    val n = docs.count().toDouble
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every row gets exactly one split
+    assert(counts.values.sum.toDouble === n)
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    // proportions within a loose tolerance of the 0.8/0.1/0.1 weights
+    // (50 docs at sf0.001 — binomial noise is real)
+    assert(math.abs(counts.getOrElse("train", 0L) / n - 0.8) < 0.15)
+    // identical assignment on re-run (no RNG)
+    val again = Splits.hashSplit(docs.select("doc_id"), col("doc_id"))
+    assert(split.exceptAll(again).count() === 0)
+    split.unpersist()
+  }
+
+  test("hashSplit assignment is stable under corpus growth") {
+    val half = docs.filter(col("doc_id") % 2 === 0).select("doc_id")
+    val fromHalf = Splits.hashSplit(half, col("doc_id"))
+    val fromFull = Splits.hashSplit(docs.select("doc_id"), col("doc_id"))
+      .filter(col("doc_id") % 2 === 0)
+    assert(fromHalf.exceptAll(fromFull).count() === 0,
+      "a doc's split must not depend on which other docs are present")
+    assert(fromFull.exceptAll(fromHalf).count() === 0)
+  }
+
+  test("stratifiedSample keeps per-stratum rates and rate 1.0 keeps everything") {
+    val kept = Splits.stratifiedSample(docs.select("doc_id", "lang"),
+      col("doc_id"), col("lang"), Seq("en" -> 0.5), defaultRate = 1.0)
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptBy = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // non-en strata at rate 1.0: nothing dropped (hexThreshold(1)="g")
+    totals.filterNot(_._1 == "en").foreach { case (l, c) =>
+      assert(keptBy.getOrElse(l, 0L) === c, s"stratum $l must keep all rows")
+    }
+    // en roughly halved (loose binomial tolerance at sf0.001)
+    val enFrac = keptBy.getOrElse("en", 0L).toDouble / totals("en")
+    assert(enFrac > 0.2 && enFrac < 0.8, s"en keep fraction $enFrac")
+    // rate 0 drops the stratum entirely
+    val none = Splits.stratifiedSample(docs.select("doc_id", "lang"),
+      col("doc_id"), col("lang"), Seq("en" -> 0.0), defaultRate = 1.0)
+    assert(none.filter(col("lang") === "en").count() === 0)
+  }
+
+  test("the split expression stays map-side: no shuffle in the plan") {
+    val plan = Splits.hashSplit(docs.select("doc_id"), col("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"hash split must be a pure projection:\n$plan")
+  }
+}
