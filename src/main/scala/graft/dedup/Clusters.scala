@@ -38,17 +38,14 @@ object Clusters {
         .select(edges("dst").as("doc_id"), col("cluster_id"))
         .groupBy("doc_id")
         .agg(min("cluster_id").as("nbr_min"))
+      // old label rides along so convergence needs no second join
       val next = labels.withColumnRenamed("cluster_id", "cid")
         .join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("cid"),
           least(col("cid"), coalesce(col("nbr_min"), col("cid"))).as("cluster_id"))
         .localCheckpoint()
-      val changed = next.withColumnRenamed("cluster_id", "new_cid")
-        .join(labels, Seq("doc_id"))
-        .filter(col("new_cid") =!= col("cluster_id"))
-        .count()
-      labels = next
-      converged = changed == 0L
+      converged = next.filter(col("cluster_id") =!= col("cid")).isEmpty
+      labels = next.select("doc_id", "cluster_id")
       round += 1
     }
     labels
