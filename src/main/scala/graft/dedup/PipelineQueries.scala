@@ -289,6 +289,31 @@ object PipelineQueries {
                          WHEN 'de' THEN '${T(0.75)}' ELSE '${T(0.25)}' END
              ORDER BY doc_id"""))
 
+  /** D16: training-sequence packing (concat-then-chunk) — the oracle
+    * replays the same shard hash, doc order, and windowed prefix-sum;
+    * window SUM(int) is BIGINT-cast against DuckDB's HUGEINT→float64
+    * materialization. */
+  val packSequences = QueryDef(
+    "q_pack_sequences",
+    (s, d) => graft.functions.Pack.packSequences(
+      graft.functions.Spread(Tables.documents(s, d), col("doc_id"))
+        .select(col("doc_id"), Text.whitespaceTokenCount(col("text")).as("ws_tokens")),
+      col("doc_id"), col("ws_tokens"), budget = 512)
+      .orderBy("doc_id"),
+    Some(s"""WITH toks AS (
+               SELECT doc_id, len(string_split($oCanon, ' ')) AS ws_tokens,
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS shard
+               FROM documents),
+             packed AS (
+               SELECT doc_id, ws_tokens, shard,
+                 CAST(SUM(ws_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - ws_tokens AS BIGINT) AS "offset"
+               FROM toks)
+             SELECT doc_id, ws_tokens, shard, "offset",
+               CAST(floor("offset" / 512.0) AS BIGINT) AS seq_id
+             FROM packed ORDER BY doc_id"""))
+
   /** D15: duplicate-cluster resolution over the D2 candidate graph
     * (rows-only: the pairs themselves have no SQL oracle; component
     * semantics are spec-asserted on explicit graphs). */
@@ -306,5 +331,5 @@ object PipelineQueries {
     dedupEmbeddingCosine, annBruteforceTopK, annLsh, annIvf,
     textLangId, textQualityScore, textTokenCount, textFingerprint,
     textWinnow, vecCentroid, mmBinaryMeta, hashSplit, stratifiedSample,
-    dedupClusters)
+    dedupClusters, packSequences)
 }
