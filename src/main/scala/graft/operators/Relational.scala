@@ -345,12 +345,15 @@ object Relational {
     (s, d) => {
       val wq = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
       val wp = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
-      val byg = Window.partitionBy(col("l_returnflag"))
+      // same (partition, order) spec as wq with an unbounded frame, so
+      // the group count shares wq's WindowExec pass instead of adding
+      // a third one
+      val wqAll = wq.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       val ranked = Tables.lineitem(s, d)
         .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
         .withColumn("rq", row_number().over(wq))
+        .withColumn("n", count(lit(1)).over(wqAll))
         .withColumn("rp", row_number().over(wp))
-        .withColumn("n", count(lit(1)).over(byg))
       def t(p: Double) = lit(1.0) + (col("n") - 1) * lit(p)
       val need = ranked.filter(
         col("rq") === floor(t(0.5)) || col("rq") === ceil(t(0.5)) ||
