@@ -57,6 +57,41 @@ object FileTrigger {
       Map.empty[String, String]).as("r"))
       .select(col("r.*"))
 
+  /** E8c/S7: CDC-style streaming upsert — each micro-batch lands
+    * transactionally in a JDBC table keyed by `keyCols`
+    * ([[graft.etl.JdbcSink.upsert]]), so the table always holds the
+    * latest value per key and replays are idempotent (checkpointed
+    * source offsets + key-idempotent sink = effective exactly-once).
+    *
+    * With `dedupWithinWatermark` the stream first drops re-occurrences
+    * of a key seen within the watermark horizon
+    * (`dropDuplicatesWithinWatermark` — state is BOUNDED by the
+    * watermark, unlike `dropDuplicates` whose state grows with every
+    * distinct key forever; the watermark is required on `incoming`).
+    * In-batch duplicates are collapsed last-write-wins by `orderCol`
+    * before the upsert, honoring the sink's unique-key contract. */
+  def attachJdbcUpsert(incoming: DataFrame, url: String, table: String,
+      keyCols: Seq[String], orderCol: String, checkpointDir: String,
+      dedupWithinWatermark: Boolean = false): StreamingQuery = {
+    val deduped =
+      if (dedupWithinWatermark) incoming.dropDuplicatesWithinWatermark(keyCols)
+      else incoming
+    deduped.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(SSTrigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*)
+          .orderBy(col(orderCol).desc)
+        val lastWins = batch
+          .withColumn("graft_rn", row_number().over(w))
+          .filter(col("graft_rn") === 1)
+          .drop("graft_rn")
+        graft.etl.JdbcSink.upsert(lastWins, url, table, keyCols)
+      }
+      .start()
+  }
+
   /** E8 production shape: the same pipeline fed from a Kafka(-protocol)
     * topic — one message per record, offsets checkpointed for
     * exactly-once, matching the reference's Service Bus subscription

@@ -212,6 +212,62 @@ class StreamingSpec extends SparkSpec {
       "enrichment ran inside the stream")
   }
 
+  test("E8c: streaming upsert keeps the latest value per key across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_jdbc_stream")
+    val url = "jdbc:derby:memory:graftstream;create=true"
+    val stream = MemoryStream[(String, Long, Timestamp)]
+    val sdf = stream.toDF().toDF("zip", "pop", "ts")
+    val q = FileTrigger.attachJdbcUpsert(sdf, url, "stream_upsert",
+      Seq("zip"), "ts", s"$root/cp")
+    stream.addData(
+      ("90001", 10L, ts("2026-01-01 10:00:00")),
+      ("90001", 11L, ts("2026-01-01 10:05:00")), // in-batch last-wins
+      ("90002", 20L, ts("2026-01-01 10:00:00")))
+    q.awaitTermination()
+    // second run: update one key, add one key
+    val q2 = FileTrigger.attachJdbcUpsert(sdf, url, "stream_upsert",
+      Seq("zip"), "ts", s"$root/cp")
+    stream.addData(
+      ("90001", 12L, ts("2026-01-01 11:00:00")),
+      ("90003", 30L, ts("2026-01-01 11:00:00")))
+    q2.awaitTermination()
+    val back = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "stream_upsert")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .load().orderBy("zip").collect()
+    assert(back.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("90001", 12L), ("90002", 20L), ("90003", 30L)))
+  }
+
+  test("S7: dropDuplicatesWithinWatermark suppresses a key's re-occurrence cross-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_jdbc_dedup")
+    val url = "jdbc:derby:memory:graftdedup;create=true"
+    val stream = MemoryStream[(String, Long, Timestamp)]
+    val sdf = stream.toDF().toDF("zip", "pop", "ts")
+      .withWatermark("ts", "1 hour")
+    val q = FileTrigger.attachJdbcUpsert(sdf, url, "dedup_upsert",
+      Seq("zip"), "ts", s"$root/cp", dedupWithinWatermark = true)
+    stream.addData(("90001", 10L, ts("2026-01-01 10:00:00")))
+    q.awaitTermination()
+    val q2 = FileTrigger.attachJdbcUpsert(sdf, url, "dedup_upsert",
+      Seq("zip"), "ts", s"$root/cp", dedupWithinWatermark = true)
+    // same key again within the watermark horizon → dropped pre-sink,
+    // so the FIRST value survives (an upsert would have overwritten)
+    stream.addData(("90001", 99L, ts("2026-01-01 10:30:00")))
+    q2.awaitTermination()
+    val back = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "dedup_upsert")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .load().collect()
+    assert(back.length === 1)
+    assert(back.head.getLong(1) === 10L,
+      "the duplicate key's later value must never reach the sink")
+  }
+
   test("S6/E8: file-drop trigger runs the pipeline exactly once per file") {
     val root = Files.createTempDirectory("graft_trigger")
     val watch = s"$root/incoming"; val out = s"$root/out"; val cp = s"$root/cp"
