@@ -27,14 +27,16 @@ object Pack {
   def packSequences(df: DataFrame, key: Column, tokens: Column,
       budget: Int): DataFrame = {
     require(budget > 0, "budget must be positive")
+    // prefixed internal name so a user column can never collide
+    val tk = "graft_pack_tokens"
     val sharded = df
       .withColumn("shard", substring(md5(key.cast("string").cast("binary")), 1, 2))
-      .withColumn("t", tokens.cast("long"))
+      .withColumn(tk, tokens.cast("long"))
     val w = Window.partitionBy(col("shard")).orderBy(key)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sharded
-      .withColumn("offset", sum(col("t")).over(w) - col("t"))
+      .withColumn("offset", sum(col(tk)).over(w) - col(tk))
       .withColumn("seq_id", floor(col("offset") / budget).cast("long"))
-      .drop("t")
+      .drop(tk)
   }
 }

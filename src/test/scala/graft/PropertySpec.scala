@@ -52,6 +52,64 @@ class PropertySpec extends SparkSpec {
     once.unpersist()
   }
 
+  test("connected components match a reference union-find on random graphs") {
+    import spark.implicits._
+    val edgeGen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L)).suchThat(p => p._1 != p._2))
+    samples(edgeGen, 6).foreach { edges =>
+      // reference: plain union-find over the same edges
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(v => v -> find(v)).toMap
+      val got = dedup.Clusters.connectedComponents(
+        edges.toDF("doc_a", "doc_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // union-find roots are component minima here because unions always
+      // keep the smaller root — same convention as min-label propagation
+      assert(got === expected, s"edges: $edges")
+    }
+  }
+
+  test("hash split partitions every key and assignment is a pure key function") {
+    import spark.implicits._
+    val keys = samples(Gen.choose(0L, 100000L), 80).distinct
+    val df = keys.toDF("k")
+    val w = Seq("a" -> 0.3, "b" -> 0.3, "c" -> 0.4)
+    val assigned = functions.Splits.hashSplit(df, col("k"), w).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(assigned.keySet === keys.toSet)
+    // a key's split never depends on the rest of the frame
+    keys.grouped(7).foreach { chunk =>
+      val sub = functions.Splits.hashSplit(chunk.toDF("k"), col("k"), w)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      chunk.foreach(k => assert(sub(k) === assigned(k)))
+    }
+  }
+
+  test("sequence packing conserves tokens: per-shard total equals last offset + tokens") {
+    import spark.implicits._
+    val rows = samples(Gen.zip(Gen.choose(0L, 500L), Gen.choose(1, 50)), 60)
+      .distinctBy(_._1)
+    val df = rows.toDF("k", "t")
+    val packed = functions.Pack.packSequences(df, col("k"), col("t"), 64)
+      .collect()
+      .map(r => (r.getAs[String]("shard"), r.getAs[Long]("k"),
+        r.getAs[Int]("t").toLong, r.getAs[Long]("offset")))
+    packed.groupBy(_._1).foreach { case (_, ss) =>
+      val total = ss.map(_._3).sum
+      val last = ss.maxBy(_._2)
+      assert(last._4 + last._3 === total,
+        "offsets must tile the shard's token stream with no gaps or overlaps")
+    }
+  }
+
   test("winnowing guarantee: docs sharing a long substring share a fingerprint") {
     import spark.implicits._
     // guarantee threshold: any shared canonical substring of length
