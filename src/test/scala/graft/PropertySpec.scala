@@ -74,6 +74,10 @@ class PropertySpec extends SparkSpec {
       // union-find roots are component minima here because unions always
       // keep the smaller root — same convention as min-label propagation
       assert(got === expected, s"edges: $edges")
+      val gotStar = dedup.Clusters.connectedComponentsStar(
+        edges.toDF("doc_a", "doc_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotStar === expected, s"star variant, edges: $edges")
     }
   }
 

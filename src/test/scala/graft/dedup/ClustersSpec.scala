@@ -26,6 +26,16 @@ class ClustersSpec extends SparkSpec {
     assert(cc.forall(_.getLong(1) == 0L), "every vertex reaches label 0")
   }
 
+  test("large-star/small-star resolves a long chain in few rounds") {
+    import spark.implicits._
+    // path 0-1-...-40: diameter 40 would cost min propagation 40
+    // rounds; the star algorithm contracts it in O(log²) rounds
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = Clusters.connectedComponentsStar(chain).collect()
+    assert(cc.length === 41)
+    assert(cc.forall(_.getLong(1) == 0L), "every vertex reaches root 0")
+  }
+
   test("dedupByCluster keeps one doc per cluster plus all unpaired docs") {
     import spark.implicits._
     val docs = (1L to 6L).map(i => (i, s"text $i")).toDF("doc_id", "text")
