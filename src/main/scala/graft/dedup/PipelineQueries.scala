@@ -314,6 +314,35 @@ object PipelineQueries {
                CAST(floor("offset" / 512.0) AS BIGINT) AS seq_id
              FROM packed ORDER BY doc_id"""))
 
+  /** D17: PII/link scrubbing. The corpus is word salad, so the entry
+    * PLANTS deterministic emails/URLs/long numbers on every 7th doc
+    * (mirrored in the oracle) — the scrub then has real positives to
+    * redact and real negatives to leave alone. */
+  val textScrub = QueryDef(
+    "text_scrub",
+    (s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"),
+            lit(" contact bob@example.com or https://ex.com/a?b=1 id 12345678 end")))
+          .otherwise(col("text")).as("text"))
+      planted.select(col("doc_id"),
+        graft.functions.Scrub.scrubPii(col("text")).as("scrubbed"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH planted AS (
+               SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0
+                   THEN text || ' contact bob@example.com or https://ex.com/a?b=1 id 12345678 end'
+                   ELSE text END AS text
+               FROM documents)
+             SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                 '${graft.functions.Scrub.UrlPattern}', '<URL>', 'g'),
+                 '${graft.functions.Scrub.EmailPattern}', '<EMAIL>', 'g'),
+                 '${graft.functions.Scrub.LongDigitPattern}', '<NUM>', 'g') AS scrubbed
+             FROM planted ORDER BY doc_id"""))
+
   /** D15: duplicate-cluster resolution over the D2 candidate graph
     * (rows-only: the pairs themselves have no SQL oracle; component
     * semantics are spec-asserted on explicit graphs). */
@@ -331,5 +360,5 @@ object PipelineQueries {
     dedupEmbeddingCosine, annBruteforceTopK, annLsh, annIvf,
     textLangId, textQualityScore, textTokenCount, textFingerprint,
     textWinnow, vecCentroid, mmBinaryMeta, hashSplit, stratifiedSample,
-    dedupClusters, packSequences)
+    dedupClusters, packSequences, textScrub)
 }
