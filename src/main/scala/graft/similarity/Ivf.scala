@@ -109,12 +109,14 @@ object Ivf {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         explode(probeCells(col("embedding"), codebook, nprobe)).as("cell"))
     val qSide = if (broadcastQueries) broadcast(queryCells.as("q")) else queryCells.as("q")
+    // no distinct: a corpus vector lives in exactly ONE cell and the
+    // probed cells are distinct, so (q_id, vec_id) pairs are already
+    // unique — unlike multi-table LSH, where dedup is required
     val scored = corpusCells.as("c")
       .join(qSide,
         col("c.cell") === col("q.cell") && col("c.vec_id") =!= col("q.q_id"))
       .select(col("q.q_id").as("q_id"), col("c.vec_id").as("vec_id"),
         round(Ann.cosine(col("q.q_emb"), col("c.embedding")), 6).as("cos_sim"))
-      .distinct()
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     scored.withColumn("rnk", row_number().over(w))
