@@ -142,10 +142,15 @@ object Ann {
       .join(qSide,
         col("c.tbl") === col("q.tbl") && col("c.bucket") === col("q.bucket") &&
           col("c.vec_id") =!= col("q.q_id"))
+    // candidate dedup (a pair can match in several tables) groups on
+    // the two ids only — grouping on the embedding arrays themselves
+    // would hash/normalize every float per row; the arrays are
+    // identical per pair, so first() carries them
     val scored = candidates
       .select(col("q.q_id").as("q_id"), col("c.vec_id").as("vec_id"),
         col("q.q_emb").as("q_emb"), col("c.embedding").as("embedding"))
-      .distinct()
+      .groupBy("q_id", "vec_id")
+      .agg(first("q_emb").as("q_emb"), first("embedding").as("embedding"))
       .select(col("q_id"), col("vec_id"),
         round(cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
     val w = Window.partitionBy(col("q_id"))
