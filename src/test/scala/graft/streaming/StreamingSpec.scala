@@ -268,6 +268,42 @@ class StreamingSpec extends SparkSpec {
       "the duplicate key's later value must never reach the sink")
   }
 
+  test("S8: stream-stream interval join matches in-window clicks and equals the batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = Seq(
+      (1L, 100L, ts("2026-01-01 10:00:00")),
+      (1L, 101L, ts("2026-01-01 12:00:00")),
+      (2L, 102L, ts("2026-01-01 10:00:00")))
+    val clicks = Seq(
+      (1L, 900L, ts("2026-01-01 10:05:00")), // in-window for imp 100
+      (1L, 901L, ts("2026-01-01 10:30:00")), // > 10 min after imp 100 → no match
+      (2L, 902L, ts("2026-01-01 10:09:00")), // in-window for imp 102
+      (3L, 903L, ts("2026-01-01 10:05:00"))) // no impression at all
+    val impStream = MemoryStream[(Long, Long, Timestamp)]
+    val clickStream = MemoryStream[(Long, Long, Timestamp)]
+    val joined = StreamJoin.impressionClickJoin(
+      impStream.toDF().toDF("user_id", "imp_id", "imp_ts")
+        .withWatermark("imp_ts", "1 hour"),
+      clickStream.toDF().toDF("user_id", "click_id", "click_ts")
+        .withWatermark("click_ts", "1 hour"))
+    val q = joined.writeStream.format("memory").queryName("s8_out")
+      .outputMode("append").start()
+    try {
+      impStream.addData(imps: _*)
+      clickStream.addData(clicks: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("s8_out")
+        .orderBy("imp_id", "click_id").collect().map(_.toSeq).toSeq
+      val batch = StreamJoin.impressionClickJoin(
+        imps.toDF("user_id", "imp_id", "imp_ts"),
+        clicks.toDF("user_id", "click_id", "click_ts"))
+        .orderBy("imp_id", "click_id").collect().map(_.toSeq).toSeq
+      assert(streamed === batch, "streaming result must equal the batch interval join")
+      assert(streamed.map(r => (r(1), r(2))) === Seq((100L, 900L), (102L, 902L)))
+    } finally q.stop()
+  }
+
   test("S6/E8: file-drop trigger runs the pipeline exactly once per file") {
     val root = Files.createTempDirectory("graft_trigger")
     val watch = s"$root/incoming"; val out = s"$root/out"; val cp = s"$root/cp"
