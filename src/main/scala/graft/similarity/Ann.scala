@@ -142,17 +142,18 @@ object Ann {
       .join(qSide,
         col("c.tbl") === col("q.tbl") && col("c.bucket") === col("q.bucket") &&
           col("c.vec_id") =!= col("q.q_id"))
-    // candidate dedup (a pair can match in several tables) groups on
-    // the two ids only — grouping on the embedding arrays themselves
-    // would hash/normalize every float per row; the arrays are
-    // identical per pair, so first() carries them
+    // Score BEFORE the candidate dedup: a pair can match in up to
+    // `Tables` tables, and cosine is deterministic, so the duplicate
+    // rows carry identical scores and max() collapses them. Scoring
+    // map-side means the (q_id, vec_id) dedup shuffle moves one double
+    // per candidate instead of two embedding arrays (~12 KB/row at
+    // dim 768) — recomputing ≤ Tables cosines map-side (~2 K flops) is
+    // far cheaper than shipping the arrays at 100 TB.
     val scored = candidates
       .select(col("q.q_id").as("q_id"), col("c.vec_id").as("vec_id"),
-        col("q.q_emb").as("q_emb"), col("c.embedding").as("embedding"))
+        round(cosine(col("q.q_emb"), col("c.embedding")), 6).as("cos_sim"))
       .groupBy("q_id", "vec_id")
-      .agg(first("q_emb").as("q_emb"), first("embedding").as("embedding"))
-      .select(col("q_id"), col("vec_id"),
-        round(cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+      .agg(max("cos_sim").as("cos_sim"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     scored.withColumn("rnk", row_number().over(w))

@@ -100,6 +100,21 @@ class AnnSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("D7: candidate dedup shuffles scores, not embedding arrays") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val res = Ann.lshTopK(emb, queries, 10)
+    // the (q_id, vec_id) dedup aggregate must sit on a projection that
+    // already computed cos_sim — shuffling the two embedding arrays per
+    // candidate row is a ~12 KB/row bandwidth amplifier at dim 768
+    val aggs = res.queryExecution.optimizedPlan.collect { case a: Aggregate => a }
+    assert(aggs.nonEmpty)
+    val dedup = aggs.minBy(_.child.output.length)
+    val names = dedup.child.output.map(_.name)
+    assert(names.forall(n => !n.toLowerCase.contains("emb")),
+      s"dedup input must carry scores only, got: ${names.mkString(", ")}")
+  }
+
   test("D7: LSH ANN recalls planted near-identical neighbors") {
     import spark.implicits._
     // plant: for each query vector, a copy with id+1000000 (cosine 1)
