@@ -19,17 +19,37 @@ import org.apache.spark.sql.functions._
   */
 object Clusters {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Per-round lineage cut. localCheckpoint (the default) pins blocks
+    * on executors — fast locally, but ONE executor loss mid-iteration
+    * kills the job; a 100 TB cluster run must pass `checkpointDir` to
+    * get reliable checkpoints on the cluster filesystem instead. */
+  private def cutter(df: DataFrame, checkpointDir: Option[String]): DataFrame => DataFrame =
+    checkpointDir match {
+      case Some(dir) =>
+        df.sparkSession.sparkContext.setCheckpointDir(dir)
+        d => d.checkpoint()
+      case None =>
+        d => d.localCheckpoint()
+    }
+
   /** (doc_a, doc_b) pairs → (doc_id, cluster_id) for every doc that
-    * appears in some pair; cluster_id = min doc_id of its component. */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
-    val edges = pairs
+    * appears in some pair; cluster_id = min doc_id of its component.
+    * If propagation does not reach a fixpoint within `maxRounds` (a
+    * component with diameter > maxRounds — adversarial for dedup
+    * graphs), falls back to [[connectedComponentsStar]], whose round
+    * count is O(log² n) regardless of diameter, rather than silently
+    * returning partially-propagated labels. */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 25,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val cut = cutter(pairs, checkpointDir)
+    val edges = cut(pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint()
+      .distinct())
+    var labels = cut(edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id")))
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -39,16 +59,19 @@ object Clusters {
         .groupBy("doc_id")
         .agg(min("cluster_id").as("nbr_min"))
       // old label rides along so convergence needs no second join
-      val next = labels.withColumnRenamed("cluster_id", "cid")
+      val next = cut(labels.withColumnRenamed("cluster_id", "cid")
         .join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("cid"),
-          least(col("cid"), coalesce(col("nbr_min"), col("cid"))).as("cluster_id"))
-        .localCheckpoint()
+          least(col("cid"), coalesce(col("nbr_min"), col("cid"))).as("cluster_id")))
       converged = next.filter(col("cluster_id") =!= col("cid")).isEmpty
       labels = next.select("doc_id", "cluster_id")
       round += 1
     }
-    labels
+    if (!converged) {
+      log.warn(s"min-label propagation unconverged after $maxRounds rounds " +
+        "(component diameter exceeds the cap); falling back to large-star/small-star")
+      connectedComponentsStar(pairs, checkpointDir = checkpointDir)
+    } else labels
   }
 
   /** Connected components by alternating large-star / small-star
@@ -64,7 +87,9 @@ object Clusters {
     * u's minimum; small-star re-hangs u and its smaller neighbors the
     * same way. At the fixpoint every component is a star rooted at its
     * minimum, read off as (doc_id, cluster_id). */
-  def connectedComponentsStar(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def connectedComponentsStar(pairs: DataFrame, maxRounds: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val cut = cutter(pairs, checkpointDir)
     def symmetric(e: DataFrame): DataFrame =
       e.union(e.select(col("dst").as("src"), col("src").as("dst")))
         .filter(col("src") =!= col("dst"))
@@ -82,7 +107,7 @@ object Clusters {
           joined.filter(col("dst") < col("src"))
             .select(col("dst").as("src"), col("m").as("dst"))
             .union(m.select(col("src"), col("m").as("dst")))
-      symmetric(rehung).localCheckpoint()
+      cut(symmetric(rehung))
     }
 
     def fingerprint(e: DataFrame): (Long, Long) = {
@@ -92,9 +117,8 @@ object Clusters {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
-    var edges = symmetric(
-      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
-      .localCheckpoint()
+    var edges = cut(symmetric(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))))
     var fp = fingerprint(edges)
     var round = 0
     var converged = false
@@ -105,6 +129,10 @@ object Clusters {
       fp = nfp
       round += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"large-star/small-star did not converge in $maxRounds rounds — " +
+          "O(log² n) rounds should always fit; the edge set is pathological")
     // fixpoint: stars around each component minimum — non-roots point
     // at their (unique) smaller neighbor, roots label themselves
     val nonRoot = edges.filter(col("src") > col("dst"))

@@ -59,8 +59,19 @@ object PipelineQueries {
     * summation order (list fold) as the Spark plan. */
   val dedupEmbeddingCosine = QueryDef(
     "dedup_embedding_cosine",
-    (s, d) => Ann.cosineNearDupPairs(Tables.embeddings(s, d), 0.30)
-      .orderBy("vec_a", "vec_b"),
+    (s, d) => {
+      // The SQL oracle below computes UNCAPPED all-pairs per label; the
+      // Spark side caps blocks at Ann.MaxBlock. Fail loudly (one
+      // O(labels) agg → 1 row) the moment any block reaches the cap at
+      // a larger sf, instead of silently hash-diverging from the oracle.
+      val maxBlock = Tables.embeddings(s, d).groupBy("label").count()
+        .agg(max("count")).head().getLong(0)
+      require(maxBlock <= Ann.MaxBlock,
+        s"a label block has $maxBlock rows > Ann.MaxBlock=${Ann.MaxBlock}: " +
+          "the capped Spark plan would diverge from the uncapped SQL oracle")
+      Ann.cosineNearDupPairs(Tables.embeddings(s, d), 0.30)
+        .orderBy("vec_a", "vec_b")
+    },
     Some("""WITH e AS (SELECT vec_id, label,
                   CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
             pairs AS (
@@ -355,10 +366,60 @@ object PipelineQueries {
     },
     None)
 
+  /** D15 (oracle-gated): connected components over a DETERMINISTIC,
+    * SQL-mirrorable duplicate graph. Three exact copies of every 50th
+    * doc are planted (+1M/+2M/+3M ids), md5 groups are linked as
+    * CHAINS (consecutive ids within a group), so each component is a
+    * ≥4-node path — label propagation must do real multi-hop work, not
+    * just read off cliques. The DuckDB oracle rebuilds the same chains
+    * and resolves components with a recursive reachability CTE; the
+    * companion `dedup_clusters` entry keeps the xxhash64-candidate
+    * scale shape (rows-only). */
+  val dedupClustersCc = QueryDef(
+    "dedup_clusters_cc",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val copies = (1 to 3).map(k =>
+        docs.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + k * 1000000L).as("doc_id"), col("text")))
+      val corpus = copies.foldLeft(docs.select("doc_id", "text"))(_ unionByName _)
+      val hashed = corpus.select(col("doc_id"),
+        Text.fingerprintMd5(col("text")).as("h"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("h").orderBy("doc_id")
+      val pairs = hashed
+        .withColumn("doc_a", lag("doc_id", 1).over(w))
+        .filter(col("doc_a").isNotNull)
+        .select(col("doc_a"), col("doc_id").as("doc_b"))
+      Clusters.connectedComponents(pairs).orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE
+             planted AS (
+               SELECT doc_id, text FROM documents
+               UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
+               UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 50 = 0
+               UNION ALL SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 50 = 0),
+             hashed AS (SELECT doc_id, md5($oCanon) AS h FROM planted),
+             pairs AS (
+               SELECT doc_a, doc_b FROM (
+                 SELECT lag(doc_id) OVER (PARTITION BY h ORDER BY doc_id) AS doc_a,
+                        doc_id AS doc_b
+                 FROM hashed)
+               WHERE doc_a IS NOT NULL),
+             edges AS (
+               SELECT doc_a AS src, doc_b AS dst FROM pairs
+               UNION SELECT doc_b, doc_a FROM pairs),
+             reach AS (
+               SELECT src AS doc_id, src AS node FROM edges
+               UNION
+               SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON e.src = r.node)
+             SELECT doc_id, CAST(MIN(node) AS BIGINT) AS cluster_id
+             FROM reach GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhashLsh, dedupSimhash, dedupNgramJaccard,
     dedupEmbeddingCosine, annBruteforceTopK, annLsh, annIvf,
     textLangId, textQualityScore, textTokenCount, textFingerprint,
     textWinnow, vecCentroid, mmBinaryMeta, hashSplit, stratifiedSample,
-    dedupClusters, packSequences, textScrub)
+    dedupClusters, dedupClustersCc, packSequences, textScrub)
 }

@@ -168,12 +168,39 @@ object EtlQueries {
              )
              SELECT * FROM merged ORDER BY composite_key"""))
 
-  /** E6: run-condition gate scenarios (rows-only; logic asserted in the
-    * ScalaTest spec). */
+  /** E6: run-condition gate scenarios. The oracle rebuilds the same
+    * per-scenario ledger states as VALUES rows, re-hashes the same CSV
+    * (sha256(read_text) == sha256 of the bytes for the ASCII file), and
+    * applies the reference's blocking predicate verbatim — so the gate
+    * logic itself is cross-checked, not just the row count. */
   val ledgerQ = QueryDef(
     "etl_ledger",
     (s, _) => Ledger.scenarios(s).orderBy("scenario"),
-    None)
+    Some(s"""WITH cs AS (SELECT sha256(content) AS v FROM read_text('$csv')),
+             scen(scenario, force_run, expected) AS (VALUES
+               ('empty_ledger', false, true),
+               ('in_flight', false, false),
+               ('complete_fresh', false, false),
+               ('complete_fresh_force', true, true),
+               ('complete_stale', false, true),
+               ('error_fresh', false, false),
+               ('different_checksum', false, true)),
+             ledger(scenario, file_checksum, is_active, start_date, end_date) AS (VALUES
+               ('in_flight', (SELECT v FROM cs), true, DATE '2026-07-20', CAST(NULL AS DATE)),
+               ('complete_fresh', (SELECT v FROM cs), false, DATE '2026-07-20', DATE '2026-07-20'),
+               ('complete_fresh_force', (SELECT v FROM cs), false, DATE '2026-07-20', DATE '2026-07-20'),
+               ('complete_stale', (SELECT v FROM cs), false, DATE '2026-05-01', DATE '2026-05-01'),
+               ('error_fresh', (SELECT v FROM cs), false, DATE '2026-07-20', DATE '2026-07-20'),
+               ('different_checksum', 'deadbeef', true, DATE '2026-07-20', CAST(NULL AS DATE))),
+             b AS (
+               SELECT scenario, MAX(CASE WHEN file_checksum = (SELECT v FROM cs)
+                        AND (is_active OR (start_date >= DATE '${ZipEtl.freshThreshold}'
+                             AND end_date IS NOT NULL)) THEN 1 ELSE 0 END) AS blocked
+               FROM ledger GROUP BY scenario)
+             SELECT s.scenario, s.force_run,
+               (s.force_run OR COALESCE(b.blocked, 0) = 0) AS should_run,
+               s.expected
+             FROM scen s LEFT JOIN b USING (scenario) ORDER BY s.scenario"""))
 
   val all: Seq[QueryDef] = Seq(
     csvIngest, dedupeByKey, excludeProcessed, enrichQ, upsertMerge,

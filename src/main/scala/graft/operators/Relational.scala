@@ -485,14 +485,22 @@ object Relational {
             FROM embeddings ORDER BY vec_id"""))
 
   /** R19: approximate count-distinct (HLL sketch). Engine-specific
-    * estimates → no cross-engine oracle; spec asserts error bound. */
+    * estimates → no cross-engine oracle, so the entry is
+    * SELF-VERIFYING: it emits the exact distinct count alongside the
+    * sketch estimate and their relative error, so the CORRECTNESS row
+    * carries its own evidence; the spec bounds abs_rel_err < 0.05
+    * (rsd = 0.01, so 5% is a 5-sigma bound). */
   val qApproxDistinct = QueryDef(
     "q_approx_distinct",
     (s, d) => {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
           count(lit(1)).as("n"))
+        .withColumn("abs_rel_err",
+          round(abs(col("approx_parts") - col("exact_parts"))
+            / col("exact_parts"), 6))
         .orderBy("l_returnflag")
     },
     None)

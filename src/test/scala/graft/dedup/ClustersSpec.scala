@@ -36,6 +36,29 @@ class ClustersSpec extends SparkSpec {
     assert(cc.forall(_.getLong(1) == 0L), "every vertex reaches root 0")
   }
 
+  test("reliable checkpointing yields the same components as localCheckpoint") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val chain = (0L until 15L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = Clusters.connectedComponents(chain, checkpointDir = Some(dir)).collect()
+    assert(cc.length === 16)
+    assert(cc.forall(_.getLong(1) == 0L))
+    // the cluster-deployment path really wrote reliable checkpoints
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir)).count() > 0,
+      "reliable checkpoint files must land in the given dir")
+  }
+
+  test("unconverged min propagation falls back to the star algorithm, not partial labels") {
+    import spark.implicits._
+    // diameter 10 with maxRounds=2: propagation CANNOT finish; the
+    // fallback must still return fully-resolved components
+    val chain = (0L until 10L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = Clusters.connectedComponents(chain, maxRounds = 2).collect()
+    assert(cc.length === 11)
+    assert(cc.forall(_.getLong(1) == 0L),
+      "fallback must fully resolve the component")
+  }
+
   test("dedupByCluster keeps one doc per cluster plus all unpaired docs") {
     import spark.implicits._
     val docs = (1L to 6L).map(i => (i, s"text $i")).toDF("doc_id", "text")

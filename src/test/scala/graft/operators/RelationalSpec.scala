@@ -49,19 +49,22 @@ class RelationalSpec extends SparkSpec {
   }
 
   test("R19: HLL approximate count-distinct is within its error bound") {
-    val res = graft.SparkEntry.queries("q_approx_distinct")(spark, sf)
-      .withColumnRenamed("approx_parts", "approx").collect()
+    // the entry is self-verifying: it emits exact, approx, and their
+    // relative error; the independent exact recomputation here guards
+    // the entry's own exact_parts column too
+    val res = graft.SparkEntry.queries("q_approx_distinct")(spark, sf).collect()
     val exact = graft.Tables.lineitem(spark, sf)
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_partkey")).as("exact"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(res.nonEmpty)
     res.foreach { r =>
       val flag = r.getString(0)
-      val approx = r.getLong(1).toDouble
-      val ex = exact(flag).toDouble
-      // default rsd = 0.05; allow 4 sigma
-      assert(math.abs(approx - ex) / ex <= 0.20,
-        s"flag=$flag approx=$approx exact=$ex")
+      assert(r.getAs[Long]("exact_parts") === exact(flag),
+        s"flag=$flag entry exact_parts disagrees with countDistinct")
+      // rsd = 0.01, so 0.05 is a 5-sigma bound
+      assert(r.getAs[Double]("abs_rel_err") <= 0.05,
+        s"flag=$flag abs_rel_err=${r.getAs[Double]("abs_rel_err")}")
     }
   }
 
