@@ -169,6 +169,23 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  // ------------------------------------------------- composed pipeline
+
+  /** The shipping shape of the whole dedup block as ONE plan:
+    * candidates (D2) → n-gram Jaccard verify (D4) → connected
+    * components (D15) → keeper filter. Each stage consumes the
+    * previous exactly once — the expensive candidate subtree (signature
+    * aggregation) is materialized a single time when connected
+    * components cuts lineage on the verified pairs, instead of being
+    * recomputed per downstream consumer as the standalone coverage
+    * entries do. */
+  def dedupPipeline(docs: DataFrame, shingleK: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val candidates = minhashLshCandidates(docs, shingleK)
+    val verified = jaccardVerify(candidates, docs, shingleK, threshold)
+    Clusters.dedupByCluster(docs, verified)
+  }
+
   // ------------------------------------------------------- test harness
 
   /** Deterministic planted near-duplicates: docs with id % 50 == 0 are

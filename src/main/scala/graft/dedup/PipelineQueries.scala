@@ -366,6 +366,18 @@ object PipelineQueries {
     },
     None)
 
+  /** Composed D2→D4→D15 pipeline (rows-only: the LSH candidate stage
+    * has no SQL oracle; end-to-end keeper semantics are spec-asserted).
+    * This is the production shape — one plan, candidate subtree
+    * materialized once — and its bench time should track a SINGLE
+    * candidate pass, unlike summing the standalone stage entries. */
+  val dedupPipelineQ = QueryDef(
+    "dedup_pipeline",
+    (s, d) => Dedup.dedupPipeline(
+      Dedup.withPlantedDups(Tables.documents(s, d)))
+      .select("doc_id").orderBy("doc_id"),
+    None)
+
   /** D15 (oracle-gated): connected components over a DETERMINISTIC,
     * SQL-mirrorable duplicate graph. Three exact copies of every 50th
     * doc are planted (+1M/+2M/+3M ids), md5 groups are linked as
@@ -421,5 +433,5 @@ object PipelineQueries {
     dedupEmbeddingCosine, annBruteforceTopK, annLsh, annIvf,
     textLangId, textQualityScore, textTokenCount, textFingerprint,
     textWinnow, vecCentroid, mmBinaryMeta, hashSplit, stratifiedSample,
-    dedupClusters, dedupClustersCc, packSequences, textScrub)
+    dedupClusters, dedupClustersCc, dedupPipelineQ, packSequences, textScrub)
 }

@@ -63,14 +63,22 @@ object JdbcSink {
   }
 
   /** Create the target table with a primary key on `keyCols` if it does
-    * not exist yet. */
+    * not exist yet. Unquoted identifiers are stored upper-cased by some
+    * engines (Derby, Oracle) and lower-cased by others (PostgreSQL), so
+    * the existence probe tries every case form; if the probe still
+    * misses (or loses a creation race) the CREATE's already-exists
+    * error is swallowed after re-checking. */
   def ensureTable(url: String, table: String, schema: StructType,
       keyCols: Seq[String]): Unit = {
     val conn = DriverManager.getConnection(url)
     try {
-      val exists =
-        try { conn.getMetaData.getTables(null, null, table.toUpperCase, null).next() }
-        catch { case _: Exception => false }
+      def exists: Boolean =
+        try {
+          Seq(table, table.toUpperCase, table.toLowerCase).distinct.exists { t =>
+            val rs = conn.getMetaData.getTables(null, null, t, null)
+            try rs.next() finally rs.close()
+          }
+        } catch { case _: Exception => false }
       if (!exists) {
         val cols = schema.fields.map { f =>
           val nn = if (keyCols.contains(f.name)) " NOT NULL" else ""
@@ -79,6 +87,11 @@ object JdbcSink {
         val pk = s", PRIMARY KEY (${keyCols.mkString(", ")})"
         val st = conn.createStatement()
         try st.executeUpdate(s"CREATE TABLE $table ($cols$pk)")
+        catch {
+          // already-exists SQLStates differ per engine (Derby X0Y32,
+          // PostgreSQL 42P07, ...): re-probe instead of enumerating them
+          case e: java.sql.SQLException => if (!exists) throw e
+        }
         finally st.close()
       }
     } finally conn.close()
@@ -95,6 +108,19 @@ object JdbcSink {
       p += 1
     }
   }
+
+  /** Which batch positions need an INSERT, from the batched UPDATE's
+    * per-row counts. count >= 1: updated in place. count == 0:
+    * definitely absent. count < 0 (Statement.SUCCESS_NO_INFO from e.g.
+    * Oracle or MySQL with rewriteBatchedStatements): the driver
+    * reported nothing per-row, so the decision falls back to an
+    * existence probe — never assume "updated". */
+  private[etl] def needsInsert(counts: Array[Int],
+      probeMiss: Int => Boolean): Seq[Int] =
+    counts.toSeq.zipWithIndex.collect {
+      case (0, i) => i
+      case (c, i) if c < 0 && probeMiss(i) => i
+    }
 
   /** Upsert `df` into `table` keyed by `keyCols`. Creates the table on
     * first use. Each partition is one transaction. */
@@ -129,21 +155,21 @@ object JdbcSink {
         try {
           val upd = if (nonKey.isEmpty) None else Some(conn.prepareStatement(updateSql))
           val ins = conn.prepareStatement(insertSql)
-          val probe = if (nonKey.isEmpty) Some(conn.prepareStatement(probeSql)) else None
+          val probe = conn.prepareStatement(probeSql)
           try {
+            def probeMiss(r: Row): Boolean = {
+              bind(probe, r, keyIdx, codes)
+              val rs = probe.executeQuery()
+              try !rs.next() finally rs.close()
+            }
             def flush(batch: Seq[Row]): Unit = if (batch.nonEmpty) {
               val missed: Seq[Row] = upd match {
                 case Some(u) =>
                   batch.foreach { r => bind(u, r, nonKeyIdx ++ keyIdx, codes); u.addBatch() }
                   val counts = u.executeBatch()
-                  batch.zip(counts).collect { case (r, 0) => r }
+                  needsInsert(counts, i => probeMiss(batch(i))).map(batch)
                 case None =>
-                  val p = probe.get
-                  batch.filter { r =>
-                    bind(p, r, keyIdx, codes)
-                    val rs = p.executeQuery()
-                    try !rs.next() finally rs.close()
-                  }
+                  batch.filter(probeMiss)
               }
               if (missed.nonEmpty) {
                 missed.foreach { r => bind(ins, r, allIdx, codes); ins.addBatch() }
@@ -153,7 +179,7 @@ object JdbcSink {
             rows.grouped(batchSize).foreach(g => flush(g.toSeq))
             conn.commit()
           } finally {
-            upd.foreach(_.close()); ins.close(); probe.foreach(_.close())
+            upd.foreach(_.close()); ins.close(); probe.close()
           }
         } catch {
           case e: Throwable => conn.rollback(); throw e

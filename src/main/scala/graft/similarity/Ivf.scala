@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -97,6 +97,50 @@ object Ivf {
     * [[Ann.MaxBroadcastQueries]]; with `false` the probe join is a
     * plain equi-join on cell — both sides shuffle on the cell id,
     * the corpus-scale-query-set shape. */
+  /** Deployment persistence: write the corpus PARTITIONED BY cell so a
+    * probe's parquet scan prunes to the probed cells' files instead of
+    * scanning the whole corpus. Returns the codebook used — a real
+    * deployment persists it alongside the index (it is cells × dim
+    * doubles). */
+  def writeIndex(corpus: DataFrame, path: String, cells: Int = 16,
+      cacheKey: String = ""): Seq[Seq[Double]] = {
+    val codebook =
+      if (cacheKey.nonEmpty) codebookFor(corpus, cells, cacheKey)
+      else trainCodebook(corpus, cells)
+    assignCells(corpus, codebook)
+      .select("vec_id", "embedding", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    codebook
+  }
+
+  /** Probe over a written index. The query side is bounded per
+    * [[Ann.MaxBroadcastQueries]], so its probed cell-id set is tiny
+    * (≤ queries × nprobe ints) — collecting it and pushing a STATIC
+    * `cell IN (...)` filter guarantees partition pruning at plan time:
+    * the scan reads only nprobe-ish of the `cells` directories,
+    * which is the entire point of the IVF layout at 100 TB. */
+  def topKFromIndex(spark: SparkSession, indexPath: String,
+      codebook: Seq[Seq[Double]], queries: DataFrame, k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val queryCells = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        explode(probeCells(col("embedding"), codebook, nprobe)).as("cell"))
+    val probed = queryCells.select("cell").distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq
+    val corpusCells = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(probed: _*))
+    val scored = corpusCells.as("c")
+      .join(broadcast(queryCells.as("q")),
+        col("c.cell") === col("q.cell") && col("c.vec_id") =!= col("q.q_id"))
+      .select(col("q.q_id").as("q_id"), col("c.vec_id").as("vec_id"),
+        round(Ann.cosine(col("q.q_emb"), col("c.embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "vec_id", "cos_sim", "rnk")
+  }
+
   def topK(corpus: DataFrame, queries: DataFrame, k: Int,
       cells: Int = 16, nprobe: Int = 4, cacheKey: String = "",
       broadcastQueries: Boolean = true): DataFrame = {

@@ -22,6 +22,29 @@ class IoSpec extends SparkSpec {
     assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
   }
 
+  test("IVF index written partitionBy(cell) prunes the probe scan to probed cells") {
+    import graft.similarity.Ivf
+    val dir = Files.createTempDirectory("graft_ivf_idx").toString + "/index"
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val codebook = Ivf.writeIndex(emb, dir, cells = 16, cacheKey = sf)
+    val fromIndex = Ivf.topKFromIndex(spark, dir, codebook, queries, 10)
+    // the scan must read ONLY the probed cell directories — that is the
+    // point of the partitioned layout at 100 TB (inspect BEFORE cache:
+    // caching substitutes an InMemoryTableScan for the file scan)
+    val scan = fromIndex.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.output.exists(_.name == "cell") => f
+    }.head
+    val read = scan.selectedPartitions.partitionCount
+    assert(read > 0 && read < 16,
+      s"probe must prune partitions: read $read of 16 cells")
+    // parity with the in-memory IVF path on the same (memoized) codebook
+    val direct = Ivf.topK(emb, queries, 10, cacheKey = sf)
+    assert(fromIndex.exceptAll(direct).count() === 0)
+    assert(direct.exceptAll(fromIndex).count() === 0)
+  }
+
   test("ORC round-trip preserves relational results and predicate pushdown") {
     val dir = Files.createTempDirectory("graft_io").toString
     val li = Tables.lineitem(spark, sf)

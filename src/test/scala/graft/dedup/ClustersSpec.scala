@@ -69,6 +69,24 @@ class ClustersSpec extends SparkSpec {
     assert(kept === Set(1L, 4L, 5L))
   }
 
+  test("composed dedup pipeline drops verified planted copies and keeps originals") {
+    val corpus = Dedup.withPlantedDups(Tables.documents(spark, sf))
+    val kept = Dedup.dedupPipeline(corpus).cache()
+    // the pipeline must agree with its stages composed by hand
+    val candidates = Dedup.minhashLshCandidates(corpus)
+    val verified = Dedup.jaccardVerify(candidates, corpus)
+    val manual = Clusters.dedupByCluster(corpus, verified)
+    assert(kept.select("doc_id").exceptAll(manual.select("doc_id")).count() === 0)
+    assert(manual.select("doc_id").exceptAll(kept.select("doc_id")).count() === 0)
+    // planted copies that survived jaccard verification are dropped
+    val caught = verified.filter(col("doc_b") >= 1000000L)
+      .select(col("doc_b").as("doc_id"))
+    assert(kept.join(caught, Seq("doc_id")).count() === 0,
+      "verified planted copies must not survive the pipeline")
+    assert(caught.count() > 0, "the planted corpus must produce verified positives")
+    kept.unpersist()
+  }
+
   test("planted duplicates resolve to their original as keeper") {
     val corpus = Dedup.withPlantedDups(Tables.documents(spark, sf))
     val pairs = Dedup.minhashLshCandidates(corpus).cache()

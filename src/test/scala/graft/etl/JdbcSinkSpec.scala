@@ -58,6 +58,33 @@ class JdbcSinkSpec extends SparkSpec {
     assert(back.filter(col("pop") < 1000L).count() === 0, "every row updated")
   }
 
+  test("E5-JDBC: SUCCESS_NO_INFO update counts fall back to the existence probe") {
+    // Derby reports real counts, so the portability path is gated at
+    // the decision function: drivers returning -2 per row (Oracle,
+    // MySQL rewriteBatchedStatements) must probe, never assume updated
+    val probed = scala.collection.mutable.ArrayBuffer[Int]()
+    val missing = Set(2, 4)
+    val res = JdbcSink.needsInsert(Array(1, 0, -2, -2, -2),
+      i => { probed += i; missing.contains(i) })
+    assert(res === Seq(1, 2, 4), "0 inserts directly; -2 inserts only on probe miss")
+    assert(probed.toSeq === Seq(2, 3, 4), "exactly the unknown-count rows are probed")
+    assert(JdbcSink.needsInsert(Array(1, 1), _ => fail("no probe for real counts")) === Seq())
+  }
+
+  test("E5-JDBC: ensureTable is idempotent regardless of identifier case form") {
+    import spark.implicits._
+    val df = Seq(("k1", 1L)).toDF("id", "pop")
+    // second ensureTable must find the (upper-cased by Derby) table via
+    // the case-form probe and not re-issue CREATE; lower/mixed-case
+    // names exercise the PostgreSQL-shaped miss
+    for (t <- Seq("case_probe_lower", "Case_Probe_Mixed")) {
+      JdbcSink.ensureTable(url, t, df.schema, Seq("id"))
+      JdbcSink.ensureTable(url, t, df.schema, Seq("id"))
+      JdbcSink.upsert(df, url, t, Seq("id"))
+      assert(readTable(t).count() === 1)
+    }
+  }
+
   test("E5-JDBC: nulls round-trip and unsupported types fail with a clear error") {
     import spark.implicits._
     val t = "upsert_nulls"
