@@ -34,6 +34,18 @@ object Clusters {
         d => d.localCheckpoint()
     }
 
+  /** Free the pinned blocks behind a checkpointed DataFrame that a
+    * later round has superseded. Without this every CC round leaks
+    * executor storage until JVM GC happens to trigger the context
+    * cleaner — noise locally, real memory pressure on a long-running
+    * cluster session. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** (doc_a, doc_b) pairs → (doc_id, cluster_id) for every doc that
     * appears in some pair; cluster_id = min doc_id of its component.
     * If propagation does not reach a fixpoint within `maxRounds` (a
@@ -64,9 +76,11 @@ object Clusters {
         .select(col("doc_id"), col("cid"),
           least(col("cid"), coalesce(col("nbr_min"), col("cid"))).as("cluster_id")))
       converged = next.filter(col("cluster_id") =!= col("cid")).isEmpty
+      freeCheckpoint(labels) // superseded by the (eager) next
       labels = next.select("doc_id", "cluster_id")
       round += 1
     }
+    freeCheckpoint(edges) // the returned labels are self-contained
     if (!converged) {
       log.warn(s"min-label propagation unconverged after $maxRounds rounds " +
         "(component diameter exceeds the cap); falling back to large-star/small-star")
@@ -123,7 +137,11 @@ object Clusters {
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      edges = starRound(starRound(edges, large = true), large = false)
+      val mid = starRound(edges, large = true)
+      val next = starRound(mid, large = false)
+      freeCheckpoint(mid) // superseded by the (eager) small-star result
+      freeCheckpoint(edges)
+      edges = next
       val nfp = fingerprint(edges)
       converged = nfp == fp
       fp = nfp

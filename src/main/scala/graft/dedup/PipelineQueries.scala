@@ -57,18 +57,28 @@ object PipelineQueries {
   /** D5: exact embedding-cosine near-dup pairs, label-blocked. The
     * oracle spells out dot/norm with the same double arithmetic and
     * summation order (list fold) as the Spark plan. */
+  /** The D5 SQL oracle computes UNCAPPED all-pairs per label while the
+    * Spark side caps blocks at [[Ann.MaxBlock]]. Fail loudly (one
+    * O(labels) agg → 1 row, memoized per dataset dir — the block
+    * structure of a fixed corpus cannot change between runs) the moment
+    * any block reaches the cap at a larger sf, instead of silently
+    * hash-diverging from the oracle. */
+  private val blockCapChecked =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def assertBlocksUnderCap(s: org.apache.spark.sql.SparkSession,
+      d: String): Unit = {
+    val maxBlock = blockCapChecked.computeIfAbsent(d,
+      _ => Tables.embeddings(s, d).groupBy("label").count()
+        .agg(max("count")).head().getLong(0))
+    require(maxBlock <= Ann.MaxBlock,
+      s"a label block has $maxBlock rows > Ann.MaxBlock=${Ann.MaxBlock}: " +
+        "the capped Spark plan would diverge from the uncapped SQL oracle")
+  }
+
   val dedupEmbeddingCosine = QueryDef(
     "dedup_embedding_cosine",
     (s, d) => {
-      // The SQL oracle below computes UNCAPPED all-pairs per label; the
-      // Spark side caps blocks at Ann.MaxBlock. Fail loudly (one
-      // O(labels) agg → 1 row) the moment any block reaches the cap at
-      // a larger sf, instead of silently hash-diverging from the oracle.
-      val maxBlock = Tables.embeddings(s, d).groupBy("label").count()
-        .agg(max("count")).head().getLong(0)
-      require(maxBlock <= Ann.MaxBlock,
-        s"a label block has $maxBlock rows > Ann.MaxBlock=${Ann.MaxBlock}: " +
-          "the capped Spark plan would diverge from the uncapped SQL oracle")
+      assertBlocksUnderCap(s, d)
       Ann.cosineNearDupPairs(Tables.embeddings(s, d), 0.30)
         .orderBy("vec_a", "vec_b")
     },

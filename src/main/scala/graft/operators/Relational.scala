@@ -489,18 +489,27 @@ object Relational {
     * SELF-VERIFYING: it emits the exact distinct count alongside the
     * sketch estimate and their relative error, so the CORRECTNESS row
     * carries its own evidence; the spec bounds abs_rel_err < 0.05
-    * (rsd = 0.01, so 5% is a 5-sigma bound). */
+    * (rsd = 0.02 — HLL error is deterministic for fixed data, and the
+    * observed error is ~1% at every test sf, so the bound is stable). */
   val qApproxDistinct = QueryDef(
     "q_approx_distinct",
     (s, d) => {
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
-          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-          count(lit(1)).as("n"))
+      val li = Tables.lineitem(s, d).select("l_returnflag", "l_partkey")
+      // exact distinct as a two-stage aggregation (partial-aggregatable
+      // both stages) joined with the separate HLL pass — mixing
+      // countDistinct and approx_count_distinct in ONE agg makes
+      // Catalyst plan an Expand that doubles every input row
+      val exact = li.groupBy("l_returnflag", "l_partkey")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("exact_parts"), sum("cnt").as("n"))
+      val approx = li.groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      exact.join(approx, "l_returnflag")
         .withColumn("abs_rel_err",
           round(abs(col("approx_parts") - col("exact_parts"))
             / col("exact_parts"), 6))
+        .select("l_returnflag", "exact_parts", "approx_parts", "n", "abs_rel_err")
         .orderBy("l_returnflag")
     },
     None)

@@ -62,7 +62,7 @@ class RelationalSpec extends SparkSpec {
       val flag = r.getString(0)
       assert(r.getAs[Long]("exact_parts") === exact(flag),
         s"flag=$flag entry exact_parts disagrees with countDistinct")
-      // rsd = 0.01, so 0.05 is a 5-sigma bound
+      // rsd = 0.02; error is deterministic for fixed data (~1% observed)
       assert(r.getAs[Double]("abs_rel_err") <= 0.05,
         s"flag=$flag abs_rel_err=${r.getAs[Double]("abs_rel_err")}")
     }
