@@ -514,9 +514,81 @@ object Relational {
     },
     None)
 
+  /** R20: pivot (long→wide). Spark's pivot IS conditional aggregation
+    * under the hood — one groupBy shuffle with map-side partials, no
+    * extra pass per pivot value; the oracle spells the same shape out
+    * as CASE sums. Explicit pivot values keep the plan static (no
+    * values-discovery job) — the production shape when the domain is
+    * known. */
+  val qPivot = QueryDef(
+    "q_pivot",
+    (s, d) => Tables.orders(s, d)
+      .select(year(col("o_orderdate")).as("yr"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .groupBy("yr")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(rsum(col("o_totalprice")))
+      .select(col("yr"), col("F").as("f_total"), col("O").as("o_total"),
+        col("P").as("p_total"))
+      .orderBy("yr"),
+    Some(s"""SELECT EXTRACT(year FROM o_orderdate) AS yr,
+              ${oSum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS f_total,
+              ${oSum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS o_total,
+              ${oSum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS p_total
+            FROM orders GROUP BY 1 ORDER BY yr"""))
+
+  /** R21: cube + grouping_id — all four grouping-set combinations in
+    * one aggregation (Expand ×4 then a single shuffle); grouping_id
+    * disambiguates real NULL keys from rolled-up ones, mirrored by
+    * DuckDB's GROUPING bitmask. */
+  val qCubeGrouping = QueryDef(
+    "q_cube_grouping",
+    (s, d) => Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .cube(col("n_name"), col("c_mktsegment"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        rsum(col("c_acctbal")).as("bal"))
+      .orderBy(col("gid"), asc_nulls_first("n_name"),
+        asc_nulls_first("c_mktsegment")),
+    Some(s"""SELECT n_name, c_mktsegment,
+               CAST(GROUPING(n_name, c_mktsegment) AS BIGINT) AS gid,
+               COUNT(*) AS n, ${oSum("c_acctbal")} AS bal
+             FROM customer JOIN nation ON c_nationkey = n_nationkey
+             GROUP BY CUBE(n_name, c_mktsegment)
+             ORDER BY gid, n_name NULLS FIRST, c_mktsegment NULLS FIRST"""))
+
+  /** R22: per-key sequence window functions (lag / lead / first_value /
+    * ntile) in ONE window pass — all four share the same (partition,
+    * order) spec, so Spark plans a single sort + WindowExec, one keyed
+    * shuffle. No arithmetic is performed on the values, so doubles
+    * round-trip exactly. */
+  val qWindowFuncs = QueryDef(
+    "q_window_funcs",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .withColumn("prev_price", lag("o_totalprice", 1).over(w))
+        .withColumn("next_price", lead("o_totalprice", 1).over(w))
+        .withColumn("first_price", first(col("o_totalprice")).over(w))
+        .withColumn("quartile", ntile(4).over(w))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+              LAG(o_totalprice, 1) OVER w AS prev_price,
+              LEAD(o_totalprice, 1) OVER w AS next_price,
+              FIRST_VALUE(o_totalprice) OVER w AS first_price,
+              NTILE(4) OVER w AS quartile
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            ORDER BY o_custkey, o_orderdate, o_orderkey"""))
+
   val all: Seq[QueryDef] = Seq(
     qScanPushdown, q1PricingSummary, q3ShippingPriority, q5LocalSupplier,
     qBroadcastJoin, qSemiJoin, qAntiJoin, qWindowRank, qWindowRunning,
     qCountDistinct, qConditionalAgg, qTopK, qRollup, qPercentiles,
-    qUnionDedup, qScalarFuncs, qAsofJoin, qVectorAgg, qApproxDistinct)
+    qUnionDedup, qScalarFuncs, qAsofJoin, qVectorAgg, qApproxDistinct,
+    qPivot, qCubeGrouping, qWindowFuncs)
 }

@@ -48,6 +48,18 @@ class RelationalSpec extends SparkSpec {
     assert(plan("q_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("R22: all four sequence window functions share ONE window pass") {
+    val df = graft.SparkEntry.queries("q_window_funcs")(spark, sf)
+    // sparkPlan, not executedPlan: AQE's wrapper node hides the inner
+    // plan from collect until execution
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.length === 1,
+      s"lag/lead/first/ntile share a (partition, order) spec — expected one " +
+        s"WindowExec, got ${windows.length}")
+  }
+
   test("R19: HLL approximate count-distinct is within its error bound") {
     // the entry is self-verifying: it emits exact, approx, and their
     // relative error; the independent exact recomputation here guards
