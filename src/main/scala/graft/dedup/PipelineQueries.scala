@@ -271,12 +271,48 @@ object PipelineQueries {
       .orderBy("label"),
     None)
 
-  /** D12: multimodal binary columns + typed metadata (rows-only;
-    * decode stub covered by spec). */
+  /** D12: multimodal binary columns + typed metadata. The synthetic
+    * asset metadata is pure arithmetic over documents, so the whole
+    * metadata surface is oracle-checked (strlen = BYTE length in
+    * DuckDB, matching Spark's length(binary)); only the codec stub
+    * stays spec-gated. */
   val mmBinaryMeta = QueryDef(
     "mm_binary_meta",
     (s, d) => Multimodal.binaryMeta(s, Tables.documents(s, d)),
-    None)
+    Some("""SELECT doc_id,
+              CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                   WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+              CAST(strlen(text) AS INTEGER) AS n_bytes,
+              CAST(64 + doc_id % 512 AS INTEGER) AS width,
+              CAST(64 + doc_id % 256 AS INTEGER) AS height,
+              CAST(8000 + (doc_id % 5) * 8000 AS INTEGER) AS sample_rate,
+              CAST(1 + doc_id % 300 AS INTEGER) AS n_frames
+            FROM documents ORDER BY doc_id"""))
+
+  /** D18: vocabulary building — corpus-wide term and document
+    * frequencies, top-k. The tokenizer-training shape: explode words,
+    * two-stage aggregation ((word, doc) partials then word totals — no
+    * distinct-Expand), TakeOrderedAndProject top-k. SUM is
+    * BIGINT-cast in the oracle against DuckDB's HUGEINT
+    * materialization. */
+  val textVocab = QueryDef(
+    "text_vocab_topk",
+    (s, d) => {
+      val words = graft.functions.Spread(Tables.documents(s, d), col("doc_id"))
+        .select(col("doc_id"), explode(Text.words(col("text"))).as("word"))
+      words.groupBy("word", "doc_id").agg(count(lit(1)).as("tf"))
+        .groupBy("word")
+        .agg(sum("tf").as("freq"), count(lit(1)).as("doc_freq"))
+        .orderBy(desc("freq"), desc("doc_freq"), asc("word"))
+        .limit(100)
+    },
+    Some(s"""WITH w AS (
+               SELECT doc_id, unnest(string_split($oCanon, ' ')) AS word
+               FROM documents)
+             SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+             FROM w GROUP BY word
+             ORDER BY freq DESC, doc_freq DESC, word LIMIT 100"""))
 
   private def T(frac: Double): String = graft.functions.Splits.hexThreshold(frac)
   private val oBucket = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)"
@@ -442,6 +478,6 @@ object PipelineQueries {
     dedupExact, dedupMinhashLsh, dedupSimhash, dedupNgramJaccard,
     dedupEmbeddingCosine, annBruteforceTopK, annLsh, annIvf,
     textLangId, textQualityScore, textTokenCount, textFingerprint,
-    textWinnow, vecCentroid, mmBinaryMeta, hashSplit, stratifiedSample,
+    textWinnow, textVocab, vecCentroid, mmBinaryMeta, hashSplit, stratifiedSample,
     dedupClusters, dedupClustersCc, dedupPipelineQ, packSequences, textScrub)
 }
