@@ -585,10 +585,40 @@ object Relational {
             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
             ORDER BY o_custkey, o_orderdate, o_orderkey"""))
 
+  /** R23: range join (point-in-interval, NO equi key) via
+    * [[RangeJoin.bucketed]] — every 200th event opens a 6-hour window,
+    * all events fall into windows by time alone. The bucketed plan is
+    * an equi-join on 6-hour buckets (shuffle-partitionable), not the
+    * naive BroadcastNestedLoopJoin; the spec asserts parity with the
+    * naive theta join and the absence of BNLJ. ts is emitted as epoch
+    * micros so DuckDB's nanosecond timestamps collate exactly. */
+  val qRangeJoin = QueryDef(
+    "q_range_join",
+    (s, d) => {
+      val windows = Tables.events(s, d)
+        .filter(col("event_id") % 200 === 0)
+        .select(col("event_id").as("window_id"), col("ts").as("start_ts"),
+          expr("ts + INTERVAL 6 HOUR").as("end_ts"))
+      val points = Tables.events(s, d).select("event_id", "ts")
+      RangeJoin.bucketed(points, "ts", windows, "start_ts", "end_ts", 21600L)
+        .select(col("event_id"), col("window_id"),
+          unix_micros(col("ts")).as("ts_us"))
+        .orderBy("event_id", "window_id")
+    },
+    Some("""WITH w AS (
+              SELECT event_id AS window_id, ts AS start_ts,
+                     ts + INTERVAL 6 HOUR AS end_ts
+              FROM events WHERE event_id % 200 = 0)
+            SELECT e.event_id, w.window_id, epoch_us(e.ts) AS ts_us
+            FROM events e JOIN w
+              ON epoch_us(e.ts) >= epoch_us(w.start_ts)
+             AND epoch_us(e.ts) < epoch_us(w.end_ts)
+            ORDER BY event_id, window_id"""))
+
   val all: Seq[QueryDef] = Seq(
     qScanPushdown, q1PricingSummary, q3ShippingPriority, q5LocalSupplier,
     qBroadcastJoin, qSemiJoin, qAntiJoin, qWindowRank, qWindowRunning,
     qCountDistinct, qConditionalAgg, qTopK, qRollup, qPercentiles,
     qUnionDedup, qScalarFuncs, qAsofJoin, qVectorAgg, qApproxDistinct,
-    qPivot, qCubeGrouping, qWindowFuncs)
+    qPivot, qCubeGrouping, qWindowFuncs, qRangeJoin)
 }
