@@ -340,9 +340,11 @@ object Relational {
     * rank is 1+(n-1)p; rows at floor/ceil of any target survive the
     * filter (≤ 6 per group), and the tiny final agg interpolates
     * lo + (hi-lo)·frac — the same formula both engines use. */
-  val qPercentiles = QueryDef(
-    "q_percentiles",
-    (s, d) => {
+  /** Exact p50(quantity)/p90/p99(price) per returnflag by rank
+    * arithmetic — shared by the R14 oracle entry and the R25
+    * self-verification baseline. */
+  private def exactPercentiles(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
       val wq = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
       val wp = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
       // same (partition, order) spec as wq with an unbounded frame, so
@@ -378,7 +380,11 @@ object Relational {
         interp("p90_lo", "p90_hi", 0.9).as("p90_price"),
         interp("p99_lo", "p99_hi", 0.99).as("p99_price"))
         .orderBy("l_returnflag")
-    },
+  }
+
+  val qPercentiles = QueryDef(
+    "q_percentiles",
+    (s, d) => exactPercentiles(s, d),
     Some("""SELECT l_returnflag,
               ROUND(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
               ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
@@ -615,10 +621,58 @@ object Relational {
              AND epoch_us(e.ts) < epoch_us(w.end_ts)
             ORDER BY event_id, window_id"""))
 
+  /** R24: salted skew join in the correctness gate — the salted plan's
+    * result must be EXACTLY the plain join's (the oracle is the plain
+    * SQL join). Salting is the static fallback for keys too hot for
+    * one reducer even after AQE's skew split. */
+  val qSaltedJoin = QueryDef(
+    "q_salted_join",
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey").as("nationkey"),
+          col("c_acctbal"))
+      val nat = Tables.nation(s, d)
+        .select(col("n_nationkey").as("nationkey"), col("n_name"))
+      Skew.saltedJoin(cust, nat, "nationkey", factor = 8)
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n"), rsum(col("c_acctbal")).as("bal"))
+        .orderBy("n_name")
+    },
+    Some(s"""SELECT n_name, COUNT(*) AS n, ${oSum("c_acctbal")} AS bal
+             FROM customer JOIN nation ON c_nationkey = n_nationkey
+             GROUP BY n_name ORDER BY n_name"""))
+
+  /** R25: approximate percentiles (the 100 TB shape — R14's exact rank
+    * arithmetic costs full sorts; the KLL/GK-style sketch behind
+    * approx_percentile is one pass, mergeable, bounded memory).
+    * Engine-specific sketch → no cross-engine oracle; SELF-VERIFYING
+    * like R19: emits the exact values alongside the sketch values and
+    * their relative errors, spec-bounded. */
+  val qApproxPercentile = QueryDef(
+    "q_approx_percentile",
+    (s, d) => {
+      val approx = Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+        round(expr("approx_percentile(l_quantity, 0.5, 10000)"), 4)
+          .as("approx_med_qty"),
+        round(expr("approx_percentile(l_extendedprice, 0.9, 10000)"), 4)
+          .as("approx_p90_price"),
+        round(expr("approx_percentile(l_extendedprice, 0.99, 10000)"), 4)
+          .as("approx_p99_price"))
+      def err(a: String, e: String) =
+        round(abs(col(a) - col(e)) / col(e), 6)
+      exactPercentiles(s, d).join(approx, "l_returnflag")
+        .withColumn("med_rel_err", err("approx_med_qty", "med_qty"))
+        .withColumn("p90_rel_err", err("approx_p90_price", "p90_price"))
+        .withColumn("p99_rel_err", err("approx_p99_price", "p99_price"))
+        .orderBy("l_returnflag")
+    },
+    None)
+
   val all: Seq[QueryDef] = Seq(
     qScanPushdown, q1PricingSummary, q3ShippingPriority, q5LocalSupplier,
     qBroadcastJoin, qSemiJoin, qAntiJoin, qWindowRank, qWindowRunning,
     qCountDistinct, qConditionalAgg, qTopK, qRollup, qPercentiles,
     qUnionDedup, qScalarFuncs, qAsofJoin, qVectorAgg, qApproxDistinct,
-    qPivot, qCubeGrouping, qWindowFuncs, qRangeJoin)
+    qPivot, qCubeGrouping, qWindowFuncs, qRangeJoin, qSaltedJoin,
+    qApproxPercentile)
 }

@@ -60,6 +60,17 @@ class RelationalSpec extends SparkSpec {
         s"WindowExec, got ${windows.length}")
   }
 
+  test("R25: approx percentiles stay within 1% of the exact rank-arithmetic values") {
+    val rows = graft.SparkEntry.queries("q_approx_percentile")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq("med_rel_err", "p90_rel_err", "p99_rel_err").foreach { c =>
+        // observed ≤ 0.1% at every test sf; sketch is deterministic
+        assert(r.getAs[Double](c) <= 0.01, s"$c=${r.getAs[Double](c)}")
+      }
+    }
+  }
+
   test("R19: HLL approximate count-distinct is within its error bound") {
     // the entry is self-verifying: it emits exact, approx, and their
     // relative error; the independent exact recomputation here guards
