@@ -668,11 +668,65 @@ object Relational {
     },
     None)
 
+  /** R26: full outer join with null-producing sides on BOTH ends (the
+    * customer subset drops rows that have orders; order keys without a
+    * surviving customer row appear null-left). Coalesced key keeps the
+    * output totally ordered. */
+  val qOuterJoin = QueryDef(
+    "q_outer_join",
+    (s, d) => {
+      val custSub = Tables.customer(s, d)
+        .filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val ordAgg = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), rsum(col("o_totalprice")).as("total"))
+      custSub.join(ordAgg, custSub("c_custkey") === ordAgg("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_acctbal"), col("n_orders"), col("total"))
+        .orderBy("custkey")
+    },
+    Some(s"""WITH cs AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000),
+             oa AS (SELECT o_custkey, COUNT(*) AS n_orders,
+                      ${oSum("o_totalprice")} AS total
+                    FROM orders GROUP BY o_custkey)
+             SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+                    c_acctbal, n_orders, total
+             FROM cs FULL OUTER JOIN oa ON c_custkey = o_custkey
+             ORDER BY custkey"""))
+
+  /** R27: time-range window frame — per-user moving 1-hour sum/count
+    * over event time (RANGE frame on epoch micros, not a row frame:
+    * the window is defined by TIME, so gaps and bursts are handled
+    * correctly). Decimal accumulation keeps the moving sum
+    * order-independent across engines. */
+  val qSlidingWindow = QueryDef(
+    "q_sliding_window",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        .withColumn("hour_sum",
+          round(sum(col("value").cast("decimal(38,6)")).over(w), 4).cast("double"))
+        .withColumn("hour_n", count(lit(1)).over(w))
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+    Some("""SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+              CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))) OVER w, 4) AS DOUBLE) AS hour_sum,
+              COUNT(*) OVER w AS hour_n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+            ORDER BY user_id, ts_us, event_id"""))
+
   val all: Seq[QueryDef] = Seq(
     qScanPushdown, q1PricingSummary, q3ShippingPriority, q5LocalSupplier,
     qBroadcastJoin, qSemiJoin, qAntiJoin, qWindowRank, qWindowRunning,
     qCountDistinct, qConditionalAgg, qTopK, qRollup, qPercentiles,
     qUnionDedup, qScalarFuncs, qAsofJoin, qVectorAgg, qApproxDistinct,
     qPivot, qCubeGrouping, qWindowFuncs, qRangeJoin, qSaltedJoin,
-    qApproxPercentile)
+    qApproxPercentile, qOuterJoin, qSlidingWindow)
 }
