@@ -1,0 +1,54 @@
+package graft.dedup
+
+import graft.functions.Text
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** D20: benchmark decontamination — flag training documents that share
+  * a verbatim word k-gram with any document of a benchmark/eval set
+  * (the standard guard against test-set leakage into training data;
+  * cf. the 13-gram overlap rule popularized by GPT-3's appendix and
+  * the open reproductions of it).
+  *
+  * Shape: per-doc DISTINCT k-gram strings (explode, one row per
+  * (doc, gram)), a document-frequency valve dropping grams shared by
+  * more than `maxDocsPerGram` docs (a boilerplate gram — license
+  * headers, common phrases — would otherwise create a quadratic
+  * bucket AND flag half the corpus as "contaminated" on noise), then
+  * an equi-join gram-to-gram against the benchmark side. Work is
+  * linear in total grams plus bucket-bounded join output; never
+  * all-pairs. String grams (not hashes) keep the operator
+  * SQL-mirrorable — the hash variant of this pipeline is D2.
+  */
+object Decontaminate {
+
+  /** (doc_id, gram) — distinct word k-grams per document. */
+  def docGrams(docs: DataFrame, k: Int, maxDocsPerGram: Int): DataFrame = {
+    val grams = graft.functions.Spread(docs, col("doc_id"))
+      .select(col("doc_id"), Text.words(col("text")).as("ws"))
+      // sequence(1, n) DESCENDS when n < 1 — guard short docs explicitly
+      .select(col("doc_id"), explode(expr(
+        s"CASE WHEN size(ws) >= $k THEN " +
+          s"transform(sequence(1, size(ws) - ${k - 1}), i -> array_join(slice(ws, i, $k), ' ')) " +
+          "ELSE CAST(array() AS array<string>) END")).as("gram"))
+      .distinct()
+    // df == docs-per-gram because grams are per-doc distinct
+    val ok = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocsPerGram)
+      .select("gram")
+    grams.join(ok, Seq("gram")).select("doc_id", "gram")
+  }
+
+  /** Training doc_ids sharing any k-gram with a DIFFERENT benchmark
+    * document. `isBench` marks the benchmark subset by doc_id. */
+  def flagged(docs: DataFrame, isBench: Column => Column, k: Int = 5,
+      maxDocsPerGram: Int = 100): DataFrame = {
+    val grams = docGrams(docs, k, maxDocsPerGram)
+    val bench = grams.filter(isBench(col("doc_id")))
+      .withColumnRenamed("doc_id", "bench_doc")
+    grams.join(bench, Seq("gram"))
+      .filter(col("doc_id") =!= col("bench_doc"))
+      .select("doc_id")
+      .distinct()
+  }
+}

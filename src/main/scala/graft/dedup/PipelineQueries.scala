@@ -424,6 +424,32 @@ object PipelineQueries {
       .select("doc_id").orderBy("doc_id"),
     None)
 
+  /** D20: benchmark decontamination over the planted-dup corpus — every
+    * 100th doc is the "benchmark set"; planted near-dups of benchmark
+    * docs (and the originals of planted benchmark members) share
+    * 5-grams and must be flagged. String grams keep the whole operator
+    * mirrorable in SQL, including the document-frequency valve. */
+  val textDecontaminate = QueryDef(
+    "text_decontaminate",
+    (s, d) => Decontaminate.flagged(
+      Dedup.withPlantedDups(Tables.documents(s, d)),
+      id => id % 100 === 0)
+      .orderBy("doc_id"),
+    Some(s"""WITH planted AS (
+               SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + 1000000, text || ' planted near duplicate suffix'
+               FROM documents WHERE doc_id % 50 = 0),
+             w AS (SELECT doc_id, string_split($oCanon, ' ') AS ws FROM planted),
+             sh AS (SELECT DISTINCT doc_id, array_to_string(ws[g:g+4], ' ') AS gram
+                    FROM w, UNNEST(generate_series(1, greatest(len(ws)-4, 0))) AS t(g)),
+             ok AS (SELECT gram FROM sh GROUP BY gram HAVING COUNT(*) <= 100),
+             shf AS (SELECT s.* FROM sh s JOIN ok USING (gram)),
+             flagged AS (SELECT DISTINCT t.doc_id
+                         FROM shf t JOIN shf b ON t.gram = b.gram
+                         WHERE b.doc_id % 100 = 0 AND t.doc_id <> b.doc_id)
+             SELECT doc_id FROM flagged ORDER BY doc_id"""))
+
   /** D15 (oracle-gated): connected components over a DETERMINISTIC,
     * SQL-mirrorable duplicate graph. Three exact copies of every 50th
     * doc are planted (+1M/+2M/+3M ids), md5 groups are linked as
@@ -479,5 +505,6 @@ object PipelineQueries {
     dedupEmbeddingCosine, annBruteforceTopK, annLsh, annIvf,
     textLangId, textQualityScore, textTokenCount, textFingerprint,
     textWinnow, textVocab, vecCentroid, mmBinaryMeta, hashSplit, stratifiedSample,
-    dedupClusters, dedupClustersCc, dedupPipelineQ, packSequences, textScrub)
+    dedupClusters, dedupClustersCc, dedupPipelineQ, packSequences, textScrub,
+    textDecontaminate)
 }

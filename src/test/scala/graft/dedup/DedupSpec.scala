@@ -69,6 +69,33 @@ class DedupSpec extends SparkSpec {
     verified.unpersist()
   }
 
+  test("D20: decontamination flags every guaranteed bench-overlap doc") {
+    import spark.implicits._
+    val flagged = Decontaminate.flagged(planted, id => id % 100 === 0)
+      .collect().map(_.getLong(0)).toSet
+    // guaranteed positives: a bench original (id % 100 == 0) and its
+    // planted near-copy share long runs of 5-grams — both directions
+    // must be flagged. (The word-salad corpus also produces NATURAL
+    // cross-doc 5-gram overlaps — those are real contamination by the
+    // operator's definition, and the oracle pins the exact set.)
+    val benchOriginals = planted.filter(col("doc_id") % 100 === 0 &&
+      col("doc_id") < 1000000L).select("doc_id")
+      .collect().map(_.getLong(0))
+    assert(benchOriginals.nonEmpty)
+    benchOriginals.foreach { id =>
+      assert(flagged.contains(id + 1000000L),
+        s"planted copy of bench doc $id must be flagged")
+      assert(flagged.contains(id),
+        s"bench original $id must be flagged via its planted bench copy")
+    }
+    // the frequency valve kills boilerplate grams: a gram present in
+    // 150 docs (one of them "bench") flags nobody
+    val boiler = (0 until 150).map(i =>
+      (i.toLong * 100, "the exact same boilerplate sentence repeated verbatim here"))
+      .toDF("doc_id", "text")
+    assert(Decontaminate.flagged(boiler, id => id % 200 === 0).count() === 0)
+  }
+
   test("D2/D3: oversized buckets are dropped (skew cap)") {
     import spark.implicits._
     // 150 identical docs → one bucket of 150 > MaxBucket → no pairs
