@@ -10,27 +10,42 @@ import org.apache.spark.sql.functions._
   * cf. the 13-gram overlap rule popularized by GPT-3's appendix and
   * the open reproductions of it).
   *
-  * Shape: per-doc DISTINCT k-gram strings (explode, one row per
-  * (doc, gram)), a document-frequency valve dropping grams shared by
-  * more than `maxDocsPerGram` docs (a boilerplate gram — license
-  * headers, common phrases — would otherwise create a quadratic
-  * bucket AND flag half the corpus as "contaminated" on noise), then
-  * an equi-join gram-to-gram against the benchmark side. Work is
-  * linear in total grams plus bucket-bounded join output; never
-  * all-pairs. String grams (not hashes) keep the operator
-  * SQL-mirrorable — the hash variant of this pipeline is D2.
+  * Shape: per-doc DISTINCT k-grams (explode, one row per (doc, gram)),
+  * a document-frequency valve dropping grams shared by more than
+  * `maxDocsPerGram` docs (a boilerplate gram — license headers, common
+  * phrases — would otherwise create a quadratic bucket AND flag half
+  * the corpus as "contaminated" on noise), then an equi-join
+  * gram-to-gram against the benchmark side. Work is linear in total
+  * grams plus bucket-bounded join output; never all-pairs.
+  *
+  * `hashGrams = true` (the production default) keys every shuffle on
+  * the 8-byte combined word-hash of the gram ([[Text.shingleHashes]])
+  * instead of the gram STRING — at k = 5 a string gram is ~5 words of
+  * bytes through two shuffles, a ~5× bandwidth amplifier at 100 TB.
+  * `false` keeps string grams so the whole operator (valve included)
+  * is SQL-mirrorable — that is what the oracle entry gates; both modes
+  * flag identical doc sets (spec-asserted). One edge differs by
+  * design: a document SHORTER than k words contributes one whole-doc
+  * shingle in hashed mode ([[Text.shingleHashes]] floors at one) and
+  * none in string mode — i.e. hashed mode additionally catches
+  * verbatim short-doc matches.
   */
 object Decontaminate {
 
   /** (doc_id, gram) — distinct word k-grams per document. */
-  def docGrams(docs: DataFrame, k: Int, maxDocsPerGram: Int): DataFrame = {
-    val grams = graft.functions.Spread(docs, col("doc_id"))
+  def docGrams(docs: DataFrame, k: Int, maxDocsPerGram: Int,
+      hashGrams: Boolean = true): DataFrame = {
+    val spread = graft.functions.Spread(docs, col("doc_id"))
       .select(col("doc_id"), Text.words(col("text")).as("ws"))
+    val gramCol =
+      if (hashGrams) explode(Text.shingleHashes(col("ws"), k))
       // sequence(1, n) DESCENDS when n < 1 — guard short docs explicitly
-      .select(col("doc_id"), explode(expr(
+      else explode(expr(
         s"CASE WHEN size(ws) >= $k THEN " +
           s"transform(sequence(1, size(ws) - ${k - 1}), i -> array_join(slice(ws, i, $k), ' ')) " +
-          "ELSE CAST(array() AS array<string>) END")).as("gram"))
+          "ELSE CAST(array() AS array<string>) END"))
+    val grams = spread
+      .select(col("doc_id"), gramCol.as("gram"))
       .distinct()
     // df == docs-per-gram because grams are per-doc distinct
     val ok = grams.groupBy("gram").agg(count(lit(1)).as("df"))
@@ -42,8 +57,8 @@ object Decontaminate {
   /** Training doc_ids sharing any k-gram with a DIFFERENT benchmark
     * document. `isBench` marks the benchmark subset by doc_id. */
   def flagged(docs: DataFrame, isBench: Column => Column, k: Int = 5,
-      maxDocsPerGram: Int = 100): DataFrame = {
-    val grams = docGrams(docs, k, maxDocsPerGram)
+      maxDocsPerGram: Int = 100, hashGrams: Boolean = true): DataFrame = {
+    val grams = docGrams(docs, k, maxDocsPerGram, hashGrams)
     val bench = grams.filter(isBench(col("doc_id")))
       .withColumnRenamed("doc_id", "bench_doc")
     grams.join(bench, Seq("gram"))

@@ -433,7 +433,7 @@ object PipelineQueries {
     "text_decontaminate",
     (s, d) => Decontaminate.flagged(
       Dedup.withPlantedDups(Tables.documents(s, d)),
-      id => id % 100 === 0)
+      id => id % 100 === 0, hashGrams = false)
       .orderBy("doc_id"),
     Some(s"""WITH planted AS (
                SELECT doc_id, text FROM documents

@@ -88,6 +88,13 @@ class DedupSpec extends SparkSpec {
       assert(flagged.contains(id),
         s"bench original $id must be flagged via its planted bench copy")
     }
+    // the production (hashed-gram) mode flags the identical doc set —
+    // the shuffles just carry 8-byte hashes instead of gram strings
+    val hashed = Decontaminate.flagged(planted, id => id % 100 === 0,
+      hashGrams = true).collect().map(_.getLong(0)).toSet
+    val strings = Decontaminate.flagged(planted, id => id % 100 === 0,
+      hashGrams = false).collect().map(_.getLong(0)).toSet
+    assert(hashed === strings, "hashed and string gram modes must agree")
     // the frequency valve kills boilerplate grams: a gram present in
     // 150 docs (one of them "bench") flags nobody
     val boiler = (0 until 150).map(i =>
