@@ -52,6 +52,26 @@ object EventOps {
         round(sum(col("value").cast("decimal(38,6)")), 4).cast("double").as("sum_value"))
   }
 
+  /** S2b: sessionization via the NATIVE session_window aggregation —
+    * the streaming-first shape (in Structured Streaming this exact
+    * expression runs with a watermark and merging session state;
+    * [[graft.streaming.StatefulSessions]] is the custom-state
+    * alternative). Merge boundary matches [[sessionize]]: an event
+    * landing exactly at last_ts + gap still MERGES into the session
+    * (spec-verified — a new session needs a gap STRICTLY exceeded);
+    * session_end here is last_ts + gap, not last_ts. Output times are
+    * epoch micros so the oracle collates exactly. */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$SessionGapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(38,6)")), 4).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("session_start_us"),
+        unix_micros(col("sw.end")).as("session_end_us"),
+        col("n_events"), col("sum_value"))
+
   /** S5: JSON props extraction — schema'd from_json, no string
     * munging. */
   val propsSchema = StructType(Seq(StructField("k", LongType)))

@@ -80,6 +80,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("S2b: session_window and lag-based sessionize share the merge boundary") {
+    import spark.implicits._
+    val gapMs = graft.streaming.EventOps.SessionGapMinutes * 60L * 1000L
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    def evs(offsets: Long*) = offsets.zipWithIndex.map { case (off, i) =>
+      (i.toLong, 10L, new java.sql.Timestamp(base + off), 1.0)
+    }.toDF("event_id", "user_id", "ts", "value")
+    // exactly AT the boundary → merges in BOTH shapes (gap must be
+    // strictly exceeded to split)
+    val atBoundary = evs(0L, gapMs)
+    assert(graft.streaming.EventOps.sessionWindows(atBoundary).count() === 1)
+    assert(graft.streaming.EventOps.sessionize(atBoundary).count() === 1)
+    // one micro past the boundary → splits in both
+    val pastBoundary = evs(0L, gapMs + 1L)
+    assert(graft.streaming.EventOps.sessionWindows(pastBoundary).count() === 2)
+    assert(graft.streaming.EventOps.sessionize(pastBoundary).count() === 2)
+    // merged session's end extends to last_ts + gap
+    val end = graft.streaming.EventOps.sessionWindows(atBoundary)
+      .select("session_end_us").head().getLong(0)
+    assert(end === (base + 2 * gapMs) * 1000L)
+  }
+
   test("S4: flatMapGroupsWithState sessionization closes sessions on gap and matches batch logic") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
