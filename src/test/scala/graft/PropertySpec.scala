@@ -81,6 +81,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bucketed range join equals the naive theta join on random intervals") {
+    import spark.implicits._
+    // timestamps in micros around an epoch base; durations span 0 to
+    // several buckets so interval ends land ON and OFF bucket edges
+    val baseUs = 1_700_000_000_000_000L
+    val bucketSec = 60L
+    val ptGen = Gen.listOfN(40, Gen.choose(0L, 20L * 60L * 1000000L))
+    val ivGen = Gen.listOfN(12, Gen.zip(
+      Gen.choose(0L, 20L * 60L * 1000000L),
+      Gen.choose(0L, 5L * 60L * 1000000L)))
+    samples(Gen.zip(ptGen, ivGen), 5).foreach { case (pts, ivs) =>
+      // construct via timestamp_micros so micro precision survives
+      val p = pts.zipWithIndex.map { case (off, i) => (i.toLong, baseUs + off) }
+        .toDF("pt_id", "us")
+        .select(col("pt_id"), expr("timestamp_micros(us)").as("ts"))
+      val iv = ivs.zipWithIndex.map { case ((off, dur), i) =>
+        (i.toLong, baseUs + off, baseUs + off + dur)
+      }.toDF("iv_id", "s_us", "e_us")
+        .select(col("iv_id"), expr("timestamp_micros(s_us)").as("start_ts"),
+          expr("timestamp_micros(e_us)").as("end_ts"))
+      val bucketed = operators.RangeJoin.bucketed(p, "ts", iv,
+        "start_ts", "end_ts", bucketSec).select("pt_id", "iv_id")
+      val naive = p.join(iv,
+        col("ts") >= col("start_ts") && col("ts") < col("end_ts"))
+        .select("pt_id", "iv_id")
+      assert(bucketed.exceptAll(naive).count() === 0)
+      assert(naive.exceptAll(bucketed).count() === 0)
+    }
+  }
+
   test("hash split partitions every key and assignment is a pure key function") {
     import spark.implicits._
     val keys = samples(Gen.choose(0L, 100000L), 80).distinct
