@@ -424,6 +424,29 @@ object PipelineQueries {
       .select("doc_id").orderBy("doc_id"),
     None)
 
+  /** D21: heavy hitters — approximate top-k frequent items
+    * (approx_top_k: one-pass, mergeable, bounded memory — the sketch
+    * family's frequency member next to HLL and the percentile sketch).
+    * SELF-VERIFYING: the sketch items join their exact corpus
+    * frequencies and a per-row match flag; with the tracked-item
+    * budget far above the corpus vocabulary the sketch counts are
+    * exact, and the spec asserts every emitted item belongs to a true
+    * top-k under ties. */
+  val textHeavyHitters = QueryDef(
+    "text_heavy_hitters",
+    (s, d) => {
+      val words = graft.functions.Spread(Tables.documents(s, d), col("doc_id"))
+        .select(explode(Text.words(col("text"))).as("word"))
+      val sketch = words.agg(expr("approx_top_k(word, 10, 10000)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("word"), col("e.count").as("approx_freq"))
+      val exact = words.groupBy("word").agg(count(lit(1)).as("exact_freq"))
+      sketch.join(exact, Seq("word"))
+        .withColumn("count_matches", col("approx_freq") === col("exact_freq"))
+        .orderBy(desc("exact_freq"), asc("word"))
+    },
+    None)
+
   /** D20: benchmark decontamination over the planted-dup corpus — every
     * 100th doc is the "benchmark set"; planted near-dups of benchmark
     * docs (and the originals of planted benchmark members) share
@@ -506,5 +529,5 @@ object PipelineQueries {
     textLangId, textQualityScore, textTokenCount, textFingerprint,
     textWinnow, textVocab, vecCentroid, mmBinaryMeta, hashSplit, stratifiedSample,
     dedupClusters, dedupClustersCc, dedupPipelineQ, packSequences, textScrub,
-    textDecontaminate)
+    textDecontaminate, textHeavyHitters)
 }

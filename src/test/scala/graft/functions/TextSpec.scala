@@ -75,4 +75,20 @@ class TextSpec extends SparkSpec {
     assert(fps.length === 1 &&
       fps.head.getSeq[Long](fps.head.fieldIndex("winnow_fps")).nonEmpty)
   }
+
+  test("D21: heavy-hitters sketch returns a true top-k with exact counts") {
+    val rows = graft.SparkEntry.queries("text_heavy_hitters")(spark, sf).collect()
+    assert(rows.length === 10)
+    assert(rows.forall(_.getAs[Boolean]("count_matches")),
+      "tracked-item budget >> vocabulary: sketch counts must be exact")
+    // every emitted item is a legitimate top-10 member under ties:
+    // its exact frequency >= the 10th-highest corpus frequency
+    val words = graft.functions.Spread(
+      graft.Tables.documents(spark, sf), col("doc_id"))
+      .select(explode(Text.words(col("text"))).as("word"))
+    val freqs = words.groupBy("word").count()
+      .orderBy(desc("count")).collect().map(_.getLong(1))
+    val tenth = freqs.take(10).last
+    assert(rows.forall(_.getAs[Long]("exact_freq") >= tenth))
+  }
 }
