@@ -722,11 +722,56 @@ object Relational {
               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
             ORDER BY user_id, ts_us, event_id"""))
 
+  /** R28: set operations — INTERSECT and EXCEPT (set semantics, i.e.
+    * distinct) in one tagged output. Both plan as aggregations/joins
+    * on the full row, one shuffle each. */
+  val qSetOps = QueryDef(
+    "q_set_ops",
+    (s, d) => {
+      val a = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey"))
+      val b = Tables.customer(s, d).filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("custkey"))
+      a.intersect(b).withColumn("op", lit("intersect"))
+        .union(a.except(b).withColumn("op", lit("except")))
+        .orderBy("op", "custkey")
+    },
+    Some("""WITH a AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'),
+                 b AS (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000)
+            SELECT custkey, 'intersect' AS op FROM (SELECT custkey FROM a INTERSECT SELECT custkey FROM b)
+            UNION ALL
+            SELECT custkey, 'except' AS op FROM (SELECT custkey FROM a EXCEPT SELECT custkey FROM b)
+            ORDER BY op, custkey"""))
+
+  /** R29: the spark.sql(...) surface — correlated EXISTS plus a scalar
+    * subquery through the SQL parser/analyzer (every other entry is
+    * DataFrame API; a reference user writing SQL strings needs this
+    * path gated too). The scalar subquery uses MAX (order-independent)
+    * so the threshold is engine-invariant. */
+  val qSqlSurface = QueryDef(
+    "q_sql_surface",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql("""SELECT c_custkey, c_acctbal FROM customer_v c
+               WHERE EXISTS (SELECT 1 FROM orders_v o
+                             WHERE o.o_custkey = c.c_custkey
+                               AND o.o_totalprice > 200000)
+                 AND c_acctbal > (SELECT MAX(c_acctbal) - 5000 FROM customer_v)
+               ORDER BY c_custkey""")
+    },
+    Some("""SELECT c_custkey, c_acctbal FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 200000)
+              AND c_acctbal > (SELECT MAX(c_acctbal) - 5000 FROM customer)
+            ORDER BY c_custkey"""))
+
   val all: Seq[QueryDef] = Seq(
     qScanPushdown, q1PricingSummary, q3ShippingPriority, q5LocalSupplier,
     qBroadcastJoin, qSemiJoin, qAntiJoin, qWindowRank, qWindowRunning,
     qCountDistinct, qConditionalAgg, qTopK, qRollup, qPercentiles,
     qUnionDedup, qScalarFuncs, qAsofJoin, qVectorAgg, qApproxDistinct,
     qPivot, qCubeGrouping, qWindowFuncs, qRangeJoin, qSaltedJoin,
-    qApproxPercentile, qOuterJoin, qSlidingWindow)
+    qApproxPercentile, qOuterJoin, qSlidingWindow, qSetOps, qSqlSurface)
 }
