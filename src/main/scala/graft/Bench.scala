@@ -3,14 +3,21 @@ package graft
 /** Benchmark main. Phase 1 warms EVERY query once (per-query warm-up
   * alone leaves the first queries of a sweep paying global JIT/C2
   * compilation, which swung sweep totals by up to 60%); phase 2 times
-  * each query as the min of two executions into the `noop` sink — a
-  * real end-to-end materialization of every output row that Catalyst
-  * cannot optimize away (a bare .count() lets the optimizer drop
-  * unreferenced projections, under-measuring compute-heavy queries).
-  * Operator-internal caches are cleared before each timed run so the
-  * timing covers the full compute, not a warm cache hit. Failures are
-  * propagated into the JSON (`"errors"`) instead of being swallowed as
-  * fake timings.
+  * each query into the `noop` sink — a real end-to-end materialization
+  * of every output row that Catalyst cannot optimize away (a bare
+  * .count() lets the optimizer drop unreferenced projections,
+  * under-measuring compute-heavy queries). The Spark DataFrame cache is
+  * cleared before each timed run so the timing covers the full compute,
+  * not a warm cache hit.
+  *
+  * Noise-proofing (BENCH_r04 shipped 4× phantom regressions — one
+  * GC pause or C2 recompilation poisoned BOTH back-to-back reps of a
+  * query inside a 65-query sweep): each query's number is the min of
+  * THREE timed reps split across TWO interleaved sweep passes — two
+  * reps in the first pass, one more in a second full pass that runs
+  * minutes later, when any transient event from the first pass is
+  * over. Failures are propagated into the JSON (`"errors"`) instead of
+  * being swallowed as fake timings.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -41,17 +48,21 @@ object Bench {
     // phase 1: global warm-up
     names.foreach(name => guarded(name)(runOnce(name)))
     spark.sqlContext.clearCache()
-    // phase 2: timed
-    names.filterNot(errors.contains).foreach { name =>
-      guarded(name) {
-        val ts = (1 to 2).map { _ =>
+    // phase 2: timed — two interleaved sweep passes (2 reps, then 1
+    // more a full sweep later); min across all three reps
+    for (repsThisPass <- Seq(2, 1)) {
+      names.filterNot(errors.contains).foreach { name =>
+        guarded(name) {
+          val ts = (1 to repsThisPass).map { _ =>
+            spark.sqlContext.clearCache()
+            val t0 = System.nanoTime()
+            runOnce(name)
+            (System.nanoTime() - t0) / 1e9
+          }
           spark.sqlContext.clearCache()
-          val t0 = System.nanoTime()
-          runOnce(name)
-          (System.nanoTime() - t0) / 1e9
+          val t = ts.min
+          timings(name) = timings.get(name).fold(t)(math.min(t, _))
         }
-        spark.sqlContext.clearCache()
-        timings(name) = ts.min
       }
     }
     val qs = timings.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")

@@ -32,9 +32,9 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
-  /** (doc_id, gram) — distinct word k-grams per document. */
-  def docGrams(docs: DataFrame, k: Int, maxDocsPerGram: Int,
-      hashGrams: Boolean = true): DataFrame = {
+  /** (doc_id, gram) — distinct word k-grams per document, NO df valve. */
+  private def rawGrams(docs: DataFrame, k: Int,
+      hashGrams: Boolean): DataFrame = {
     val spread = graft.functions.Spread(docs, col("doc_id"))
       .select(col("doc_id"), Text.words(col("text")).as("ws"))
     val gramCol =
@@ -44,9 +44,15 @@ object Decontaminate {
         s"CASE WHEN size(ws) >= $k THEN " +
           s"transform(sequence(1, size(ws) - ${k - 1}), i -> array_join(slice(ws, i, $k), ' ')) " +
           "ELSE CAST(array() AS array<string>) END"))
-    val grams = spread
+    spread
       .select(col("doc_id"), gramCol.as("gram"))
       .distinct()
+  }
+
+  /** (doc_id, gram) — distinct word k-grams per document, df-valved. */
+  def docGrams(docs: DataFrame, k: Int, maxDocsPerGram: Int,
+      hashGrams: Boolean = true): DataFrame = {
+    val grams = rawGrams(docs, k, hashGrams)
     // df == docs-per-gram because grams are per-doc distinct
     val ok = grams.groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocsPerGram)
@@ -62,6 +68,41 @@ object Decontaminate {
     val bench = grams.filter(isBench(col("doc_id")))
       .withColumnRenamed("doc_id", "bench_doc")
     grams.join(bench, Seq("gram"))
+      .filter(col("doc_id") =!= col("bench_doc"))
+      .select("doc_id")
+      .distinct()
+  }
+
+  /** The eval-set-shaped variant of [[flagged]]: real decontamination
+    * joins a TINY benchmark (thousands of docs) against a huge corpus,
+    * so the bench gram set fits in a broadcast and the corpus gram side
+    * must NOT shuffle corpus-wide beyond its per-doc distinct.
+    *
+    * Same flag set as [[flagged]] (spec-asserted), different plan: the
+    * corpus-wide df-valve groupBy — a full shuffle of every gram in the
+    * corpus — is replaced by a broadcast semi-join down to `touched`
+    * (docs carrying any bench gram) FIRST. For a bench gram, df over
+    * `touched` EQUALS corpus-wide df (every doc carrying that gram is
+    * in `touched` by construction), so valving after the cut preserves
+    * the exact valve semantics while the df aggregation shuffles only
+    * the contamination candidates, not the corpus. */
+  def flaggedBroadcastBench(docs: DataFrame, isBench: Column => Column,
+      k: Int = 5, maxDocsPerGram: Int = 100,
+      hashGrams: Boolean = true): DataFrame = {
+    val grams = rawGrams(docs, k, hashGrams)
+    // (gram, bench_doc): tiny by the eval-set contract; computed from
+    // the bench docs only, so the filter prunes before gram explosion
+    val benchGrams = grams.filter(isBench(col("doc_id")))
+      .withColumnRenamed("doc_id", "bench_doc")
+    val touched = grams
+      .join(broadcast(benchGrams.select("gram").distinct()), Seq("gram"))
+    // df valve on the matched subset == corpus-wide df for bench grams
+    val ok = touched.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocsPerGram)
+      .select("gram")
+    touched
+      .join(broadcast(ok), Seq("gram"))
+      .join(broadcast(benchGrams), Seq("gram"))
       .filter(col("doc_id") =!= col("bench_doc"))
       .select("doc_id")
       .distinct()

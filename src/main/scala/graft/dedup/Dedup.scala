@@ -211,4 +211,27 @@ object Dedup {
       .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
     docs.select("doc_id", "text").unionByName(planted)
   }
+
+  /** Self-verification harness for the rows-only candidate entries:
+    * flags each candidate pair that is a planted positive ((id,
+    * id+offset) for id % 50 == 0 — the pairs [[withPlantedDups]] /
+    * [[withPlantedExactDups]] guarantee exist) and appends 1-row
+    * corpus-level found/expected/recall stats via a broadcast cross
+    * join, so the entry output itself carries the recall evidence the
+    * specs assert. `originals` is the un-planted corpus. The candidate
+    * frame feeds both the stats aggregation and the output, so it is
+    * cached — candidate pairs, not corpus rows. */
+  def withPlantedEvidence(candidates: DataFrame, originals: DataFrame,
+      offset: Long): DataFrame = {
+    val flagged = candidates.withColumn("is_planted_pair",
+      col("doc_a") % 50 === 0 && col("doc_b") === col("doc_a") + offset)
+      .cache()
+    val stats = flagged
+      .agg(sum(when(col("is_planted_pair"), 1L).otherwise(0L)).as("planted_found"))
+      .crossJoin(originals.filter(col("doc_id") % 50 === 0)
+        .agg(count(lit(1)).as("planted_expected")))
+      .withColumn("planted_recall",
+        round(col("planted_found") / col("planted_expected"), 4))
+    flagged.crossJoin(broadcast(stats))
+  }
 }

@@ -26,30 +26,45 @@ object PipelineQueries {
              FROM documents GROUP BY 1 ORDER BY content_hash"""))
 
   /** D2: MinHash+LSH candidate pairs on the corpus + planted
-    * near-dups (rows-only: the hash family has no SQL oracle). */
+    * near-dups — SELF-VERIFYING (rows-only: the hash family has no SQL
+    * oracle): every row flags whether it is a planted positive and
+    * carries 1-row planted found/expected/recall stats. */
   val dedupMinhashLsh = QueryDef(
     "dedup_minhash_lsh",
-    (s, d) => Dedup.minhashLshCandidates(
-      Dedup.withPlantedDups(Tables.documents(s, d)))
-      .orderBy("doc_a", "doc_b"),
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.withPlantedEvidence(
+        Dedup.minhashLshCandidates(Dedup.withPlantedDups(docs)),
+        docs, 1000000L)
+        .orderBy("doc_a", "doc_b")
+    },
     None)
 
-  /** D3: SimHash near-dup candidates (rows-only; planted exact copies
-    * are the guaranteed positives — see Dedup.withPlantedExactDups). */
+  /** D3: SimHash near-dup candidates — SELF-VERIFYING like D2; the
+    * planted positives are exact copies (id + 2M, hamming 0 — see
+    * Dedup.withPlantedExactDups). */
   val dedupSimhash = QueryDef(
     "dedup_simhash",
-    (s, d) => Dedup.simhashCandidates(
-      Dedup.withPlantedExactDups(Tables.documents(s, d)))
-      .orderBy("doc_a", "doc_b"),
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.withPlantedEvidence(
+        Dedup.simhashCandidates(Dedup.withPlantedExactDups(docs)),
+        docs, 2000000L)
+        .orderBy("doc_a", "doc_b")
+    },
     None)
 
-  /** D4: n-gram Jaccard verification over the D2 candidates
-    * (rows-only). */
+  /** D4: n-gram Jaccard verification over the D2 candidates —
+    * SELF-VERIFYING: planted pairs sit at Jaccard ≈ 0.85, far above
+    * the 0.5 threshold, so planted_recall tracks the LSH stage's. */
   val dedupNgramJaccard = QueryDef(
     "dedup_ngram_jaccard",
     (s, d) => {
-      val corpus = Dedup.withPlantedDups(Tables.documents(s, d))
-      Dedup.jaccardVerify(Dedup.minhashLshCandidates(corpus), corpus)
+      val docs = Tables.documents(s, d)
+      val corpus = Dedup.withPlantedDups(docs)
+      Dedup.withPlantedEvidence(
+        Dedup.jaccardVerify(Dedup.minhashLshCandidates(corpus), corpus),
+        docs, 1000000L)
         .orderBy("doc_a", "doc_b")
     },
     None)
@@ -128,23 +143,49 @@ object PipelineQueries {
             SELECT q_id, vec_id, cos_sim, rnk FROM ranked
             WHERE rnk <= 10 ORDER BY q_id, rnk"""))
 
-  /** D7: LSH-bucketed ANN (rows-only; recall vs D6 asserted in spec). */
+  /** ANN self-verification corpus: the embeddings table plus an
+    * IDENTICAL planted copy of every query (id + 10M) — each query's
+    * true nearest neighbor is then a cosine-1.0 vector the index MUST
+    * find, while the rest of its exact top-10 is the corpus's
+    * near-isotropic noise (cos ≈ 0.3 at dim 768) that no sublinear ANN
+    * can find. top1_recall carries the must-find evidence; mean/min
+    * recall@10 carry the honest noise-tail numbers. */
+  private def annEvalCorpus(emb: org.apache.spark.sql.DataFrame,
+      q: org.apache.spark.sql.DataFrame) =
+    emb.select("vec_id", "embedding", "label").unionByName(
+      q.select((col("vec_id") + 10000000L).as("vec_id"),
+        col("embedding"), col("label")))
+
+  /** D7: LSH-bucketed ANN — SELF-VERIFYING (rows-only, no SQL oracle
+    * for the hash family): the entry joins the D6 exact brute-force
+    * baseline over the planted eval corpus and carries per-query
+    * recall@10 plus corpus-level min/mean/top1 recall in its own
+    * output, spec-bounded in AnnSpec. A production run executes only
+    * the LSH side. */
   val annLsh = QueryDef(
     "ann_lsh",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      Ann.lshTopK(emb, boundedQueries(emb), 10)
+      val q = boundedQueries(emb)
+      val corpus = annEvalCorpus(emb, q)
+      Ann.withRecallVsExact(
+        Ann.lshTopK(corpus, q, 10), Ann.bruteForceTopK(corpus, q, 10), 10)
         .orderBy("q_id", "rnk")
     },
     None)
 
-  /** D7-alt: IVF ANN (rows-only; recall vs D6 asserted in spec). */
+  /** D7-alt: IVF ANN — SELF-VERIFYING like ann_lsh (recall@10 and
+    * top-1 recall vs the D6 exact baseline in the entry output,
+    * spec-bounded). */
   val annIvf = QueryDef(
     "ann_ivf",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      graft.similarity.Ivf.topK(emb, boundedQueries(emb), 10,
-        cacheKey = d)
+      val q = boundedQueries(emb)
+      val corpus = annEvalCorpus(emb, q)
+      Ann.withRecallVsExact(
+        graft.similarity.Ivf.topK(corpus, q, 10, cacheKey = d + "#eval"),
+        Ann.bruteForceTopK(corpus, q, 10), 10)
         .orderBy("q_id", "rnk")
     },
     None)
@@ -250,6 +291,35 @@ object PipelineQueries {
         to_json(col("winnow_fps")).as("winnow_fps"))
       .orderBy("doc_id"),
     None)
+
+  /** D11c: ORACLE-GATED winnowing geometry (VERDICT r4 #7): the same
+    * window-min selection as text_winnow but over md5 hex-string grams,
+    * which DuckDB computes identically — so the full fingerprint SET
+    * (not just counts) hash-gates the winnowing algorithm cross-engine:
+    * k-gram enumeration incl. the short-doc boundary rule, the
+    * w-window min, and the distinct selection. The xxhash64 entry
+    * remains the production fast path. */
+  val textWinnowGeometry = QueryDef(
+    "text_winnow_geometry",
+    (s, d) => graft.functions.Winnow.fingerprints(Tables.documents(s, d),
+      gramHashes = Text.gramMd5s)
+      .select(col("doc_id"),
+        size(col("winnow_fps")).as("n_fps"),
+        array_join(col("winnow_fps"), ",").as("fps"))
+      .orderBy("doc_id"),
+    Some(s"""WITH c AS (SELECT doc_id, $oCanon AS canon FROM documents),
+             g AS (SELECT doc_id, gs.g AS pos, md5(substr(canon, gs.g, 8)) AS gram
+                   FROM c, UNNEST(generate_series(1, greatest(length(canon) - 7, 1))) AS gs(g)),
+             wm AS (SELECT doc_id, pos,
+                      min(gram) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin,
+                      count(*) OVER (PARTITION BY doc_id) AS n_grams
+                    FROM g),
+             sel AS (SELECT doc_id, wmin FROM wm
+                     WHERE pos >= 4 OR (n_grams < 4 AND pos = n_grams))
+             SELECT doc_id, CAST(count(DISTINCT wmin) AS INTEGER) AS n_fps,
+               array_to_string(list_sort(list(DISTINCT wmin)), ',') AS fps
+             FROM sel GROUP BY doc_id ORDER BY doc_id"""))
 
   /** Per-label centroid embeddings via the native graft_vec_mean
     * aggregate (rows-only; exactness vs per-dimension arithmetic is
@@ -419,9 +489,24 @@ object PipelineQueries {
     * candidate pass, unlike summing the standalone stage entries. */
   val dedupPipelineQ = QueryDef(
     "dedup_pipeline",
-    (s, d) => Dedup.dedupPipeline(
-      Dedup.withPlantedDups(Tables.documents(s, d)))
-      .select("doc_id").orderBy("doc_id"),
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = Dedup.withPlantedDups(docs)
+      // SELF-VERIFYING: n_in/n_out plus how many planted near-dups the
+      // end-to-end pipeline dropped vs planted. The keeper set feeds
+      // both the stats and the output — cached so the candidate+CC
+      // subtree runs once.
+      val kept = Dedup.dedupPipeline(corpus).select("doc_id").cache()
+      val stats = kept.agg(
+          count(lit(1)).as("n_out"),
+          sum(when(col("doc_id") >= 1000000L, 1L).otherwise(0L)).as("planted_kept"))
+        .crossJoin(corpus.agg(count(lit(1)).as("n_in")))
+        .crossJoin(docs.filter(col("doc_id") % 50 === 0)
+          .agg(count(lit(1)).as("planted_expected")))
+        .withColumn("planted_dropped",
+          col("planted_expected") - col("planted_kept"))
+      kept.crossJoin(broadcast(stats)).orderBy("doc_id")
+    },
     None)
 
   /** D21: heavy hitters — approximate top-k frequent items
@@ -472,6 +557,19 @@ object PipelineQueries {
                          FROM shf t JOIN shf b ON t.gram = b.gram
                          WHERE b.doc_id % 100 = 0 AND t.doc_id <> b.doc_id)
              SELECT doc_id FROM flagged ORDER BY doc_id"""))
+
+  /** D20b: the eval-set-shaped decontamination variant — bench gram set
+    * broadcast, df valve applied after the bench cut (provably the same
+    * valve semantics — see Decontaminate.flaggedBroadcastBench), no
+    * corpus-wide gram shuffle. Same flag set as text_decontaminate, so
+    * it shares the same oracle. */
+  val textDecontaminateBcast = QueryDef(
+    "text_decontaminate_bcast",
+    (s, d) => Decontaminate.flaggedBroadcastBench(
+      Dedup.withPlantedDups(Tables.documents(s, d)),
+      id => id % 100 === 0, hashGrams = false)
+      .orderBy("doc_id"),
+    textDecontaminate.oracle)
 
   /** D15 (oracle-gated): connected components over a DETERMINISTIC,
     * SQL-mirrorable duplicate graph. Three exact copies of every 50th
@@ -527,7 +625,8 @@ object PipelineQueries {
     dedupExact, dedupMinhashLsh, dedupSimhash, dedupNgramJaccard,
     dedupEmbeddingCosine, annBruteforceTopK, annLsh, annIvf,
     textLangId, textQualityScore, textTokenCount, textFingerprint,
-    textWinnow, textVocab, vecCentroid, mmBinaryMeta, hashSplit, stratifiedSample,
+    textWinnow, textWinnowGeometry, textVocab, vecCentroid, mmBinaryMeta,
+    hashSplit, stratifiedSample,
     dedupClusters, dedupClustersCc, dedupPipelineQ, packSequences, textScrub,
-    textDecontaminate, textHeavyHitters)
+    textDecontaminate, textDecontaminateBcast, textHeavyHitters)
 }

@@ -139,4 +139,14 @@ object Text {
     val n = greatest(length(canonCol) - (k - 1), lit(1))
     transform(sequence(lit(1), n), i => xxhash64(canonCol.substr(i, lit(k))))
   }
+
+  /** Cross-engine-mirrorable char-gram hashes: md5 hex strings instead
+    * of xxhash64 longs. Slower (string building + hex), but DuckDB
+    * computes the identical values, so winnowing GEOMETRY over these
+    * grams is fully oracle-gatable; the production path stays
+    * [[gramHashes]]. */
+  def gramMd5s(canonCol: Column, k: Int): Column = {
+    val n = greatest(length(canonCol) - (k - 1), lit(1))
+    transform(sequence(lit(1), n), i => md5(canonCol.substr(i, lit(k))))
+  }
 }

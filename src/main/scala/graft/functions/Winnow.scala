@@ -20,12 +20,18 @@ import org.apache.spark.sql.functions._
   */
 object Winnow {
 
-  /** docs(doc_id, text) → (doc_id, winnow_fps array<long> sorted). */
-  def fingerprints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+  /** docs(doc_id, text) → (doc_id, winnow_fps array sorted).
+    * `gramHashes` defaults to the fast xxhash64 family; pass
+    * [[Text.gramMd5s]] for the DuckDB-mirrorable geometry-gate variant
+    * (the selection logic below is hash-type-agnostic — longs and hex
+    * strings both order consistently across engines). */
+  def fingerprints(docs: DataFrame, k: Int = 8, w: Int = 4,
+      gramHashes: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =
+        Text.gramHashes): DataFrame = {
     val grams = Spread(docs, col("doc_id"))
       .withColumn("canon", Text.canonical(col("text")))
       .select(col("doc_id"),
-        posexplode(Text.gramHashes(col("canon"), k)).as(Seq("pos", "gram")))
+        posexplode(gramHashes(col("canon"), k)).as(Seq("pos", "gram")))
     // min of the w-gram window ENDING at pos — every w-window's min is
     // emitted at its last position; distinct per doc = the fingerprint set.
     val winMin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))

@@ -69,6 +69,59 @@ class DedupSpec extends SparkSpec {
     verified.unpersist()
   }
 
+  test("D2/D3/D4/pipeline coverage entries carry self-verified planted evidence") {
+    // the rows-only entries' own outputs must carry their recall
+    // evidence (VERDICT r4 #3), not just the specs
+    for (entry <- Seq(PipelineQueries.dedupMinhashLsh,
+                      PipelineQueries.dedupSimhash,
+                      PipelineQueries.dedupNgramJaccard)) {
+      val row = entry.fn(spark, sf)
+        .select("planted_found", "planted_expected", "planted_recall").head()
+      assert(row.getLong(1) > 0, s"${entry.name}: no planted positives in corpus")
+      assert(row.getDouble(2) === 1.0,
+        s"${entry.name} planted recall: ${row.getLong(0)}/${row.getLong(1)}")
+    }
+    val p = PipelineQueries.dedupPipelineQ.fn(spark, sf)
+      .select("n_in", "n_out", "planted_expected", "planted_kept", "planted_dropped")
+      .head()
+    assert(p.getLong(3) === 0L, "every planted near-dup must lose to its original")
+    assert(p.getLong(4) === p.getLong(2))
+    assert(p.getLong(1) < p.getLong(0))
+  }
+
+  test("D20: broadcast-bench variant equals the equi-join path and never shuffle-joins the corpus grams") {
+    val isBench: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      id => id % 100 === 0
+    // identical flag set, both gram modes
+    for (hashed <- Seq(true, false)) {
+      val a = Decontaminate.flagged(planted, isBench, hashGrams = hashed)
+      val b = Decontaminate.flaggedBroadcastBench(planted, isBench, hashGrams = hashed)
+      assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0,
+        s"broadcast-bench variant diverges (hashGrams=$hashed)")
+    }
+    // plan contract (VERDICT r4 #6): with size-based auto-broadcast off,
+    // every join is still a forced broadcast — the corpus gram side is
+    // never shuffled for a join. The deliberate Spread repartitions
+    // (REPARTITION_BY_NUM) aside, the only requirement-driven exchanges
+    // are the tiny bench-side gram distinct and the df valve over the
+    // bench-touched subset; the per-doc and final distincts reuse the
+    // doc_id partitioning that survives the broadcast joins.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Decontaminate.flaggedBroadcastBench(planted, isBench)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+        s"corpus gram side must broadcast-join:\n$plan")
+      // 3 = the valve agg over the touched subset + the tiny bench-side
+      // gram distinct, which appears twice because the touched subtree
+      // is expanded per consumer; none of them shuffles raw corpus grams
+      val ensures = "ENSURE_REQUIREMENTS".r.findAllIn(plan).size
+      assert(ensures <= 3,
+        s"expected ≤3 requirement-driven exchanges (valve agg + 2× bench gram distinct), got $ensures:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("D20: decontamination flags every guaranteed bench-overlap doc") {
     import spark.implicits._
     val flagged = Decontaminate.flagged(planted, id => id % 100 === 0)

@@ -93,8 +93,12 @@ class RelationalSpec extends SparkSpec {
 
   test("no coverage query plans a cartesian product") {
     // BroadcastNestedLoopJoin is allowed only for the brute-force ANN
-    // entries (intentional broadcast-query-set scan)
-    val bnljAllowed = Set("ann_bruteforce_topk")
+    // entries (intentional broadcast-query-set scan) and the
+    // self-verifying entries whose 1-row corpus-stats cross join is an
+    // intentional broadcast of a single aggregated row
+    val bnljAllowed = Set("ann_bruteforce_topk",
+      "ann_lsh", "ann_ivf", "dedup_minhash_lsh", "dedup_simhash",
+      "dedup_ngram_jaccard", "dedup_pipeline")
     graft.SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")

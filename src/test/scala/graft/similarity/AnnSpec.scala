@@ -115,6 +115,30 @@ class AnnSpec extends SparkSpec {
       s"dedup input must carry scores only, got: ${names.mkString(", ")}")
   }
 
+  test("D7/D7-alt: coverage entries carry self-verified recall columns within bounds") {
+    // the entries' own outputs must carry the evidence (VERDICT r4 #1):
+    // per-row exact-set membership, per-query recall@10, corpus min/mean
+    for ((entry, meanFloor) <- Seq(graft.dedup.PipelineQueries.annLsh -> 0.1,
+                                   graft.dedup.PipelineQueries.annIvf -> 0.4)) {
+      val out = entry.fn(spark, sf).cache()
+      val row = out.select("min_recall", "mean_recall", "top1_recall").head()
+      val (mn, mean, top1) = (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+      info(s"${entry.name}: min_recall=$mn mean_recall=$mean top1_recall=$top1")
+      // the planted cosine-1.0 neighbor must be found; the noise tail
+      // (exact top-10 of an isotropic corpus, cos ≈ 0.3) honestly bounds
+      // the overall recall@10 much lower
+      assert(top1 >= 0.9, s"${entry.name} top-1 recall vs exact baseline: $top1")
+      assert(mean >= meanFloor, s"${entry.name} mean recall@10 vs exact baseline: $mean")
+      assert(mn >= 0.0 && mn <= mean && mean <= 1.0)
+      // per-query recall must agree with the per-row membership flags
+      val bad = out.groupBy("q_id", "recall_at_k")
+        .agg((sum(when(col("in_exact_topk"), 1L).otherwise(0L)) / 10.0).as("recomputed"))
+        .filter(abs(col("recall_at_k") - col("recomputed")) > 1e-9)
+      assert(bad.count() === 0)
+      out.unpersist()
+    }
+  }
+
   test("D7: LSH ANN recalls planted near-identical neighbors") {
     import spark.implicits._
     // plant: for each query vector, a copy with id+1000000 (cosine 1)
