@@ -558,6 +558,48 @@ object PipelineQueries {
                          WHERE b.doc_id % 100 = 0 AND t.doc_id <> b.doc_id)
              SELECT doc_id FROM flagged ORDER BY doc_id"""))
 
+  /** Skew-valve stress (VERDICT r4 #4): a generated power-law corpus —
+    * the base documents plus ONE document replicated 5,000× — drives
+    * every LSH band bucket of the hot text past [[Dedup.MaxBucket]].
+    * The 1-row output carries the valve-trigger evidence: nonzero
+    * capped_buckets (≥ 16, one per band), max_bucket ≥ 5001, ZERO
+    * candidate pairs touching the hot copies (the quadratic block is
+    * refused, not computed — uncapped it would be C(5001,2) × 16 bands
+    * ≈ 2×10⁸ join rows), and a salted-join leg over the same hot key
+    * (content hash, 5001-row group) returning exactly one match per
+    * corpus row. Runtime stays bounded BECAUSE the valves engage. */
+  val dedupSkewStress = QueryDef(
+    "dedup_skew_stress",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val hot = docs.orderBy("doc_id").limit(1)
+      val copies = hot
+        .select(explode(sequence(lit(1L), lit(5000L))).as("i"), col("text"))
+        .select((lit(5000000L) + col("i")).as("doc_id"), col("text"))
+      // referenced by the signature stats, the candidate pass, and the
+      // salted-join leg — cache the (tiny-per-row) corpus once
+      val corpus = docs.unionByName(copies).cache()
+      val bucketCounts = Dedup.minhashSignatures(corpus)
+        .select(col("doc_id"), explode(Dedup.bandKeys(col("sig"))).as("band_key"))
+        .groupBy("band_key").count()
+      val cands = Dedup.minhashLshCandidates(corpus)
+      val hashed = corpus.select(col("doc_id"),
+        Text.fingerprintMd5(col("text")).as("h"))
+      val dim = hashed.groupBy("h").agg(count(lit(1)).as("grp_size"))
+      val salted = graft.operators.Skew.saltedJoin(hashed, dim, "h")
+      bucketCounts.agg(
+          sum(when(col("count") > Dedup.MaxBucket, 1L).otherwise(0L))
+            .as("capped_buckets"),
+          max(col("count")).as("max_bucket"))
+        .crossJoin(corpus.agg(count(lit(1)).as("n_corpus")))
+        .crossJoin(cands.agg(
+          count(lit(1)).as("n_candidates"),
+          coalesce(sum(when(col("doc_b") >= 5000001L, 1L).otherwise(0L)), lit(0L))
+            .as("hot_pairs")))
+        .crossJoin(salted.agg(count(lit(1)).as("salted_join_rows")))
+    },
+    None)
+
   /** D20b: the eval-set-shaped decontamination variant — bench gram set
     * broadcast, df valve applied after the bench cut (provably the same
     * valve semantics — see Decontaminate.flaggedBroadcastBench), no
@@ -628,5 +670,6 @@ object PipelineQueries {
     textWinnow, textWinnowGeometry, textVocab, vecCentroid, mmBinaryMeta,
     hashSplit, stratifiedSample,
     dedupClusters, dedupClustersCc, dedupPipelineQ, packSequences, textScrub,
-    textDecontaminate, textDecontaminateBcast, textHeavyHitters)
+    textDecontaminate, textDecontaminateBcast, textHeavyHitters,
+    dedupSkewStress)
 }

@@ -20,6 +20,11 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       factor: Int = 16): DataFrame = {
     require(factor > 0)
+    // NOTE: monotonically_increasing_id() differs across task retries,
+    // so a row's salt value is NOT retry-stable. That is result-invariant
+    // here (every salt matches the replicated small side identically in
+    // an inner equi-join) — do not reuse this idiom anywhere a row's
+    // routing must be deterministic across attempts.
     val salted = big.withColumn("__salt",
       pmod(xxhash64(col(key), monotonically_increasing_id()), lit(factor)).cast("int"))
     val replicated = small.withColumn("__salt",

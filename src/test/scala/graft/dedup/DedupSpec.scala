@@ -89,6 +89,17 @@ class DedupSpec extends SparkSpec {
     assert(p.getLong(1) < p.getLong(0))
   }
 
+  test("skew stress entry: valves engage and the hot quadratic block is refused") {
+    val r = PipelineQueries.dedupSkewStress.fn(spark, sf).head()
+    assert(r.getAs[Long]("capped_buckets") >= 16L,
+      "every band bucket of the hot text must trip the cap")
+    assert(r.getAs[Long]("max_bucket") >= 5001L)
+    assert(r.getAs[Long]("hot_pairs") === 0L,
+      "no candidate pair may touch the capped hot copies")
+    assert(r.getAs[Long]("salted_join_rows") === r.getAs[Long]("n_corpus"),
+      "salted join must match each corpus row to its hash group exactly once")
+  }
+
   test("D20: broadcast-bench variant equals the equi-join path and never shuffle-joins the corpus grams") {
     val isBench: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
       id => id % 100 === 0

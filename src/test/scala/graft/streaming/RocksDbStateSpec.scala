@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The stateful streaming surfaces (S4 sessions, S7 cross-batch dedup)
+  * re-run under the RocksDB state store provider — at 100 TB streaming
+  * state the deployment answer is RocksDB (state spills to local disk
+  * + changelog checkpointing), not the default HDFS-backed in-memory
+  * map, so the operators must be provider-agnostic. VERDICT r4 #5. */
+class RocksDbStateSpec extends SparkSpec {
+
+  private val RocksProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def withRocksDb[T](body: => T): T = {
+    val prev = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey, RocksProvider)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(ProviderKey, v)
+      case None    => spark.conf.unset(ProviderKey)
+    }
+  }
+
+  test("S4 under RocksDB: flatMapGroupsWithState sessions close on gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StatefulSessions._
+    withRocksDb {
+      val evs = Seq(
+        Ev(1L, 1L, ts("2026-01-01 10:00:00"), 1.0),
+        Ev(1L, 2L, ts("2026-01-01 10:10:00"), 2.0),
+        Ev(1L, 3L, ts("2026-01-01 11:30:00"), 3.0),
+        Ev(2L, 4L, ts("2026-01-01 10:00:00"), 4.0),
+        Ev(3L, 5L, ts("2026-01-02 10:00:00"), 5.0))
+      val stream = MemoryStream[Ev]
+      val withWm = stream.toDS().withWatermark("ts", "0 seconds").as[Ev]
+      val q = StatefulSessions.sessions(spark, withWm)
+        .writeStream.format("memory").queryName("s4_rocks")
+        .outputMode("append").start()
+      try {
+        stream.addData(evs.take(4): _*)
+        q.processAllAvailable()
+        stream.addData(evs.last)
+        q.processAllAvailable()
+        stream.addData()
+        q.processAllAvailable()
+        val out = spark.table("s4_rocks").orderBy("user_id", "session_start").collect()
+        val u1 = out.filter(_.getAs[Long]("user_id") == 1L)
+        assert(u1.length === 2)
+        assert(u1(0).getAs[Long]("n_events") === 2L &&
+          u1(0).getAs[Double]("sum_value") === 3.0)
+        assert(u1(1).getAs[Long]("n_events") === 1L)
+        assert(out.count(_.getAs[Long]("user_id") == 2L) === 1)
+        // the state really lives in RocksDB: its provider publishes
+        // rocksdb* custom metrics on the state operator
+        val metrics = q.lastProgress.stateOperators(0).customMetrics
+        assert(metrics.keySet.asScala.exists(_.startsWith("rocksdb")),
+          s"expected rocksdb state metrics, got: ${metrics.keySet}")
+      } finally q.stop()
+    }
+  }
+
+  test("S7 under RocksDB: dropDuplicatesWithinWatermark suppresses cross-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val root = Files.createTempDirectory("graft_jdbc_dedup_rocks")
+      val url = "jdbc:derby:memory:graftdeduprocks;create=true"
+      val stream = MemoryStream[(String, Long, Timestamp)]
+      val sdf = stream.toDF().toDF("zip", "pop", "ts")
+        .withWatermark("ts", "1 hour")
+      val q = FileTrigger.attachJdbcUpsert(sdf, url, "dedup_upsert_rocks",
+        Seq("zip"), "ts", s"$root/cp", dedupWithinWatermark = true)
+      stream.addData(("90001", 10L, ts("2026-01-01 10:00:00")))
+      q.awaitTermination()
+      val q2 = FileTrigger.attachJdbcUpsert(sdf, url, "dedup_upsert_rocks",
+        Seq("zip"), "ts", s"$root/cp", dedupWithinWatermark = true)
+      stream.addData(("90001", 99L, ts("2026-01-01 10:30:00")))
+      q2.awaitTermination()
+      val back = spark.read.format("jdbc").option("url", url)
+        .option("dbtable", "dedup_upsert_rocks")
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .load().collect()
+      assert(back.length === 1)
+      assert(back.head.getLong(1) === 10L,
+        "the duplicate key's later value must never reach the sink under RocksDB state")
+    }
+  }
+
+  private implicit class JavaSetOps[A](s: java.util.Set[A]) {
+    def asScala: scala.collection.mutable.Set[A] =
+      scala.jdk.CollectionConverters.SetHasAsScala(s).asScala
+  }
+}
