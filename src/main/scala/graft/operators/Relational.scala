@@ -767,11 +767,38 @@ object Relational {
               AND c_acctbal > (SELECT MAX(c_acctbal) - 5000 FROM customer)
             ORDER BY c_custkey"""))
 
+  /** R30: explicit GROUPING SETS — the asymmetric-set shape rollup and
+    * cube can't express ((priority, status), (status), ()): one Expand
+    * over exactly the three requested sets, one shuffle, grouping_id
+    * disambiguating rolled-up NULLs, like R13/R21. Uses the native
+    * Dataset.groupingSets API (Spark 4). */
+  val qGroupingSets = QueryDef(
+    "q_grouping_sets",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      o.groupingSets(
+          Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+            Seq(col("o_orderstatus")), Seq()),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          rsum(col("o_totalprice")).as("total"))
+        .orderBy(col("gid"), asc_nulls_first("o_orderpriority"),
+          asc_nulls_first("o_orderstatus"))
+    },
+    Some(s"""SELECT o_orderpriority, o_orderstatus,
+               CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+               COUNT(*) AS n, ${oSum("o_totalprice")} AS total
+             FROM orders
+             GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                     (o_orderstatus), ())
+             ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST"""))
+
   val all: Seq[QueryDef] = Seq(
     qScanPushdown, q1PricingSummary, q3ShippingPriority, q5LocalSupplier,
     qBroadcastJoin, qSemiJoin, qAntiJoin, qWindowRank, qWindowRunning,
     qCountDistinct, qConditionalAgg, qTopK, qRollup, qPercentiles,
     qUnionDedup, qScalarFuncs, qAsofJoin, qVectorAgg, qApproxDistinct,
     qPivot, qCubeGrouping, qWindowFuncs, qRangeJoin, qSaltedJoin,
-    qApproxPercentile, qOuterJoin, qSlidingWindow, qSetOps, qSqlSurface)
+    qApproxPercentile, qOuterJoin, qSlidingWindow, qSetOps, qSqlSurface,
+    qGroupingSets)
 }

@@ -29,4 +29,17 @@ object StreamJoin {
           col("c.click_ts") <= col("i.imp_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
       .select(col("i.user_id"), col("i.imp_id"), col("c.click_id"),
         col("i.imp_ts"), col("c.click_ts"))
+
+  /** S9: stream–static enrichment join — every micro-batch of the
+    * stream joins a STATIC dimension (inner, broadcast-hinted). The
+    * standard "enrich events with reference data" shape: stateless (no
+    * watermark needed for the join itself — the static side never
+    * changes mid-query, so there is no join state to evict), and the
+    * broadcast keeps the stream's partitions map-side at any corpus
+    * scale, exactly like the batch R5 dim join. The static side must be
+    * dimension-sized (broadcastable); a corpus-scale static side
+    * belongs in a shuffle join without the hint. */
+  def streamStaticEnrich(stream: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key))
 }

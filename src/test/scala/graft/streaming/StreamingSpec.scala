@@ -326,6 +326,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("S9: stream-static broadcast enrichment equals the batch join and drops unmatched keys") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
+    val rows = Seq(
+      (1L, ts("2026-01-01 10:00:00"), 1.0),
+      (2L, ts("2026-01-01 10:01:00"), 2.0),
+      (3L, ts("2026-01-01 10:02:00"), 3.0)) // no dim row → dropped (inner)
+    val stream = MemoryStream[(Long, Timestamp, Double)]
+    val sdf = stream.toDF().toDF("user_id", "ts", "value")
+    val q = StreamJoin.streamStaticEnrich(sdf, dim, "user_id")
+      .writeStream.format("memory").queryName("s9_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("s9_out")
+        .orderBy("user_id").collect().map(_.toSeq).toSeq
+      val batch = StreamJoin.streamStaticEnrich(
+        rows.toDF("user_id", "ts", "value"), dim, "user_id")
+        .orderBy("user_id").collect().map(_.toSeq).toSeq
+      assert(streamed === batch)
+      assert(streamed.map(_.head) === Seq(1L, 2L), "unmatched key must drop")
+      // the static side broadcasts: the micro-batch plan is map-side
+      val planOut = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(planOut))(q.explain())
+      assert(planOut.toString.contains("BroadcastHashJoin"),
+        "stream-static enrichment must broadcast the dim")
+    } finally q.stop()
+  }
+
   test("S6/E8: file-drop trigger runs the pipeline exactly once per file") {
     val root = Files.createTempDirectory("graft_trigger")
     val watch = s"$root/incoming"; val out = s"$root/out"; val cp = s"$root/cp"
