@@ -558,6 +558,116 @@ object PipelineQueries {
                          WHERE b.doc_id % 100 = 0 AND t.doc_id <> b.doc_id)
              SELECT doc_id FROM flagged ORDER BY doc_id"""))
 
+  /** D23: intra-document repetition signals — the Gopher/RefinedWeb
+    * quality rule family: fraction of duplicate words and duplicate
+    * word 2-grams WITHIN a document (boilerplate and looping-generator
+    * text score high). Pure per-row arithmetic (no shuffle at all
+    * beyond the Spread repartition), fully mirrored in DuckDB. */
+  val textRepetition = QueryDef(
+    "text_repetition",
+    (s, d) => {
+      val ws = col("ws")
+      val grams2 = expr(
+        "CASE WHEN size(ws) >= 2 THEN " +
+          "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))) " +
+          "ELSE CAST(array() AS array<string>) END")
+      graft.functions.Spread(Tables.documents(s, d), col("doc_id"))
+        .withColumn("ws", Text.words(col("text")))
+        .withColumn("g2", grams2)
+        .select(
+          col("doc_id"),
+          size(ws).as("n_words"),
+          round(lit(1.0) - size(array_distinct(ws)).cast("double") /
+            greatest(size(ws), lit(1)), 6).as("dup_word_frac"),
+          // a doc too short to have 2-grams is NOT repetitive
+          when(size(col("g2")) === 0, lit(0.0))
+            .otherwise(round(lit(1.0) - size(array_distinct(col("g2"))).cast("double") /
+              size(col("g2")), 6)).as("dup_2gram_frac"))
+        .withColumn("is_repetitive", col("dup_2gram_frac") > 0.2)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH w AS (SELECT doc_id, string_split($oCanon, ' ') AS ws FROM documents),
+             g AS (SELECT doc_id, ws,
+                     CASE WHEN len(ws) >= 2 THEN
+                       list_transform(generate_series(1, len(ws) - 1),
+                         i -> ws[i] || ' ' || ws[i + 1])
+                     ELSE [] END AS g2
+                   FROM w)
+             SELECT doc_id, CAST(len(ws) AS INTEGER) AS n_words,
+               ROUND(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) /
+                 greatest(len(ws), 1), 6) AS dup_word_frac,
+               CASE WHEN len(g2) = 0 THEN 0.0
+                    ELSE ROUND(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6)
+               END AS dup_2gram_frac,
+               (CASE WHEN len(g2) = 0 THEN 0.0
+                     ELSE ROUND(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6)
+                END > 0.2) AS is_repetitive
+             FROM g ORDER BY doc_id"""))
+
+  /** D24: int8 embedding quantization — the storage/bandwidth path for
+    * ANN at 100 TB (float32×768 → int8×768 + one scale = 4× smaller
+    * shuffles and indexes). Per-vector symmetric max-abs scaling, all
+    * map-side; the entry emits the quantized vector, its scale, and the
+    * L2 reconstruction error, every column mirrored in DuckDB with the
+    * same double arithmetic and summation order. */
+  val embQuantize = QueryDef(
+    "emb_quantize_int8",
+    (s, d) => {
+      val emb = col("emb")
+      val qv = col("qv")
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("emb"))
+        // epsilon floor keeps a zero-norm vector from dividing by zero
+        // (quantizes to all-zeros with err 0) — mirrored in the oracle
+        .withColumn("scale",
+          greatest(aggregate(emb, lit(0.0), (acc, x) => greatest(acc, abs(x))),
+            lit(1e-12)))
+        .withColumn("qv", transform(emb,
+          x => round(x * 127.0 / col("scale"), 0).cast("int")))
+        // the reconstruction error is decomposed as
+        //   err² = Σx² − 2·(s/127)·Σxq + (s/127)²·Σq²
+        // so NO lambda body references an outer column (scale stays in
+        // plain column arithmetic): inlining a column's defining
+        // aggregate expression inside a nested higher-order lambda
+        // evaluates subtly differently after projection collapse (the
+        // one-expression entry form measurably drifted ~2e-7 from the
+        // step-by-step value of the naive Σ(x−q·s/127)² shape). The
+        // oracle mirrors this exact decomposition.
+        .withColumn("sxx", aggregate(emb, lit(0.0), (acc, x) => acc + x * x))
+        .withColumn("sxq", aggregate(zip_with(emb, qv, (x, q) => x * q),
+          lit(0.0), (acc, x) => acc + x))
+        .withColumn("sqq", aggregate(qv, lit(0.0),
+          (acc, q) => acc + q.cast("double") * q))
+        .select(
+          col("vec_id"),
+          round(col("scale"), 6).as("scale"),
+          array_join(qv, ",").as("q_int8"),
+          round(sqrt(greatest(
+            col("sxx") - lit(2.0) * (col("scale") / 127.0) * col("sxq") +
+              (col("scale") / 127.0) * (col("scale") / 127.0) * col("sqq"),
+            lit(0.0))), 6).as("recon_l2_err"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            s AS (SELECT vec_id, emb,
+                    greatest(list_max(list_transform(emb, x -> abs(x))), 1e-12) AS scale
+                  FROM e),
+            q AS (SELECT vec_id, emb, scale,
+                    list_transform(emb, x -> CAST(ROUND(x * 127.0 / scale, 0) AS INTEGER)) AS qv
+                  FROM s),
+            t AS (SELECT vec_id, scale, qv,
+                    list_sum(list_transform(emb, x -> x * x)) AS sxx,
+                    list_sum(list_transform(list_zip(emb, qv), p -> p[1] * p[2])) AS sxq,
+                    list_sum(list_transform(qv, q -> CAST(q AS DOUBLE) * q)) AS sqq
+                  FROM q)
+            SELECT vec_id, ROUND(scale, 6) AS scale,
+              array_to_string(qv, ',') AS q_int8,
+              ROUND(sqrt(greatest(
+                sxx - 2.0 * (scale / 127.0) * sxq +
+                  (scale / 127.0) * (scale / 127.0) * sqq, 0.0)), 6) AS recon_l2_err
+            FROM t ORDER BY vec_id"""))
+
   /** Skew-valve stress (VERDICT r4 #4): a generated power-law corpus —
     * the base documents plus ONE document replicated 5,000× — drives
     * every LSH band bucket of the hot text past [[Dedup.MaxBucket]].
@@ -671,5 +781,5 @@ object PipelineQueries {
     hashSplit, stratifiedSample,
     dedupClusters, dedupClustersCc, dedupPipelineQ, packSequences, textScrub,
     textDecontaminate, textDecontaminateBcast, textHeavyHitters,
-    dedupSkewStress)
+    dedupSkewStress, textRepetition, embQuantize)
 }
