@@ -793,6 +793,26 @@ object Relational {
                                      (o_orderstatus), ())
              ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST"""))
 
+  /** R31: bloom-filter runtime join pruning — dim-key bloom probed
+    * map-side on the fact table BEFORE its join shuffle (see
+    * [[Bloom.prunedSemiJoin]]). The oracle is the PLAIN semi join: the
+    * bloom admits no false negatives and the exact semi join removes
+    * its false positives, so pruned ≡ plain — oracle-gating the
+    * rewrite's exactness the way R24 gates the salted join. */
+  val qBloomJoin = QueryDef(
+    "q_bloom_join",
+    (s, d) => {
+      val dim = Tables.orders(s, d).filter(col("o_totalprice") > 495000)
+      Bloom.prunedSemiJoin(Tables.lineitem(s, d), dim, "l_orderkey", "o_orderkey")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_totalprice > 495000)
+            ORDER BY l_orderkey, l_linenumber"""))
+
   val all: Seq[QueryDef] = Seq(
     qScanPushdown, q1PricingSummary, q3ShippingPriority, q5LocalSupplier,
     qBroadcastJoin, qSemiJoin, qAntiJoin, qWindowRank, qWindowRunning,
@@ -800,5 +820,5 @@ object Relational {
     qUnionDedup, qScalarFuncs, qAsofJoin, qVectorAgg, qApproxDistinct,
     qPivot, qCubeGrouping, qWindowFuncs, qRangeJoin, qSaltedJoin,
     qApproxPercentile, qOuterJoin, qSlidingWindow, qSetOps, qSqlSurface,
-    qGroupingSets)
+    qGroupingSets, qBloomJoin)
 }

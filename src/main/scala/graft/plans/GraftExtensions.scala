@@ -46,5 +46,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_vec_mean"),
       new ExpressionInfo(classOf[VecMean].getName, "graft_vec_mean"),
       (children: Seq[Expression]) => VecMean(children.head).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "graft_might_contain"),
+      (children: Seq[Expression]) => BloomMightContain(children(0), children(1))))
   }
 }
