@@ -723,6 +723,78 @@ object PipelineQueries {
       .orderBy("doc_id"),
     textDecontaminate.oracle)
 
+  /** D25: BM25 relevance of every document against a small query term
+    * set — see [[graft.functions.Bm25]] for the map-side scale shape.
+    * Terms mix rare ('dup', df≈5% of docs) and common vocabulary so
+    * idf spans its range. The oracle mirrors the exact double
+    * arithmetic: every fractional literal is CAST AS DOUBLE (a bare
+    * DuckDB decimal literal would compute `n - df + 0.5` in exact
+    * decimal where Spark uses doubles), and per-term contributions are
+    * quantized to DECIMAL(38,6) before the fixed-order sum. */
+  private val bm25Terms = Seq("dup", "spark", "vector", "query")
+  private def oBm25Contrib(t: String): String =
+    s"""ln(((n - df_$t) + CAST(0.5 AS DOUBLE)) / (df_$t + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+        * (tf_$t * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+        / (tf_$t + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+             + CAST(0.75 AS DOUBLE) * dl / (CAST(sumdl AS DOUBLE) / n)))"""
+
+  /** D26: semantic dedup (SemDeDup) — SELF-VERIFYING (rows-only: the
+    * codebook/CC composition has no SQL oracle): an exact copy of every
+    * 100th embedding is planted at id+10M; an exact copy has cosine
+    * 1.0 ≥ any threshold and lands in its original's cell
+    * deterministically (identical vector → identical cell scores), so
+    * every copy MUST lose keeper-ship to its original's smaller id —
+    * planted_recall carries that evidence in the output. At threshold
+    * 0.99 the isotropic noise corpus (pairwise cos ≈ 0.3) contributes
+    * no natural pairs, so the keeper set is exactly corpus minus
+    * copies; the spec asserts both. */
+  val dedupSemantic = QueryDef(
+    "dedup_semantic",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val copies = emb.filter(col("vec_id") % 100 === 0)
+        .select((col("vec_id") + 10000000L).as("vec_id"),
+          col("embedding"), col("label"))
+      val corpus = emb.unionByName(copies)
+      val out = graft.similarity.SemDedup
+        .dedup(corpus, 0.99, cells = 16, cacheKey = s"$d#semdedup")
+        .withColumn("is_planted_copy", col("vec_id") >= 10000000L)
+      val stats = out.agg(
+          count(lit(1)).as("n_in"),
+          sum(when(!col("is_keeper"), 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(col("is_planted_copy") && !col("is_keeper"), 1L)
+            .otherwise(0L)).as("planted_dropped"))
+        .crossJoin(emb.filter(col("vec_id") % 100 === 0)
+          .agg(count(lit(1)).as("planted_expected")))
+        .withColumn("planted_recall",
+          round(col("planted_dropped") / col("planted_expected"), 4))
+      out.crossJoin(broadcast(stats)).orderBy("vec_id")
+    },
+    None)
+
+  val textBm25 = QueryDef(
+    "text_bm25",
+    (s, d) => {
+      val docs = graft.functions.Spread(Tables.documents(s, d), col("doc_id"))
+        .withColumn("toks", split(Text.canonical(col("text")), " "))
+      graft.functions.Bm25.scores(docs, bm25Terms).orderBy("doc_id")
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, string_split($oCanon, ' ') AS toks FROM documents),
+             sized AS (SELECT doc_id, len(toks) AS dl,
+               ${bm25Terms.map(t =>
+                  s"len(list_filter(toks, x -> x = '$t')) AS tf_$t").mkString(",\n               ")}
+             FROM toks),
+             stats AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl,
+               ${bm25Terms.map(t =>
+                  s"SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(",\n               ")}
+             FROM sized)
+             SELECT doc_id, dl,
+               CAST(${bm25Terms.map(t =>
+                  s"(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT) AS n_terms_hit,
+               CAST(ROUND(${bm25Terms.map(t =>
+                  s"CAST(${oBm25Contrib(t)} AS DECIMAL(38,6))").mkString("\n                 + ")}, 4) AS DOUBLE) AS bm25
+             FROM sized CROSS JOIN stats ORDER BY doc_id"""))
+
   /** D15 (oracle-gated): connected components over a DETERMINISTIC,
     * SQL-mirrorable duplicate graph. Three exact copies of every 50th
     * doc are planted (+1M/+2M/+3M ids), md5 groups are linked as
@@ -781,5 +853,5 @@ object PipelineQueries {
     hashSplit, stratifiedSample,
     dedupClusters, dedupClustersCc, dedupPipelineQ, packSequences, textScrub,
     textDecontaminate, textDecontaminateBcast, textHeavyHitters,
-    dedupSkewStress, textRepetition, embQuantize)
+    dedupSkewStress, textRepetition, embQuantize, textBm25, dedupSemantic)
 }

@@ -98,7 +98,8 @@ class RelationalSpec extends SparkSpec {
     // intentional broadcast of a single aggregated row
     val bnljAllowed = Set("ann_bruteforce_topk",
       "ann_lsh", "ann_ivf", "dedup_minhash_lsh", "dedup_simhash",
-      "dedup_ngram_jaccard", "dedup_pipeline", "dedup_skew_stress")
+      "dedup_ngram_jaccard", "dedup_pipeline", "dedup_skew_stress",
+      "text_bm25", "dedup_semantic")
     graft.SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
