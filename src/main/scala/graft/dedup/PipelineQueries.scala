@@ -756,8 +756,12 @@ object PipelineQueries {
         .select((col("vec_id") + 10000000L).as("vec_id"),
           col("embedding"), col("label"))
       val corpus = emb.unionByName(copies)
+      // 32 cells (vs ann_ivf's 16): the within-cell pair count falls
+      // ~4× per cell-count doubling and SemDeDup needs no probe-side
+      // recall margin — an exact copy shares its original's cell at ANY
+      // cell count (identical vector → identical cell scores)
       val out = graft.similarity.SemDedup
-        .dedup(corpus, 0.99, cells = 16, cacheKey = s"$d#semdedup")
+        .dedup(corpus, 0.99, cells = 32, cacheKey = s"$d#semdedup")
         .withColumn("is_planted_copy", col("vec_id") >= 10000000L)
       val stats = out.agg(
           count(lit(1)).as("n_in"),

@@ -47,6 +47,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecMean].getName, "graft_vec_mean"),
       (children: Seq[Expression]) => VecMean(children.head).toAggregateExpression()))
     ext.injectFunction((
+      new FunctionIdentifier("graft_cell_scores"),
+      new ExpressionInfo(classOf[CellScores].getName, "graft_cell_scores"),
+      (children: Seq[Expression]) => CellScores(children(0), children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "graft_might_contain"),
       (children: Seq[Expression]) => BloomMightContain(children(0), children(1))))

@@ -51,14 +51,18 @@ object Ivf {
   }
 
   /** Cosine scores of a vector against every centroid, as an array
-    * column. Built as a STATIC array of native graft_cosine calls (the
-    * codebook is tiny by construction) rather than a lambda over a
-    * literal array — attribute references captured inside
-    * higher-order-function lambdas survive self-join attribute
-    * deduplication incorrectly. */
+    * column — ONE fused native loop ([[graft.plans.CellScores]]) with
+    * the codebook shipped once as a literal. (The earlier STATIC-array-
+    * of-graft_cosine-calls form inlined `cells` expression trees and
+    * degraded sharply past ~16 cells — generated-code size; a lambda
+    * over a literal array is also out: attribute references captured
+    * inside higher-order-function lambdas survive self-join attribute
+    * deduplication incorrectly.) Per-cell arithmetic is bit-identical
+    * to graft_cosine, so memoized codebooks and oracle values carry
+    * over. */
   private def cellScores(emb: Column, codebook: Seq[Seq[Double]]): Column =
-    array(codebook.map(c =>
-      call_function("graft_cosine", emb.cast("array<double>"), typedlit(c))): _*)
+    call_function("graft_cell_scores", emb.cast("array<double>"),
+      typedlit(codebook.map(_.toSeq)))
 
   /** Map-side cell assignment: argmax cosine over the codebook. */
   def assignCells(df: DataFrame, codebook: Seq[Seq[Double]]): DataFrame = {
@@ -67,15 +71,13 @@ object Ivf {
       (array_position(scores, array_max(scores)) - 1).cast("int"))
   }
 
-  /** The nprobe highest-scoring cells for each query vector. */
+  /** The nprobe highest-scoring cells for each query vector. The
+    * lambdas are CLOSED (only their own arguments) — no free column
+    * references, so no per-element re-evaluation hazard. */
   private def probeCells(emb: Column, codebook: Seq[Seq[Double]],
       nprobe: Int): Column = {
-    val scored = array(codebook.indices.map { p =>
-      struct(
-        (-call_function("graft_cosine", emb.cast("array<double>"),
-          typedlit(codebook(p)))).as("neg"),
-        lit(p).as("cell"))
-    }: _*)
+    val scored = transform(cellScores(emb, codebook),
+      (s, i) => struct((-s).as("neg"), i.as("cell")))
     transform(slice(array_sort(scored), lit(1), lit(nprobe)),
       x => x.getField("cell"))
   }
