@@ -738,6 +738,76 @@ object PipelineQueries {
         / (tf_$t + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
              + CAST(0.75 AS DOUBLE) * dl / (CAST(sumdl AS DOUBLE) / n)))"""
 
+  /** D27: edit-distance near-dup verification — the char-level
+    * complement of D4's token-level Jaccard verify: normalized
+    * Levenshtein similarity over length-capped canonical snippets,
+    * gating candidate pairs at sim ≥ 0.8. The candidate feed here is
+    * DETERMINISTIC so DuckDB can mirror it exactly (planted suffix
+    * pairs = true near-dups; adjacent-id pairs = true negatives); in
+    * production the feed is the LSH candidate stream. The snippet cap
+    * bounds the O(L²) DP per pair, and a length-difference prefilter
+    * (|len_a − len_b| lower-bounds the edit distance) skips the DP
+    * when it cannot clear the gate — both mirrored in the CASE. */
+  val dedupEditDistance = QueryDef(
+    "dedup_edit_distance",
+    (s, d) => {
+      val MaxDist = 40
+      val corpus = Dedup.withPlantedDups(Tables.documents(s, d))
+        .withColumn("snip", substring(Text.canonical(col("text")), 1, 200))
+        .select("doc_id", "snip")
+      val lenA = length(col("a.snip")).cast("long")
+      val lenB = length(col("b.snip")).cast("long")
+      val lev = when(abs(lenA - lenB) > MaxDist, lit(MaxDist + 1).cast("long"))
+        .otherwise(levenshtein(col("a.snip"), col("b.snip")).cast("long"))
+      def scored(pairs: org.apache.spark.sql.DataFrame, pairType: String) =
+        pairs.select(
+          col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          lit(pairType).as("pair_type"), lenA.as("len_a"), lenB.as("len_b"),
+          lev.as("lev"),
+          (floor((lit(1.0) - lev.cast("double") / greatest(lenA, lenB, lit(1L)))
+            * 1e6 + 0.5) / 1e6).as("sim"))
+      val planted = scored(corpus.as("a").join(corpus.as("b"),
+        col("a.doc_id") % 50 === 0 &&
+          col("b.doc_id") === col("a.doc_id") + 1000000L), "planted")
+      val adjacent = scored(corpus.as("a").join(corpus.as("b"),
+        col("a.doc_id") < 1000000L && col("b.doc_id") < 1000000L &&
+          col("a.doc_id") % 50 === 0 &&
+          col("b.doc_id") === col("a.doc_id") + 1), "adjacent")
+      planted.unionByName(adjacent)
+        .withColumn("is_near_dup", col("sim") >= 0.8)
+        .orderBy("pair_type", "doc_a")
+    },
+    Some(s"""WITH planted_corpus AS (
+               SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + 1000000, text || ' planted near duplicate suffix'
+               FROM documents WHERE doc_id % 50 = 0),
+             snips AS (SELECT doc_id, substring($oCanon, 1, 200) AS snip
+                       FROM (SELECT doc_id, text FROM planted_corpus) AS c),
+             pairs AS (
+               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 'planted' AS pair_type,
+                      a.snip AS snip_a, b.snip AS snip_b
+               FROM snips a JOIN snips b
+                 ON a.doc_id % 50 = 0 AND b.doc_id = a.doc_id + 1000000
+               UNION ALL
+               SELECT a.doc_id, b.doc_id, 'adjacent', a.snip, b.snip
+               FROM snips a JOIN snips b
+                 ON a.doc_id < 1000000 AND b.doc_id < 1000000
+                AND a.doc_id % 50 = 0 AND b.doc_id = a.doc_id + 1),
+             scored AS (
+               SELECT doc_a, doc_b, pair_type,
+                 CAST(length(snip_a) AS BIGINT) AS len_a,
+                 CAST(length(snip_b) AS BIGINT) AS len_b,
+                 CASE WHEN abs(length(snip_a) - length(snip_b)) > 40 THEN 41
+                      ELSE CAST(levenshtein(snip_a, snip_b) AS BIGINT) END AS lev
+               FROM pairs)
+             SELECT doc_a, doc_b, pair_type, len_a, len_b, lev,
+               floor((1.0 - CAST(lev AS DOUBLE) / greatest(len_a, len_b, 1))
+                 * 1e6 + 0.5) / 1e6 AS sim,
+               floor((1.0 - CAST(lev AS DOUBLE) / greatest(len_a, len_b, 1))
+                 * 1e6 + 0.5) / 1e6 >= 0.8 AS is_near_dup
+             FROM scored ORDER BY pair_type, doc_a"""))
+
   /** D26: semantic dedup (SemDeDup) — SELF-VERIFYING (rows-only: the
     * codebook/CC composition has no SQL oracle): an exact copy of every
     * 100th embedding is planted at id+10M; an exact copy has cosine
@@ -857,5 +927,6 @@ object PipelineQueries {
     hashSplit, stratifiedSample,
     dedupClusters, dedupClustersCc, dedupPipelineQ, packSequences, textScrub,
     textDecontaminate, textDecontaminateBcast, textHeavyHitters,
-    dedupSkewStress, textRepetition, embQuantize, textBm25, dedupSemantic)
+    dedupSkewStress, textRepetition, embQuantize, textBm25, dedupSemantic,
+    dedupEditDistance)
 }

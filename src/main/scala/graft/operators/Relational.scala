@@ -813,6 +813,34 @@ object Relational {
                                  WHERE o_totalprice > 495000)
             ORDER BY l_orderkey, l_linenumber"""))
 
+  /** R32: argmax/argmin aggregates — max_by/min_by (DuckDB
+    * arg_max/arg_min), the "which row wins per group" shape that
+    * otherwise costs a rank window + filter. The ordering key folds the
+    * tie-break INTO the value (exact cents × 10^10 + unique custkey):
+    * max_by under ties is engine-arbitrary, so the key must be unique
+    * by construction. ROUND before the cents cast — the raw double
+    * `bal*100` sits a hair below the integer and Spark's cast
+    * truncates where DuckDB's rounds. */
+  val qArgmax = QueryDef(
+    "q_argmax",
+    (s, d) => {
+      val ord = round(col("c_acctbal") * 100, 0).cast("long") * 10000000000L +
+        col("c_custkey")
+      Tables.customer(s, d)
+        .groupBy(col("c_nationkey"))
+        .agg(
+          max_by(col("c_custkey"), ord).as("top_cust"),
+          min_by(col("c_custkey"), ord).as("bottom_cust"),
+          max(col("c_acctbal")).as("max_bal"),
+          count(lit(1)).as("n"))
+        .orderBy("c_nationkey")
+    },
+    Some("""SELECT c_nationkey,
+              arg_max(c_custkey, CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) * 10000000000 + c_custkey) AS top_cust,
+              arg_min(c_custkey, CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) * 10000000000 + c_custkey) AS bottom_cust,
+              MAX(c_acctbal) AS max_bal, COUNT(*) AS n
+            FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"""))
+
   val all: Seq[QueryDef] = Seq(
     qScanPushdown, q1PricingSummary, q3ShippingPriority, q5LocalSupplier,
     qBroadcastJoin, qSemiJoin, qAntiJoin, qWindowRank, qWindowRunning,
@@ -820,5 +848,5 @@ object Relational {
     qUnionDedup, qScalarFuncs, qAsofJoin, qVectorAgg, qApproxDistinct,
     qPivot, qCubeGrouping, qWindowFuncs, qRangeJoin, qSaltedJoin,
     qApproxPercentile, qOuterJoin, qSlidingWindow, qSetOps, qSqlSurface,
-    qGroupingSets, qBloomJoin)
+    qGroupingSets, qBloomJoin, qArgmax)
 }

@@ -51,6 +51,46 @@ class ExtensionsSpec extends SparkSpec {
     assert(m === Seq(1.0, 2.0), "count-dominant dimension wins")
   }
 
+  test("graft_cell_scores equals per-cell graft_cosine bit-for-bit, incl. SQL path") {
+    import spark.implicits._
+    val codebook = Seq(Seq(1.0, 0.0, 0.0), Seq(0.5, 0.5, 0.0), Seq(0.0, 0.0, 0.0))
+    val vecs = Seq((1L, Seq(1.0, 2.0, 3.0)), (2L, Seq(-1.0, 0.5, 0.0)))
+      .toDF("vec_id", "e").withColumn("e", col("e").cast("array<double>"))
+    val fused = vecs.select(col("vec_id"),
+      call_function("graft_cell_scores", col("e"), typedlit(codebook)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    val perCell = vecs.select(col("vec_id"),
+      array(codebook.map(c =>
+        call_function("graft_cosine", col("e"), typedlit(c))): _*).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    assert(fused === perCell)
+    // zero-norm centroid scores 0.0, not NaN (cell 2)
+    assert(fused(1L)(2) === 0.0)
+    vecs.createOrReplaceTempView("cs_vecs")
+    val sql = spark.sql(
+      "SELECT graft_cell_scores(e, array(array(1.0D, 0.0D, 0.0D), " +
+        "array(0.5D, 0.5D, 0.0D), array(0.0D, 0.0D, 0.0D))) AS s " +
+        "FROM cs_vecs WHERE vec_id = 1").collect().head.getSeq[Double](0).toSeq
+    assert(sql === fused(1L))
+  }
+
+  test("graft_might_contain: no false negatives, fpp-bounded positives, SQL path") {
+    val bytes = graft.operators.Bloom.keyFilterBytes(
+      spark.range(0, 1000).toDF("k"), "k", fpp = 0.01)
+    val probed = spark.range(0, 100000).toDF("k")
+      .select(col("k"),
+        call_function("graft_might_contain", col("k"), lit(bytes)).as("hit"))
+    // every inserted key must hit
+    assert(probed.filter(col("k") < 1000 && !col("hit")).count() === 0,
+      "bloom false negative")
+    // false-positive rate on the 99k non-members stays near the build fpp
+    val fp = probed.filter(col("k") >= 1000 && col("hit")).count()
+    assert(fp < 99000 * 0.03, s"false-positive count $fp exceeds 3x build fpp")
+    probed.createOrReplaceTempView("bloom_probe")
+    assert(spark.sql("SELECT count(*) FROM bloom_probe WHERE hit").collect()
+      .head.getLong(0) >= 1000)
+  }
+
   test("graft_vec_mean works in SQL and under partial aggregation") {
     import spark.implicits._
     val big = (0 until 10000).map(i => (i % 7, Seq(i.toDouble, (i * 2).toDouble)))
