@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode,
+  TimerValues, TTLConfig, ValueState}
+
+/** S11: `transformWithState` — Spark 4's arbitrary-state operator API
+  * (SPARK-46815 family), the successor to flatMapGroupsWithState:
+  * typed named state cells (value/list/map), TTL, timers, and a
+  * contract that REQUIRES the RocksDB state store provider — i.e. the
+  * shape new stateful pipelines should be written in. graft keeps S4's
+  * flatMapGroupsWithState sessionizer (the API a reference user is
+  * migrating from) and carries this running-aggregate operator on the
+  * new API alongside it.
+  *
+  * The operator: per-key running totals (event count + value sum)
+  * maintained in a ValueState cell, emitted once per key per
+  * micro-batch in Update mode — the "current account position"
+  * reference-data shape. State is one small case class per key; TTL
+  * (`ttl`) bounds abandoned keys, so state size tracks ACTIVE keys,
+  * not stream history.
+  */
+object RunningState {
+
+  case class Ev(user_id: Long, event_id: Long, value: Double)
+  case class Totals(user_id: Long, n_events: Long, sum_value: Double)
+
+  class RunningTotalsProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[Long, Ev, Totals] {
+    @transient private var state: ValueState[Totals] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[Totals]("totals",
+        Encoders.product[Totals], ttl)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[Totals] = {
+      val prev = if (state.exists()) state.get() else Totals(key, 0L, 0.0)
+      var n = prev.n_events
+      var sum = prev.sum_value
+      rows.foreach { e => n += 1; sum += e.value }
+      val next = Totals(key, n, sum)
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** Wire the processor over a streaming Dataset[Ev]. Update mode: one
+    * current-totals row per active key per micro-batch. */
+  def totals(spark: SparkSession, events: Dataset[Ev],
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[Totals] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor(ttl),
+        TimeMode.None(), OutputMode.Update())
+  }
+}

@@ -99,7 +99,7 @@ class RelationalSpec extends SparkSpec {
     val bnljAllowed = Set("ann_bruteforce_topk",
       "ann_lsh", "ann_ivf", "dedup_minhash_lsh", "dedup_simhash",
       "dedup_ngram_jaccard", "dedup_pipeline", "dedup_skew_stress",
-      "text_bm25", "dedup_semantic")
+      "text_bm25", "dedup_semantic", "text_lm_score")
     graft.SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")

@@ -68,6 +68,39 @@ class RocksDbStateSpec extends SparkSpec {
     }
   }
 
+  test("S11: transformWithState running totals accumulate across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import RunningState._
+    // transformWithState REQUIRES the RocksDB provider — part of the
+    // new API's contract, not an option
+    withRocksDb {
+      val stream = MemoryStream[Ev]
+      val q = RunningState.totals(spark, stream.toDS())
+        .writeStream.format("memory").queryName("s11_tws")
+        .outputMode("update").start()
+      try {
+        stream.addData(Ev(1L, 1L, 10.0), Ev(1L, 2L, 5.0), Ev(2L, 3L, 1.0))
+        q.processAllAvailable()
+        stream.addData(Ev(1L, 4L, 2.5), Ev(3L, 5L, 7.0))
+        q.processAllAvailable()
+        val out = spark.table("s11_tws").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        // batch 1 emissions
+        assert(out.contains((1L, 2L, 15.0)) && out.contains((2L, 1L, 1.0)))
+        // batch 2: user 1's totals CONTINUED from RocksDB state; user 2
+        // silent (no new rows ⇒ no emission in Update mode)
+        assert(out.contains((1L, 3L, 17.5)) && out.contains((3L, 1L, 7.0)))
+        assert(out.count(_._1 == 2L) === 1)
+        // final totals per key match the batch aggregation of all input
+        val finalTotals = out.groupBy(_._1).map { case (k, rows) => k -> rows.last }
+        assert(finalTotals(1L) === ((1L, 3L, 17.5)))
+        val metrics = q.lastProgress.stateOperators(0).customMetrics
+        assert(metrics.keySet.asScala.exists(_.startsWith("rocksdb")))
+      } finally q.stop()
+    }
+  }
+
   test("S7 under RocksDB: dropDuplicatesWithinWatermark suppresses cross-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
