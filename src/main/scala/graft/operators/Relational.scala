@@ -841,6 +841,39 @@ object Relational {
               MAX(c_acctbal) AS max_bal, COUNT(*) AS n
             FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"""))
 
+  /** R33: unpivot / melt — the inverse of R20's pivot, via the native
+    * Dataset.unpivot API (wide per-status columns back to long
+    * (yr, status, total) rows; one Expand, no shuffle beyond the
+    * pivot's own aggregation). Null cells (year × status combos with
+    * no orders) are dropped EXPLICITLY on both sides — Spark's unpivot
+    * emits them as null-valued rows, the UNION-ALL oracle would need a
+    * WHERE anyway, so the filter makes the two deterministic. */
+  val qUnpivot = QueryDef(
+    "q_unpivot",
+    (s, d) => {
+      val wide = Tables.orders(s, d)
+        .select(year(col("o_orderdate")).as("yr"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .groupBy("yr")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(rsum(col("o_totalprice")))
+      wide.unpivot(Array(col("yr")),
+          Array(col("F"), col("O"), col("P")), "status", "total")
+        .filter(col("total").isNotNull)
+        .orderBy("yr", "status")
+    },
+    Some(s"""WITH wide AS (
+               SELECT EXTRACT(year FROM o_orderdate) AS yr,
+                 ${oSum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS f_total,
+                 ${oSum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS o_total,
+                 ${oSum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS p_total
+               FROM orders GROUP BY 1)
+             SELECT yr, status, total FROM (
+               SELECT yr, 'F' AS status, f_total AS total FROM wide
+               UNION ALL SELECT yr, 'O', o_total FROM wide
+               UNION ALL SELECT yr, 'P', p_total FROM wide)
+             WHERE total IS NOT NULL ORDER BY yr, status"""))
+
   val all: Seq[QueryDef] = Seq(
     qScanPushdown, q1PricingSummary, q3ShippingPriority, q5LocalSupplier,
     qBroadcastJoin, qSemiJoin, qAntiJoin, qWindowRank, qWindowRunning,
@@ -848,5 +881,5 @@ object Relational {
     qUnionDedup, qScalarFuncs, qAsofJoin, qVectorAgg, qApproxDistinct,
     qPivot, qCubeGrouping, qWindowFuncs, qRangeJoin, qSaltedJoin,
     qApproxPercentile, qOuterJoin, qSlidingWindow, qSetOps, qSqlSurface,
-    qGroupingSets, qBloomJoin, qArgmax)
+    qGroupingSets, qBloomJoin, qArgmax, qUnpivot)
 }
