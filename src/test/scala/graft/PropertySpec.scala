@@ -144,6 +144,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("BM25 matches a reference implementation on random corpora") {
+    import spark.implicits._
+    val toks = Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e"))
+    val corpora = samples(Gen.listOfN(12, toks), 5)
+    val terms = Seq("a", "c", "e")
+    corpora.foreach { docs =>
+      val df = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws) }
+        .toDF("doc_id", "toks")
+      val got = graft.functions.Bm25.scores(df, terms)
+        .collect().map(r => r.getLong(0) -> r.getAs[Double]("bm25")).toMap
+      // reference: direct Scala BM25 with the same quantization
+      val n = docs.size
+      val avgdl = docs.map(_.size).sum.toDouble / n
+      def df_(t: String) = docs.count(_.contains(t))
+      docs.zipWithIndex.foreach { case (ws, i) =>
+        val expected = terms.map { t =>
+          val tf = ws.count(_ == t)
+          val d = df_(t)
+          val idf = math.log((n - d + 0.5) / (d + 0.5) + 1.0)
+          val c = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * ws.size / avgdl))
+          BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        }.sum.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(got(i.toLong) - expected) < 1e-9,
+          s"doc $i: got ${got(i.toLong)}, expected $expected")
+      }
+    }
+  }
+
+  test("bloom-pruned semi join equals the plain semi join across fpp settings") {
+    import spark.implicits._
+    val keys = Gen.listOfN(400, Gen.chooseNum(0L, 500L))
+    samples(keys, 3).zip(Seq(0.001, 0.05, 0.3)).foreach { case (ks, fpp) =>
+      val fact = ks.zipWithIndex.map { case (k, i) => (k, i) }.toDF("k", "i")
+      val dim = ks.take(40).distinct.toDF("dk")
+      val pruned = graft.operators.Bloom.prunedSemiJoin(fact, dim, "k", "dk", fpp)
+        .select("k", "i").orderBy("k", "i").collect()
+      val plain = fact.join(dim, $"k" === $"dk", "left_semi")
+        .select("k", "i").orderBy("k", "i").collect()
+      assert(pruned.sameElements(plain), s"fpp=$fpp diverged")
+    }
+  }
+
   test("winnowing guarantee: docs sharing a long substring share a fingerprint") {
     import spark.implicits._
     // guarantee threshold: any shared canonical substring of length
