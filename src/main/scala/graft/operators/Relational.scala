@@ -874,6 +874,39 @@ object Relational {
                UNION ALL SELECT yr, 'P', p_total FROM wide)
              WHERE total IS NOT NULL ORDER BY yr, status"""))
 
+  /** R34: aggregate-filter (HAVING) + re-join — TPC-H Q18 "large
+    * volume customers": pre-aggregate the fact table, filter ON THE
+    * AGGREGATE, and join the tiny survivor set back to the dimensions.
+    * The scale property: the sum_qty > 300 HAVING cut runs BEFORE any
+    * dimension join, so orders/customer join against ~0.2% of order
+    * keys (AQE broadcasts the survivor side at runtime), and top-k is
+    * TakeOrderedAndProject — never a global sort. */
+  val q18LargeOrders = QueryDef(
+    "q18_large_orders",
+    (s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(rsum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      Tables.orders(s, d)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+    Some(s"""WITH big AS (
+               SELECT l_orderkey, ${oSum("l_quantity")} AS sum_qty
+               FROM lineitem GROUP BY l_orderkey
+               HAVING ${oSum("l_quantity")} > 300)
+             SELECT c_custkey, c_name, o_orderkey,
+               CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice, sum_qty
+             FROM orders JOIN big ON o_orderkey = l_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""))
+
   val all: Seq[QueryDef] = Seq(
     qScanPushdown, q1PricingSummary, q3ShippingPriority, q5LocalSupplier,
     qBroadcastJoin, qSemiJoin, qAntiJoin, qWindowRank, qWindowRunning,
@@ -881,5 +914,5 @@ object Relational {
     qUnionDedup, qScalarFuncs, qAsofJoin, qVectorAgg, qApproxDistinct,
     qPivot, qCubeGrouping, qWindowFuncs, qRangeJoin, qSaltedJoin,
     qApproxPercentile, qOuterJoin, qSlidingWindow, qSetOps, qSqlSurface,
-    qGroupingSets, qBloomJoin, qArgmax, qUnpivot)
+    qGroupingSets, qBloomJoin, qArgmax, qUnpivot, q18LargeOrders)
 }

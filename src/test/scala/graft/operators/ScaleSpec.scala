@@ -48,4 +48,43 @@ class ScaleSpec extends SparkSpec {
     assert(joined.count() ===
       orders.join(li, Seq("o_orderkey")).count())
   }
+
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    import spark.implicits._
+    // one hot key carrying ~100× the median partition's bytes; dim too
+    // big to broadcast (threshold off), thresholds lowered so the
+    // runtime skew split triggers at test scale — at 100 TB the same
+    // mechanism fires with the default 256 MB threshold. This is the
+    // AUTOMATIC complement to Skew.saltedJoin (R24): AQE handles
+    // transient skew at runtime, salting handles the keys you KNOW are
+    // hot and need deterministic layout for.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.range(0, 60000).toDF("i")
+        .select(when(col("i") % 3 === 0, 7L).otherwise(col("i")).as("k"),
+          concat(lit("payload-padding-to-make-rows-wide-"), col("i")).as("pay"))
+      val dim = spark.range(0, 2000).toDF("k")
+        .withColumn("dv", concat(lit("dim-"), col("k")))
+      val joined = fact.join(dim, Seq("k"))
+      // collect() (not count()) so THIS dataset's adaptive plan runs to
+      // completion — count() plans its own separate query
+      val rows = joined.collect()
+      // hot key 7: 20000 remapped + the natural i=7 row = 20001;
+      // natural keys in dim range: i ∈ [0,2000), i%3≠0, i≠7 = 1332
+      assert(rows.length === 20001 + 1332)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected AQE skew-join split in the final plan:\n$finalPlan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
