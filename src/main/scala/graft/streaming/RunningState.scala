@@ -55,4 +55,70 @@ object RunningState {
       .transformWithState(new RunningTotalsProcessor(ttl),
         TimeMode.None(), OutputMode.Update())
   }
+
+  // ---------------------------------------------------------- timers
+
+  case class TimedEv(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, value: Double)
+  case class Closed(user_id: Long, n_events: Long, sum_value: Double,
+      closed: Boolean)
+
+  /** The TIMER half of the new API: per-key totals accumulate silently;
+    * when the event-time watermark passes the key's last activity +
+    * `gapMs`, the registered timer fires and the key emits ONE final
+    * closed row and clears its state — the idle-session-close shape,
+    * expressed with explicit timers instead of S4's
+    * GroupStateTimeout. Each batch re-arms the key's single timer
+    * (delete + register), so state AND timers are bounded by active
+    * keys. */
+  class IdleCloseProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, TimedEv, Closed] {
+    @transient private var state: ValueState[Closed] = _
+    @transient private var lastSeen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      state = getHandle.getValueState[Closed]("totals",
+        Encoders.product[Closed], TTLConfig.NONE)
+      lastSeen = getHandle.getValueState[Long]("last_seen",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[TimedEv],
+        timerValues: TimerValues): Iterator[Closed] = {
+      val prev = if (state.exists()) state.get() else Closed(key, 0L, 0.0, closed = false)
+      var n = prev.n_events
+      var sum = prev.sum_value
+      var maxTs = if (lastSeen.exists()) lastSeen.get() else Long.MinValue
+      rows.foreach { e =>
+        n += 1; sum += e.value
+        maxTs = math.max(maxTs, e.ts.getTime)
+      }
+      state.update(Closed(key, n, sum, closed = false))
+      lastSeen.update(maxTs)
+      // one armed timer per key: re-arm at latest activity + gap
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(maxTs + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Closed] = {
+      val out = if (state.exists())
+        Iterator.single(state.get().copy(closed = true))
+      else Iterator.empty
+      state.clear()
+      lastSeen.clear()
+      out
+    }
+  }
+
+  /** Idle-close totals over a watermarked Dataset[TimedEv]. */
+  def idleClosedTotals(spark: SparkSession, events: Dataset[TimedEv],
+      gapMs: Long): Dataset[Closed] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new IdleCloseProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

@@ -101,6 +101,38 @@ class RocksDbStateSpec extends SparkSpec {
     }
   }
 
+  test("S11b: transformWithState event-time timers close idle keys") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import RunningState._
+    withRocksDb {
+      val stream = MemoryStream[TimedEv]
+      val withWm = stream.toDS().withWatermark("ts", "0 seconds").as[TimedEv]
+      val q = RunningState.idleClosedTotals(spark, withWm, gapMs = 60 * 60 * 1000L)
+        .writeStream.format("memory").queryName("s11_timers")
+        .outputMode("append").start()
+      try {
+        stream.addData(
+          TimedEv(1L, 1L, ts("2026-01-01 10:00:00"), 2.0),
+          TimedEv(1L, 2L, ts("2026-01-01 10:20:00"), 3.0))
+        q.processAllAvailable()
+        // nothing closed yet: watermark is at 10:20, timer armed at 11:20
+        assert(spark.table("s11_timers").count() === 0)
+        // a much later event for ANOTHER key advances the watermark past
+        // key 1's timer → its session closes with the accumulated totals
+        stream.addData(TimedEv(2L, 3L, ts("2026-01-01 13:00:00"), 9.0))
+        q.processAllAvailable()
+        stream.addData() // one more batch so the fired timer's output commits
+        q.processAllAvailable()
+        val out = spark.table("s11_timers").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+        assert(out.contains((1L, 2L, 5.0, true)), s"got: ${out.mkString(", ")}")
+        // key 2 is still open (its own timer is beyond the watermark)
+        assert(!out.exists(_._1 == 2L))
+      } finally q.stop()
+    }
+  }
+
   test("S7 under RocksDB: dropDuplicatesWithinWatermark suppresses cross-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
