@@ -416,6 +416,43 @@ object PipelineQueries {
                          WHEN 'de' THEN '${T(0.75)}' ELSE '${T(0.25)}' END
              ORDER BY doc_id"""))
 
+  /** D29: temperature-weighted (α-) mixture sampling — rates DERIVED
+    * from the corpus itself (share^0.7, renormalized, budget-filled —
+    * see [[graft.functions.Splits.alphaSampleRates]]) instead of
+    * D14's static rates. The O(#strata) count map is the only driver
+    * materialization; the row filter stays the same map-side md5
+    * threshold. The oracle recomputes the rates in SQL (pow + the
+    * same 1e-6 quantization, printf('%04x') mirroring the hex
+    * threshold format) and must land on identical keep decisions. */
+  val alphaSample = QueryDef(
+    "q_alpha_sample",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "lang")
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      val rates = graft.functions.Splits.alphaSampleRates(counts, 0.7, 0.3)
+      graft.functions.Splits.stratifiedSample(
+        docs, col("doc_id"), col("lang"), rates, defaultRate = 0.0)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+             stats AS (SELECT SUM(n) AS nt FROM counts),
+             w AS (SELECT lang, n, nt,
+                     pow(CAST(n AS DOUBLE) / nt, 0.7) AS wl
+                   FROM counts CROSS JOIN stats),
+             ws AS (SELECT SUM(wl) AS wsum FROM w),
+             r AS (SELECT lang,
+                     floor(least(CAST(1.0 AS DOUBLE),
+                       CAST(nt AS DOUBLE) * CAST(0.3 AS DOUBLE) * (wl / wsum) / n)
+                       * 1e6 + 0.5) / 1e6 AS rate
+                   FROM w CROSS JOIN ws),
+             thr AS (SELECT lang,
+                     CASE WHEN rate >= 1.0 THEN 'g'
+                          ELSE printf('%04x', CAST(floor(rate * 65536) AS INT)) END AS t
+                   FROM r)
+             SELECT d.doc_id, d.lang FROM documents d JOIN thr USING (lang)
+             WHERE $oBucket < t ORDER BY doc_id"""))
+
   /** D16: training-sequence packing (concat-then-chunk) — the oracle
     * replays the same shard hash, doc order, and windowed prefix-sum;
     * window SUM(int) is BIGINT-cast against DuckDB's HUGEINT→float64
@@ -986,5 +1023,5 @@ object PipelineQueries {
     dedupClusters, dedupClustersCc, dedupPipelineQ, packSequences, textScrub,
     textDecontaminate, textDecontaminateBcast, textHeavyHitters,
     dedupSkewStress, textRepetition, embQuantize, textBm25, dedupSemantic,
-    dedupEditDistance, textLmScore)
+    dedupEditDistance, textLmScore, alphaSample)
 }

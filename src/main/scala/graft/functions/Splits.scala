@@ -48,6 +48,35 @@ object Splits {
       cases.fold(lit(weights.last._1): Column)(_.otherwise(weights.last._1)))
   }
 
+  /** D29: temperature-weighted (α-) sampling rates — the multilingual
+    * mixture-rebalancing rule (exponentiated share smoothing, as in
+    * multilingual LM sampling à la Conneau & Lample 2019): stratum l
+    * with share p_l gets weight p_l^α (α < 1 upweights rare strata),
+    * target share q_l = w_l/Σw, and a keep rate that fills a
+    * `budgetFrac`·N token budget: r_l = min(1, budget·q_l/n_l).
+    *
+    * Pure driver arithmetic over the O(#strata) count map (bounded —
+    * same budget class as the IVF codebook); the returned rates feed
+    * the same map-side [[stratifiedSample]] filter, so the corpus
+    * still costs one scan. Rates are quantized to 1e-6 (floor(x·1e6 +
+    * 0.5)/1e6) so an oracle recomputing them in SQL lands on identical
+    * doubles despite last-ulp libm pow differences. Σw is accumulated
+    * in stratum-name order for determinism. */
+  def alphaSampleRates(counts: Seq[(String, Long)], alpha: Double,
+      budgetFrac: Double): Seq[(String, Double)] = {
+    require(counts.nonEmpty && counts.forall(_._2 > 0), "strata must be non-empty")
+    val nt = counts.map(_._2).sum
+    val w = counts.sortBy(_._1).map { case (s, n) =>
+      s -> math.pow(n.toDouble / nt, alpha)
+    }
+    val wsum = w.map(_._2).sum
+    w.map { case (s, wl) =>
+      val n = counts.find(_._1 == s).get._2
+      val rate = math.min(1.0, nt.toDouble * budgetFrac * (wl / wsum) / n)
+      s -> math.floor(rate * 1e6 + 0.5) / 1e6
+    }
+  }
+
   /** Keep each row with its stratum's rate — deterministic mixture
     * rebalancing (e.g. downsample a dominant language or source to hit
     * a target training mix). Strata missing from `rates` keep

@@ -186,6 +186,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("alpha-sampling rates fill the budget and flatten toward rare strata") {
+    import graft.functions.Splits
+    val countsGen = Gen.listOfN(4, Gen.chooseNum(100L, 100000L))
+    samples(countsGen, 10).foreach { ns =>
+      val counts = ns.zipWithIndex.map { case (n, i) => s"s$i" -> n }
+      val rates = Splits.alphaSampleRates(counts, alpha = 0.7, budgetFrac = 0.3).toMap
+      val nt = ns.sum.toDouble
+      // rates are valid probabilities
+      rates.values.foreach(r => assert(r >= 0.0 && r <= 1.0))
+      // expected kept mass ≈ budget (exact unless a stratum saturates at 1.0)
+      val kept = counts.map { case (s, n) => rates(s) * n }.sum
+      assert(kept <= nt * 0.3 * 1.01 + 1)
+      if (rates.values.forall(_ < 1.0))
+        assert(math.abs(kept - nt * 0.3) < nt * 0.01)
+      // α < 1 flattens: the rarest stratum keeps a HIGHER fraction of
+      // its rows than the most common one
+      val rare = counts.minBy(_._2)._1
+      val common = counts.maxBy(_._2)._1
+      if (counts.minBy(_._2)._2 < counts.maxBy(_._2)._2)
+        assert(rates(rare) >= rates(common))
+    }
+  }
+
   test("winnowing guarantee: docs sharing a long substring share a fingerprint") {
     import spark.implicits._
     // guarantee threshold: any shared canonical substring of length
