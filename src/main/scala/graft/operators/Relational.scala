@@ -907,6 +907,30 @@ object Relational {
              JOIN customer ON o_custkey = c_custkey
              ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""))
 
+  /** R35: statistical aggregates — Pearson correlation, sample
+    * covariance/stddev, per group. Both engines compute the same
+    * mathematical quantities via merge-based co-moment formulas whose
+    * double summation ORDER differs, so values agree only to ~1e-10
+    * relative — ROUND(·,4) puts the comparison far inside that margin
+    * (the DECIMAL trick is unavailable: co-moments are intrinsically
+    * floating-point). */
+  val qCorrStats = QueryDef(
+    "q_corr_stats",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qty_price"),
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+              ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+              ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+              ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+              COUNT(*) AS n
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val all: Seq[QueryDef] = Seq(
     qScanPushdown, q1PricingSummary, q3ShippingPriority, q5LocalSupplier,
     qBroadcastJoin, qSemiJoin, qAntiJoin, qWindowRank, qWindowRunning,
@@ -914,5 +938,6 @@ object Relational {
     qUnionDedup, qScalarFuncs, qAsofJoin, qVectorAgg, qApproxDistinct,
     qPivot, qCubeGrouping, qWindowFuncs, qRangeJoin, qSaltedJoin,
     qApproxPercentile, qOuterJoin, qSlidingWindow, qSetOps, qSqlSurface,
-    qGroupingSets, qBloomJoin, qArgmax, qUnpivot, q18LargeOrders)
+    qGroupingSets, qBloomJoin, qArgmax, qUnpivot, q18LargeOrders,
+    qCorrStats)
 }

@@ -207,6 +207,39 @@ class StreamingSpec extends SparkSpec {
     assert(state.get.startUs === us("2026-01-01 09:10:00"))
   }
 
+  test("S12: Trigger.AvailableNow drains pending input and terminates on its own") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the batch-backfill knob: process everything available, then STOP
+    // — same checkpointed offsets as a continuous run, so a nightly
+    // AvailableNow job and a 24/7 stream are interchangeable
+    val cp = Files.createTempDirectory("graft_avnow").toString
+    val stream = MemoryStream[(Long, Double)]
+    stream.addData((1L, 2.0), (1L, 3.0), (2L, 5.0))
+    def run(): Unit = {
+      val q = stream.toDF().toDF("k", "v")
+        .groupBy("k").agg(sum("v").as("sv"))
+        .writeStream.format("memory").queryName("s12_avnow")
+        .outputMode("complete")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      // AvailableNow terminates WITHOUT an explicit stop()
+      assert(q.awaitTermination(60000), "query must self-terminate")
+    }
+    run()
+    val first = spark.table("s12_avnow").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(first === Map(1L -> 5.0, 2L -> 5.0))
+    // a later backfill run picks up ONLY what arrived since (offsets
+    // came from the checkpoint) and folds it into the aggregate state
+    stream.addData((2L, 1.0))
+    run()
+    val second = spark.table("s12_avnow").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(second === Map(1L -> 5.0, 2L -> 6.0))
+  }
+
   test("E8-Kafka: kafka-wire messages decode and run the same triggered pipeline") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
