@@ -222,6 +222,18 @@ object PipelineQueries {
 
   /** D9: quality scoring — canon/words materialized once per row, and
     * the corpus spread across cores before the regex-heavy stage. */
+  /** The D9 quality-score SQL expression (over an `m` CTE carrying
+    * text/canon/n_words/text_len) — shared by the D9 oracle and the
+    * D30 composed-curation oracle so the two can never diverge. */
+  private val oQualityExpr =
+    s"""floor((0.3 * least(1.0, CAST(n_words AS DOUBLE) / 100.0)
+          + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / text_len)
+          + 0.2 * least(1.0, CAST(len(list_filter(string_split(canon, ' '),
+              x -> x IN ('the','a','of','and','is','der','die','und','das','ist',
+                         'el','los','y','las','es','le','la','et','les','des'))) AS DOUBLE)
+              / greatest(n_words, 1) * 5.0)
+          + 0.2 * least(1.0, CAST(length(canon) - (n_words - 1) AS DOUBLE) / greatest(n_words, 1) / 8.0)) * 1e6 + 0.5) / 1e6"""
+
   val textQualityScore = QueryDef(
     "text_quality_score",
     (s, d) => {
@@ -246,13 +258,7 @@ object PipelineQueries {
                             'el','los','y','las','es','le','la','et','les','des'))) AS DOUBLE)
                  / greatest(n_words, 1) AS stopword_ratio,
                CAST(length(canon) - (n_words - 1) AS DOUBLE) / greatest(n_words, 1) AS mean_word_len,
-               floor((0.3 * least(1.0, CAST(n_words AS DOUBLE) / 100.0)
-                   + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / text_len)
-                   + 0.2 * least(1.0, CAST(len(list_filter(string_split(canon, ' '),
-                       x -> x IN ('the','a','of','and','is','der','die','und','das','ist',
-                                  'el','los','y','las','es','le','la','et','les','des'))) AS DOUBLE)
-                       / greatest(n_words, 1) * 5.0)
-                   + 0.2 * least(1.0, CAST(length(canon) - (n_words - 1) AS DOUBLE) / greatest(n_words, 1) / 8.0)) * 1e6 + 0.5) / 1e6 AS quality
+               $oQualityExpr AS quality
              FROM m ORDER BY doc_id"""))
 
   /** D10: token counting — whitespace + BPE-ish regex. */
@@ -452,6 +458,52 @@ object PipelineQueries {
                    FROM r)
              SELECT d.doc_id, d.lang FROM documents d JOIN thr USING (lang)
              WHERE $oBucket < t ORDER BY doc_id"""))
+
+  /** D30: the composed curation pipeline — quality filter → exact-dedup
+    * keeper filter → deterministic split assignment as ONE lazy plan,
+    * FULLY ORACLE-GATED (every stage is SQL-mirrorable, unlike D19's
+    * LSH stages). The scale property: the whole flow costs exactly ONE
+    * shuffle — quality scoring and the ≥ 0.6 cut are map-side, the
+    * keeper filter is a min-over-content-hash window on the dedup
+    * hash partitioning, and the split assignment is a map-side md5
+    * threshold. The quality threshold compares the floor-quantized
+    * score (identical in both engines), so the keep set is exact. */
+  val pipelineCurate = QueryDef(
+    "pipeline_curate",
+    (s, d) => {
+      val spreadDocs = graft.functions.Spread(Tables.documents(s, d), col("doc_id"))
+        .withColumn("canon", Text.canonical(col("text")))
+        .withColumn("ws", split(col("canon"), " "))
+      val comps = Text.qualityComponentsOn(col("text"), col("canon"), col("ws"))
+      val scored = spreadDocs
+        .select(col("doc_id"), col("lang"), col("canon"),
+          Text.qualityScoreOn(comps.toMap).as("quality"))
+        .filter(col("quality") >= 0.6)
+      val byHash = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("canon")))
+      val kept = scored
+        .withColumn("keeper", min(col("doc_id")).over(byHash))
+        .filter(col("doc_id") === col("keeper"))
+        .select("doc_id", "lang", "quality")
+      graft.functions.Splits.hashSplit(kept, col("doc_id"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH c AS (SELECT doc_id, lang, text, $oCanon AS canon FROM documents),
+             m AS (SELECT doc_id, lang, text, canon,
+                     len(string_split(canon, ' ')) AS n_words,
+                     greatest(length(text), 1) AS text_len
+                   FROM c),
+             q AS (SELECT doc_id, lang, canon, $oQualityExpr AS quality FROM m),
+             f AS (SELECT * FROM q WHERE quality >= 0.6),
+             k AS (SELECT doc_id, lang, quality,
+                     MIN(doc_id) OVER (PARTITION BY md5(canon)) AS keeper
+                   FROM f),
+             kept AS (SELECT doc_id, lang, quality FROM k WHERE doc_id = keeper)
+             SELECT doc_id, lang, quality,
+               CASE WHEN $oBucket < '${T(0.8)}' THEN 'train'
+                    WHEN $oBucket < '${T(0.9)}' THEN 'val'
+                    ELSE 'test' END AS split
+             FROM kept ORDER BY doc_id"""))
 
   /** D16: training-sequence packing (concat-then-chunk) — the oracle
     * replays the same shard hash, doc order, and windowed prefix-sum;
@@ -1023,5 +1075,5 @@ object PipelineQueries {
     dedupClusters, dedupClustersCc, dedupPipelineQ, packSequences, textScrub,
     textDecontaminate, textDecontaminateBcast, textHeavyHitters,
     dedupSkewStress, textRepetition, embQuantize, textBm25, dedupSemantic,
-    dedupEditDistance, textLmScore, alphaSample)
+    dedupEditDistance, textLmScore, alphaSample, pipelineCurate)
 }
