@@ -7,8 +7,9 @@ object SparkEntry {
 
   /** All implemented coverage-checklist entries. */
   def allDefs: Seq[QueryDef] =
-    operators.Relational.all ++ etl.EtlQueries.all ++
-      dedup.PipelineQueries.all ++ streaming.StreamQueries.all
+    operators.Relational.all ++ operators.Partitioned.all ++
+      etl.EtlQueries.all ++ dedup.PipelineQueries.all ++
+      streaming.StreamQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
