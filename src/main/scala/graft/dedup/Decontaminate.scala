@@ -61,14 +61,38 @@ object Decontaminate {
   }
 
   /** Training doc_ids sharing any k-gram with a DIFFERENT benchmark
-    * document. `isBench` marks the benchmark subset by doc_id. */
+    * document. `isBench` marks the benchmark subset by doc_id.
+    *
+    * Plan shape (r5 verdict fix): the df valve and the bench occupancy
+    * of each gram are computed in ONE aggregation over the gram set —
+    * `n_bench` (bench docs carrying the gram) and `bench_doc` (the one
+    * bench carrier when n_bench == 1) — and a single join-back decides
+    * "shares with a DIFFERENT bench doc" per (doc, gram): either two
+    * bench docs carry the gram, or its sole bench carrier is another
+    * doc. This replaces the former valve-join + bench self-join, and
+    * the explicit repartition on `gram` pins BOTH consumers (the
+    * aggregate and the join-back) to one identical exchange subtree
+    * that Spark's ReuseExchange collapses — the expensive
+    * explode→distinct executes once (spec-asserted: one Generate in
+    * the final adaptive plan). Without it the per-doc distinct rides
+    * the Spread's doc_id partitioning and each consumer re-derives the
+    * grams from that exchange instead. */
   def flagged(docs: DataFrame, isBench: Column => Column, k: Int = 5,
       maxDocsPerGram: Int = 100, hashGrams: Boolean = true): DataFrame = {
-    val grams = docGrams(docs, k, maxDocsPerGram, hashGrams)
-    val bench = grams.filter(isBench(col("doc_id")))
-      .withColumnRenamed("doc_id", "bench_doc")
-    grams.join(bench, Seq("gram"))
-      .filter(col("doc_id") =!= col("bench_doc"))
+    // the bench flag is computed INSIDE the aggregate (not as a column
+    // before the exchange) so both exchange consumers prune to the
+    // identical (doc_id, gram) schema — a pre-computed is_b column
+    // would be pruned from the join-back branch only, breaking
+    // sameResult and with it the exchange reuse
+    val grams = rawGrams(docs, k, hashGrams).repartition(col("gram"))
+    val isB = isBench(col("doc_id"))
+    val perGram = grams.groupBy("gram").agg(
+        count(lit(1)).as("df"),
+        sum(when(isB, lit(1L)).otherwise(lit(0L))).as("n_bench"),
+        min(when(isB, col("doc_id"))).as("bench_doc"))
+      .filter(col("df") <= maxDocsPerGram && col("n_bench") >= 1)
+    grams.join(perGram, Seq("gram"))
+      .filter(col("n_bench") >= 2 || col("bench_doc") =!= col("doc_id"))
       .select("doc_id")
       .distinct()
   }

@@ -36,29 +36,47 @@ object Partitioned {
   private def oSum(expr: String): String =
     s"CAST(ROUND(SUM(CAST(($expr) AS DECIMAL(38,6))), 4) AS DOUBLE)"
 
-  /** Deterministic per-dataset scratch root (overwritten each run). */
+  /** Deterministic per-dataset, per-process scratch root. The pid
+    * suffix keeps concurrent JVMs (Verify + Bench on the same dataset
+    * dir) from racing on a shared overwrite. */
   private def scratch(dir: String): String =
-    "/tmp/graft_warehouse/dpp_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    "/tmp/graft_warehouse/dpp_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + ProcessHandle.current().pid()
 
-  /** Writes the year-partitioned orders layout + the census-year dim,
-    * reads both back, and returns the DPP-joined aggregate plan. */
+  /** Layouts already materialized by THIS process — the Ivf-style
+    * memo: Bench reps time the DPP read+join path, not the parquet
+    * write that builds the fixture. */
+  private val builtLayouts =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Writes the year-partitioned orders layout + the census-year dim
+    * (once per process per dataset dir), reads both back, and returns
+    * the DPP-joined aggregate plan. */
   def dppAggregate(s: SparkSession, dir: String): DataFrame = {
     val base = scratch(dir)
-    Tables.orders(s, dir)
-      .withColumn("o_year", year(col("o_orderdate")))
-      .write.mode("overwrite").partitionBy("o_year")
-      .parquet(s"$base/orders_by_year")
-    // Dim: one row per year 1992..2002 with a non-key attribute; the
-    // selective predicate lives HERE, so the fact prune must be dynamic.
-    // (An equality on a string tag, not a bare boolean column — Spark's
-    // PartitionPruning rule only fires for predicates its
-    // isLikelySelective heuristic recognizes, and a lone boolean
-    // attribute reference is not one of them.)
-    s.range(1992, 2003)
-      .select(col("id").cast("int").as("d_year"),
-        when(col("id") % 5 === 0, lit("census")).otherwise(lit("off"))
-          .as("d_tag"))
-      .write.mode("overwrite").parquet(s"$base/year_dim")
+    if (builtLayouts.add(base)) {
+      Tables.orders(s, dir)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year")
+        .parquet(s"$base/orders_by_year")
+      // Dim: one row per year ACTUALLY PRESENT in the fact (derived
+      // min/max — a fixed literal range would silently diverge from the
+      // unbounded oracle on data outside it), with a non-key attribute;
+      // the selective predicate lives HERE, so the fact prune must be
+      // dynamic. (An equality on a string tag, not a bare boolean
+      // column — Spark's PartitionPruning rule only fires for
+      // predicates its isLikelySelective heuristic recognizes, and a
+      // lone boolean attribute reference is not one of them.)
+      val yr = Tables.orders(s, dir)
+        .agg(min(year(col("o_orderdate"))).as("lo"),
+          max(year(col("o_orderdate"))).as("hi"))
+        .head() // O(1) driver materialization: two ints
+      s.range(yr.getInt(0).toLong, yr.getInt(1).toLong + 1)
+        .select(col("id").cast("int").as("d_year"),
+          when(col("id") % 5 === 0, lit("census")).otherwise(lit("off"))
+            .as("d_tag"))
+        .write.mode("overwrite").parquet(s"$base/year_dim")
+    }
 
     val fact = s.read.parquet(s"$base/orders_by_year")
     val dim = s.read.parquet(s"$base/year_dim").filter(col("d_tag") === "census")

@@ -133,6 +133,33 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("D20: the gram explode executes once — join-back reuses the aggregate's exchange") {
+    // r5 verdict item 1: nothing used to guarantee the explode→distinct
+    // gram subtree ran once across the valve aggregate and the
+    // join-back. The REPARTITION_BY_COL pin in Decontaminate.flagged
+    // makes both consumers share one exchange; assert it on the FINAL
+    // adaptive plan (the initial-plan section reprints subtrees).
+    // Deliberately UNCACHED input — the bench/production entry shape:
+    // a cached input wraps each branch in its own TableCacheQueryStage,
+    // whose canonical forms differ, and AQE stage reuse stops matching
+    // anything above them. The suite's shared `planted` IS cached and
+    // the cache manager substitutes any sameResult sub-plan, so the
+    // no-op doc_id >= 0 filter defeats that lookup.
+    for (hashed <- Seq(true, false)) {
+      val df = Decontaminate.flagged(
+        Dedup.withPlantedDups(docs.filter(col("doc_id") >= 0)),
+        id => id % 100 === 0, hashGrams = hashed)
+      df.collect()
+      val finalPlan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val generates = "Generate explode".r.findAllIn(finalPlan).size
+      assert(generates === 1,
+        s"gram explode must execute once (hashGrams=$hashed), got $generates:\n$finalPlan")
+      assert(finalPlan.contains("ReusedExchange"),
+        s"join-back must reuse the gram exchange (hashGrams=$hashed):\n$finalPlan")
+    }
+  }
+
   test("D20: decontamination flags every guaranteed bench-overlap doc") {
     import spark.implicits._
     val flagged = Decontaminate.flagged(planted, id => id % 100 === 0)

@@ -14,11 +14,13 @@ class PartitionedSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("dynamicpruning"),
       s"expected dynamicpruning in PartitionFilters:\n$plan")
-    // The pruning expression must sit on the partition column of the
-    // fact scan, not as a post-scan filter.
-    assert(plan.contains("PartitionFilters") &&
-      plan.split("PartitionFilters", 2)(1).contains("dynamicpruning"),
-      s"dynamicpruning must be a PartitionFilter:\n$plan")
+    // The pruning expression must sit INSIDE a PartitionFilters
+    // bracket of a scan (the fact side — the dim has no partitions),
+    // not merely appear somewhere after the token as a post-scan
+    // Filter would.
+    assert("PartitionFilters: \\[[^\\]]*dynamicpruning".r
+      .findFirstIn(plan).isDefined,
+      s"dynamicpruning must be inside a PartitionFilters bracket:\n$plan")
   }
 
   test("pruned aggregate equals the unpartitioned equivalent") {
