@@ -827,50 +827,15 @@ object PipelineQueries {
         / (tf_$t + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
              + CAST(0.75 AS DOUBLE) * dl / (CAST(sumdl AS DOUBLE) / n)))"""
 
-  /** D28: bigram language-model scoring — per-document mean negative
-    * log-likelihood under a Laplace-smoothed bigram model trained on
-    * the corpus itself (the classic perplexity-filtering signal: docs
-    * whose token transitions are improbable under the corpus LM are
-    * boilerplate/garbled candidates — CCNet-style, Wenzek et al. 2020).
-    *
-    * Scale shape: the bigram explode IS the inherent LM-training
-    * shuffle (counts are corpus-wide aggregates); context/bigram count
-    * tables shuffle on their keys, vocabulary size is a 1-row
-    * broadcast. Determinism: counts are exact ints; each log term is
-    * double-from-ints quantized to DECIMAL(38,6) before the per-doc
-    * sum (order-independent), divided once by the exact bigram count.
-    * The lambda below references only the MATERIALIZED `ws` attribute
-    * (cheap per-element re-read), never an unmaterialized expression —
-    * the HOF free-reference rule. */
+  /** D28: bigram language-model scoring — see
+    * [[graft.functions.LmScore]] for the full scale/determinism story.
+    * The oracle gates STRING mode (what DuckDB can mirror, valve
+    * semantics included); `hashKeys = true` is the production default,
+    * with both modes spec-asserted identical (TextSpec). */
   val textLmScore = QueryDef(
     "text_lm_score",
-    (s, d) => {
-      val docs = graft.functions.Spread(Tables.documents(s, d), col("doc_id"))
-        .withColumn("ws", Text.words(col("text")))
-      val bi = docs.select(col("doc_id"),
-        explode(expr(
-          """CASE WHEN size(ws) >= 2 THEN
-               transform(sequence(1, size(ws) - 1),
-                 i -> struct(element_at(ws, i) AS w1,
-                             concat(element_at(ws, i), ' ', element_at(ws, i + 1)) AS g2))
-             ELSE CAST(array() AS array<struct<w1:string,g2:string>>) END"""))
-          .as("b"))
-        .select(col("doc_id"), col("b.w1").as("w1"), col("b.g2").as("g2"))
-      val c2 = bi.groupBy("g2").agg(count(lit(1)).as("c2"))
-      val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
-      val vocab = docs.select(explode(col("ws")).as("word"))
-        .agg(countDistinct(col("word")).as("v"))
-      val lp = log((col("c2") + lit(1.0)) / (col("c1") + col("v")))
-      bi.join(c2, "g2").join(c1, "w1")
-        .crossJoin(broadcast(vocab))
-        .select(col("doc_id"), lp.as("lp"))
-        .groupBy("doc_id")
-        .agg(
-          count(lit(1)).as("n_bigrams"),
-          round((-sum(col("lp").cast("decimal(38,6)"))).cast("double") /
-            count(lit(1)), 4).as("nll"))
-        .orderBy("doc_id")
-    },
+    (s, d) => graft.functions.LmScore.score(
+      Tables.documents(s, d), hashKeys = false),
     Some(s"""WITH w AS (SELECT doc_id, string_split($oCanon, ' ') AS ws FROM documents),
              bi AS (SELECT doc_id, ws[g] AS w1, ws[g] || ' ' || ws[g + 1] AS g2
                     FROM w, UNNEST(generate_series(1, greatest(len(ws) - 1, 0))) AS t(g)),

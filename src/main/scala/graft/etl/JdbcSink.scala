@@ -63,18 +63,28 @@ object JdbcSink {
   }
 
   /** Create the target table with a primary key on `keyCols` if it does
-    * not exist yet. Unquoted identifiers are stored upper-cased by some
-    * engines (Derby, Oracle) and lower-cased by others (PostgreSQL), so
-    * the existence probe tries every case form; if the probe still
-    * misses (or loses a creation race) the CREATE's already-exists
-    * error is swallowed after re-checking. */
+    * not exist yet; if it DOES exist, evolve it: columns the DataFrame
+    * carries that the table lacks are added via ALTER TABLE ADD COLUMN
+    * (nullable — existing rows read back NULL, the EF-migrations
+    * AddColumn analogue), and a column whose JDBC type family no longer
+    * matches the DataFrame's is REJECTED loudly (an incompatible type
+    * change is a migration, not something a sink should improvise).
+    * Table columns absent from the DataFrame are left alone — the
+    * UPDATE/INSERT statements name their columns explicitly.
+    *
+    * Unquoted identifiers are stored upper-cased by some engines
+    * (Derby, Oracle) and lower-cased by others (PostgreSQL), so the
+    * existence probe tries every case form; if the probe still misses
+    * (or loses a creation race) the CREATE's already-exists error is
+    * swallowed after re-checking. */
   def ensureTable(url: String, table: String, schema: StructType,
       keyCols: Seq[String]): Unit = {
     val conn = DriverManager.getConnection(url)
     try {
+      def caseForms(s: String) = Seq(s, s.toUpperCase, s.toLowerCase).distinct
       def exists: Boolean =
         try {
-          Seq(table, table.toUpperCase, table.toLowerCase).distinct.exists { t =>
+          caseForms(table).exists { t =>
             val rs = conn.getMetaData.getTables(null, null, t, null)
             try rs.next() finally rs.close()
           }
@@ -94,7 +104,55 @@ object JdbcSink {
         }
         finally st.close()
       }
+      if (exists) {
+        // (column name upper-cased → java.sql.Types code) of the live table
+        val live = scala.collection.mutable.LinkedHashMap[String, Int]()
+        caseForms(table).foreach { t =>
+          if (live.isEmpty) {
+            val rs = conn.getMetaData.getColumns(null, null, t, null)
+            try while (rs.next())
+              live(rs.getString("COLUMN_NAME").toUpperCase) = rs.getInt("DATA_TYPE")
+            finally rs.close()
+          }
+        }
+        schema.fields.foreach { f =>
+          live.get(f.name.toUpperCase) match {
+            case None =>
+              val st = conn.createStatement()
+              try st.executeUpdate(
+                s"ALTER TABLE $table ADD COLUMN ${f.name} ${sqlType(f.dataType)}")
+              finally st.close()
+            case Some(liveCode) if !compatibleTypes(liveCode, f.dataType) =>
+              throw new IllegalArgumentException(
+                s"JdbcSink: incompatible schema change for $table.${f.name}: " +
+                  s"table has java.sql.Types code $liveCode, DataFrame wants " +
+                  s"${f.dataType.sql} (code ${typeCode(f.dataType)}). Type " +
+                  "changes need an explicit migration, not a sink write.")
+            case _ => ()
+          }
+        }
+      }
     } finally conn.close()
+  }
+
+  /** Is the table's live JDBC type an acceptable target for a Spark
+    * field of type `dt`? Families, not exact codes — engines report
+    * synonyms (VARCHAR/CHAR/CLOB for strings, NUMERIC/DECIMAL). */
+  private[etl] def compatibleTypes(liveCode: Int, dt: DataType): Boolean = {
+    val strings = Set(Types.VARCHAR, Types.CHAR, Types.LONGVARCHAR, Types.CLOB)
+    val ints = Set(Types.BIGINT, Types.INTEGER, Types.SMALLINT, Types.TINYINT)
+    val floats = Set(Types.DOUBLE, Types.FLOAT, Types.REAL)
+    val decimals = Set(Types.NUMERIC, Types.DECIMAL)
+    dt match {
+      case StringType => strings(liveCode)
+      case LongType | IntegerType | ShortType => ints(liveCode)
+      case DoubleType | FloatType => floats(liveCode)
+      case _: DecimalType => decimals(liveCode)
+      case BooleanType => liveCode == Types.BOOLEAN || liveCode == Types.BIT
+      case DateType => liveCode == Types.DATE
+      case TimestampType => liveCode == Types.TIMESTAMP
+      case _ => false
+    }
   }
 
   /** Bind row fields at `fieldIdxs` (schema positions) to consecutive

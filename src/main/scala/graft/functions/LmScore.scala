@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** D28: bigram language-model scoring — per-document mean negative
+  * log-likelihood under a Laplace-smoothed bigram model trained on the
+  * corpus itself (the perplexity-filtering signal; CCNet-style, Wenzek
+  * et al. 2020).
+  *
+  * Scale shape: the bigram explode IS the inherent LM-training shuffle
+  * (counts are corpus-wide aggregates); the context (`c1`) and bigram
+  * (`c2`) count tables shuffle on their keys and join back to the
+  * bigram stream; vocabulary size is a 1-row broadcast.
+  *
+  * `hashKeys = true` (the production default — r5 verdict item 6)
+  * keys every one of those shuffles on 8-byte xxhash64 values instead
+  * of the raw strings: a bigram string is ~2 words of bytes carried
+  * through three exchanges (two count-table groupBys + the join-backs),
+  * a multi-× bandwidth amplifier at 100 TB. Counting hashes instead of
+  * strings leaves every count — and therefore the NLL — identical
+  * unless two distinct grams collide in 64 bits (~n²/2⁶⁵; irrelevant
+  * at any corpus size that fits a cluster), the same trade
+  * [[graft.dedup.Decontaminate]] documents for `hashGrams`. String
+  * mode is kept because it is what DuckDB can mirror — the oracle
+  * entry gates it — and the spec asserts both modes emit the identical
+  * (doc_id, n_bigrams, nll) table.
+  *
+  * Determinism: counts are exact ints; each log term is
+  * double-from-ints quantized to DECIMAL(38,6) before the per-doc sum
+  * (order-independent), divided once by the exact bigram count. The
+  * lambdas below reference only the MATERIALIZED `ws` attribute (cheap
+  * per-element re-read), never an unmaterialized expression — the HOF
+  * free-reference rule.
+  */
+object LmScore {
+
+  def score(docs: DataFrame, hashKeys: Boolean = true): DataFrame = {
+    val withWs = Spread(docs, col("doc_id"))
+      .withColumn("ws", Text.words(col("text")))
+    // (doc_id, w1, g2): one row per bigram occurrence; w1 is the left
+    // context, g2 the bigram — as strings or as xxhash64 longs
+    val bigramExpr =
+      if (hashKeys)
+        """CASE WHEN size(ws) >= 2 THEN
+             transform(sequence(1, size(ws) - 1),
+               i -> struct(xxhash64(element_at(ws, i)) AS w1,
+                           xxhash64(element_at(ws, i), element_at(ws, i + 1)) AS g2))
+           ELSE CAST(array() AS array<struct<w1:bigint,g2:bigint>>) END"""
+      else
+        """CASE WHEN size(ws) >= 2 THEN
+             transform(sequence(1, size(ws) - 1),
+               i -> struct(element_at(ws, i) AS w1,
+                           concat(element_at(ws, i), ' ', element_at(ws, i + 1)) AS g2))
+           ELSE CAST(array() AS array<struct<w1:string,g2:string>>) END"""
+    val bi = withWs
+      .select(col("doc_id"), explode(expr(bigramExpr)).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.g2").as("g2"))
+    val c2 = bi.groupBy("g2").agg(count(lit(1)).as("c2"))
+    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // |V| over hashes equals |V| over words modulo the same negligible
+    // collision bound, and the distinct then shuffles longs, not words
+    val wordCol =
+      if (hashKeys) xxhash64(col("word")) else col("word")
+    val vocab = withWs.select(explode(col("ws")).as("word"))
+      .agg(countDistinct(wordCol).as("v"))
+    val lp = log((col("c2") + lit(1.0)) / (col("c1") + col("v")))
+    bi.join(c2, "g2").join(c1, "w1")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), lp.as("lp"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round((-sum(col("lp").cast("decimal(38,6)"))).cast("double") /
+          count(lit(1)), 4).as("nll"))
+      .orderBy("doc_id")
+  }
+}

@@ -22,6 +22,30 @@ class IoSpec extends SparkSpec {
     assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
   }
 
+  test("IO10: mergeSchema parquet read unions evolved file schemas; old files read NULL") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_evolve").toString + "/docs"
+    // v1 writer: two columns; later the pipeline grows a lang column —
+    // the layout a long-lived dataset accumulates across code versions
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "gamma", "en"), (4L, "delta", "fr")).toDF("doc_id", "text", "lang")
+      .write.mode("append").parquet(dir)
+    // default read may pick either file's schema; mergeSchema must union
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.schema.fieldNames.sorted.toSeq === Seq("doc_id", "lang", "text"))
+    val rows = merged.orderBy("doc_id").collect()
+    assert(rows.length === 4)
+    assert(rows.take(2).forall(_.isNullAt(rows.head.fieldIndex("lang"))),
+      "pre-evolution files must surface NULL for the added column")
+    assert(rows(2).getAs[String]("lang") === "en")
+    // operators compose over the merged view exactly as over a uniform one
+    val counts = merged.groupBy(coalesce(col("lang"), lit("unknown")).as("lang"))
+      .count().orderBy("lang").collect()
+    assert(counts.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("en", 1L), ("fr", 1L), ("unknown", 2L)))
+  }
+
   test("IVF index written partitionBy(cell) prunes the probe scan to probed cells") {
     import graft.similarity.Ivf
     val dir = Files.createTempDirectory("graft_ivf_idx").toString + "/index"

@@ -142,12 +142,17 @@ class DedupSpec extends SparkSpec {
     // Deliberately UNCACHED input — the bench/production entry shape:
     // a cached input wraps each branch in its own TableCacheQueryStage,
     // whose canonical forms differ, and AQE stage reuse stops matching
-    // anything above them. The suite's shared `planted` IS cached and
-    // the cache manager substitutes any sameResult sub-plan, so the
-    // no-op doc_id >= 0 filter defeats that lookup.
+    // anything above them. The corpus is SYNTHETIC (spark.range), not
+    // the documents table: the cache manager substitutes any cached
+    // sameResult SUBTREE into new plans, and other suites in the shared
+    // session cache the documents scan — which would silently
+    // re-introduce the cache stages this test exists to keep out.
+    val corpus = spark.range(0, 400).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (0 until 12).map(j =>
+        concat(lit(s"word$j "), (col("id") + j) % 7)): _*).as("text"))
     for (hashed <- Seq(true, false)) {
-      val df = Decontaminate.flagged(
-        Dedup.withPlantedDups(docs.filter(col("doc_id") >= 0)),
+      val df = Decontaminate.flagged(corpus,
         id => id % 100 === 0, hashGrams = hashed)
       df.collect()
       val finalPlan = df.queryExecution.executedPlan.toString

@@ -85,6 +85,49 @@ class JdbcSinkSpec extends SparkSpec {
     }
   }
 
+  test("IO10-JDBC: upsert with a new column ALTERs the target; old rows read NULL") {
+    import spark.implicits._
+    val t = "evolve_add"
+    val v1 = Seq(("90001", "Cedar"), ("90002", "Pine")).toDF("zipcode", "county")
+    JdbcSink.upsert(v1, url, t, Seq("zipcode"))
+    // v2 grows a population column — the EF AddColumn migration shape
+    val v2 = Seq(("90002", "Pine Updated", 25L), ("90003", "Oak", 30L))
+      .toDF("zipcode", "county", "pop")
+    JdbcSink.upsert(v2, url, t, Seq("zipcode"))
+    val back = readTable(t).orderBy("zipcode").collect()
+    assert(back.length === 3)
+    assert(back.map(_.getString(0)).toSeq === Seq("90001", "90002", "90003"))
+    // pre-evolution row: never written with pop → NULL
+    assert(back(0).isNullAt(2), "pre-evolution row must read NULL in the new column")
+    assert(back(1).getString(1) === "Pine Updated" && back(1).getLong(2) === 25L)
+    assert(back(2).getLong(2) === 30L)
+    // and the SHRUNK schema still upserts (absent columns left alone)
+    JdbcSink.upsert(Seq(("90001", "Cedar v3")).toDF("zipcode", "county"),
+      url, t, Seq("zipcode"))
+    val again = readTable(t).orderBy("zipcode").collect()
+    assert(again(0).getString(1) === "Cedar v3" && again(0).isNullAt(2))
+    assert(again(1).getLong(2) === 25L, "columns absent from the frame are untouched")
+  }
+
+  test("IO10-JDBC: an incompatible column type change is rejected, not improvised") {
+    import spark.implicits._
+    val t = "evolve_reject"
+    JdbcSink.upsert(Seq(("k1", 10L)).toDF("id", "pop"), url, t, Seq("id"))
+    val e = intercept[IllegalArgumentException] {
+      // pop was BIGINT; a string pop is a migration, not a write
+      JdbcSink.upsert(Seq(("k1", "ten")).toDF("id", "pop"), url, t, Seq("id"))
+    }
+    assert(e.getMessage.contains("incompatible schema change"))
+    // the reject must leave the table intact and writable
+    JdbcSink.upsert(Seq(("k2", 20L)).toDF("id", "pop"), url, t, Seq("id"))
+    assert(readTable(t).count() === 2)
+    // type-family synonyms are NOT rejected: INTEGER frame into BIGINT
+    // column (engines report synonym codes; exact-code matching would
+    // false-positive)
+    JdbcSink.upsert(Seq(("k3", 30)).toDF("id", "pop"), url, t, Seq("id"))
+    assert(readTable(t).count() === 3)
+  }
+
   test("E5-JDBC: nulls round-trip and unsupported types fail with a clear error") {
     import spark.implicits._
     val t = "upsert_nulls"

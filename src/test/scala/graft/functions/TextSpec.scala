@@ -76,6 +76,19 @@ class TextSpec extends SparkSpec {
       fps.head.getSeq[Long](fps.head.fieldIndex("winnow_fps")).nonEmpty)
   }
 
+  test("D28: hashed-key LM scoring emits the identical NLL table as string mode") {
+    // r5 verdict item 6: the production mode shuffles 8-byte xxhash64
+    // keys through the two count-table groupBys and their join-backs
+    // instead of raw bigram strings; every count — and so the NLL —
+    // must be bit-identical (64-bit collisions aside, ~n²/2⁶⁵).
+    val docs = graft.Tables.documents(spark, sf)
+    val hashed = graft.functions.LmScore.score(docs, hashKeys = true).collect()
+    val strings = graft.functions.LmScore.score(docs, hashKeys = false).collect()
+    assert(hashed.nonEmpty)
+    assert(hashed.toSeq === strings.toSeq,
+      "hashed and string key modes must produce the same (doc_id, n_bigrams, nll)")
+  }
+
   test("D21: heavy-hitters sketch returns a true top-k with exact counts") {
     val rows = graft.SparkEntry.queries("text_heavy_hitters")(spark, sf).collect()
     assert(rows.length === 10)
