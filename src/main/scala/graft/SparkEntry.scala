@@ -8,6 +8,7 @@ object SparkEntry {
   /** All implemented coverage-checklist entries. */
   def allDefs: Seq[QueryDef] =
     operators.Relational.all ++ operators.Partitioned.all ++
+      operators.Zorder.all ++
       etl.EtlQueries.all ++ dedup.PipelineQueries.all ++
       streaming.StreamQueries.all
 
