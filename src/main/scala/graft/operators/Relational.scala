@@ -931,6 +931,67 @@ object Relational {
               COUNT(*) AS n
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** R38: WITH RECURSIVE through the SQL parser (landed in Spark 4.0) —
+    * the iterative-closure surface next to R29's subqueries. The
+    * hierarchy is a synthetic binary part taxonomy (parent(p) = p/2,
+    * root 1): every part walks its ancestor chain to the root and the
+    * result aggregates per depth — pure integer arithmetic, identical
+    * recursion in DuckDB. Depth is log₂(parts), so the recursion runs
+    * ~15-20 rounds at any realistic scale and the per-round frontier
+    * never exceeds |part| rows (each part has exactly one live node).
+    * For data-scale iteration the engine's own CC operator
+    * (dedup/Clusters.scala) remains the 100 TB path — this gates the
+    * SQL-surface semantics. */
+  val qRecursiveCte = QueryDef(
+    "q_recursive_cte",
+    (s, d) => {
+      Tables.part(s, d).createOrReplaceTempView("part_rec_v")
+      // integer division: Spark's / on ints is fractional (DOUBLE), so
+      // DIV here and // in DuckDB keep the walk in exact integers
+      s.sql("""WITH RECURSIVE anc(part, node, depth) AS (
+                 SELECT p_partkey, p_partkey, 0 FROM part_rec_v
+                 UNION ALL
+                 SELECT part, node DIV 2, depth + 1 FROM anc WHERE node > 1
+               )
+               SELECT depth, COUNT(*) AS n_parts,
+                      SUM(node) AS sum_nodes, SUM(part) AS sum_parts
+               FROM anc GROUP BY depth ORDER BY depth""")
+    },
+    Some("""WITH RECURSIVE anc(part, node, depth) AS (
+              SELECT p_partkey, p_partkey, 0 FROM part
+              UNION ALL
+              SELECT part, node // 2, depth + 1 FROM anc WHERE node > 1
+            )
+            SELECT depth, COUNT(*) AS n_parts,
+                   CAST(SUM(node) AS BIGINT) AS sum_nodes,
+                   CAST(SUM(part) AS BIGINT) AS sum_parts
+            FROM anc GROUP BY depth ORDER BY depth"""))
+
+  /** R39: window distribution functions — dense_rank / percent_rank /
+    * cume_dist per nation over customer balance (the rank family R22
+    * doesn't cover). Ties collapse identically in every engine for all
+    * three (they are functions of the ORDER BY value, not the row), so
+    * the output is deterministic without a tiebreaker; ratios are
+    * small exact rationals rounded at 6dp on both sides. */
+  val qWindowDist = QueryDef(
+    "q_window_dist",
+    (s, d) => {
+      val w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+          dense_rank().over(w).as("bal_dense_rank"),
+          round(percent_rank().over(w), 6).as("bal_pct_rank"),
+          round(cume_dist().over(w), 6).as("bal_cume_dist"))
+        .orderBy("c_nationkey", "c_custkey")
+    },
+    Some("""SELECT c_custkey, c_nationkey, c_acctbal,
+                   dense_rank() OVER w AS bal_dense_rank,
+                   ROUND(percent_rank() OVER w, 6) AS bal_pct_rank,
+                   ROUND(cume_dist() OVER w, 6) AS bal_cume_dist
+            FROM customer
+            WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal)
+            ORDER BY c_nationkey, c_custkey"""))
+
   val all: Seq[QueryDef] = Seq(
     qScanPushdown, q1PricingSummary, q3ShippingPriority, q5LocalSupplier,
     qBroadcastJoin, qSemiJoin, qAntiJoin, qWindowRank, qWindowRunning,
@@ -939,5 +1000,5 @@ object Relational {
     qPivot, qCubeGrouping, qWindowFuncs, qRangeJoin, qSaltedJoin,
     qApproxPercentile, qOuterJoin, qSlidingWindow, qSetOps, qSqlSurface,
     qGroupingSets, qBloomJoin, qArgmax, qUnpivot, q18LargeOrders,
-    qCorrStats)
+    qCorrStats, qRecursiveCte, qWindowDist)
 }
