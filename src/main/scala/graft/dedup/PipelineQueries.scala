@@ -390,6 +390,55 @@ object PipelineQueries {
              FROM w GROUP BY word
              ORDER BY freq DESC, doc_freq DESC, word LIMIT 100"""))
 
+  /** D32: vocabulary ENCODING — applying the trained top-k vocabulary
+    * to the token stream (the tokenize step between D18's vocab build
+    * and D16's sequence packing): every word maps to its vocab id,
+    * OOV → 0 (unk). The tokenizer is an ARTIFACT, not a join side: the
+    * top-k vocab is collected to the driver — O(k) by construction,
+    * like the IVF codebook — and shipped inside a map literal, so
+    * encoding is pure map-side codegen with NO per-token explode/join
+    * shuffle; at 100 TB the alternative (explode to one row per token,
+    * join the vocab, reassemble with a sort) shuffles the entire token
+    * stream twice. Vocab rank ties break on the word itself, so the
+    * id assignment is deterministic and DuckDB mirrors it exactly. */
+  val textTokenize = QueryDef(
+    "text_tokenize_vocab",
+    (s, d) => {
+      val VocabK = 256
+      val docs = graft.functions.Spread(Tables.documents(s, d), col("doc_id"))
+        .withColumn("ws", Text.words(col("text")))
+      val vocab = docs.select(explode(col("ws")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), asc("word"))
+        .limit(VocabK)
+        .collect() // O(VocabK) driver materialization — the tokenizer artifact
+      val entries = vocab.zipWithIndex.flatMap { case (r, i) =>
+        Seq(lit(r.getString(0)), lit(i + 1)) }
+      val vmap = map(entries.toIndexedSeq: _*)
+      docs
+        .withColumn("ids",
+          transform(col("ws"), w => coalesce(element_at(vmap, w), lit(0))))
+        .select(col("doc_id"),
+          to_json(col("ids")).as("token_ids"),
+          size(col("ids")).as("n_tokens"),
+          size(filter(col("ids"), i => i === 0)).as("n_unk"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH w AS (SELECT doc_id, string_split($oCanon, ' ') AS ws FROM documents),
+             allw AS (SELECT unnest(ws) AS word FROM w),
+             freq AS (SELECT word, COUNT(*) AS freq FROM allw GROUP BY word),
+             vocab AS (SELECT word,
+                         CAST(row_number() OVER (ORDER BY freq DESC, word) AS INTEGER) AS id
+                       FROM freq ORDER BY freq DESC, word LIMIT 256),
+             tok AS (SELECT doc_id, t.g AS ord, ws[t.g] AS word
+                     FROM w, UNNEST(generate_series(1, len(ws))) AS t(g)),
+             ids AS (SELECT doc_id, ord, COALESCE(v.id, 0) AS id
+                     FROM tok LEFT JOIN vocab v USING (word))
+             SELECT doc_id, to_json(list(id ORDER BY ord)) AS token_ids,
+                    CAST(COUNT(*) AS INTEGER) AS n_tokens,
+                    CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS INTEGER) AS n_unk
+             FROM ids GROUP BY doc_id ORDER BY doc_id"""))
+
   private def T(frac: Double): String = graft.functions.Splits.hexThreshold(frac)
   private val oBucket = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)"
 
@@ -1035,7 +1084,8 @@ object PipelineQueries {
     dedupExact, dedupMinhashLsh, dedupSimhash, dedupNgramJaccard,
     dedupEmbeddingCosine, annBruteforceTopK, annLsh, annIvf,
     textLangId, textQualityScore, textTokenCount, textFingerprint,
-    textWinnow, textWinnowGeometry, textVocab, vecCentroid, mmBinaryMeta,
+    textWinnow, textWinnowGeometry, textVocab, textTokenize, vecCentroid,
+    mmBinaryMeta,
     hashSplit, stratifiedSample,
     dedupClusters, dedupClustersCc, dedupPipelineQ, packSequences, textScrub,
     textDecontaminate, textDecontaminateBcast, textHeavyHitters,

@@ -992,6 +992,39 @@ object Relational {
             WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal)
             ORDER BY c_nationkey, c_custkey"""))
 
+  /** R40: re-aggregatable sketch store — the 100 TB counting
+    * architecture R19's one-shot estimate doesn't show: per-group
+    * Apache DataSketches HLL sketches are MERGEABLE state (store one
+    * per day/partition; any range rolls up by unioning stored sketches
+    * with `hll_union_agg`, never rescanning the fact). SELF-VERIFYING
+    * rows-only entry (sketch bytes have no SQL mirror): each group row
+    * and the unioned ALL row carry the exact distinct count and the
+    * relative error; the exact columns are eval instrumentation — a
+    * production rollup executes only the sketch side. */
+  val qSketchRollup = QueryDef(
+    "q_sketch_rollup",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val perGroup = li.groupBy("l_returnflag")
+        .agg(expr("hll_sketch_agg(l_orderkey)").as("sk"),
+          countDistinct(col("l_orderkey")).as("exact_distinct"))
+      val groups = perGroup.select(col("l_returnflag").as("grp"),
+        expr("hll_sketch_estimate(sk)").as("approx_distinct"),
+        col("exact_distinct"))
+      val total = perGroup
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_distinct"))
+        .crossJoin(broadcast(
+          li.agg(countDistinct(col("l_orderkey")).as("exact_distinct"))))
+        .select(lit("ALL").as("grp"), col("approx_distinct"),
+          col("exact_distinct"))
+      groups.unionByName(total)
+        .withColumn("rel_err",
+          round(abs(col("approx_distinct") - col("exact_distinct")) /
+            col("exact_distinct"), 4))
+        .orderBy("grp")
+    },
+    None)
+
   val all: Seq[QueryDef] = Seq(
     qScanPushdown, q1PricingSummary, q3ShippingPriority, q5LocalSupplier,
     qBroadcastJoin, qSemiJoin, qAntiJoin, qWindowRank, qWindowRunning,
@@ -1000,5 +1033,5 @@ object Relational {
     qPivot, qCubeGrouping, qWindowFuncs, qRangeJoin, qSaltedJoin,
     qApproxPercentile, qOuterJoin, qSlidingWindow, qSetOps, qSqlSurface,
     qGroupingSets, qBloomJoin, qArgmax, qUnpivot, q18LargeOrders,
-    qCorrStats, qRecursiveCte, qWindowDist)
+    qCorrStats, qRecursiveCte, qWindowDist, qSketchRollup)
 }

@@ -30,6 +30,26 @@ object StreamJoin {
       .select(col("i.user_id"), col("i.imp_id"), col("c.click_id"),
         col("i.imp_ts"), col("c.click_ts"))
 
+  /** S13: LEFT OUTER stream-stream interval join — S8's attribution
+    * shape, keeping UNMATCHED impressions: the "did this impression
+    * convert?" question needs the no-click rows too. Outer
+    * stream-stream joins only work with the same two ingredients as
+    * S8 (watermarks on both sides + both-ends time bound), and add the
+    * semantics the spec pins down: an unmatched impression is emitted
+    * with null click columns only when the watermark passes
+    * imp_ts + window — before that a matching click could still
+    * arrive, so the row sits in (bounded, evictable) state. */
+  def impressionClickJoinOuter(impressions: DataFrame, clicks: DataFrame,
+      windowMinutes: Int = 10): DataFrame =
+    impressions.alias("i")
+      .join(clicks.alias("c"),
+        col("i.user_id") === col("c.user_id") &&
+          col("c.click_ts") >= col("i.imp_ts") &&
+          col("c.click_ts") <= col("i.imp_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+        "left_outer")
+      .select(col("i.user_id"), col("i.imp_id"), col("c.click_id"),
+        col("i.imp_ts"), col("c.click_ts"))
+
   /** S9: stream–static enrichment join — every micro-batch of the
     * stream joins a STATIC dimension (inner, broadcast-hinted). The
     * standard "enrich events with reference data" shape: stateless (no

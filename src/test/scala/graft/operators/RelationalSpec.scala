@@ -99,7 +99,8 @@ class RelationalSpec extends SparkSpec {
     val bnljAllowed = Set("ann_bruteforce_topk",
       "ann_lsh", "ann_ivf", "dedup_minhash_lsh", "dedup_simhash",
       "dedup_ngram_jaccard", "dedup_pipeline", "dedup_skew_stress",
-      "text_bm25", "dedup_semantic", "text_lm_score")
+      "text_bm25", "dedup_semantic", "text_lm_score",
+      "q_sketch_rollup") // 1-row exact-total broadcast (eval instrumentation)
     graft.SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
@@ -107,6 +108,22 @@ class RelationalSpec extends SparkSpec {
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$name plans an unexpected nested-loop join")
     }
+  }
+
+  test("R40: per-group HLL sketches and their union estimate within 5% of exact") {
+    val rows = Relational.qSketchRollup.fn(spark, sf).collect()
+    assert(rows.length >= 2, "at least one group row plus the ALL union row")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("rel_err") < 0.05,
+        s"sketch estimate off by ${r.getAs[Double]("rel_err")} for ${r.getAs[String]("grp")}")
+    }
+    val all = rows.find(_.getAs[String]("grp") == "ALL").get
+    val groupMax = rows.filter(_.getAs[String]("grp") != "ALL")
+      .map(_.getAs[Long]("approx_distinct")).max
+    // the union covers every group's key set: its estimate cannot sit
+    // below the largest single group's (up to sketch noise already
+    // bounded by the 5% gate above)
+    assert(all.getAs[Long]("approx_distinct") >= (groupMax * 0.95).toLong)
   }
 
   test("driver contract: entry() returns rows under a plain session") {

@@ -359,6 +359,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("S13: left-outer interval join emits unmatched impressions only after the watermark closes their window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val impStream = MemoryStream[(Long, Long, Timestamp)]
+    val clickStream = MemoryStream[(Long, Long, Timestamp)]
+    val joined = StreamJoin.impressionClickJoinOuter(
+      impStream.toDF().toDF("user_id", "imp_id", "imp_ts")
+        .withWatermark("imp_ts", "1 hour"),
+      clickStream.toDF().toDF("user_id", "click_id", "click_ts")
+        .withWatermark("click_ts", "1 hour"))
+    val q = joined.writeStream.format("memory").queryName("s13_out")
+      .outputMode("append").start()
+    try {
+      impStream.addData(
+        (1L, 100L, ts("2026-01-01 10:00:00")), // matches click 900
+        (1L, 101L, ts("2026-01-01 12:00:00")), // no click in [12:00, 12:10]
+        (2L, 102L, ts("2026-01-01 10:00:00")), // matches click 902
+        (3L, 103L, ts("2026-01-01 10:00:00"))) // user with no clicks at all
+      clickStream.addData(
+        (1L, 900L, ts("2026-01-01 10:05:00")),
+        (2L, 902L, ts("2026-01-01 10:09:00")))
+      q.processAllAvailable()
+      val early = spark.table("s13_out").collect()
+      assert(!early.exists(_.isNullAt(2)),
+        "no null-padded row may emit while the watermark could still admit a click")
+      // watermark pushers on BOTH streams: 20:00 - 1h delay = 19:00,
+      // far past every open [imp_ts, imp_ts + 10min] interval
+      impStream.addData((9L, 199L, ts("2026-01-01 20:00:00")))
+      clickStream.addData((9L, 999L, ts("2026-01-01 20:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("s13_out")
+        .select("imp_id", "click_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+      // matches + the pusher pair + the two null-padded no-convert rows
+      assert(rows === Set((100L, 900L), (102L, 902L), (199L, 999L),
+        (101L, -1L), (103L, -1L)),
+        s"unexpected outer-join output: $rows")
+    } finally q.stop()
+  }
+
   test("S9: stream-static broadcast enrichment equals the batch join and drops unmatched keys") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
