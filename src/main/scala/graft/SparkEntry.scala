@@ -9,7 +9,7 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     operators.Relational.all ++ operators.Partitioned.all ++
       operators.Zorder.all ++
-      etl.EtlQueries.all ++ dedup.PipelineQueries.all ++
+      etl.EtlQueries.all ++ etl.Quality.all ++ dedup.PipelineQueries.all ++
       streaming.StreamQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

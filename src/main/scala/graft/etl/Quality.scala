@@ -1,0 +1,150 @@
+package graft.etl
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** E11/E12 — the two validation operators every production ETL bus
+  * runs around its loads: a declarative data-quality constraint suite
+  * (Deequ-shaped) and a key-level table diff (migration/backfill
+  * reconciliation). Both are ordinary aggregates/joins — one pass for
+  * the row-level constraints, one key shuffle for the diff — so they
+  * run at fact-table scale as cheaply as any groupBy.
+  *
+  * Reference analogue: Net7EtlBus validates per-record completeness
+  * before skipping enrichment (`DataflowProcessor.cs:117-152`) and
+  * trusts EF/PostgreSQL constraints for the rest; at 100 TB
+  * constraints move into the engine as aggregates over the data.
+  */
+object Quality {
+
+  /** E11: one-pass data-quality constraint suite over lineitem (+ one
+    * anti-join for the referential check, which is a join by nature).
+    * Emits (check_name, metric, passed) — metric is the fraction
+    * satisfying the constraint, 6dp. The composite-key uniqueness
+    * check folds (l_orderkey, l_linenumber) into the exact integer
+    * l_orderkey·10 + l_linenumber (linenumber is 1..7 by TPC-H
+    * construction) so both engines count-distinct the same scalar. */
+  val qualityChecks = QueryDef(
+    "etl_quality_checks",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val pk = col("l_orderkey") * 10 + col("l_linenumber")
+      val base = li.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("null_ship"),
+        countDistinct(pk).as("pk_distinct"),
+        sum(when(col("l_quantity").between(1, 50), 0L).otherwise(1L)).as("qty_oob"),
+        sum(when(col("l_extendedprice") >= 0, 0L).otherwise(1L)).as("neg_price"))
+      val orphans = li.join(Tables.orders(s, d),
+          li("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("orphans"))
+      base.crossJoin(broadcast(orphans)) // 1-row × 1-row
+        .select(explode(array(
+          struct(lit("completeness_l_shipdate").as("check_name"),
+            round(lit(1.0) - col("null_ship") / col("n"), 6).as("metric"),
+            (col("null_ship") === 0).as("passed")),
+          struct(lit("pk_uniqueness").as("check_name"),
+            round(col("pk_distinct") / col("n"), 6).as("metric"),
+            (col("pk_distinct") === col("n")).as("passed")),
+          struct(lit("range_quantity_1_50").as("check_name"),
+            round(lit(1.0) - col("qty_oob") / col("n"), 6).as("metric"),
+            (col("qty_oob") === 0).as("passed")),
+          struct(lit("nonnegative_extendedprice").as("check_name"),
+            round(lit(1.0) - col("neg_price") / col("n"), 6).as("metric"),
+            (col("neg_price") === 0).as("passed")),
+          struct(lit("ri_orderkey_in_orders").as("check_name"),
+            round(lit(1.0) - col("orphans") / col("n"), 6).as("metric"),
+            (col("orphans") === 0).as("passed")))).as("c"))
+        .select(col("c.*"))
+        .orderBy("check_name")
+    },
+    Some("""WITH m AS (
+              SELECT COUNT(*) AS n,
+                     SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS null_ship,
+                     COUNT(DISTINCT l_orderkey * 10 + l_linenumber) AS pk_distinct,
+                     SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS qty_oob,
+                     SUM(CASE WHEN l_extendedprice >= 0 THEN 0 ELSE 1 END) AS neg_price
+              FROM lineitem),
+            o AS (
+              SELECT COUNT(*) AS orphans FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))
+            SELECT * FROM (
+              SELECT 'completeness_l_shipdate' AS check_name,
+                     ROUND(1.0 - CAST(null_ship AS DOUBLE) / n, 6) AS metric,
+                     null_ship = 0 AS passed FROM m
+              UNION ALL
+              SELECT 'pk_uniqueness',
+                     ROUND(CAST(pk_distinct AS DOUBLE) / n, 6),
+                     pk_distinct = n FROM m
+              UNION ALL
+              SELECT 'range_quantity_1_50',
+                     ROUND(1.0 - CAST(qty_oob AS DOUBLE) / n, 6),
+                     qty_oob = 0 FROM m
+              UNION ALL
+              SELECT 'nonnegative_extendedprice',
+                     ROUND(1.0 - CAST(neg_price AS DOUBLE) / n, 6),
+                     neg_price = 0 FROM m
+              UNION ALL
+              SELECT 'ri_orderkey_in_orders',
+                     ROUND(1.0 - CAST(orphans AS DOUBLE) / n, 6),
+                     orphans = 0 FROM m, o)
+            ORDER BY check_name"""))
+
+  /** E12: key-level table diff — reconcile a table against its
+    * backfilled/migrated successor: full outer join on the key,
+    * null-safe comparison of the value columns, one row per difference
+    * tagged added / removed / changed. The "updated" side here is a
+    * deterministic synthetic edit of orders (drop keys % 89 = 0, bump
+    * totalprice on % 97 = 0, re-add keys % 101 = 0 shifted by 10M) so
+    * DuckDB reconstructs the identical pair of tables. One shuffle on
+    * the key; comparisons are map-side. */
+  val tableDiff = QueryDef(
+    "etl_table_diff",
+    (s, d) => {
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+          col("o_orderstatus").as("status"))
+      val updated = base.filter(col("k") % 89 =!= 0)
+        .withColumn("price",
+          when(col("k") % 97 === 0, col("price") + 1).otherwise(col("price")))
+        .unionByName(base.filter(col("k") % 101 === 0)
+          .select((col("k") + 10000000L).as("k"), col("price"), col("status")))
+      val a = base.select(col("k"), col("price").as("price_a"), col("status").as("status_a"))
+      val b = updated.select(col("k"), col("price").as("price_b"), col("status").as("status_b"))
+      a.join(b, Seq("k"), "full_outer")
+        .withColumn("change",
+          when(col("price_a").isNull && col("status_a").isNull, lit("added"))
+            .when(col("price_b").isNull && col("status_b").isNull, lit("removed"))
+            .when(!(col("price_a") <=> col("price_b")) ||
+              !(col("status_a") <=> col("status_b")), lit("changed")))
+        .filter(col("change").isNotNull)
+        .select(col("k"), col("change"))
+        .orderBy("k", "change")
+    },
+    Some("""WITH base AS (
+              SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS status
+              FROM orders),
+            updated AS (
+              SELECT k,
+                     CASE WHEN k % 97 = 0 THEN price + 1 ELSE price END AS price,
+                     status
+              FROM base WHERE k % 89 <> 0
+              UNION ALL
+              SELECT k + 10000000, price, status FROM base WHERE k % 101 = 0)
+            SELECT COALESCE(a.k, b.k) AS k,
+                   CASE WHEN a.k IS NULL THEN 'added'
+                        WHEN b.k IS NULL THEN 'removed'
+                        WHEN (a.price IS DISTINCT FROM b.price)
+                          OR (a.status IS DISTINCT FROM b.status) THEN 'changed'
+                   END AS change
+            FROM base a FULL OUTER JOIN updated b ON a.k = b.k
+            WHERE CASE WHEN a.k IS NULL THEN 'added'
+                       WHEN b.k IS NULL THEN 'removed'
+                       WHEN (a.price IS DISTINCT FROM b.price)
+                         OR (a.status IS DISTINCT FROM b.status) THEN 'changed'
+                  END IS NOT NULL
+            ORDER BY k, change"""))
+
+  val all: Seq[QueryDef] = Seq(qualityChecks, tableDiff)
+}

@@ -359,6 +359,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("S14: streaming session_window merges sessions across micro-batches and finalizes on watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // gap = 30 min: e1 (10:00) and e2 (10:45) open two sessions; the
+    // LATER-arriving e3 (10:20) bridges them — its window overlaps
+    // both — so the engine must merge in-flight session state across
+    // micro-batches, the thing the batch S2b entry cannot exercise
+    val stream = MemoryStream[(Long, Timestamp, Double)]
+    val sdf = stream.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "1 hour")
+    val q = EventOps.sessionWindows(sdf)
+      .writeStream.format("memory").queryName("s14_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        (1L, ts("2026-01-01 10:00:00"), 1.0),
+        (1L, ts("2026-01-01 10:45:00"), 2.0))
+      q.processAllAvailable()
+      stream.addData((1L, ts("2026-01-01 10:20:00"), 4.0)) // the bridge
+      q.processAllAvailable()
+      assert(spark.table("s14_out").isEmpty,
+        "append mode must hold sessions open until the watermark passes")
+      // pusher: watermark 20:00 - 1h = 19:00 >> session end 11:15
+      stream.addData((99L, ts("2026-01-01 20:00:00"), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("s14_out").filter(col("user_id") === 1L).collect()
+      assert(rows.length === 1, s"bridged events must form ONE session: ${rows.toSeq}")
+      val r = rows.head
+      assert(r.getAs[Long]("n_events") === 3L)
+      assert(r.getAs[Double]("sum_value") === 7.0)
+      assert(r.getAs[Long]("session_start_us") ===
+        ts("2026-01-01 10:00:00").getTime * 1000L)
+      // session end = last event + gap = 10:45 + 30 min
+      assert(r.getAs[Long]("session_end_us") ===
+        ts("2026-01-01 11:15:00").getTime * 1000L)
+    } finally q.stop()
+  }
+
   test("S13: left-outer interval join emits unmatched impressions only after the watermark closes their window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
