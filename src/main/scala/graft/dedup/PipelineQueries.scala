@@ -4,6 +4,7 @@ import graft.{QueryDef, Tables}
 import graft.functions.Text
 import graft.multimodal.Multimodal
 import graft.similarity.Ann
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Coverage entries D1-D12 (SURVEY.md §2.4) over the documents /
@@ -12,6 +13,20 @@ import org.apache.spark.sql.functions._
   * the hash family) and get recall/behavior specs instead.
   */
 object PipelineQueries {
+
+  /** D34's stored band index, built once per (process, dataset) — the
+    * Partitioned.scala memo pattern: the pid-scoped scratch path keeps
+    * concurrent JVMs from racing, and Bench reps time the probe, not
+    * the one-time index build. */
+  private val builtIndexes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[dedup] def bandIndexFor(s: SparkSession, dir: String): String = {
+    val path = "/tmp/graft_warehouse/bandidx_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + ProcessHandle.current().pid()
+    if (builtIndexes.add(path))
+      Dedup.writeBandIndex(Tables.documents(s, dir), path)
+    path
+  }
 
   /** Canonicalization mirrored in DuckDB. */
   private val oCanon =
@@ -389,6 +404,112 @@ object PipelineQueries {
                CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
              FROM w GROUP BY word
              ORDER BY freq DESC, doc_freq DESC, word LIMIT 100"""))
+
+  /** D34: incremental dedup against the STORED band index — the
+    * continuous-ingest shape: the corpus index is built once (memoized
+    * per process+dataset, like the DPP layout), each new batch probes
+    * it with ITS bands broadcast. SELF-VERIFYING rows-only: the new
+    * batch is half planted near-dups of corpus docs (id + 4M, suffix
+    * edit) and half synthetic md5-word docs that CANNOT shingle-match
+    * the corpus; every emitted pair flags is_planted_hit and the 1-row
+    * stats carry found/expected/recall + the fresh-doc false-hit
+    * count. */
+  val dedupIncremental = QueryDef(
+    "dedup_incremental",
+    (s, d) => {
+      val idx = PipelineQueries.bandIndexFor(s, d)
+      val docs = Tables.documents(s, d)
+      val planted = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 4000000L).as("doc_id"),
+          concat(col("text"), lit(" incremental ingest near duplicate")).as("text"))
+      val fresh = docs.filter(col("doc_id") % 50 === 1)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          concat_ws(" ", md5(col("doc_id").cast("string")),
+            md5((col("doc_id") + 1).cast("string")),
+            md5((col("doc_id") + 2).cast("string")),
+            md5((col("doc_id") + 3).cast("string"))).as("text"))
+      val pairs = Dedup.probeBandIndex(s, idx, planted.unionByName(fresh))
+        .withColumn("is_planted_hit",
+          col("new_doc") >= 4000000L && col("new_doc") < 5000000L &&
+            col("dup_of") === col("new_doc") - 4000000L)
+        .cache()
+      val stats = pairs.agg(
+          sum(when(col("is_planted_hit"), 1L).otherwise(0L)).as("planted_found"),
+          sum(when(col("new_doc") >= 5000000L, 1L).otherwise(0L)).as("fresh_hits"))
+        .crossJoin(docs.filter(col("doc_id") % 50 === 0)
+          .agg(count(lit(1)).as("planted_expected")))
+        .withColumn("planted_recall",
+          round(col("planted_found") / col("planted_expected"), 4))
+      pairs.crossJoin(broadcast(stats)).orderBy("new_doc", "dup_of")
+    },
+    None)
+
+  /** D33: Matryoshka-style embedding truncation — keep the first 16 of
+    * 64 dims, renormalize, report the retained L2 energy (the MRL
+    * serving trade: 4× cheaper ANN probes against a small recall
+    * loss). Norms are computed by summing per-element squares in
+    * exact DECIMAL(38,12) — order-independent, so both engines sqrt
+    * the identical double; the 6dp rounds then cannot flap. */
+  val embTruncate = QueryDef(
+    "emb_truncate_mrl",
+    (s, d) => {
+      // decimal(30,12): addition widens to (31,12) and the re-cast
+      // keeps the accumulator type closed — at (38,12) Spark's widening
+      // would DROP a scale digit instead
+      val dsum = (c: Column) => aggregate(
+        transform(c, x => (x * x).cast("decimal(30,12)")),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(30,12)"),
+        (a, x) => (a + x).cast("decimal(30,12)")).cast("double")
+      val arr = col("embedding").cast("array<double>")
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), arr.as("arr"))
+        .withColumn("head", slice(col("arr"), 1, 16))
+        .withColumn("nh", sqrt(dsum(col("head"))))
+        .withColumn("nf", sqrt(dsum(col("arr"))))
+        // micro-quantized ints, not rounded doubles: to_json prints
+        // small doubles in scientific notation on Spark but decimal on
+        // DuckDB — integers serialize identically everywhere
+        .select(col("vec_id"),
+          to_json(transform(col("head"),
+            x => round(x / greatest(col("nh"), lit(1e-12)) * 1e6, 0)
+              .cast("long"))).as("unit_head_micro"),
+          round(col("nh") / greatest(col("nf"), lit(1e-12)), 6).as("energy_retained"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH e AS (SELECT vec_id,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS arr
+                       FROM embeddings),
+            h AS (SELECT vec_id, arr[1:16] AS head, arr FROM e),
+            n AS (SELECT vec_id, head,
+                    sqrt(CAST(list_sum(list_transform(head,
+                      x -> CAST(x * x AS DECIMAL(30,12)))) AS DOUBLE)) AS nh,
+                    sqrt(CAST(list_sum(list_transform(arr,
+                      x -> CAST(x * x AS DECIMAL(30,12)))) AS DOUBLE)) AS nf
+                  FROM h)
+            SELECT vec_id,
+                   to_json(list_transform(head,
+                     x -> CAST(round(x / greatest(nh, 1e-12) * 1e6, 0) AS BIGINT)))
+                     AS unit_head_micro,
+                   round(nh / greatest(nf, 1e-12), 6) AS energy_retained
+            FROM n ORDER BY vec_id"""))
+
+  /** MM2: frame-sample scheduling — the deterministic half of D12's
+    * frame extraction (every 10th frame index per video asset),
+    * fully mirrored in SQL since the synthetic n_frames is pure
+    * doc_id arithmetic; the per-frame payload stays with the codec
+    * stub. */
+  val mmFrameSample = QueryDef(
+    "mm_frame_sample",
+    (s, d) => Multimodal.sampleFrames(
+        Multimodal.syntheticAssets(Tables.documents(s, d)), stride = 10)
+      .orderBy("doc_id", "sample_idx"),
+    Some("""WITH v AS (SELECT doc_id, CAST(1 + doc_id % 300 AS INTEGER) AS n_frames
+                       FROM documents WHERE doc_id % 3 = 2)
+            SELECT doc_id, n_frames,
+                   CAST(frame_idx // 10 AS INTEGER) AS sample_idx,
+                   CAST(frame_idx AS INTEGER) AS frame_idx
+            FROM v, UNNEST(generate_series(0, n_frames - 1, 10)) AS t(frame_idx)
+            ORDER BY doc_id, sample_idx"""))
 
   /** D32: vocabulary ENCODING — applying the trained top-k vocabulary
     * to the token stream (the tokenize step between D18's vocab build
@@ -1090,5 +1211,6 @@ object PipelineQueries {
     dedupClusters, dedupClustersCc, dedupPipelineQ, packSequences, textScrub,
     textDecontaminate, textDecontaminateBcast, textHeavyHitters,
     dedupSkewStress, textRepetition, embQuantize, textBm25, dedupSemantic,
-    dedupEditDistance, textLmScore, alphaSample, pipelineCurate)
+    dedupEditDistance, textLmScore, alphaSample, pipelineCurate,
+    dedupIncremental, embTruncate, mmFrameSample)
 }

@@ -199,6 +199,25 @@ class DedupSpec extends SparkSpec {
     assert(Decontaminate.flagged(boiler, id => id % 200 === 0).count() === 0)
   }
 
+  test("D34: incremental probe finds every planted near-dup, flags no fresh doc, and broadcasts the batch") {
+    val out = graft.SparkEntry.queries("dedup_incremental")(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val r = rows.head
+    assert(r.getAs[Double]("planted_recall") === 1.0,
+      "every planted near-dup of a corpus doc must be found by the index probe")
+    assert(r.getAs[Long]("fresh_hits") === 0L,
+      "md5-word fresh docs cannot shingle-match the corpus")
+    // plan contract: the new batch side is broadcast — the stored
+    // corpus index is never reshuffled for the probe join (the final
+    // distinct on the small pair set is the only exchange allowed)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"index probe must be a broadcast hash join:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"the corpus index must not be shuffled for the probe:\n$plan")
+  }
+
   test("D2/D3: oversized buckets are dropped (skew cap)") {
     import spark.implicits._
     // 150 identical docs → one bucket of 150 > MaxBucket → no pairs

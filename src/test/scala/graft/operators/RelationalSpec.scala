@@ -100,8 +100,9 @@ class RelationalSpec extends SparkSpec {
       "ann_lsh", "ann_ivf", "dedup_minhash_lsh", "dedup_simhash",
       "dedup_ngram_jaccard", "dedup_pipeline", "dedup_skew_stress",
       "text_bm25", "dedup_semantic", "text_lm_score",
-      // 1-row stats broadcasts (sketch-union exact total, RI orphan count)
-      "q_sketch_rollup", "etl_quality_checks")
+      // 1-row stats broadcasts (sketch-union exact total, RI orphan
+      // count, planted-recall evidence rows)
+      "q_sketch_rollup", "etl_quality_checks", "dedup_incremental")
     graft.SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
