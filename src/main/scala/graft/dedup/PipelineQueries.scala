@@ -576,6 +576,69 @@ object PipelineQueries {
                     ELSE 'test' END AS split
              FROM documents ORDER BY doc_id"""))
 
+  /** D35: split-leakage audit + the cluster-aware fix — the classic
+    * training-pipeline bug D13's hash split can't prevent: near-dup
+    * PAIRS straddling train/test leak eval content into training.
+    * Naive split keys on the doc's own id (members of a pair hash
+    * independently → some straddle); the fix keys every cluster member
+    * on the CLUSTER key, which pins the whole cluster to one split by
+    * construction. The pair feed here is the deterministic planted set
+    * so DuckDB mirrors the whole audit (production feeds D15's CC
+    * cluster labels as the key — same shape, same guarantee); both
+    * methods' (n_pairs, n_straddle) land in the output. */
+  val splitLeakage = QueryDef(
+    "q_split_leakage",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = Dedup.withPlantedDups(docs).select("doc_id")
+      val pairs = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("doc_a"),
+          (col("doc_id") + 1000000L).as("doc_b"))
+      val naive = graft.functions.Splits.hashSplit(corpus, col("doc_id"))
+      val clusterKey = when(col("doc_id") >= 1000000L,
+        col("doc_id") - 1000000L).otherwise(col("doc_id"))
+      val aware = graft.functions.Splits.hashSplit(
+          corpus.withColumn("ck", clusterKey), col("ck"))
+        .select("doc_id", "split")
+      def straddle(splits: org.apache.spark.sql.DataFrame, method: String) =
+        pairs
+          .join(splits.select(col("doc_id").as("doc_a"),
+            col("split").as("split_a")), Seq("doc_a"))
+          .join(splits.select(col("doc_id").as("doc_b"),
+            col("split").as("split_b")), Seq("doc_b"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("split_a") =!= col("split_b"), 1L).otherwise(0L))
+              .as("n_straddle"))
+          .select(lit(method).as("method"), col("n_pairs"), col("n_straddle"))
+      straddle(naive, "naive")
+        .unionByName(straddle(aware, "cluster_aware"))
+        .orderBy("method")
+    },
+    Some {
+      def ob(e: String) = s"substr(md5(CAST(($e) AS VARCHAR)), 1, 4)"
+      val ck = "CASE WHEN doc_id >= 1000000 THEN doc_id - 1000000 ELSE doc_id END"
+      def split(b: String) =
+        s"CASE WHEN $b < '${T(0.8)}' THEN 'train' WHEN $b < '${T(0.9)}' THEN 'val' ELSE 'test' END"
+      s"""WITH corpus AS (SELECT doc_id FROM documents
+                          UNION ALL
+                          SELECT doc_id + 1000000 FROM documents WHERE doc_id % 50 = 0),
+          pairs AS (SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b
+                    FROM documents WHERE doc_id % 50 = 0),
+          naive AS (SELECT doc_id, ${split(ob("doc_id"))} AS split FROM corpus),
+          aware AS (SELECT doc_id, ${split(ob(ck))} AS split FROM corpus)
+          SELECT * FROM (
+            SELECT 'naive' AS method, COUNT(*) AS n_pairs,
+                   CAST(SUM(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle
+            FROM pairs JOIN naive a ON a.doc_id = doc_a
+                       JOIN naive b ON b.doc_id = doc_b
+            UNION ALL
+            SELECT 'cluster_aware', COUNT(*),
+                   CAST(SUM(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS BIGINT)
+            FROM pairs JOIN aware a ON a.doc_id = doc_a
+                       JOIN aware b ON b.doc_id = doc_b)
+          ORDER BY method"""
+    })
+
   /** D14: deterministic stratified mixture sampling — per-language
     * keep rates (downsample dominant en, keep most zh), mirrored
     * verbatim in the oracle. */
@@ -1212,5 +1275,5 @@ object PipelineQueries {
     textDecontaminate, textDecontaminateBcast, textHeavyHitters,
     dedupSkewStress, textRepetition, embQuantize, textBm25, dedupSemantic,
     dedupEditDistance, textLmScore, alphaSample, pipelineCurate,
-    dedupIncremental, embTruncate, mmFrameSample)
+    dedupIncremental, embTruncate, mmFrameSample, splitLeakage)
 }

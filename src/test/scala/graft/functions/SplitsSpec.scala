@@ -9,6 +9,16 @@ class SplitsSpec extends SparkSpec {
 
   private lazy val docs = Tables.documents(spark, sf).cache()
 
+  test("D35: cluster-aware split never straddles a near-dup pair") {
+    val rows = graft.SparkEntry.queries("q_split_leakage")(spark, sf).collect()
+    val byMethod = rows.map(r => r.getAs[String]("method") ->
+      (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_straddle"))).toMap
+    assert(byMethod("cluster_aware")._1 > 0)
+    assert(byMethod("cluster_aware")._2 === 0L,
+      "keying every member on the cluster key pins the cluster to one split")
+    assert(byMethod("naive")._2 >= byMethod("cluster_aware")._2)
+  }
+
   test("hashSplit is exhaustive, exclusive, deterministic, and near the weights") {
     val split = Splits.hashSplit(docs.select("doc_id"), col("doc_id")).cache()
     val n = docs.count().toDouble
