@@ -971,23 +971,27 @@ object Relational {
     * cume_dist per nation over customer balance (the rank family R22
     * doesn't cover). Ties collapse identically in every engine for all
     * three (they are functions of the ORDER BY value, not the row), so
-    * the output is deterministic without a tiebreaker; ratios are
-    * small exact rationals rounded at 6dp on both sides. */
+    * the output is deterministic without a tiebreaker. Ratios are
+    * FLOOR-quantized to micro-units, not ROUND-ed: rank ratios land
+    * exactly on half boundaries (41/640 = 0.0640625) where Spark
+    * rounds half-up and DuckDB half-even — floor has no tie to
+    * break and both engines floor the identical IEEE quotient. */
   val qWindowDist = QueryDef(
     "q_window_dist",
     (s, d) => {
       val w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+      def micro(c: Column) = floor(c * 1e6).cast("long")
       Tables.customer(s, d)
         .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
           dense_rank().over(w).as("bal_dense_rank"),
-          round(percent_rank().over(w), 6).as("bal_pct_rank"),
-          round(cume_dist().over(w), 6).as("bal_cume_dist"))
+          micro(percent_rank().over(w)).as("bal_pct_rank_micro"),
+          micro(cume_dist().over(w)).as("bal_cume_dist_micro"))
         .orderBy("c_nationkey", "c_custkey")
     },
     Some("""SELECT c_custkey, c_nationkey, c_acctbal,
                    dense_rank() OVER w AS bal_dense_rank,
-                   ROUND(percent_rank() OVER w, 6) AS bal_pct_rank,
-                   ROUND(cume_dist() OVER w, 6) AS bal_cume_dist
+                   CAST(floor(percent_rank() OVER w * 1e6) AS BIGINT) AS bal_pct_rank_micro,
+                   CAST(floor(cume_dist() OVER w * 1e6) AS BIGINT) AS bal_cume_dist_micro
             FROM customer
             WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal)
             ORDER BY c_nationkey, c_custkey"""))
