@@ -66,6 +66,30 @@ class AsyncEnrichSpec extends SparkSpec {
     }
   }
 
+  test("E4b ≡ E4: an async transport computing the geocode arithmetic matches the pure-expression enrichment") {
+    // the switchability contract: a user moving per-record callouts
+    // (E4b) onto the expression/broadcast path (E4) — or back — gets
+    // identical values. The transport below computes the same
+    // arithmetic ZipEtl.enrich compiles into codegen
+    // (lat = -90 + z*7919 % 18000 / 100, lng, elevation).
+    val geoTransport: AsyncEnrich.Transport = (key, _) => {
+      val z = key.toLong
+      s"${-90 + (z * 7919L % 18000L) / 100.0}|${-180 + (z * 104729L % 36000L) / 100.0}|${z * 31L % 4000L}"
+    }
+    val records = ZipEtl.ingest(spark).limit(200)
+    val async = AsyncEnrich.enriched(records, "zipcode", geoTransport,
+      maxInFlight = 6, backoffMs = 1)
+      .select(col("zipcode"),
+        split(col("enriched"), "\\|").getItem(0).cast("double").as("latitude"),
+        split(col("enriched"), "\\|").getItem(1).cast("double").as("longitude"),
+        split(col("enriched"), "\\|").getItem(2).cast("long").as("elevation"))
+    val expr = ZipEtl.enrich(records)
+      .select("zipcode", "latitude", "longitude", "elevation")
+    assert(async.exceptAll(expr).count() === 0 &&
+      expr.exceptAll(async).count() === 0,
+      "async-transport enrichment must equal the pure-expression path")
+  }
+
   test("E4b: payloads are deterministic, order-preserving, and schema appends cleanly") {
     val df = keys(50)
     val a = AsyncEnrich.enriched(df, "zipcode",
