@@ -8,8 +8,10 @@ object SparkEntry {
   /** All implemented coverage-checklist entries. */
   def allDefs: Seq[QueryDef] =
     operators.Relational.all ++ operators.Partitioned.all ++
-      operators.Zorder.all ++
-      etl.EtlQueries.all ++ etl.Quality.all ++ dedup.PipelineQueries.all ++
+      operators.Zorder.all ++ operators.EventAnalytics.all ++
+      operators.Graph.all ++
+      etl.EtlQueries.all ++ etl.Quality.all ++ etl.Scd.all ++
+      dedup.PipelineQueries.all ++
       streaming.StreamQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

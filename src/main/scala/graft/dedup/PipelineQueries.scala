@@ -205,6 +205,35 @@ object PipelineQueries {
     },
     None)
 
+  /** D36: hard-negative mining for contrastive embedding training —
+    * per anchor, the exact top-k most-similar vectors with a DIFFERENT
+    * label. Same bounded-broadcast scan shape as D6 (the label
+    * inequality is a residual predicate on the map-side scan), fully
+    * oracle-gated since the arithmetic is the same fused cosine. */
+  val annHardNegatives = QueryDef(
+    "ann_hard_negatives",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.hardNegativeTopK(emb, boundedQueries(emb), 10)
+        .orderBy("q_id", "rnk")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            q AS (SELECT vec_id AS q_id, label AS q_label, emb AS q_emb FROM e
+                  WHERE vec_id % 100 = 0 AND vec_id < ${Ann.MaxBroadcastQueries * 100L}),
+            scored AS (
+              SELECT q.q_id, e.vec_id, e.label AS neg_label,
+                ROUND(
+                  list_sum(list_transform(list_zip(q.q_emb, e.emb), p -> p[1] * p[2]))
+                  / (sqrt(list_sum(list_transform(q.q_emb, x -> x * x)))
+                   * sqrt(list_sum(list_transform(e.emb, x -> x * x)))), 6) AS cos_sim
+              FROM q JOIN e ON e.label <> q.q_label),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                          ORDER BY cos_sim DESC, vec_id) AS rnk
+              FROM scored)
+            SELECT q_id, vec_id, neg_label, cos_sim, rnk FROM ranked
+            WHERE rnk <= 10 ORDER BY q_id, rnk"""))
+
   /** D8: marker-word language ID. */
   val textLangId = QueryDef(
     "text_lang_id",
@@ -1275,5 +1304,6 @@ object PipelineQueries {
     textDecontaminate, textDecontaminateBcast, textHeavyHitters,
     dedupSkewStress, textRepetition, embQuantize, textBm25, dedupSemantic,
     dedupEditDistance, textLmScore, alphaSample, pipelineCurate,
-    dedupIncremental, embTruncate, mmFrameSample, splitLeakage)
+    dedupIncremental, embTruncate, mmFrameSample, splitLeakage,
+    annHardNegatives)
 }

@@ -1,0 +1,80 @@
+package graft.etl
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** E11 — slowly-changing-dimension Type 2: turn a keyed change feed
+  * into versioned rows with validity intervals.
+  *
+  * The reference's store is Type 1 — its upsert overwrites the row in
+  * place (`Net7EtlBus.Service/EtlProcessor.cs` merge path), so history
+  * is lost on every refresh. SCD2 is the warehouse-standard
+  * alternative a user of an ETL bus asks for next: each attribute
+  * change CLOSES the previous version (valid_to = change time) and
+  * OPENS a new one (valid_to = NULL ⇒ current).
+  *
+  * Shape at 100 TB: everything happens inside ONE hash partitioning on
+  * the dimension key — the change-detect lag, the consecutive-repeat
+  * filter, and the interval lead all share `Window.partitionBy(key)`,
+  * so the plan pays a single Exchange and two window passes over it
+  * (ScdSpec asserts the one-Exchange plan). No global sort: ordering
+  * is per-key within partitions.
+  */
+object Scd {
+
+  /** Build SCD2 versions from a change feed. `feed` columns: the key,
+    * the tracked attribute, an event time `ts`, and a total-order
+    * tiebreaker `seq` (same-timestamp feeds are real: batch loads
+    * stamp one ts). Consecutive duplicate attribute values are
+    * collapsed — a version opens only when the value actually
+    * changes. */
+  def scd2(feed: DataFrame, key: String, attr: String): DataFrame = {
+    val byKey = Window.partitionBy(col(key)).orderBy(col("ts"), col("seq"))
+    val changes = feed
+      .withColumn("prev", lag(col(attr), 1).over(byKey))
+      .filter(col("prev").isNull || col(attr) =!= col("prev"))
+    changes
+      .withColumn("valid_to", lead(col("ts"), 1).over(byKey))
+      .select(col(key), col(attr), col("ts").as("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"),
+        col("seq"))
+  }
+
+  /** The coverage feed: each customer's order stream as a change feed
+    * over o_orderpriority (key = o_custkey, tiebreak = o_orderkey). */
+  private def orderFeed(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      col("o_custkey"), col("o_orderpriority").as("attr"),
+      col("o_orderdate").as("ts"), col("o_orderkey").as("seq"))
+
+  val etlScd2 = QueryDef(
+    "etl_scd2",
+    // seq (the change feed's unique tiebreaker) stays in the output as
+    // the version id AND the deterministic sort key: (key, valid_from,
+    // attr) can tie when a key flips A→B→A within one timestamp.
+    (s, d) => scd2(orderFeed(s, d), "o_custkey", "attr")
+      .orderBy(col("o_custkey"), col("valid_from"), col("seq")),
+    Some("""WITH feed AS (
+              SELECT o_custkey, o_orderpriority AS attr,
+                     o_orderdate AS ts, o_orderkey AS seq,
+                     lag(o_orderpriority) OVER
+                       (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                       AS prev
+              FROM orders),
+            changes AS (
+              SELECT * FROM feed WHERE prev IS NULL OR attr <> prev),
+            versions AS (
+              SELECT o_custkey, attr, ts AS valid_from,
+                     lead(ts) OVER
+                       (PARTITION BY o_custkey ORDER BY ts, seq) AS valid_to,
+                     seq
+              FROM changes)
+            SELECT o_custkey, attr, valid_from, valid_to,
+                   (valid_to IS NULL) AS is_current, seq
+            FROM versions
+            ORDER BY o_custkey, valid_from, seq"""))
+
+  val all: Seq[QueryDef] = Seq(etlScd2)
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** R38/R39 — ordered-event analytics: funnel conversion and cohort
+  * retention.
+  *
+  * These are the two canonical "sequence over a keyed event stream"
+  * aggregations a telemetry/ETL platform serves (the reference
+  * persists per-entity processing events through its bus —
+  * `Net7EtlBus.Service/EtlProcessor.cs` — and these are the queries a
+  * user runs over that history). Both reduce to keyed min-aggregations
+  * and re-joins on the SAME key, so at 100 TB every stage after the
+  * first reuses the `user_id`/`o_custkey` hash partitioning — the plan
+  * pays one fact-table shuffle per stage input, never a global sort,
+  * and each funnel stage's input is the (monotonically shrinking)
+  * survivor set of the previous stage, not the raw stream.
+  */
+object EventAnalytics {
+
+  /** Earliest qualifying event per key strictly after a per-key lower
+    * bound: the funnel-stage primitive. `bound` has columns (user_id,
+    * bound_ts); result has (user_id, stage_ts). The join is
+    * key-equi + a residual time predicate, so it stays a hash join on
+    * the stage key — co-partitioned with the groupBy that follows. */
+  private def nextStage(events: DataFrame, etype: String,
+      bound: DataFrame): DataFrame =
+    events.filter(col("event_type") === etype)
+      .join(bound, Seq("user_id"))
+      .filter(col("ts") > col("bound_ts"))
+      .groupBy("user_id")
+      .agg(min(col("ts")).as("stage_ts"))
+
+  /** R38: strict-order funnel view → click → purchase. A user converts
+    * through stage N only with an event strictly after their stage-N−1
+    * conversion time (earliest-completion semantics — the standard
+    * product-analytics definition). Output: one row per stage with the
+    * surviving-user count. */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("user_id", "event_type", "ts")
+    // view and click each feed TWO consumers (their stage row + the
+    // next stage's bound); without the persist each reuse re-scans the
+    // event stream, turning 3 fact passes into 6. The persisted sets
+    // are user-cardinality min-aggregates — orders of magnitude
+    // smaller than the stream — and shrink stage over stage.
+    val view = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("stage_ts"))
+      .persist()
+    val click = nextStage(ev, "click",
+      view.select(col("user_id"), col("stage_ts").as("bound_ts")))
+      .persist()
+    val purchase = nextStage(ev, "purchase",
+      click.select(col("user_id"), col("stage_ts").as("bound_ts")))
+    def stageRow(df: DataFrame, name: String, ord: Int) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(name).as("stage"), lit(ord).as("stage_ord"),
+          col("n_users"))
+    stageRow(view, "view", 1)
+      .unionByName(stageRow(click, "click", 2))
+      .unionByName(stageRow(purchase, "purchase", 3))
+      .orderBy("stage_ord")
+  }
+
+  val qFunnel = QueryDef(
+    "q_funnel",
+    (s, d) => funnel(s, d),
+    Some("""WITH v AS (
+              SELECT user_id, min(ts) AS stage_ts FROM events
+              WHERE event_type = 'view' GROUP BY user_id),
+            c AS (
+              SELECT e.user_id, min(e.ts) AS stage_ts
+              FROM events e JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'click' AND e.ts > v.stage_ts
+              GROUP BY e.user_id),
+            p AS (
+              SELECT e.user_id, min(e.ts) AS stage_ts
+              FROM events e JOIN c ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > c.stage_ts
+              GROUP BY e.user_id)
+            SELECT * FROM (
+              SELECT 'view' AS stage, 1 AS stage_ord, count(*) AS n_users FROM v
+              UNION ALL
+              SELECT 'click', 2, count(*) FROM c
+              UNION ALL
+              SELECT 'purchase', 3, count(*) FROM p)
+            ORDER BY stage_ord"""))
+
+  /** R39: cohort retention — customers grouped by first-order month,
+    * counted distinct in each subsequent activity month. Two shuffles
+    * total: the first-order min (on o_custkey) and the final
+    * (cohort, offset) count-distinct; the fact re-join reuses the
+    * o_custkey partitioning of the first aggregate. */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select("o_custkey", "o_orderdate")
+    val first = o.groupBy("o_custkey")
+      .agg(min(trunc(col("o_orderdate"), "MM")).as("cohort"))
+    o.join(first, Seq("o_custkey"))
+      .select(col("cohort"),
+        months_between(trunc(col("o_orderdate"), "MM"), col("cohort"))
+          .cast("int").as("month_offset"),
+        col("o_custkey"))
+      .groupBy(date_format(col("cohort"), "yyyy-MM").as("cohort_month"),
+        col("month_offset"))
+      .agg(countDistinct(col("o_custkey")).as("n_active"))
+      .orderBy("cohort_month", "month_offset")
+  }
+
+  val qCohortRetention = QueryDef(
+    "q_cohort_retention",
+    (s, d) => cohortRetention(s, d),
+    Some("""WITH first AS (
+              SELECT o_custkey,
+                     min(date_trunc('month', o_orderdate)) AS cohort
+              FROM orders GROUP BY o_custkey)
+            SELECT strftime(f.cohort, '%Y-%m') AS cohort_month,
+                   CAST(datediff('month', f.cohort,
+                        date_trunc('month', o.o_orderdate)) AS INT)
+                     AS month_offset,
+                   count(DISTINCT o.o_custkey) AS n_active
+            FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+            GROUP BY 1, 2 ORDER BY cohort_month, month_offset"""))
+
+  val all: Seq[QueryDef] = Seq(qFunnel, qCohortRetention)
+}

@@ -102,6 +102,30 @@ object Ann {
       .select("q_id", "vec_id", "cos_sim", "rnk")
   }
 
+  /** D36: hard-negative mining for contrastive training — per anchor,
+    * the top-k most-similar corpus vectors with a DIFFERENT label
+    * (semantically-close-but-wrong examples; the in-batch-negatives
+    * upgrade every embedding-model recipe asks for). Identical
+    * broadcast/scan shape to [[bruteForceTopK]] — the label inequality
+    * is one more residual predicate on the map-side scan, and the same
+    * bound applies to the anchor set ([[MaxBroadcastQueries]]); a
+    * corpus-scale anchor set mines from ANN candidates instead
+    * (compose [[lshTopK]] / [[Ivf.topK]] with a label filter). */
+  def hardNegativeTopK(corpus: DataFrame, anchors: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.as("c")
+      .join(broadcast(anchors.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"), col("label").as("q_label"))),
+        col("c.label") =!= col("q_label"))
+      .select(col("q_id"), col("c.vec_id").as("vec_id"),
+        col("c.label").as("neg_label"),
+        round(cosine(col("q_emb"), col("c.embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "vec_id", "neg_label", "cos_sim", "rnk")
+  }
+
   /** Self-verification harness for the approximate top-k coverage
     * entries: joins the exact [[bruteForceTopK]] baseline into an ANN
     * result and emits per-row exact-set membership, per-query

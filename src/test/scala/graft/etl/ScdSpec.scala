@@ -1,0 +1,58 @@
+package graft.etl
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** E11 — SCD2 invariants beyond the oracle's value equality: interval
+  * algebra per key and the single-Exchange plan shape. */
+class ScdSpec extends SparkSpec {
+
+  private def versions = Scd.scd2(
+    Tables.orders(spark, sf).select(
+      col("o_custkey"), col("o_orderpriority").as("attr"),
+      col("o_orderdate").as("ts"), col("o_orderkey").as("seq")),
+    "o_custkey", "attr")
+
+  test("exactly one current version per key; no consecutive-equal attrs") {
+    // no cache: a cached canonical plan would satisfy the later plan
+    // test with an InMemoryTableScan instead of the real build
+    val v = versions
+    val perKey = v.groupBy("o_custkey")
+      .agg(sum(when(col("is_current"), 1).otherwise(0)).as("n_current"))
+    assert(perKey.filter(col("n_current") =!= 1).count() === 0)
+    // consecutive versions must differ in attr (the change filter's job)
+    val w = Window.partitionBy("o_custkey").orderBy("valid_from", "seq")
+    val consec = v.withColumn("next_attr", lead(col("attr"), 1).over(w))
+      .filter(col("next_attr").isNotNull && col("attr") === col("next_attr"))
+    assert(consec.count() === 0)
+  }
+
+  test("intervals tile the key's timeline: contiguous, half-open, ordered") {
+    val w = Window.partitionBy("o_custkey").orderBy("valid_from", "seq")
+    val v = versions.withColumn("next_from", lead(col("valid_from"), 1).over(w))
+    // every closed version ends exactly where the next one starts
+    assert(v.filter(col("valid_to").isNotNull &&
+      col("valid_to") =!= col("next_from")).count() === 0)
+    // only the last version per key is open-ended
+    assert(v.filter(col("valid_to").isNull &&
+      col("next_from").isNotNull).count() === 0)
+    // each key's first valid_from is its feed's min ts
+    val firsts = versions.groupBy("o_custkey")
+      .agg(min("valid_from").as("first_from"))
+    val minTs = Tables.orders(spark, sf).groupBy("o_custkey")
+      .agg(min("o_orderdate").as("min_ts"))
+    assert(firsts.join(minTs, "o_custkey")
+      .filter(col("first_from") =!= col("min_ts")).count() === 0)
+  }
+
+  test("the whole build runs inside one hash partitioning on the key") {
+    // window Exchanges are inserted by EnsureRequirements, so they only
+    // exist in executedPlan; on a fresh (unexecuted, uncached) plan the
+    // AQE wrapper prints exactly one plan copy
+    val plan = versions.queryExecution.executedPlan.toString
+    assert(!plan.contains("InMemoryTableScan"), "plan must not come from cache")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected 1 hash Exchange, plan:\n$plan")
+  }
+}

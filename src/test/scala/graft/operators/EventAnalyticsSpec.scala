@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** R38/R39 — funnel and cohort semantics the SQL oracle can't state
+  * as invariants: stage monotonicity, strict ordering, and the
+  * cohort-size identity. */
+class EventAnalyticsSpec extends SparkSpec {
+
+  test("funnel stages shrink monotonically and start non-empty") {
+    val rows = EventAnalytics.funnel(spark, sf)
+      .orderBy("stage_ord").collect()
+    assert(rows.map(_.getAs[String]("stage")).toSeq ===
+      Seq("view", "click", "purchase"))
+    val counts = rows.map(_.getAs[Long]("n_users"))
+    assert(counts.head > 0)
+    assert(counts.sliding(2).forall { case Array(a, b) => a >= b })
+  }
+
+  test("funnel stage-2 users all have a click strictly after their first view") {
+    val ev = Tables.events(spark, sf)
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("v_ts"))
+    // recompute stage 2 independently: users with any click after v_ts
+    val expected = ev.filter(col("event_type") === "click")
+      .join(firstView, "user_id")
+      .filter(col("ts") > col("v_ts"))
+      .select("user_id").distinct().count()
+    val got = EventAnalytics.funnel(spark, sf)
+      .filter(col("stage") === "click").head().getAs[Long]("n_users")
+    assert(got === expected)
+  }
+
+  test("cohort offset-0 cell equals the cohort's size") {
+    val ret = EventAnalytics.cohortRetention(spark, sf)
+    val offset0 = ret.filter(col("month_offset") === 0)
+      .select(col("cohort_month"), col("n_active"))
+    val cohortSizes = Tables.orders(spark, sf)
+      .groupBy("o_custkey")
+      .agg(min(trunc(col("o_orderdate"), "MM")).as("cohort"))
+      .groupBy(date_format(col("cohort"), "yyyy-MM").as("cohort_month"))
+      .agg(count(lit(1)).as("n_customers"))
+    val joined = offset0.join(cohortSizes, "cohort_month")
+    assert(joined.count() > 0)
+    assert(joined.filter(col("n_active") =!= col("n_customers")).count() === 0)
+    // no negative offsets: nothing is active before its cohort month
+    assert(ret.filter(col("month_offset") < 0).count() === 0)
+  }
+}

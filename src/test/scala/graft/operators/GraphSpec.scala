@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** D37 — PageRank invariants the unrolled SQL oracle can't state:
+  * probability-mass conservation, positivity, and degree dominance. */
+class GraphSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // a tiny undirected star + chain: hub h connects to a,b,c; c—d
+  private def edges = Seq(
+    ("h", "a"), ("h", "b"), ("h", "c"), ("c", "d"))
+    .flatMap { case (u, v) => Seq((u, v), (v, u)) }
+    .toDF("src", "dst")
+
+  test("rank mass stays ~1 and every node is positive") {
+    val pr = Graph.pageRank(edges, 5, 0.85).collect()
+    assert(pr.length === 5)
+    val mass = pr.map(_.getAs[Double]("pr")).sum
+    // floor-quantization leaks ≤ 1e-12 per edge per iteration
+    assert(mass <= 1.0 + 1e-9 && mass >= 1.0 - 1e-6, s"mass=$mass")
+    assert(pr.forall(_.getAs[Double]("pr") > 0))
+  }
+
+  test("the hub outranks leaves; symmetric leaves tie exactly") {
+    val pr = Graph.pageRank(edges, 5, 0.85).collect()
+      .map(r => r.getAs[String]("node") -> r.getAs[Double]("pr")).toMap
+    assert(pr("h") > pr("a"))
+    assert(pr("h") > pr("d"))
+    // a and b are structurally identical → identical rank (exact: the
+    // quantized arithmetic is deterministic, not just close)
+    assert(pr("a") === pr("b"))
+    // c carries its own edge to d on top of the hub link
+    assert(pr("c") > pr("a"))
+  }
+
+  test("trade-graph entry: bidirectional degrees and disjoint key spaces") {
+    val e = Graph.tradeEdges(spark, sf).cache()
+    // every edge appears in both directions
+    val asym = e.as("x").join(e.as("y"),
+        col("x.src") === col("y.dst") && col("x.dst") === col("y.src"),
+        "left_anti")
+    assert(asym.count() === 0)
+    // prefixes partition the node space
+    assert(e.filter(!col("src").startsWith("s") && !col("src").startsWith("c"))
+      .count() === 0)
+  }
+}

@@ -161,4 +161,30 @@ class AnnSpec extends SparkSpec {
     assert(mismatches === 0)
     res.unpersist(); queries.unpersist()
   }
+
+  test("D36: hard negatives exclude the anchor's label and dominate the excluded tail") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val anchors = emb.filter(col("vec_id") % 100 === 0).cache()
+    val k = 5
+    val res = Ann.hardNegativeTopK(emb, anchors, k).cache()
+    // exactly k ranked negatives per anchor, none sharing its label
+    val nAnchors = anchors.count()
+    assert(res.count() === nAnchors * k)
+    val sameLabel = res
+      .join(emb.select(col("vec_id"), col("label").as("neg_check")), "vec_id")
+      .join(anchors.select(col("vec_id").as("q_id"), col("label").as("q_label")),
+        "q_id")
+      .filter(col("neg_check") === col("q_label") ||
+        col("neg_label") =!= col("neg_check"))
+    assert(sameLabel.count() === 0)
+    // minimality: each anchor's k-th negative is ≥ every cross-label
+    // vector NOT in its top-k (spot-check via the full exact ranking)
+    val kth = res.filter(col("rnk") === k)
+      .select(col("q_id"), col("cos_sim").as("kth_cos"))
+    val all = Ann.hardNegativeTopK(emb, anchors, Int.MaxValue)
+      .join(kth, "q_id")
+    val violations = all.filter(col("rnk") > k && col("cos_sim") > col("kth_cos"))
+    assert(violations.count() === 0)
+    res.unpersist(); anchors.unpersist()
+  }
 }
