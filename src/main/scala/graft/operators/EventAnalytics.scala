@@ -122,5 +122,53 @@ object EventAnalytics {
             FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
             GROUP BY 1, 2 ORDER BY cohort_month, month_offset"""))
 
-  val all: Seq[QueryDef] = Seq(qFunnel, qCohortRetention)
+  /** R43: Markov transition matrix over the event stream — counts and
+    * row-normalized probabilities of each event_type → next event_type
+    * step per user. One window shuffle on user_id, then aggregation of
+    * #types² cells; the probability is floor-quantized to 1e-6 (the
+    * repo convention: floor has no rounding-tie rule, so identical
+    * doubles floor identically in both engines). */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val seq = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("dst_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("dst_type").isNotNull)
+    // pairs feeds two consumers (cells + row totals); it is ≤ #types²
+    // rows, so the persist is O(1) and saves a second window pass
+    val pairs = seq
+      .groupBy(col("event_type").as("src_type"), col("dst_type"))
+      .agg(count(lit(1)).as("n"))
+      .persist()
+    val tot = pairs.groupBy("src_type").agg(sum(col("n")).as("total"))
+    pairs.join(tot, "src_type")
+      .select(col("src_type"), col("dst_type"), col("n"),
+        floor(col("n").cast("double") / col("total").cast("double") * lit(1e6))
+          .as("prob_q"))
+      .orderBy("src_type", "dst_type")
+  }
+
+  val qEventTransitions = QueryDef(
+    "q_event_transitions",
+    (s, d) => eventTransitions(s, d),
+    Some("""WITH seq AS (
+              SELECT user_id, event_type AS src_type,
+                     lead(event_type) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS dst_type
+              FROM events),
+            pairs AS (
+              SELECT src_type, dst_type, count(*) AS n FROM seq
+              WHERE dst_type IS NOT NULL GROUP BY src_type, dst_type),
+            tot AS (SELECT src_type, sum(n) AS total FROM pairs
+                    GROUP BY src_type)
+            SELECT p.src_type, p.dst_type, p.n,
+                   CAST(floor(CAST(p.n AS DOUBLE) / CAST(t.total AS DOUBLE)
+                        * 1e6) AS BIGINT) AS prob_q
+            FROM pairs p JOIN tot t ON p.src_type = t.src_type
+            ORDER BY p.src_type, p.dst_type"""))
+
+  val all: Seq[QueryDef] = Seq(qFunnel, qCohortRetention, qEventTransitions)
 }

@@ -81,4 +81,73 @@ class IoSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: ["), "ORC scan must receive pushed filters")
     assert(filtered.count() === li.filter(col("l_returnflag") === "R").count())
   }
+
+  test("IO11: corrupt JSON records are quarantined as data, not crashes") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_corrupt").toString
+    val lines = Seq(
+      """{"doc_id": 1, "text": "good row"}""",
+      """{"doc_id": 2, "text": "also good"}""",
+      """{"doc_id": 3, "text": "truncated""", // broken mid-string
+      """not json at all""",
+      """{"doc_id": "not-a-number", "text": "type clash"}""")
+    Files.write(java.nio.file.Paths.get(s"$dir/docs.jsonl"),
+      lines.mkString("\n").getBytes)
+    // 100 TB ingest contract: bad upstream bytes become rows in an
+    // error column (the E4b/ledger error-as-data convention), the scan
+    // NEVER throws mid-job. PERMISSIVE + explicit schema — no
+    // inference pass, no corrupt-record crash.
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, _corrupt_record STRING")
+    val df = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(s"$dir/docs.jsonl")
+      .cache() // required: corrupt-record column + raw-file re-parse
+    val good = df.filter(col("_corrupt_record").isNull)
+    val bad = df.filter(col("_corrupt_record").isNotNull)
+    assert(good.count() === 2)
+    assert(bad.count() === 3)
+    // quarantined rows keep the raw bytes for replay/debugging
+    assert(bad.select("_corrupt_record").as[String].collect()
+      .forall(_.nonEmpty))
+    // the type-clash row is corrupt (doc_id unparseable), not silently
+    // coerced
+    assert(good.select("doc_id").as[Long].collect().sorted === Array(1L, 2L))
+    df.unpersist()
+  }
+
+  test("IO12: small-file compaction hits the target file count and keeps data + clustering") {
+    val dir = Files.createTempDirectory("graft_compact").toString
+    val li = Tables.lineitem(spark, sf)
+    // simulate a streaming sink's small-file problem: 64 splinter files
+    li.repartition(64).write.mode("overwrite").parquet(s"$dir/splintered")
+    val splintered = spark.read.parquet(s"$dir/splintered")
+    def dataFiles(p: String) =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(dataFiles(s"$dir/splintered") === 64)
+    // compact: range-partition on the query key so each output file owns
+    // a contiguous key range (min/max stats stay tight), sort within
+    val target = 4
+    splintered
+      .repartitionByRange(target, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(s"$dir/compacted")
+    assert(dataFiles(s"$dir/compacted") === target)
+    val back = spark.read.parquet(s"$dir/compacted")
+    // bit-identical content
+    assert(back.exceptAll(li).count() === 0 && li.exceptAll(back).count() === 0)
+    // clustering materialized: a key-range filter prunes most row groups —
+    // each file's l_orderkey span must be disjoint from its neighbors'
+    val spans = back.groupBy(input_file_name().as("f"))
+      .agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
+      .orderBy("lo").collect()
+    assert(spans.length === target)
+    spans.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("hi") <= b.getAs[Long]("lo"),
+          "compacted files must own disjoint key ranges")
+      case _ =>
+    }
+  }
 }

@@ -32,6 +32,25 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("transition matrix is row-stochastic and conserves step count") {
+    val m = EventAnalytics.eventTransitions(spark, sf).cache()
+    // every user with k events contributes k-1 transitions
+    val expectedSteps = Tables.events(spark, sf)
+      .groupBy("user_id").count()
+      .agg(sum(col("count") - 1)).head().getLong(0)
+    assert(m.agg(sum("n")).head().getLong(0) === expectedSteps)
+    // each row's floor-quantized probs sum to 1e6 minus at most one
+    // floor-loss unit per cell
+    val rows = m.groupBy("src_type")
+      .agg(sum("prob_q").as("p"), count(lit(1)).as("cells")).collect()
+    rows.foreach { r =>
+      val (p, cells) = (r.getAs[Long]("p"), r.getAs[Long]("cells"))
+      assert(p <= 1000000L && p > 1000000L - cells,
+        s"row ${r.getString(0)}: quantized mass $p over $cells cells")
+    }
+    m.unpersist()
+  }
+
   test("cohort offset-0 cell equals the cohort's size") {
     val ret = EventAnalytics.cohortRetention(spark, sf)
     val offset0 = ret.filter(col("month_offset") === 0)

@@ -96,7 +96,7 @@ class RelationalSpec extends SparkSpec {
     // entries (intentional broadcast-query-set scan) and the
     // self-verifying entries whose 1-row corpus-stats cross join is an
     // intentional broadcast of a single aggregated row
-    val bnljAllowed = Set("ann_bruteforce_topk",
+    val bnljAllowed = Set("ann_bruteforce_topk", "ann_hard_negatives",
       "ann_lsh", "ann_ivf", "dedup_minhash_lsh", "dedup_simhash",
       "dedup_ngram_jaccard", "dedup_pipeline", "dedup_skew_stress",
       "text_bm25", "dedup_semantic", "text_lm_score",
