@@ -43,8 +43,9 @@ class GraphSpec extends SparkSpec {
         col("x.src") === col("y.dst") && col("x.dst") === col("y.src"),
         "left_anti")
     assert(asym.count() === 0)
-    // prefixes partition the node space
-    assert(e.filter(!col("src").startsWith("s") && !col("src").startsWith("c"))
-      .count() === 0)
+    // the parity encoding partitions the node space: every edge links
+    // the supplier (even) and customer (odd) sides
+    assert(e.filter(col("src") % 2 === col("dst") % 2).count() === 0)
+    e.unpersist()
   }
 }
