@@ -170,5 +170,125 @@ object EventAnalytics {
             FROM pairs p JOIN tot t ON p.src_type = t.src_type
             ORDER BY p.src_type, p.dst_type"""))
 
-  val all: Seq[QueryDef] = Seq(qFunnel, qCohortRetention, qEventTransitions)
+  /** R44: event-rate anomaly detection — per (event_type, hour) counts
+    * z-scored against the type's own window distribution. The mean and
+    * variance are derived from EXACT integer sums (S1 = Σn, S2 = Σn²,
+    * nw = #windows), so every double op runs the same IEEE sequence in
+    * both engines — no engine-specific stddev accumulation order — and
+    * the z floor-quantizes to 1e-6 bit-identically. Variance-zero rows
+    * are gated by the exact integer predicate nw·S2 − S1² > 0, never a
+    * float epsilon. */
+  def rateAnomalies(s: SparkSession, dir: String,
+      zThreshold: Double = 2.0): DataFrame = {
+    val counts = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("win"))
+      .agg(count(lit(1)).as("n"))
+      .persist() // feeds stats AND the output join; O(#types × #hours)
+    val stats = counts.groupBy("event_type")
+      .agg(sum(col("n")).as("s1"), sum(col("n") * col("n")).as("s2"),
+        count(lit(1)).as("nw"))
+    val mean = col("s1").cast("double") / col("nw").cast("double")
+    val varS = (col("s2").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double") / col("nw").cast("double")) /
+      (col("nw") - 1).cast("double")
+    val z = (col("n").cast("double") - mean) / sqrt(varS)
+    val zq = when(col("nw") > 1 &&
+        col("nw") * col("s2") - col("s1") * col("s1") > 0,
+      floor(z * lit(1e6))).otherwise(lit(null).cast("long"))
+    counts.join(stats, "event_type")
+      .select(col("event_type"), col("win"), col("n"), zq.as("z_q"),
+        (zq.isNotNull && abs(zq) > (zThreshold * 1e6).toLong).as("is_anomaly"))
+      .orderBy("event_type", "win")
+  }
+
+  val qRateAnomalies = QueryDef(
+    "q_rate_anomalies",
+    (s, d) => rateAnomalies(s, d),
+    Some("""WITH counts AS (
+              SELECT event_type, date_trunc('hour', ts) AS win,
+                     count(*) AS n
+              FROM events GROUP BY event_type, date_trunc('hour', ts)),
+            stats AS (
+              SELECT event_type, sum(n) AS s1, sum(n * n) AS s2,
+                     count(*) AS nw
+              FROM counts GROUP BY event_type)
+            SELECT c.event_type, c.win, c.n,
+                   CASE WHEN s.nw > 1 AND s.nw * s.s2 - s.s1 * s.s1 > 0
+                        THEN CAST(floor(
+                          (CAST(c.n AS DOUBLE)
+                             - CAST(s.s1 AS DOUBLE) / CAST(s.nw AS DOUBLE))
+                          / sqrt((CAST(s.s2 AS DOUBLE)
+                                    - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE)
+                                      / CAST(s.nw AS DOUBLE))
+                                 / CAST(s.nw - 1 AS DOUBLE))
+                          * 1e6) AS BIGINT)
+                        ELSE NULL END AS z_q,
+                   (CASE WHEN s.nw > 1 AND s.nw * s.s2 - s.s1 * s.s1 > 0
+                        THEN abs(CAST(floor(
+                          (CAST(c.n AS DOUBLE)
+                             - CAST(s.s1 AS DOUBLE) / CAST(s.nw AS DOUBLE))
+                          / sqrt((CAST(s.s2 AS DOUBLE)
+                                    - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE)
+                                      / CAST(s.nw AS DOUBLE))
+                                 / CAST(s.nw - 1 AS DOUBLE))
+                          * 1e6) AS BIGINT)) > 2000000
+                        ELSE FALSE END) AS is_anomaly
+            FROM counts c JOIN stats s ON c.event_type = s.event_type
+            ORDER BY c.event_type, c.win"""))
+
+  /** R45: last-touch conversion attribution — each purchase is credited
+    * to the user's most recent preceding view/click (the running
+    * last-non-null window carry, one shuffle on user_id), then rolled
+    * up to conversions + mean delay per touch type. The mean delay is
+    * Σdelay/Σn from exact integer micros, floor-quantized — engines
+    * must not be allowed to disagree on avg()'s accumulation. */
+  def lastTouchAttribution(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val touched = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("touch_type",
+        last(when(col("event_type").isin("view", "click"), col("event_type")),
+          ignoreNulls = true).over(byUser))
+      .withColumn("touch_ts",
+        last(when(col("event_type").isin("view", "click"), col("ts")),
+          ignoreNulls = true).over(byUser))
+    touched
+      .filter(col("event_type") === "purchase" && col("touch_type").isNotNull)
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n_conversions"),
+        floor(sum(unix_micros(col("ts")) - unix_micros(col("touch_ts")))
+            .cast("double") / count(lit(1)).cast("double"))
+          .as("mean_delay_us_q"))
+      .orderBy("touch_type")
+  }
+
+  val qAttribution = QueryDef(
+    "q_attribution",
+    (s, d) => lastTouchAttribution(s, d),
+    Some("""WITH touched AS (
+              SELECT user_id, event_type, ts,
+                     last_value(CASE WHEN event_type IN ('view','click')
+                                     THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS touch_type,
+                     last_value(CASE WHEN event_type IN ('view','click')
+                                     THEN ts END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS touch_ts
+              FROM events)
+            SELECT touch_type, count(*) AS n_conversions,
+                   CAST(floor(
+                     CAST(sum(epoch_us(ts) - epoch_us(touch_ts)) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE)) AS BIGINT)
+                     AS mean_delay_us_q
+            FROM touched
+            WHERE event_type = 'purchase' AND touch_type IS NOT NULL
+            GROUP BY touch_type
+            ORDER BY touch_type"""))
+
+  val all: Seq[QueryDef] = Seq(qFunnel, qCohortRetention, qEventTransitions,
+    qRateAnomalies, qAttribution)
 }
