@@ -160,6 +160,55 @@ class RocksDbStateSpec extends SparkSpec {
     }
   }
 
+  test("S15 under RocksDB: streaming z-scores match Welford-by-hand and spikes flag") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import Anomaly._
+    withRocksDb {
+      val stream = MemoryStream[WinCount]
+      // threshold 3: the 3rd baseline window (96 vs mean 102, var 8 from
+      // the first two) legitimately sits at z = -2.12 and must not flag
+      val q = Anomaly.scored(spark, stream.toDS(), zThreshold = 3.0)
+        .writeStream.format("memory").queryName("s15_anomaly")
+        .outputMode("append").start()
+      try {
+        // batch 1: a steady baseline for type "click"
+        stream.addData(
+          WinCount("click", ts("2026-01-01 10:00:00"), 100L),
+          WinCount("click", ts("2026-01-01 11:00:00"), 104L),
+          WinCount("click", ts("2026-01-01 12:00:00"), 96L),
+          WinCount("click", ts("2026-01-01 13:00:00"), 102L))
+        q.processAllAvailable()
+        // batch 2: a 10x spike plus one normal window, and a first-ever
+        // window for a different type (no stats yet -> no verdict)
+        stream.addData(
+          WinCount("click", ts("2026-01-01 14:00:00"), 1000L),
+          WinCount("click", ts("2026-01-01 15:00:00"), 98L),
+          WinCount("error", ts("2026-01-01 14:00:00"), 5L))
+        q.processAllAvailable()
+        val out = spark.table("s15_anomaly").collect()
+          .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getBoolean(4)))
+
+        // windows 1-2 of the baseline have <2 prior windows: no z
+        val baseline = out.filter(_._1 == "click").sortBy(_._2.getTime)
+        assert(baseline(0)._4.isEmpty && baseline(1)._4.isEmpty)
+        assert(baseline.take(4).forall(!_._5), "baseline must not flag")
+        // Welford by hand over (100,104,96,102): mean 100.5, m2 = 35,
+        // var_samp = 35/3; spike z = (1000-100.5)/sqrt(35/3)
+        val zSpike = baseline(4)._4.get
+        assert(math.abs(zSpike - (1000 - 100.5) / math.sqrt(35.0 / 3)) < 1e-9)
+        assert(baseline(4)._5, "the 10x spike must flag")
+        // the normal window AFTER the spike is judged against stats that
+        // now include the spike (huge variance) -> not flagged
+        assert(!baseline(5)._5)
+        // first window of a new type: no stats, no verdict, no flag
+        val err = out.filter(_._1 == "error")
+        assert(err.length === 1 && err.head._4.isEmpty && !err.head._5)
+      } finally q.stop()
+    }
+  }
+
   private implicit class JavaSetOps[A](s: java.util.Set[A]) {
     def asScala: scala.collection.mutable.Set[A] =
       scala.jdk.CollectionConverters.SetHasAsScala(s).asScala
