@@ -10,6 +10,15 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Second JDBC dialect for the sink spec matrix: the DuckDB JDBC driver
+// is already present in the image's pre-warmed artifact cache (it is
+// the same engine the correctness oracle runs on). Picked up as an
+// unmanaged TEST jar by filename glob — nothing is resolved, and the
+// matrix spec self-cancels if the jar is absent.
+Test / unmanagedJars ++= {
+  val cache = file(sys.props("user.home")) / ".cache" / "coursier"
+  (cache ** "duckdb_jdbc-*.jar").classpath
+}
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

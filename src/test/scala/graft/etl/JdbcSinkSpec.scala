@@ -3,21 +3,52 @@ package graft.etl
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** JdbcSink integration specs against embedded Derby (in /opt/spark's
-  * jars): real upsert round-trips, not mocks — insert, update-on-key,
-  * transactional batching across partitions. */
-class JdbcSinkSpec extends SparkSpec {
+/** JdbcSink integration behaviors, written once and run against a
+  * MATRIX of embedded dialects (the reference targets PostgreSQL; the
+  * portable two-statement upsert must not be Derby-shaped by
+  * accident): real upsert round-trips, not mocks — insert,
+  * update-on-key, transactional batching across partitions, schema
+  * evolution. Concrete subclasses supply (url, driver); a dialect
+  * whose driver is absent from the offline image self-cancels via
+  * `assume`. */
+abstract class JdbcSinkDialectSpec extends SparkSpec {
 
-  private val url = "jdbc:derby:memory:graftdb;create=true"
+  /** Short tag baked into test names so matrix failures name the
+    * engine. These are defs, not vals: they are read while the
+    * SUPERCLASS constructor registers tests, before subclass fields
+    * would initialize. */
+  protected def dialect: String
+  protected def url: String
+  protected def driverClass: String
 
-  private def readTable(table: String) =
-    spark.read.format("jdbc")
+  private lazy val driverPresent: Boolean =
+    try { Class.forName(driverClass); true }
+    catch { case _: ClassNotFoundException => false }
+
+  /** Per-test guard: skips (not fails) when the engine's driver jar is
+    * not in this image. */
+  protected def dialectTest(name: String)(body: => Unit): Unit =
+    test(s"[$dialect] $name") { assume(driverPresent, s"$driverClass absent"); body }
+
+  private def readTable(table: String) = {
+    val raw = spark.read.format("jdbc")
       .option("url", url)
       .option("dbtable", table)
-      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .option("driver", driverClass)
       .load()
+    // Engines whose JDBC metadata omits signedness (DuckDB) make Spark
+    // read BIGINT back as DECIMAL(20,0); normalize scale-0 decimals to
+    // LONG so the behavior assertions stay engine-independent.
+    raw.select(raw.schema.fields.map { f =>
+      f.dataType match {
+        case d: org.apache.spark.sql.types.DecimalType if d.scale == 0 =>
+          col(f.name).cast("long").as(f.name)
+        case _ => col(f.name)
+      }
+    }.toIndexedSeq: _*)
+  }
 
-  test("E5-JDBC: upsert inserts new keys and updates existing ones") {
+  dialectTest("E5-JDBC: upsert inserts new keys and updates existing ones") {
     import spark.implicits._
     val t = "upsert_spec"
     val batch1 = Seq(
@@ -42,7 +73,7 @@ class JdbcSinkSpec extends SparkSpec {
     assert(updated.getLong(2) === 25L)
   }
 
-  test("E5-JDBC: parallel partitions upsert disjoint keys transactionally") {
+  dialectTest("E5-JDBC: parallel partitions upsert disjoint keys transactionally") {
     import spark.implicits._
     val t = "upsert_par"
     val big = (0 until 500).map(i => (f"z$i%05d", s"county $i", i.toLong))
@@ -58,25 +89,12 @@ class JdbcSinkSpec extends SparkSpec {
     assert(back.filter(col("pop") < 1000L).count() === 0, "every row updated")
   }
 
-  test("E5-JDBC: SUCCESS_NO_INFO update counts fall back to the existence probe") {
-    // Derby reports real counts, so the portability path is gated at
-    // the decision function: drivers returning -2 per row (Oracle,
-    // MySQL rewriteBatchedStatements) must probe, never assume updated
-    val probed = scala.collection.mutable.ArrayBuffer[Int]()
-    val missing = Set(2, 4)
-    val res = JdbcSink.needsInsert(Array(1, 0, -2, -2, -2),
-      i => { probed += i; missing.contains(i) })
-    assert(res === Seq(1, 2, 4), "0 inserts directly; -2 inserts only on probe miss")
-    assert(probed.toSeq === Seq(2, 3, 4), "exactly the unknown-count rows are probed")
-    assert(JdbcSink.needsInsert(Array(1, 1), _ => fail("no probe for real counts")) === Seq())
-  }
-
-  test("E5-JDBC: ensureTable is idempotent regardless of identifier case form") {
+  dialectTest("E5-JDBC: ensureTable is idempotent regardless of identifier case form") {
     import spark.implicits._
     val df = Seq(("k1", 1L)).toDF("id", "pop")
-    // second ensureTable must find the (upper-cased by Derby) table via
-    // the case-form probe and not re-issue CREATE; lower/mixed-case
-    // names exercise the PostgreSQL-shaped miss
+    // second ensureTable must find the (upper-cased by Derby,
+    // case-preserved by others) table via the case-form probe and not
+    // re-issue CREATE; lower/mixed-case names exercise both shapes
     for (t <- Seq("case_probe_lower", "Case_Probe_Mixed")) {
       JdbcSink.ensureTable(url, t, df.schema, Seq("id"))
       JdbcSink.ensureTable(url, t, df.schema, Seq("id"))
@@ -85,7 +103,7 @@ class JdbcSinkSpec extends SparkSpec {
     }
   }
 
-  test("IO10-JDBC: upsert with a new column ALTERs the target; old rows read NULL") {
+  dialectTest("IO10-JDBC: upsert with a new column ALTERs the target; old rows read NULL") {
     import spark.implicits._
     val t = "evolve_add"
     val v1 = Seq(("90001", "Cedar"), ("90002", "Pine")).toDF("zipcode", "county")
@@ -109,7 +127,7 @@ class JdbcSinkSpec extends SparkSpec {
     assert(again(1).getLong(2) === 25L, "columns absent from the frame are untouched")
   }
 
-  test("IO10-JDBC: an incompatible column type change is rejected, not improvised") {
+  dialectTest("IO10-JDBC: an incompatible column type change is rejected, not improvised") {
     import spark.implicits._
     val t = "evolve_reject"
     JdbcSink.upsert(Seq(("k1", 10L)).toDF("id", "pop"), url, t, Seq("id"))
@@ -128,7 +146,7 @@ class JdbcSinkSpec extends SparkSpec {
     assert(readTable(t).count() === 3)
   }
 
-  test("E5-JDBC: nulls round-trip and unsupported types fail with a clear error") {
+  dialectTest("E5-JDBC: nulls round-trip and unsupported types fail with a clear error") {
     import spark.implicits._
     val t = "upsert_nulls"
     val withNull = Seq(("k1", Some(1.5)), ("k2", None))
@@ -142,5 +160,49 @@ class JdbcSinkSpec extends SparkSpec {
       JdbcSink.upsert(arr, url, "upsert_bad", Seq("id"))
     }
     assert(e.getMessage.contains("no JDBC mapping"))
+  }
+}
+
+/** Dialect 1: embedded Derby (ships with /opt/spark/jars). Upper-cases
+  * unquoted identifiers, reports real per-row batch counts. */
+class JdbcSinkSpec extends JdbcSinkDialectSpec {
+  protected def dialect = "derby"
+  protected def url = "jdbc:derby:memory:graftdb;create=true"
+  protected def driverClass = "org.apache.derby.jdbc.EmbeddedDriver"
+
+  // engine-independent decision-function unit test lives once, here
+  test("E5-JDBC: SUCCESS_NO_INFO update counts fall back to the existence probe") {
+    // Derby reports real counts, so the portability path is gated at
+    // the decision function: drivers returning -2 per row (Oracle,
+    // MySQL rewriteBatchedStatements) must probe, never assume updated
+    val probed = scala.collection.mutable.ArrayBuffer[Int]()
+    val missing = Set(2, 4)
+    val res = JdbcSink.needsInsert(Array(1, 0, -2, -2, -2),
+      i => { probed += i; missing.contains(i) })
+    assert(res === Seq(1, 2, 4), "0 inserts directly; -2 inserts only on probe miss")
+    assert(probed.toSeq === Seq(2, 3, 4), "exactly the unknown-count rows are probed")
+    assert(JdbcSink.needsInsert(Array(1, 1), _ => fail("no probe for real counts")) === Seq())
+  }
+}
+
+/** Dialect 2: embedded DuckDB (driver jar from the image's pre-warmed
+  * artifact cache — the same engine the DuckDB oracle runs on, so a
+  * sink bug that is invisible under Derby's identifier/type conventions
+  * surfaces against a second, case-preserving, columnar engine). The
+  * database is file-backed because the in-memory form is
+  * per-connection private and `upsert` opens one connection per
+  * partition — they must all see one database, exactly as executors
+  * sharing a warehouse would. */
+class DuckDbJdbcSinkSpec extends JdbcSinkDialectSpec {
+  protected def dialect = "duckdb"
+  private lazy val dbPath =
+    s"/tmp/graft_duckdb_sink_${ProcessHandle.current().pid()}.db"
+  protected def url = s"jdbc:duckdb:$dbPath"
+  protected def driverClass = "org.duckdb.DuckDBDriver"
+
+  override def afterAll(): Unit = {
+    try super.afterAll()
+    finally Seq("", ".wal").foreach(sfx =>
+      new java.io.File(dbPath + sfx).delete())
   }
 }
