@@ -1112,6 +1112,69 @@ object PipelineQueries {
                ROUND(CAST(-SUM(CAST(lp AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 4) AS nll
              FROM scored GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** One unrolled DuckDB BPE iteration (reads s{k-1}, defines s{k} and
+    * the rule row t{k}): pair counts via lead(), deterministic top-1,
+    * then greedy left-to-right merge. SQL has no sequential fold, so
+    * greediness is expressed exactly: overlapping candidates exist only
+    * for self-pairs (a,a), where they form runs of consecutive
+    * positions — gaps-and-islands grouping + odd-row-number keeps every
+    * other candidate, which IS left-to-right non-overlapping semantics
+    * ("aaaa" → two merges at positions 1 and 3). The row after a kept
+    * merge is the consumed right symbol and is dropped. */
+  private def bpeIter(k: Int): String = {
+    val prev = s"s${k - 1}"
+    s"""p$k AS (SELECT word, freq, pos, sym,
+                  lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+                FROM $prev),
+        c$k AS (SELECT sym AS a, nxt AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+                FROM p$k WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        t$k AS (SELECT a, b, cnt FROM c$k
+                ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+        m$k AS (SELECT p.word, p.freq, p.pos, p.sym, p.nxt,
+                  COALESCE(p.sym = t.a AND p.nxt = t.b, FALSE) AS cand
+                FROM p$k p, t$k t),
+        g$k AS (SELECT *, pos - ROW_NUMBER() OVER
+                  (PARTITION BY word, cand ORDER BY pos) AS grp FROM m$k),
+        x$k AS (SELECT *, cand AND (ROW_NUMBER() OVER
+                  (PARTITION BY word, cand, grp ORDER BY pos) % 2 = 1) AS keep
+                FROM g$k),
+        d$k AS (SELECT *, COALESCE(lag(keep) OVER
+                  (PARTITION BY word ORDER BY pos), FALSE) AS prevkeep
+                FROM x$k),
+        s$k AS (SELECT word, freq,
+                  ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+                  CASE WHEN keep THEN sym || nxt ELSE sym END AS sym
+                FROM d$k WHERE NOT prevkeep)"""
+  }
+
+  /** D38: BPE merge-rule training — 3 iterations of the tokenizer
+    * training loop over the word-type table, fully oracle-gated: the
+    * DuckDB mirror unrolls each iteration (pair count → deterministic
+    * top-1 → greedy merge) the way the PageRank oracle unrolls its
+    * power steps. Integer pair counts and lexicographic tiebreaks keep
+    * both engines bit-identical; BpeSpec separately proves the Spark
+    * loop equals a sequential reference implementation for deeper runs
+    * and self-pair edge cases. */
+  val textBpeTrain = QueryDef(
+    "text_bpe_train",
+    (s, d) => graft.functions.Bpe.trainedRules(s, Tables.documents(s, d), 3),
+    Some(s"""WITH c AS (SELECT doc_id, $oCanon AS canon FROM documents),
+             wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+                    FROM (SELECT unnest(string_split(canon, ' ')) AS w FROM c)
+                    WHERE len(w) > 0 GROUP BY w),
+             s0 AS (SELECT w AS word, freq, i AS pos, substr(w, i, 1) AS sym
+                    FROM wf, UNNEST(generate_series(1, length(w))) AS t(i)),
+             ${bpeIter(1)},
+             ${bpeIter(2)},
+             ${bpeIter(3)}
+             SELECT CAST(1 AS INTEGER) AS iter, a AS left_sym, b AS right_sym,
+                    a || b AS merged, cnt AS pair_count FROM t1
+             UNION ALL
+             SELECT CAST(2 AS INTEGER), a, b, a || b, cnt FROM t2
+             UNION ALL
+             SELECT CAST(3 AS INTEGER), a, b, a || b, cnt FROM t3
+             ORDER BY iter"""))
+
   /** D27: edit-distance near-dup verification — the char-level
     * complement of D4's token-level Jaccard verify: normalized
     * Levenshtein similarity over length-capped canonical snippets,
@@ -1305,5 +1368,5 @@ object PipelineQueries {
     dedupSkewStress, textRepetition, embQuantize, textBm25, dedupSemantic,
     dedupEditDistance, textLmScore, alphaSample, pipelineCurate,
     dedupIncremental, embTruncate, mmFrameSample, splitLeakage,
-    annHardNegatives)
+    annHardNegatives, textBpeTrain)
 }
