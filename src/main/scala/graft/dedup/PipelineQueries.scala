@@ -1175,6 +1175,39 @@ object PipelineQueries {
              SELECT CAST(3 AS INTEGER), a, b, a || b, cnt FROM t3
              ORDER BY iter"""))
 
+  /** D39: quality-classifier inference (hashing-trick linear model —
+    * the fasttext-filter shape). Map-side only: token → 16-bit md5
+    * feature bucket → integer weight → exact integer sum → one
+    * quantized division. The oracle mirrors every step: strpos-decoded
+    * hex nibbles, the same mixing function, SUM of integer weights. */
+  val textQualityClassifier = QueryDef(
+    "text_quality_classifier",
+    (s, d) => graft.functions.Classifier.scored(
+      Tables.documents(s, d).select("doc_id", "text"), col("text"))
+      .select("doc_id", "n_tokens", "score", "keep")
+      .orderBy("doc_id"),
+    Some(s"""WITH c AS (SELECT doc_id, $oCanon AS canon FROM documents),
+             w AS (SELECT doc_id, unnest(string_split(canon, ' ')) AS wd FROM c),
+             tw AS (SELECT doc_id,
+                      (((strpos('0123456789abcdef', substr(md5(wd), 1, 1)) - 1) * 4096
+                       + (strpos('0123456789abcdef', substr(md5(wd), 2, 1)) - 1) * 256
+                       + (strpos('0123456789abcdef', substr(md5(wd), 3, 1)) - 1) * 16
+                       + (strpos('0123456789abcdef', substr(md5(wd), 4, 1)) - 1))
+                       * 2654435761) % 1001 - 500 AS wt
+                    FROM w WHERE len(wd) > 0),
+             agg AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_tokens,
+                            CAST(SUM(wt) AS BIGINT) AS s
+                     FROM tw GROUP BY doc_id),
+             sc AS (SELECT doc_id, n_tokens,
+                      floor(CAST(s AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1000)
+                        * 1e6 + 0.5) / 1e6 AS score
+                    FROM agg)
+             SELECT c.doc_id,
+                    COALESCE(sc.n_tokens, 0) AS n_tokens,
+                    COALESCE(sc.score, CAST(0.0 AS DOUBLE)) AS score,
+                    COALESCE(sc.score > 0, FALSE) AS keep
+             FROM c LEFT JOIN sc USING (doc_id) ORDER BY doc_id"""))
+
   /** D27: edit-distance near-dup verification — the char-level
     * complement of D4's token-level Jaccard verify: normalized
     * Levenshtein similarity over length-capped canonical snippets,
@@ -1368,5 +1401,5 @@ object PipelineQueries {
     dedupSkewStress, textRepetition, embQuantize, textBm25, dedupSemantic,
     dedupEditDistance, textLmScore, alphaSample, pipelineCurate,
     dedupIncremental, embTruncate, mmFrameSample, splitLeakage,
-    annHardNegatives, textBpeTrain)
+    annHardNegatives, textBpeTrain, textQualityClassifier)
 }

@@ -1029,6 +1029,27 @@ object Relational {
     },
     None)
 
+  /** R46 — ordered string aggregation (listagg / string_agg WITHIN
+    * GROUP), the report-building aggregate SQL:2016 standardized.
+    * Determinism comes from the mandatory WITHIN GROUP order; an
+    * unordered listagg would be partitioning-dependent and could never
+    * hash-gate. */
+  val qListagg = QueryDef(
+    "q_listagg",
+    (s, d) => Tables.nation(s, d)
+      .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)")
+          .as("nations"),
+        count(lit(1)).as("n_nations"))
+      .orderBy("r_name"),
+    Some("""SELECT r_name,
+                   string_agg(n_name, ',' ORDER BY n_name) AS nations,
+                   count(*) AS n_nations
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name"""))
+
   val all: Seq[QueryDef] = Seq(
     qScanPushdown, q1PricingSummary, q3ShippingPriority, q5LocalSupplier,
     qBroadcastJoin, qSemiJoin, qAntiJoin, qWindowRank, qWindowRunning,
@@ -1037,5 +1058,5 @@ object Relational {
     qPivot, qCubeGrouping, qWindowFuncs, qRangeJoin, qSaltedJoin,
     qApproxPercentile, qOuterJoin, qSlidingWindow, qSetOps, qSqlSurface,
     qGroupingSets, qBloomJoin, qArgmax, qUnpivot, q18LargeOrders,
-    qCorrStats, qRecursiveCte, qWindowDist, qSketchRollup)
+    qCorrStats, qRecursiveCte, qWindowDist, qSketchRollup, qListagg)
 }

@@ -72,6 +72,27 @@ object EventOps {
         unix_micros(col("sw.end")).as("session_end_us"),
         col("n_events"), col("sum_value"))
 
+  /** S16: CHAINED stateful aggregations in ONE query — 10-minute
+    * tumbling counts per event type re-aggregated downstream into
+    * hourly (peak 10-min burst, total) rows. In streaming this plan
+    * carries TWO stateful operators (Spark's chained time-window
+    * aggregation support): the second groupBy windows over
+    * `window_time()` of the first, so the hourly roll-up consumes
+    * CLOSED 10-minute windows as they finalize, never raw events —
+    * exactly how a 100 TB/day metrics topology avoids re-shuffling the
+    * raw stream into every coarser granularity. Batch and streaming
+    * run this same definition (the spec proves parity and counts the
+    * state operators). */
+  def chainedWindowAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "10 minutes").as("w10"), col("event_type"))
+      .agg(count(lit(1)).as("n10"))
+      .groupBy(window(window_time(col("w10")), "1 hour").as("w60"),
+        col("event_type"))
+      .agg(max(col("n10")).as("peak_10min"), sum(col("n10")).as("n_events"))
+      .select(unix_micros(col("w60.start")).as("hour_start_us"),
+        col("event_type"), col("peak_10min"), col("n_events"))
+
   /** S5: JSON props extraction — schema'd from_json, no string
     * munging. */
   val propsSchema = StructType(Seq(StructField("k", LongType)))

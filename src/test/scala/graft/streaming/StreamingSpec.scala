@@ -397,6 +397,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("S16: chained windowed aggregations run as TWO stateful operators and equal the batch roll-up") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val live = Seq(
+      // hour 10, type view: bursts of 3 and 1 in distinct 10-min slots
+      (1L, ts("2026-01-01 10:05:00")), (2L, ts("2026-01-01 10:06:00")),
+      (3L, ts("2026-01-01 10:08:00")), (4L, ts("2026-01-01 10:15:00")),
+      (5L, ts("2026-01-01 10:55:00")), (6L, ts("2026-01-01 10:57:00")),
+      // hour 11, type view: single event
+      (7L, ts("2026-01-01 11:05:00")))
+    val clicks = Seq((8L, ts("2026-01-01 10:07:00")), (9L, ts("2026-01-01 10:09:00")))
+    def df(rows: Seq[(Long, Timestamp)], tpe: String) =
+      rows.map { case (id, t) => (id, t, tpe) }
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val sdf = stream.toDF().toDF("event_id", "ts", "event_type")
+      .withWatermark("ts", "10 minutes")
+    val q = EventOps.chainedWindowAgg(sdf)
+      .writeStream.format("memory").queryName("s16_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(df(live, "view") ++ df(clicks, "click"): _*)
+      q.processAllAvailable()
+      assert(spark.table("s16_out").isEmpty,
+        "append mode must hold hourly windows open until the watermark passes")
+      // the chained plan must carry exactly two stateful operators
+      assert(q.lastProgress.stateOperators.length === 2,
+        "10-min agg and hourly roll-up must each be a state operator")
+      // pusher: watermark 14:00 - 10 min closes hours 10 and 11
+      stream.addData((99L, ts("2026-01-01 14:00:00"), "late"))
+      q.processAllAvailable()
+      val streamed = spark.table("s16_out")
+        .orderBy("hour_start_us", "event_type").collect().toSeq
+      val batch = EventOps.chainedWindowAgg(
+        (df(live, "view") ++ df(clicks, "click"))
+          .toDF("event_id", "ts", "event_type"))
+        .orderBy("hour_start_us", "event_type").collect().toSeq
+      assert(streamed.map(_.toSeq) === batch.map(_.toSeq),
+        "closed streaming output must equal the batch definition")
+      // spot-check the roll-up semantics: hour 10 'view' peak burst is
+      // 3 (the 10:00-10:10 slot), total 6
+      val h10view = streamed.find(r =>
+        r.getAs[Long]("hour_start_us") == ts("2026-01-01 10:00:00").getTime * 1000L
+          && r.getAs[String]("event_type") == "view").get
+      assert(h10view.getAs[Long]("peak_10min") === 3L)
+      assert(h10view.getAs[Long]("n_events") === 6L)
+    } finally q.stop()
+  }
+
   test("S13: left-outer interval join emits unmatched impressions only after the watermark closes their window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
