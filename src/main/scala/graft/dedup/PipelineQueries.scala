@@ -1401,5 +1401,6 @@ object PipelineQueries {
     dedupSkewStress, textRepetition, embQuantize, textBm25, dedupSemantic,
     dedupEditDistance, textLmScore, alphaSample, pipelineCurate,
     dedupIncremental, embTruncate, mmFrameSample, splitLeakage,
-    annHardNegatives, textBpeTrain, textQualityClassifier)
+    annHardNegatives, textBpeTrain, textQualityClassifier,
+    graft.similarity.Pca.qTopPc)
 }

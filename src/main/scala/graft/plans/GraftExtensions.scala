@@ -47,6 +47,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecMean].getName, "graft_vec_mean"),
       (children: Seq[Expression]) => VecMean(children.head).toAggregateExpression()))
     ext.injectFunction((
+      new FunctionIdentifier("graft_vec_sum_long"),
+      new ExpressionInfo(classOf[VecSumLong].getName, "graft_vec_sum_long"),
+      (children: Seq[Expression]) => VecSumLong(children.head).toAggregateExpression()))
+    ext.injectFunction((
       new FunctionIdentifier("graft_cell_scores"),
       new ExpressionInfo(classOf[CellScores].getName, "graft_cell_scores"),
       (children: Seq[Expression]) => CellScores(children(0), children(1))))
