@@ -26,7 +26,7 @@ import org.apache.spark.sql.types._
   * coalesce to what the database tolerates — the knob the reference
   * hardcodes as its ActionBlock MaxDegreeOfParallelism.
   */
-object JdbcSink {
+object JdbcSink extends Serializable {
 
   /** ANSI DDL type for a Spark field (VARCHAR sized — Derby needs
     * concrete lengths). */
@@ -180,10 +180,57 @@ object JdbcSink {
       case (c, i) if c < 0 && probeMiss(i) => i
     }
 
+  /** Transient-failure classifier for [[withTxnRetries]]: standard
+    * SQLSTATE class 40 (serialization failure / deadlock — 40001,
+    * PostgreSQL's 40P01), the JDBC transient/recoverable exception
+    * types, and optimistic-concurrency conflict messages from engines
+    * that surface them as plain SQLExceptions (DuckDB's
+    * "TransactionContext Error: ... conflict"). Anything else —
+    * constraint violations, syntax, auth — is NOT retryable: replaying
+    * it would just fail again or, worse, paper over a logic bug. */
+  private[etl] def isTransient(e: java.sql.SQLException): Boolean =
+    e.isInstanceOf[java.sql.SQLTransientException] ||
+      e.isInstanceOf[java.sql.SQLRecoverableException] ||
+      Option(e.getSQLState).exists(_.startsWith("40")) ||
+      Option(e.getMessage).exists(_.toLowerCase.contains("conflict"))
+
+  /** Run `body` (one self-contained transaction attempt: open, write,
+    * commit, close) with up to `maxRetries` replays on transient
+    * failures, exponential backoff between attempts — the reference's
+    * bounded retry policy (its Dataflow blocks retry failed API calls
+    * the same way). Non-transient errors and retry exhaustion
+    * propagate. */
+  private[etl] def withTxnRetries[T](maxRetries: Int, backoffMs: Long)(
+      body: () => T): T = {
+    var attempt = 0
+    var out = Option.empty[T]
+    while (out.isEmpty) {
+      try out = Some(body())
+      catch {
+        case e: java.sql.SQLException if isTransient(e) && attempt < maxRetries =>
+          Thread.sleep(backoffMs << attempt)
+          attempt += 1
+      }
+    }
+    out.get
+  }
+
   /** Upsert `df` into `table` keyed by `keyCols`. Creates the table on
-    * first use. Each partition is one transaction. */
+    * first use.
+    *
+    * Transaction granularity: with `maxTxnRetries = 0` (default) each
+    * PARTITION is one transaction — all-or-nothing per task, no
+    * replay. With `maxTxnRetries > 0` each BATCH is one transaction
+    * and a transiently-failed batch (deadlock victim, optimistic-
+    * concurrency conflict) is replayed on a fresh connection with
+    * exponential backoff — the high-contention deployment mode.
+    * Replays are safe because a rolled-back batch left no state and
+    * the upsert itself is key-idempotent; the replay buffer is the
+    * current batch only (≤ batchSize rows), so memory stays bounded
+    * exactly as before. */
   def upsert(df: DataFrame, url: String, table: String, keyCols: Seq[String],
-      batchSize: Int = 1000): Unit = {
+      batchSize: Int = 1000, maxTxnRetries: Int = 0,
+      retryBackoffMs: Long = 100L): Unit = {
     val schema = df.schema
     require(keyCols.nonEmpty && keyCols.forall(schema.fieldNames.contains),
       s"keyCols $keyCols must be columns of ${schema.fieldNames.toSeq}")
@@ -206,42 +253,64 @@ object JdbcSink {
     val probeSql = s"SELECT 1 FROM $table " +
       s"WHERE ${keyCols.map(k => s"$k = ?").mkString(" AND ")}"
 
+    /** One open transaction: prepared statements + the two-statement
+      * batch flush. Caller owns commit/rollback/close. */
+    def withWriter[T](conn: Connection)(use: (Seq[Row] => Unit) => T): T = {
+      val upd = if (nonKey.isEmpty) None else Some(conn.prepareStatement(updateSql))
+      val ins = conn.prepareStatement(insertSql)
+      val probe = conn.prepareStatement(probeSql)
+      try {
+        def probeMiss(r: Row): Boolean = {
+          bind(probe, r, keyIdx, codes)
+          val rs = probe.executeQuery()
+          try !rs.next() finally rs.close()
+        }
+        def flush(batch: Seq[Row]): Unit = if (batch.nonEmpty) {
+          val missed: Seq[Row] = upd match {
+            case Some(u) =>
+              batch.foreach { r => bind(u, r, nonKeyIdx ++ keyIdx, codes); u.addBatch() }
+              val counts = u.executeBatch()
+              needsInsert(counts, i => probeMiss(batch(i))).map(batch)
+            case None =>
+              batch.filter(probeMiss)
+          }
+          if (missed.nonEmpty) {
+            missed.foreach { r => bind(ins, r, allIdx, codes); ins.addBatch() }
+            ins.executeBatch()
+          }
+        }
+        use(flush)
+      } finally {
+        upd.foreach(_.close()); ins.close(); probe.close()
+      }
+    }
+
+    /** Open → write → commit → close, rolling back on any failure. */
+    def inTransaction(write: (Seq[Row] => Unit) => Unit): Unit = {
+      val conn: Connection = DriverManager.getConnection(url)
+      conn.setAutoCommit(false)
+      try withWriter(conn) { flush => write(flush); conn.commit() }
+      catch { case e: Throwable => conn.rollback(); throw e }
+      finally conn.close()
+    }
+
     df.foreachPartition { rows: Iterator[Row] =>
       if (rows.nonEmpty) {
-        val conn: Connection = DriverManager.getConnection(url)
-        conn.setAutoCommit(false)
-        try {
-          val upd = if (nonKey.isEmpty) None else Some(conn.prepareStatement(updateSql))
-          val ins = conn.prepareStatement(insertSql)
-          val probe = conn.prepareStatement(probeSql)
-          try {
-            def probeMiss(r: Row): Boolean = {
-              bind(probe, r, keyIdx, codes)
-              val rs = probe.executeQuery()
-              try !rs.next() finally rs.close()
-            }
-            def flush(batch: Seq[Row]): Unit = if (batch.nonEmpty) {
-              val missed: Seq[Row] = upd match {
-                case Some(u) =>
-                  batch.foreach { r => bind(u, r, nonKeyIdx ++ keyIdx, codes); u.addBatch() }
-                  val counts = u.executeBatch()
-                  needsInsert(counts, i => probeMiss(batch(i))).map(batch)
-                case None =>
-                  batch.filter(probeMiss)
-              }
-              if (missed.nonEmpty) {
-                missed.foreach { r => bind(ins, r, allIdx, codes); ins.addBatch() }
-                ins.executeBatch()
-              }
-            }
+        if (maxTxnRetries == 0)
+          // partition = one transaction, no replay
+          inTransaction { flush =>
             rows.grouped(batchSize).foreach(g => flush(g.toSeq))
-            conn.commit()
-          } finally {
-            upd.foreach(_.close()); ins.close(); probe.close()
           }
-        } catch {
-          case e: Throwable => conn.rollback(); throw e
-        } finally conn.close()
+        else
+          // batch = one transaction; transient failures replay THIS
+          // batch on a fresh connection (the iterator is consumed one
+          // bounded batch at a time, so replay needs no re-read)
+          rows.grouped(batchSize).foreach { g =>
+            val batch = g.toSeq
+            withTxnRetries(maxTxnRetries, retryBackoffMs) { () =>
+              inTransaction(flush => flush(batch))
+            }
+          }
       }
     }
   }

@@ -767,6 +767,34 @@ object Relational {
               AND c_acctbal > (SELECT MAX(c_acctbal) - 5000 FROM customer)
             ORDER BY c_custkey"""))
 
+  /** R47: correlated LATERAL subquery with ORDER BY + LIMIT — the
+    * per-row top-N SQL surface (SQL:1999 lateral derived tables).
+    * Catalyst decorrelates this into a window-rank join, so the
+    * executed plan is the scalable per-group top-k shape (R8), not a
+    * per-outer-row re-execution — writing the natural SQL costs
+    * nothing at 100 TB. Tiebreak on c_custkey keeps the top-2
+    * deterministic. */
+  val qLateralTopn = QueryDef(
+    "q_lateral_topn",
+    (s, d) => {
+      Tables.nation(s, d).createOrReplaceTempView("nation_lat_v")
+      Tables.customer(s, d).createOrReplaceTempView("customer_lat_v")
+      s.sql("""SELECT n.n_name, t.c_custkey, t.c_acctbal
+               FROM nation_lat_v n,
+               LATERAL (SELECT c_custkey, c_acctbal
+                        FROM customer_lat_v c
+                        WHERE c.c_nationkey = n.n_nationkey
+                        ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+               ORDER BY n_name, c_custkey""")
+    },
+    Some("""SELECT n.n_name, t.c_custkey, t.c_acctbal
+            FROM nation n,
+            LATERAL (SELECT c_custkey, c_acctbal
+                     FROM customer c
+                     WHERE c.c_nationkey = n.n_nationkey
+                     ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+            ORDER BY n_name, c_custkey"""))
+
   /** R30: explicit GROUPING SETS — the asymmetric-set shape rollup and
     * cube can't express ((priority, status), (status), ()): one Expand
     * over exactly the three requested sets, one shuffle, grouping_id
@@ -1058,5 +1086,6 @@ object Relational {
     qPivot, qCubeGrouping, qWindowFuncs, qRangeJoin, qSaltedJoin,
     qApproxPercentile, qOuterJoin, qSlidingWindow, qSetOps, qSqlSurface,
     qGroupingSets, qBloomJoin, qArgmax, qUnpivot, q18LargeOrders,
-    qCorrStats, qRecursiveCte, qWindowDist, qSketchRollup, qListagg)
+    qCorrStats, qRecursiveCte, qWindowDist, qSketchRollup, qListagg,
+    qLateralTopn)
 }

@@ -146,6 +146,45 @@ abstract class JdbcSinkDialectSpec extends SparkSpec {
     assert(readTable(t).count() === 3)
   }
 
+  dialectTest("E15-JDBC: per-batch-transaction retry mode produces identical results") {
+    import spark.implicits._
+    val t = "upsert_retry_happy"
+    val rows = (0 until 120).map(i => (f"r$i%03d", i.toLong))
+      .toDF("id", "pop").repartition(4, col("id"))
+    JdbcSink.upsert(rows, url, t, Seq("id"), batchSize = 25, maxTxnRetries = 2)
+    assert(readTable(t).count() === 120)
+    // idempotent replay of the same frame (what a task retry does)
+    JdbcSink.upsert(rows, url, t, Seq("id"), batchSize = 25, maxTxnRetries = 2)
+    assert(readTable(t).count() === 120)
+  }
+
+  dialectTest("E15-JDBC: contended upsert lands all rows despite a concurrent writer") {
+    import spark.implicits._
+    val t = "upsert_contended"
+    JdbcSink.upsert(Seq(("k1", 0L), ("k2", 0L)).toDF("id", "pop"),
+      url, t, Seq("id"))
+    // a competing transaction updates k1 and holds it open briefly —
+    // engines either block (Derby row locks) or throw a transient
+    // conflict (optimistic engines); the retrying sink must land the
+    // write either way once the holder commits
+    val holder = java.sql.DriverManager.getConnection(url)
+    holder.setAutoCommit(false)
+    val st = holder.createStatement()
+    st.executeUpdate(s"UPDATE $t SET pop = 99 WHERE id = 'k1'")
+    val releaser = new Thread(() => {
+      Thread.sleep(400); holder.commit(); st.close(); holder.close()
+    })
+    releaser.start()
+    try {
+      JdbcSink.upsert(Seq(("k1", 7L), ("k3", 3L)).toDF("id", "pop")
+        .coalesce(1), url, t, Seq("id"),
+        maxTxnRetries = 6, retryBackoffMs = 100L)
+    } finally releaser.join()
+    val back = readTable(t).orderBy("id").collect()
+    assert(back.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("k1", 7L), ("k2", 0L), ("k3", 3L)))
+  }
+
   dialectTest("E5-JDBC: nulls round-trip and unsupported types fail with a clear error") {
     import spark.implicits._
     val t = "upsert_nulls"
@@ -182,6 +221,47 @@ class JdbcSinkSpec extends JdbcSinkDialectSpec {
     assert(res === Seq(1, 2, 4), "0 inserts directly; -2 inserts only on probe miss")
     assert(probed.toSeq === Seq(2, 3, 4), "exactly the unknown-count rows are probed")
     assert(JdbcSink.needsInsert(Array(1, 1), _ => fail("no probe for real counts")) === Seq())
+  }
+
+  test("E15-JDBC: withTxnRetries replays transient failures with backoff, rethrows the rest") {
+    def transient(msg: String) =
+      new java.sql.SQLTransactionRollbackException(msg, "40001")
+    // two transient failures then success: body runs 3 times
+    var calls = 0
+    val out = JdbcSink.withTxnRetries(3, 1L) { () =>
+      calls += 1
+      if (calls < 3) throw transient(s"deadlock $calls") else "done"
+    }
+    assert(out === "done" && calls === 3)
+    // exhaustion: maxRetries=2 → 3 attempts, then the failure escapes
+    var calls2 = 0
+    val e = intercept[java.sql.SQLException] {
+      JdbcSink.withTxnRetries(2, 1L) { () =>
+        calls2 += 1; throw transient("always")
+      }
+    }
+    assert(calls2 === 3 && e.getMessage === "always")
+    // non-transient: no replay at all
+    var calls3 = 0
+    intercept[java.sql.SQLException] {
+      JdbcSink.withTxnRetries(5, 1L) { () =>
+        calls3 += 1
+        throw new java.sql.SQLSyntaxErrorException("bad sql", "42000")
+      }
+    }
+    assert(calls3 === 1)
+  }
+
+  test("E15-JDBC: the transient classifier covers class-40 states, JDBC types, and conflict messages") {
+    import JdbcSink.isTransient
+    assert(isTransient(new java.sql.SQLTransactionRollbackException("d", "40001")))
+    assert(isTransient(new java.sql.SQLException("serialization", "40P01")))
+    assert(isTransient(new java.sql.SQLTransientConnectionException("t")))
+    assert(isTransient(new java.sql.SQLRecoverableException("r")))
+    assert(isTransient(new java.sql.SQLException(
+      "TransactionContext Error: write-write Conflict on update")))
+    assert(!isTransient(new java.sql.SQLSyntaxErrorException("bad", "42000")))
+    assert(!isTransient(new java.sql.SQLIntegrityConstraintViolationException("pk", "23505")))
   }
 }
 
