@@ -36,12 +36,14 @@ object Classifier {
   private def nib(h: Column, i: Int): Column =
     call_function("instr", lit(HexAlphabet), substring(h, i, 1)) - 1
 
-  /** 16-bit feature bucket of a token: first 4 hex chars of md5. */
-  def bucketOf(w: Column): Column = {
-    val h = substring(md5(w.cast("binary")), 1, 4)
+  /** 16-bit feature bucket from a 4-hex-char hash prefix. Callers must
+    * pass a BOUND hash value (a lambda variable or materialized
+    * column), not an md5 expression: the four nibble extractions each
+    * reference `h`, and an expression argument would re-evaluate the
+    * md5 four times per token (the Text.shingles lesson). */
+  def bucketOfHex(h: Column): Column =
     ((nib(h, 1) * 4096) + (nib(h, 2) * 256) + (nib(h, 3) * 16) + nib(h, 4))
       .cast("long")
-  }
 
   /** Integer weight of a feature bucket, in [-500, 500]. */
   def weightOf(bucket: Column): Column =
@@ -53,7 +55,10 @@ object Classifier {
     * 0.0 and never pass a threshold ≥ 0. */
   def scored(docs: DataFrame, text: Column, threshold: Double = 0.0): DataFrame = {
     val ws = filter(Text.words(text), w => length(w) > 0)
-    val tokW = transform(ws, w => weightOf(bucketOf(w)))
+    // two-step: hash once per token, THEN decode nibbles over the
+    // bound element — one md5 per token instead of four
+    val hs = transform(ws, w => substring(md5(w.cast("binary")), 1, 4))
+    val tokW = transform(hs, h => weightOf(bucketOfHex(h)))
     val scoreInt = aggregate(tokW, lit(0L), (acc, x) => acc + x)
     val n = size(ws)
     val score = when(n === 0, lit(0.0)).otherwise(
