@@ -767,6 +767,53 @@ object Relational {
               AND c_acctbal > (SELECT MAX(c_acctbal) - 5000 FROM customer)
             ORDER BY c_custkey"""))
 
+  /** R48: time-series gap fill — join the fact against a generated
+    * calendar spine so EVERY (group, day) exists, zero-filling counts
+    * and forward-filling the last known daily value (last_value IGNORE
+    * NULLS). The spine is O(calendar-days × groups), bounded by time
+    * not data, so the grid side broadcasts and the fill window scans
+    * each group's days once; days before a group's first observation
+    * stay NULL (no value to carry). Forward-fill copies an
+    * already-quantized double — no accumulation, so cross-engine
+    * determinism is inherited from the daily aggregate. */
+  val qGapfill = QueryDef(
+    "q_gapfill",
+    (s, d) => {
+      val orders = Tables.orders(s, d)
+      val daily = orders
+        .groupBy(col("o_orderpriority").as("prio"), col("o_orderdate").as("day"))
+        .agg(count(lit(1)).as("n_day"), rsum(col("o_totalprice")).as("day_price"))
+      val spine = orders
+        .agg(min(col("o_orderdate")).as("lo"), max(col("o_orderdate")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      val grid = spine.crossJoin(orders.select(col("o_orderpriority").as("prio")).distinct())
+      grid.join(daily, Seq("prio", "day"), "left")
+        .select(col("prio"), col("day"),
+          coalesce(col("n_day"), lit(0L)).as("n_orders"),
+          last(col("day_price"), ignoreNulls = true)
+            .over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("prio")).orderBy(col("day")))
+            .as("filled_price"))
+        .orderBy("prio", "day")
+    },
+    Some(s"""WITH b AS (SELECT min(o_orderdate) AS lo, max(o_orderdate) AS hi
+                        FROM orders),
+             spine AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                         CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+                       FROM b),
+             prios AS (SELECT DISTINCT o_orderpriority AS prio FROM orders),
+             daily AS (SELECT o_orderpriority AS prio, o_orderdate AS day,
+                         count(*) AS n_day,
+                         ${oSum("o_totalprice")} AS day_price
+                       FROM orders GROUP BY 1, 2)
+             SELECT g.prio, g.day,
+                    COALESCE(d.n_day, 0) AS n_orders,
+                    last_value(d.day_price IGNORE NULLS)
+                      OVER (PARTITION BY g.prio ORDER BY g.day) AS filled_price
+             FROM (SELECT p.prio, s.day FROM spine s, prios p) g
+             LEFT JOIN daily d ON d.prio = g.prio AND d.day = g.day
+             ORDER BY g.prio, g.day"""))
+
   /** R47: correlated LATERAL subquery with ORDER BY + LIMIT — the
     * per-row top-N SQL surface (SQL:1999 lateral derived tables).
     * Catalyst decorrelates this into a window-rank join, so the
@@ -1087,5 +1134,5 @@ object Relational {
     qApproxPercentile, qOuterJoin, qSlidingWindow, qSetOps, qSqlSurface,
     qGroupingSets, qBloomJoin, qArgmax, qUnpivot, q18LargeOrders,
     qCorrStats, qRecursiveCte, qWindowDist, qSketchRollup, qListagg,
-    qLateralTopn)
+    qLateralTopn, qGapfill)
 }

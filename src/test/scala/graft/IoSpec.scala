@@ -150,4 +150,36 @@ class IoSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("IO13: dynamic partition overwrite rewrites only touched partitions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_dpo").toString + "/t"
+    def rows(y: Int, tag: String) =
+      (0 until 5).map(i => (y * 100L + i, tag, y)).toSeq
+    (rows(1995, "v1") ++ rows(1996, "v1") ++ rows(1997, "v1"))
+      .toDF("id", "tag", "year")
+      .write.partitionBy("year").mode("overwrite").parquet(dir)
+    // dynamic mode: an overwrite carrying ONLY year=1996 must replace
+    // that partition and leave 1995/1997 untouched — the maintained-
+    // warehouse incremental rewrite (a daily re-run overwrites its day,
+    // not the table)
+    rows(1996, "v2").toDF("id", "tag", "year")
+      .write.partitionBy("year").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").parquet(dir)
+    val afterDynamic = spark.read.parquet(dir)
+    assert(afterDynamic.count() === 15)
+    assert(afterDynamic.filter(col("year") === 1996)
+      .select("tag").distinct().collect().map(_.getString(0)).toSeq === Seq("v2"))
+    assert(afterDynamic.filter(col("year") =!= 1996)
+      .select("tag").distinct().collect().map(_.getString(0)).toSeq === Seq("v1"),
+      "untouched partitions must keep their files")
+    // static mode (the default) truncates the WHOLE table first — the
+    // contrast that makes dynamic mode load-bearing
+    rows(1996, "v3").toDF("id", "tag", "year")
+      .write.partitionBy("year").mode("overwrite").parquet(dir)
+    val afterStatic = spark.read.parquet(dir)
+    assert(afterStatic.count() === 5)
+    assert(afterStatic.select("year").distinct().collect()
+      .map(_.getInt(0)).toSeq === Seq(1996))
+  }
 }
