@@ -1208,6 +1208,57 @@ object PipelineQueries {
                     COALESCE(sc.score > 0, FALSE) AS keep
              FROM c LEFT JOIN sc USING (doc_id) ORDER BY doc_id"""))
 
+  /** D41: one-pass corpus profile — the summary every curation run
+    * starts and ends with (doc/token volume, token-length percentiles,
+    * exact-dup rate, language spread) as a tall (metric, value) table
+    * from ONE scan: a single multi-aggregate (Spark expands the two
+    * DISTINCTs over the same pass), then a stack() to tall form.
+    * Profiling that costs one extra scan per metric is how 100 TB
+    * pipelines double their I/O bill — this is the E14 observability
+    * idea applied to corpus statistics. */
+  val textCorpusProfile = QueryDef(
+    "text_corpus_profile",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("lang"),
+        Text.whitespaceTokenCount(col("text")).as("nt"),
+        md5(Text.canonical(col("text")).cast("binary")).as("h"))
+      docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens"),
+        round(percentile(col("nt"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("nt"), lit(0.9)), 4).as("p90"),
+        countDistinct(col("h")).as("nd"),
+        countDistinct(col("lang")).as("nl"))
+        .select(expr("""stack(6,
+            'n_docs', CAST(n_docs AS DOUBLE),
+            'n_tokens', CAST(n_tokens AS DOUBLE),
+            'p50_tokens', p50,
+            'p90_tokens', p90,
+            'dup_rate', floor((1.0 - CAST(nd AS DOUBLE) / n_docs) * 1e6 + 0.5) / 1e6,
+            'n_langs', CAST(nl AS DOUBLE)) AS (metric, value)"""))
+        .orderBy("metric")
+    },
+    Some(s"""WITH d AS (SELECT lang,
+                    len(string_split($oCanon, ' ')) AS nt,
+                    md5($oCanon) AS h
+                  FROM documents),
+             p AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                          CAST(SUM(nt) AS DOUBLE) AS n_tokens,
+                          ROUND(quantile_cont(nt, 0.5), 4) AS p50,
+                          ROUND(quantile_cont(nt, 0.9), 4) AS p90,
+                          CAST(COUNT(DISTINCT h) AS DOUBLE) AS nd,
+                          CAST(COUNT(DISTINCT lang) AS DOUBLE) AS nl
+                   FROM d)
+             SELECT metric, value FROM (
+               SELECT 'n_docs' AS metric, n_docs AS value FROM p
+               UNION ALL SELECT 'n_tokens', n_tokens FROM p
+               UNION ALL SELECT 'p50_tokens', p50 FROM p
+               UNION ALL SELECT 'p90_tokens', p90 FROM p
+               UNION ALL SELECT 'dup_rate',
+                 floor((1.0 - nd / n_docs) * 1e6 + 0.5) / 1e6 FROM p
+               UNION ALL SELECT 'n_langs', nl FROM p)
+             ORDER BY metric"""))
+
   /** D27: edit-distance near-dup verification — the char-level
     * complement of D4's token-level Jaccard verify: normalized
     * Levenshtein similarity over length-capped canonical snippets,
@@ -1402,5 +1453,5 @@ object PipelineQueries {
     dedupEditDistance, textLmScore, alphaSample, pipelineCurate,
     dedupIncremental, embTruncate, mmFrameSample, splitLeakage,
     annHardNegatives, textBpeTrain, textQualityClassifier,
-    graft.similarity.Pca.qTopPc)
+    textCorpusProfile, graft.similarity.Pca.qTopPc)
 }

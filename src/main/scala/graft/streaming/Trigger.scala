@@ -92,6 +92,41 @@ object FileTrigger {
       .start()
   }
 
+  /** E16: dead-letter split — wire a RAW payload stream (one CSV line
+    * per `value`, the kafka-wire shape) to the pipeline with a
+    * quarantine sink: rows whose decode misses the contract (null key
+    * fields after PERMISSIVE from_csv) land in `dlqDir` AS DATA — raw
+    * payload preserved byte-for-byte, reason, batch id — while good
+    * rows run the normal dedup→enrich append. IO11's errors-are-data
+    * rule at the stream level, and the reference's per-record Error
+    * state instead of failing the run: one bad upstream byte must not
+    * kill the consumer, and must stay replayable from quarantine.
+    * The decoded batch is cached for its two sink scans and
+    * unpersisted before the batch commits. */
+  def attachWithDeadLetter(raw: DataFrame, outDir: String, dlqDir: String,
+      checkpointDir: String): StreamingQuery =
+    raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(SSTrigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val decoded = batch.withColumn("r",
+          from_csv(col("value").cast("string"), ZipEtl.schema,
+            Map.empty[String, String])).persist()
+        try {
+          decoded
+            .filter(col("r.zipcode").isNull || col("r.state").isNull)
+            .select(col("value").cast("string").as("raw_payload"),
+              lit("decode_contract_violation").as("reason"),
+              lit(batchId).as("batch_id"))
+            .write.mode("append").parquet(dlqDir)
+          runBatch(outDir)(
+            decoded.filter(col("r.zipcode").isNotNull && col("r.state").isNotNull)
+              .select(col("r.*")),
+            batchId)
+        } finally decoded.unpersist()
+      }
+      .start()
+
   /** E8 production shape: the same pipeline fed from a Kafka(-protocol)
     * topic — one message per record, offsets checkpointed for
     * exactly-once, matching the reference's Service Bus subscription

@@ -240,6 +240,37 @@ class StreamingSpec extends SparkSpec {
     assert(second === Map(1L -> 5.0, 2L -> 6.0))
   }
 
+  test("E16: undecodable payloads land in the dead-letter sink; good rows run the pipeline") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_dlq").toString
+    val (out, dlq, cp) = (s"$base/out", s"$base/dlq", s"$base/cp")
+    def goodLine(z: String) = s"6,California,CA,$z,Orange,Anaheim,2023-01-01"
+    val stream = MemoryStream[String]
+    val raw = stream.toDF().toDF("value")
+    stream.addData(goodLine("90001"), goodLine("90002"),
+      "complete garbage line", ",,,,,,")
+    val q = FileTrigger.attachWithDeadLetter(raw, out, dlq, cp)
+    assert(q.awaitTermination(60000), "AvailableNow must self-terminate")
+    val good = spark.read.parquet(out)
+    assert(good.count() === 2)
+    assert(good.select("zipcode").collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("90001", "90002"))
+    val dead = spark.read.parquet(dlq).collect()
+    assert(dead.length === 2)
+    assert(dead.forall(_.getAs[String]("reason") == "decode_contract_violation"))
+    assert(dead.map(_.getAs[String]("raw_payload")).sorted.toSeq ===
+      Seq(",,,,,,", "complete garbage line"),
+      "quarantine must preserve the raw payload byte-for-byte")
+    // a later run resumes from the checkpoint: only the NEW bad row is
+    // quarantined again — nothing double-processes
+    stream.addData("second wave of garbage")
+    val q2 = FileTrigger.attachWithDeadLetter(raw, out, dlq, cp)
+    assert(q2.awaitTermination(60000))
+    assert(spark.read.parquet(dlq).count() === 3)
+    assert(spark.read.parquet(out).count() === 2)
+  }
+
   test("E8-Kafka: kafka-wire messages decode and run the same triggered pipeline") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
