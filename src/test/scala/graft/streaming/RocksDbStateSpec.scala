@@ -209,6 +209,71 @@ class RocksDbStateSpec extends SparkSpec {
     }
   }
 
+  test("S17 under RocksDB: Misra-Gries window summaries honor the survival and bound guarantees") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import HeavyHitters._
+    withRocksDb {
+      val winMs = 60000L
+      val capacity = 4
+      val base = ts("2026-01-01 10:00:00").getTime
+      def at(off: Long) = new Timestamp(base + off)
+      // window A: one hot item (30), one warm (10), ten singletons
+      val winA =
+        (0 until 30).map(i => (at(i * 1000L), "hot")) ++
+        (0 until 10).map(i => (at(30000L + i * 1000L), "warm")) ++
+        (0 until 10).map(i => (at(45000L + i * 500L), s"t$i"))
+      val stream = MemoryStream[(Timestamp, String)]
+      val items = HeavyHitters.assign(stream.toDF(), "_1", "_2", winMs, shards = 2)
+        .withWatermark("win_start", "0 seconds").as[Item]
+      val q = HeavyHitters.hits(spark, items, winMs, capacity)
+        .writeStream.format("memory").queryName("s17_mg")
+        .outputMode("append").start()
+      try {
+        stream.addData(winA: _*)
+        q.processAllAvailable()
+        assert(spark.table("s17_mg").isEmpty,
+          "summaries must hold until the watermark closes the window")
+        // watermark pusher in a later window; its own window stays open
+        stream.addData((at(5 * winMs), "late"))
+        q.processAllAvailable()
+        val out = spark.table("s17_mg").collect().map(r =>
+          (r.getTimestamp(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4)))
+        assert(out.nonEmpty && out.forall(_._1.getTime == base),
+          s"only window A may emit: ${out.toSeq}")
+        // each EMITTED shard reports its true assigned volume (a shard
+        // whose summary fully evicted — all-singleton tails churning a
+        // small capacity — legitimately emits nothing: MG is lossy on
+        // the tail, never on the head)
+        val shardCounts = HeavyHitters.assign(
+          winA.toDF("_1", "_2"), "_1", "_2", winMs, shards = 2)
+          .groupBy("shard").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        out.groupBy(_._2).foreach { case (sh, rows) =>
+          assert(rows.head._5 === shardCounts(sh),
+            s"shard $sh n_seen ${rows.head._5} != true ${shardCounts(sh)}")
+        }
+        // bounded state: at most `capacity` items per shard summary
+        out.groupBy(_._2).foreach { case (_, rows) =>
+          assert(rows.length <= capacity)
+        }
+        // the hot item MUST survive (30 > N_shard/capacity for any
+        // split of 50 rows), with a lower-bound count within the
+        // Misra-Gries error of truth
+        val hot = out.find(_._3 == "hot").getOrElse(
+          fail(s"hot item evicted: ${out.toSeq}"))
+        val hotShardN = hot._5
+        assert(hot._4 <= 30L && hot._4 >= 30L - hotShardN / capacity,
+          s"count_lb ${hot._4} outside [30 - $hotShardN/$capacity, 30]")
+        // every reported count is a lower bound on its true count
+        out.foreach { r =>
+          val truth = winA.count(_._2 == r._3).toLong
+          assert(r._4 <= truth, s"${r._3}: reported ${r._4} > true $truth")
+        }
+      } finally q.stop()
+    }
+  }
+
   private implicit class JavaSetOps[A](s: java.util.Set[A]) {
     def asScala: scala.collection.mutable.Set[A] =
       scala.jdk.CollectionConverters.SetHasAsScala(s).asScala
