@@ -102,7 +102,10 @@ class RelationalSpec extends SparkSpec {
       "text_bm25", "dedup_semantic", "text_lm_score",
       // 1-row stats broadcasts (sketch-union exact total, RI orphan
       // count, planted-recall evidence rows)
-      "q_sketch_rollup", "etl_quality_checks", "dedup_incremental")
+      "q_sketch_rollup", "etl_quality_checks", "dedup_incremental",
+      // calendar-grid cross join: spine O(days) x groups O(5), bounded
+      // by time not data — the gap-fill grid is broadcast-tiny
+      "q_gapfill")
     graft.SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
@@ -126,6 +129,16 @@ class RelationalSpec extends SparkSpec {
     // below the largest single group's (up to sketch noise already
     // bounded by the 5% gate above)
     assert(all.getAs[Long]("approx_distinct") >= (groupMax * 0.95).toLong)
+  }
+
+  test("R47: the LATERAL top-N decorrelates to a window rank, not a nested loop") {
+    val plan = Relational.qLateralTopn.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"LATERAL must not plan a per-outer-row loop:\n$plan")
+    assert(plan.contains("Window"),
+      s"decorrelation should produce the window top-k shape:\n$plan")
   }
 
   test("driver contract: entry() returns rows under a plain session") {
