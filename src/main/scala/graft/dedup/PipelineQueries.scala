@@ -540,6 +540,65 @@ object PipelineQueries {
             FROM v, UNNEST(generate_series(0, n_frames - 1, 10)) AS t(frame_idx)
             ORDER BY doc_id, sample_idx"""))
 
+  /** MM3: audio chunk scheduling (metadata-only fan-out; see
+    * [[Multimodal.audioChunks]]). */
+  val mmAudioChunks = QueryDef(
+    "mm_audio_chunks",
+    (s, d) => Multimodal.audioChunks(
+        Multimodal.syntheticAssets(Tables.documents(s, d)))
+      .orderBy("doc_id", "chunk_idx"),
+    Some("""WITH a AS (SELECT doc_id,
+                    CAST(8000 + (doc_id % 5) * 8000 AS BIGINT) AS sr,
+                    CAST(strlen(text) AS BIGINT) AS n_samples
+                  FROM documents WHERE doc_id % 3 = 1),
+            d AS (SELECT doc_id, n_samples * 1000 // sr AS duration_ms FROM a),
+            n AS (SELECT doc_id, duration_ms,
+                    CASE WHEN duration_ms <= 0 THEN 0
+                         WHEN duration_ms < 2000 THEN 1
+                         ELSE (duration_ms - 2000) // 500 + 1 END AS n_chunks
+                  FROM d)
+            SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+                   i * 500 AS start_ms,
+                   least(i * 500 + 2000, duration_ms) AS end_ms
+            FROM n, UNNEST(generate_series(0, n_chunks - 1)) AS t(i)
+            WHERE n_chunks > 0
+            ORDER BY doc_id, chunk_idx"""))
+
+  /** D42: overlapping token-window chunking — the document→chunk step
+    * every RAG / long-context training pipeline runs (fixed window,
+    * fixed stride, short tail kept, content-hash chunk ids). Map-side
+    * fan-out over the words array: no shuffle beyond Spread's layout;
+    * chunk counts use exact integer ceil arithmetic mirrored in SQL. */
+  val textChunkWindows = QueryDef(
+    "text_chunk_windows",
+    (s, d) => {
+      val Win = 50
+      val Stride = 40
+      graft.functions.Spread(Tables.documents(s, d), col("doc_id"))
+        .withColumn("ws", Text.words(col("text")))
+        .withColumn("n_chunks",
+          lit(1L) + floor((greatest(size(col("ws")) - Win, lit(0)).cast("long")
+            + (Stride - 1)) / Stride).cast("long"))
+        .select(col("doc_id"), col("ws"),
+          explode(sequence(lit(0L), col("n_chunks") - 1)).as("ci"))
+        .select(col("doc_id"), col("ci").cast("int").as("chunk_idx"),
+          slice(col("ws"), (col("ci") * Stride + 1).cast("int"), lit(Win)).as("cw"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("cw")).as("n_tokens"),
+          md5(array_join(col("cw"), " ").cast("binary")).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some(s"""WITH w AS (SELECT doc_id, string_split($oCanon, ' ') AS ws
+                        FROM documents),
+             n AS (SELECT doc_id, ws,
+                     1 + (greatest(len(ws) - 50, 0) + 39) // 40 AS n_chunks
+                   FROM w)
+             SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+                    CAST(len(ws[ci*40+1 : ci*40+50]) AS INTEGER) AS n_tokens,
+                    md5(array_to_string(ws[ci*40+1 : ci*40+50], ' ')) AS chunk_hash
+             FROM n, UNNEST(generate_series(0, n_chunks - 1)) AS t(ci)
+             ORDER BY doc_id, chunk_idx"""))
+
   /** D32: vocabulary ENCODING — applying the trained top-k vocabulary
     * to the token stream (the tokenize step between D18's vocab build
     * and D16's sequence packing): every word maps to its vocab id,
@@ -1453,5 +1512,6 @@ object PipelineQueries {
     dedupEditDistance, textLmScore, alphaSample, pipelineCurate,
     dedupIncremental, embTruncate, mmFrameSample, splitLeakage,
     annHardNegatives, textBpeTrain, textQualityClassifier,
-    textCorpusProfile, graft.similarity.Pca.qTopPc)
+    textCorpusProfile, mmAudioChunks, textChunkWindows,
+    graft.similarity.Pca.qTopPc)
 }

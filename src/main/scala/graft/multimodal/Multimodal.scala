@@ -101,6 +101,36 @@ object Multimodal {
         posexplode(sequence(lit(0), col("meta.n_frames") - 1, lit(stride)))
           .as(Seq("sample_idx", "frame_idx")))
 
+  /** MM3: audio chunk scheduling — fixed-length overlapping windows
+    * computed purely from metadata (sample rate + payload length; the
+    * synthetic payload is 1 byte/sample), the deterministic scheduling
+    * half of chunked audio decode exactly as [[sampleFrames]] is for
+    * video: the schedule fans out map-side from O(1) metadata columns,
+    * and only the scheduled chunks ever reach the (stubbed) codec — at
+    * 100 TB you never decode whole assets to cut windows. Short clips
+    * yield one partial chunk; empty payloads yield none; the last
+    * chunk clamps to the clip end. All integer arithmetic. */
+  def audioChunks(assets: DataFrame, winMs: Long = 2000L,
+      hopMs: Long = 500L): DataFrame =
+    assets.filter(col("modality") === "audio")
+      .select(col("doc_id"), col("meta.sample_rate").as("sr"),
+        length(col("content")).cast("long").as("n_samples"))
+      // Column./ is true division: floor+cast = integer division
+      // (exact — the numerators stay far below 2^53)
+      .withColumn("duration_ms",
+        floor(col("n_samples") * 1000L / col("sr")).cast("long"))
+      .withColumn("n_chunks",
+        when(col("duration_ms") <= 0, lit(0L))
+          .when(col("duration_ms") < winMs, lit(1L))
+          .otherwise(
+            floor((col("duration_ms") - winMs) / hopMs).cast("long") + 1L))
+      .filter(col("n_chunks") > 0)
+      .select(col("doc_id"), col("duration_ms"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("ci"))
+      .select(col("doc_id"), col("ci").cast("int").as("chunk_idx"),
+        (col("ci") * hopMs).as("start_ms"),
+        least(col("ci") * hopMs + winMs, col("duration_ms")).as("end_ms"))
+
   /** The rows-only `mm_binary_meta` coverage entry: flattened asset
     * metadata. (No repartition here — the final orderBy would discard
     * any layout immediately; a decode fleet repartitions by modality
