@@ -1513,5 +1513,5 @@ object PipelineQueries {
     dedupIncremental, embTruncate, mmFrameSample, splitLeakage,
     annHardNegatives, textBpeTrain, textQualityClassifier,
     textCorpusProfile, mmAudioChunks, textChunkWindows,
-    graft.similarity.Pca.qTopPc)
+    graft.similarity.Pca.qTopPc, graft.similarity.Kmeans.qKmeans)
 }
