@@ -767,6 +767,38 @@ object Relational {
               AND c_acctbal > (SELECT MAX(c_acctbal) - 5000 FROM customer)
             ORDER BY c_custkey"""))
 
+  /** R49: null-safe equi join (`<=>` / IS NOT DISTINCT FROM) — the
+    * dimension-with-unknown-key reconciliation shape: a plain equi
+    * join silently DROPS null-keyed rows from both sides; the
+    * null-safe operator matches the two NULL groups, so "unknown"
+    * buckets reconcile instead of vanishing. Aggregated per key before
+    * joining, so the NULL groups meet as one row each (no null-group
+    * cross blow-up), and the join still hash-partitions on the key. */
+  val qNullsafeJoin = QueryDef(
+    "q_nullsafe_join",
+    (s, d) => {
+      val a = Tables.customer(s, d)
+        .select(expr("nullif(c_nationkey % 7, 3)").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_cust"))
+      val b = Tables.supplier(s, d)
+        .select(expr("nullif(s_nationkey % 7, 3)").as("k2"))
+        .groupBy("k2").agg(count(lit(1)).as("n_supp"))
+      a.join(b, col("k") <=> col("k2"), "full")
+        .select(col("k").as("bucket"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy(asc_nulls_first("bucket"))
+    },
+    Some("""WITH a AS (SELECT nullif(c_nationkey % 7, 3) AS k, count(*) AS n_cust
+                       FROM customer GROUP BY 1),
+             b AS (SELECT nullif(s_nationkey % 7, 3) AS k, count(*) AS n_supp
+                   FROM supplier GROUP BY 1)
+            SELECT a.k AS bucket,
+                   COALESCE(a.n_cust, 0) AS n_cust,
+                   COALESCE(b.n_supp, 0) AS n_supp
+            FROM a FULL JOIN b ON a.k IS NOT DISTINCT FROM b.k
+            ORDER BY bucket NULLS FIRST"""))
+
   /** R48: time-series gap fill — join the fact against a generated
     * calendar spine so EVERY (group, day) exists, zero-filling counts
     * and forward-filling the last known daily value (last_value IGNORE
@@ -1134,5 +1166,5 @@ object Relational {
     qApproxPercentile, qOuterJoin, qSlidingWindow, qSetOps, qSqlSurface,
     qGroupingSets, qBloomJoin, qArgmax, qUnpivot, q18LargeOrders,
     qCorrStats, qRecursiveCte, qWindowDist, qSketchRollup, qListagg,
-    qLateralTopn, qGapfill)
+    qLateralTopn, qGapfill, qNullsafeJoin)
 }
