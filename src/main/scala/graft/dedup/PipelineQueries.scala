@@ -1171,6 +1171,53 @@ object PipelineQueries {
                ROUND(CAST(-SUM(CAST(lp AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 4) AS nll
              FROM scored GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** D44: per-language perplexity bucketing — the CCNet curation move:
+    * score every doc under the corpus bigram LM (D28), compute each
+    * LANGUAGE's NLL terciles, and bucket docs head/middle/tail within
+    * their own language (a global cut would just rank languages).
+    * Thresholds are an O(#langs × 2) aggregate broadcast back over the
+    * scored corpus — one extra tiny join on top of D28's shape. */
+  val textPplBuckets = QueryDef(
+    "text_ppl_buckets",
+    (s, d) => {
+      val scored = graft.functions.LmScore.score(
+        Tables.documents(s, d), hashKeys = false)
+        .join(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")
+      val cuts = scored.groupBy("lang").agg(
+        round(percentile(col("nll"), lit(1.0 / 3)), 4).as("t1"),
+        round(percentile(col("nll"), lit(2.0 / 3)), 4).as("t2"))
+      scored.join(broadcast(cuts), "lang")
+        .select(col("doc_id"), col("lang"), col("nll"),
+          when(col("nll") <= col("t1"), lit("head"))
+            .when(col("nll") <= col("t2"), lit("middle"))
+            .otherwise(lit("tail")).as("bucket"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH w AS (SELECT doc_id, string_split($oCanon, ' ') AS ws FROM documents),
+             bi AS (SELECT doc_id, ws[g] AS w1, ws[g] || ' ' || ws[g + 1] AS g2
+                    FROM w, UNNEST(generate_series(1, greatest(len(ws) - 1, 0))) AS t(g)),
+             c2 AS (SELECT g2, COUNT(*) AS c2 FROM bi GROUP BY g2),
+             c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY w1),
+             vocab AS (SELECT COUNT(DISTINCT word) AS v
+                       FROM (SELECT unnest(ws) AS word FROM w)),
+             scored AS (SELECT b.doc_id,
+                 ln((c2.c2 + CAST(1.0 AS DOUBLE)) / (c1.c1 + vocab.v)) AS lp
+               FROM bi b JOIN c2 USING (g2) JOIN c1 USING (w1) CROSS JOIN vocab),
+             nll AS (SELECT s.doc_id, d.lang,
+                 ROUND(CAST(-SUM(CAST(lp AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 4) AS nll
+               FROM scored s JOIN documents d USING (doc_id)
+               GROUP BY s.doc_id, d.lang),
+             cuts AS (SELECT lang,
+                 ROUND(quantile_cont(nll, 1.0/3), 4) AS t1,
+                 ROUND(quantile_cont(nll, 2.0/3), 4) AS t2
+               FROM nll GROUP BY lang)
+             SELECT n.doc_id, n.lang, n.nll,
+                    CASE WHEN n.nll <= c.t1 THEN 'head'
+                         WHEN n.nll <= c.t2 THEN 'middle'
+                         ELSE 'tail' END AS bucket
+             FROM nll n JOIN cuts c USING (lang)
+             ORDER BY n.doc_id"""))
+
   /** One unrolled DuckDB BPE iteration (reads s{k-1}, defines s{k} and
     * the rule row t{k}): pair counts via lead(), deterministic top-1,
     * then greedy left-to-right merge. SQL has no sequential fold, so
@@ -1512,6 +1559,6 @@ object PipelineQueries {
     dedupEditDistance, textLmScore, alphaSample, pipelineCurate,
     dedupIncremental, embTruncate, mmFrameSample, splitLeakage,
     annHardNegatives, textBpeTrain, textQualityClassifier,
-    textCorpusProfile, mmAudioChunks, textChunkWindows,
+    textCorpusProfile, mmAudioChunks, textChunkWindows, textPplBuckets,
     graft.similarity.Pca.qTopPc, graft.similarity.Kmeans.qKmeans)
 }
