@@ -1,0 +1,108 @@
+package graft.etl
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.jdk.CollectionConverters._
+
+/** IO14 — snapshot-manifest table commits: atomic overwrite semantics
+  * for plain-parquet tables without a lakehouse format on the
+  * classpath.
+  *
+  * `mode("overwrite")` on a parquet dir DELETES BEFORE WRITING — a
+  * reader racing the writer sees a missing or partial table, and a
+  * failed write leaves nothing. The fix is the manifest pointer
+  * pattern every table format builds on: each commit writes a FRESH
+  * immutable snapshot directory, then swaps one small manifest file
+  * (written to a temp name, atomically renamed) to point at it.
+  * Readers resolve the pointer at plan time and scan an immutable dir:
+  * they see the old snapshot or the new one, never a mixture; a
+  * writer crash before the swap leaves an orphan directory and an
+  * untouched manifest — the table is never corrupted.
+  *
+  * `vacuum` is the retention half: drop history beyond `keep`
+  * snapshots and delete unreferenced directories (including crash
+  * orphans). Keeping a few snapshots gives in-flight readers a grace
+  * window — the reason vacuum is a POLICY, not part of commit.
+  *
+  * Manifest I/O is driver-side java.nio on O(history) bytes — the
+  * metadata plane, not the data path. The reference's
+  * `EtlBusImports` ledger is the same idea (run bookkeeping beside the
+  * data); this applies it to the storage layout itself.
+  */
+object Snapshots {
+
+  private val ManifestName = "_manifest.json"
+
+  private def manifestPath(root: String): Path = Paths.get(root, ManifestName)
+
+  /** (current, history oldest→newest). Missing manifest = empty table. */
+  private[etl] def readManifest(root: String): (Option[String], Seq[String]) = {
+    val p = manifestPath(root)
+    if (!Files.exists(p)) (None, Nil)
+    else {
+      val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      // single-purpose parse of {"current":"...","history":["...",...]}
+      val cur = "\"current\"\\s*:\\s*\"([^\"]+)\"".r
+        .findFirstMatchIn(s).map(_.group(1))
+      val hist = "\"history\"\\s*:\\s*\\[([^\\]]*)\\]".r
+        .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty).toSeq
+      (cur, hist)
+    }
+  }
+
+  private def writeManifest(root: String, current: String,
+      history: Seq[String]): Unit = {
+    val json = s"""{"current":"$current","history":[${
+      history.map(h => s""""$h"""").mkString(",")}]}"""
+    val tmp = Paths.get(root, s".$ManifestName.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath(root), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Commit `df` as the table's new current snapshot. Returns the
+    * snapshot id. The data write completes fully before the pointer
+    * swap; nothing existing is touched. */
+  def commit(df: DataFrame, root: String): String = {
+    Files.createDirectories(Paths.get(root))
+    val (_, hist) = readManifest(root)
+    val next = s"snap-${hist.size + 1}-${System.nanoTime()}"
+    df.write.parquet(s"$root/$next")
+    writeManifest(root, next, hist :+ next)
+    next
+  }
+
+  /** Read the current snapshot (empty-schema error if no commit yet —
+    * callers race-checking existence should handle None). */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val (cur, _) = readManifest(root)
+    val snap = cur.getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $root"))
+    spark.read.parquet(s"$root/$snap")
+  }
+
+  /** Retain the newest `keep` referenced snapshots (always including
+    * current); delete older ones AND unreferenced orphan dirs (crashed
+    * commits). Returns deleted directory names. */
+  def vacuum(root: String, keep: Int): Seq[String] = {
+    require(keep >= 1, "must keep at least the current snapshot")
+    val (cur, hist) = readManifest(root)
+    val keepSet = (hist.takeRight(keep) ++ cur).toSet
+    val live = Files.list(Paths.get(root)).iterator().asScala
+      .filter(Files.isDirectory(_))
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("snap-"))
+      .toSeq
+    val doomed = live.filterNot(keepSet)
+    doomed.foreach { d =>
+      val dir = Paths.get(root, d)
+      Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+    writeManifest(root, cur.getOrElse(""), hist.filter(keepSet))
+    doomed.sorted
+  }
+}

@@ -1,0 +1,54 @@
+package graft.etl
+
+import java.nio.file.{Files, Paths}
+import graft.SparkSpec
+
+/** IO14 — the manifest pointer contract: readers always see a complete
+  * snapshot, history is a grace window, vacuum reclaims the rest. */
+class SnapshotsSpec extends SparkSpec {
+
+  test("commits swap atomically; an in-flight reader's snapshot survives until vacuumed") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_snap").toString
+    Snapshots.commit(Seq((1L, "v1")).toDF("id", "tag"), root)
+    // an old reader resolves its snapshot path NOW (plan time)
+    val oldReader = Snapshots.read(spark, root)
+    Snapshots.commit(Seq((1L, "v2"), (2L, "v2")).toDF("id", "tag"), root)
+    Snapshots.commit(Seq((1L, "v3"), (2L, "v3"), (3L, "v3")).toDF("id", "tag"), root)
+    // new reads see the newest complete snapshot
+    assert(Snapshots.read(spark, root).count() === 3)
+    // the old reader still scans ITS immutable snapshot — overwrite
+    // semantics without delete-before-write
+    assert(oldReader.count() === 1)
+    // vacuum keep=2: snap-1 goes, current + previous stay
+    val deleted = Snapshots.vacuum(root, keep = 2)
+    assert(deleted.length === 1 && deleted.head.startsWith("snap-1"))
+    assert(Snapshots.read(spark, root).count() === 3)
+    // the old reader's data is now legitimately gone
+    intercept[Exception] { oldReader.count() }
+    // vacuum is idempotent and never deletes current
+    assert(Snapshots.vacuum(root, keep = 1).length === 1)
+    assert(Snapshots.read(spark, root).count() === 3)
+  }
+
+  test("a crashed commit (orphan dir, manifest unswapped) does not corrupt the table; vacuum reclaims it") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_snap_crash").toString
+    Snapshots.commit(Seq((1L, "good")).toDF("id", "tag"), root)
+    // simulate a writer dying after its data write, before the swap
+    Seq((9L, "torn")).toDF("id", "tag")
+      .write.parquet(s"$root/snap-99-0")
+    assert(Snapshots.read(spark, root).collect().map(_.getString(1)).toSeq ===
+      Seq("good"), "readers must never see the unswapped snapshot")
+    val deleted = Snapshots.vacuum(root, keep = 3)
+    assert(deleted === Seq("snap-99-0"), "orphans are vacuum's to reclaim")
+    assert(!Files.exists(Paths.get(root, "snap-99-0")))
+    assert(Snapshots.read(spark, root).count() === 1)
+  }
+
+  test("reading an uncommitted table fails loudly") {
+    val root = Files.createTempDirectory("graft_snap_empty").toString
+    val e = intercept[IllegalStateException] { Snapshots.read(spark, root) }
+    assert(e.getMessage.contains("no committed snapshot"))
+  }
+}
