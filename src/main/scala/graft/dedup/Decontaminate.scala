@@ -131,4 +131,40 @@ object Decontaminate {
       .select("doc_id")
       .distinct()
   }
+
+  /** D45: [[flaggedBroadcastBench]] with the R31 runtime-filter
+    * primitive as the cut: corpus grams probe a BLOOM of the bench
+    * gram set map-side (`graft_might_contain`, codegen'd below any
+    * shuffle) instead of broadcast-semi-joining it. Same exact flag
+    * set: the bloom has no false negatives, so every true bench-gram
+    * carrier survives to the exact join-back (which also kills the
+    * ≤ fpp false positives), and for bench grams the df over probe
+    * survivors still equals corpus-wide df. Why it matters at scale:
+    * the bloom is O(bits) per task regardless of bench-gram
+    * cardinality — a 1M-gram eval suite probes from a ~1.1 MB plan
+    * constant where the broadcast hash relation costs two orders of
+    * magnitude more per executor — and the probe prunes ~(1 − sel −
+    * fpp) of corpus grams before ANY join machinery. */
+  def flaggedBloomBench(docs: DataFrame, isBench: Column => Column,
+      k: Int = 5, maxDocsPerGram: Int = 100, hashGrams: Boolean = true,
+      fpp: Double = 0.01): DataFrame = {
+    val grams = rawGrams(docs, k, hashGrams)
+    val benchGrams = grams.filter(isBench(col("doc_id")))
+      .withColumnRenamed("doc_id", "bench_doc")
+    def probeKey(c: Column): Column =
+      if (hashGrams) c else xxhash64(c)
+    val bytes = graft.operators.Bloom.keyFilterBytes(
+      benchGrams.select(probeKey(col("gram")).as("bk")), "bk", fpp)
+    val touched = grams.filter(call_function("graft_might_contain",
+      probeKey(col("gram")).cast("long"), lit(bytes)))
+    val ok = touched.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocsPerGram)
+      .select("gram")
+    touched
+      .join(broadcast(ok), Seq("gram"))
+      .join(broadcast(benchGrams), Seq("gram"))
+      .filter(col("doc_id") =!= col("bench_doc"))
+      .select("doc_id")
+      .distinct()
+  }
 }

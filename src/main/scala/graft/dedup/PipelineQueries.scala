@@ -1133,6 +1133,18 @@ object PipelineQueries {
       .orderBy("doc_id"),
     textDecontaminate.oracle)
 
+  /** D45: the bloom-cut decontamination (see
+    * [[Decontaminate.flaggedBloomBench]]) — same flag set as D20/D20b
+    * under the same oracle; the cut is a map-side
+    * `graft_might_contain` probe instead of a broadcast semi-join. */
+  val textDecontaminateBloom = QueryDef(
+    "text_decontaminate_bloom",
+    (s, d) => Decontaminate.flaggedBloomBench(
+      Dedup.withPlantedDups(Tables.documents(s, d)),
+      id => id % 100 === 0, hashGrams = false)
+      .orderBy("doc_id"),
+    textDecontaminate.oracle)
+
   /** D25: BM25 relevance of every document against a small query term
     * set — see [[graft.functions.Bm25]] for the map-side scale shape.
     * Terms mix rare ('dup', df≈5% of docs) and common vocabulary so
@@ -1560,5 +1572,6 @@ object PipelineQueries {
     dedupIncremental, embTruncate, mmFrameSample, splitLeakage,
     annHardNegatives, textBpeTrain, textQualityClassifier,
     textCorpusProfile, mmAudioChunks, textChunkWindows, textPplBuckets,
+    textDecontaminateBloom,
     graft.similarity.Pca.qTopPc, graft.similarity.Kmeans.qKmeans)
 }

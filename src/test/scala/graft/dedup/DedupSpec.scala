@@ -165,6 +165,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("D45: bloom-cut decontamination equals the exact paths and probes below the joins") {
+    val isBench: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      id => id % 100 === 0
+    // identical flag set, both gram modes (bloom FPs must all die at
+    // the exact join-back)
+    for (hashed <- Seq(true, false)) {
+      val a = Decontaminate.flagged(planted, isBench, hashGrams = hashed)
+      val b = Decontaminate.flaggedBloomBench(planted, isBench, hashGrams = hashed)
+      assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0,
+        s"bloom-cut variant diverges (hashGrams=$hashed)")
+    }
+    // the probe must sit in a Filter, i.e. map-side BELOW any join
+    val plan = Decontaminate.flaggedBloomBench(planted, isBench)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_might_contain"),
+      s"expected the bloom probe in the plan:\n$plan")
+    assert("Filter [^\\n]*graft_might_contain".r.findFirstIn(plan).isDefined,
+      s"the probe must be a Filter, not join machinery:\n$plan")
+  }
+
   test("D20: decontamination flags every guaranteed bench-overlap doc") {
     import spark.implicits._
     val flagged = Decontaminate.flagged(planted, id => id % 100 === 0)
