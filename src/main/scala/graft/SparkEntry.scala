@@ -10,7 +10,8 @@ object SparkEntry {
     operators.Relational.all ++ operators.Partitioned.all ++
       operators.Zorder.all ++ operators.EventAnalytics.all ++
       operators.Graph.all ++
-      etl.EtlQueries.all ++ etl.Quality.all ++ etl.Scd.all ++
+      etl.EtlQueries.all ++ etl.Quality.all ++ etl.Scd.all ++ etl.Cdc.all ++
+      etl.Incremental.all ++
       dedup.PipelineQueries.all ++
       streaming.StreamQueries.all
 

@@ -409,6 +409,181 @@ object PipelineQueries {
               CAST(1 + doc_id % 300 AS INTEGER) AS n_frames
             FROM documents ORDER BY doc_id"""))
 
+  /** MM4: perceptual-hash near-duplicate detection over binary
+    * payloads — the image/audio complement of D2's token-level
+    * MinHash, FULLY oracle-gated (no current entry proves a
+    * hamming-space band join end-to-end in SQL): payloads get a
+    * locality-sensitive 60-bit code ([[Multimodal.phash]] — the DCT
+    * pHash stub), codes are banded into 4 interleaved-nibble buckets
+    * map-side, candidates meet in ONE (band, bucket) shuffle with a
+    * deterministic per-bucket cap valve (rank by doc_id, mirrored
+    * exactly in the oracle so the cap can never silently diverge), and
+    * survivors verify `bit_count(xor)` ≤ 6 map-side after an id join
+    * back to the two codes. Planted positives are SMALL payload
+    * mutations (a 3-byte stamp — what a re-encode does to a perceptual
+    * hash; the 30-char token-level suffix D2 uses moves 11+ of 60 bits
+    * and is exactly the dissimilarity pHash is SUPPOSED to report).
+    * At 100 TB: band codes are map-side arithmetic, the candidate join
+    * shuffles (band, bucket, id, code) rows only — never payloads —
+    * and the cap bounds any degenerate bucket; hamming verify costs
+    * one xor per candidate. */
+  val mmPhashNeardup = QueryDef(
+    "mm_phash_neardup",
+    (s, d) => {
+      val MaxBucket = 256
+      val docs = Tables.documents(s, d)
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" v2")).as("text")))
+      val hashed = corpus
+        .select(col("doc_id"),
+          Multimodal.phash(col("text").cast("binary")).as("ph"))
+      val banded = hashed
+        .select(col("doc_id"), col("ph"),
+          posexplode(Multimodal.phashBands(col("ph"))).as(Seq("band", "bucket")))
+      val capped = banded
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("band", "bucket").orderBy("doc_id")))
+        .filter(col("rk") <= MaxBucket)
+      val cand = capped.as("a").join(capped.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(hashed.as("x"), col("doc_a") === col("x.doc_id"))
+        .join(hashed.as("y"), col("doc_b") === col("y.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("x.ph").bitwiseXOR(col("y.ph"))).as("hamming"))
+        .filter(col("hamming") <= 6)
+        .withColumn("is_planted",
+          col("doc_a") % 50 === 0 && col("doc_b") === col("doc_a") + 1000000L)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some {
+      val nib = Multimodal.PhashProbes.zipWithIndex.map { case (c, i) =>
+        s"((length(t) - length(replace(t, '$c', ''))) // 2) % 16 * ${1L << (4 * i)}"
+      }.mkString(" + ")
+      val bands = (0 until 4).map { b =>
+        val js = Seq(b, b + 4, b + 8, b + 12).filter(_ < 15)
+        val e = js.zipWithIndex.map { case (j, k) =>
+          s"((ph // ${1L << (4 * j)}) % 16) * ${1L << (4 * k)}"
+        }.mkString(" + ")
+        s"SELECT doc_id, $b AS band, $e AS bucket FROM hashed"
+      }.mkString(" UNION ALL ")
+      s"""WITH corpus AS (
+            SELECT doc_id, text AS t FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text || ' v2' FROM documents
+            WHERE doc_id % 50 = 0),
+          hashed AS (SELECT doc_id, CAST($nib AS BIGINT) AS ph FROM corpus),
+          banded AS ($bands),
+          capped AS (
+            SELECT * FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY band, bucket
+                        ORDER BY doc_id) AS rk
+              FROM banded)
+            WHERE rk <= 256),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM capped a JOIN capped b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b,
+                 CAST(bit_count(xor(x.ph, y.ph)) AS INTEGER) AS hamming,
+                 (doc_a % 50 = 0 AND doc_b = doc_a + 1000000) AS is_planted
+          FROM cand
+          JOIN hashed x ON x.doc_id = doc_a
+          JOIN hashed y ON y.doc_id = doc_b
+          WHERE bit_count(xor(x.ph, y.ph)) <= 6
+          ORDER BY doc_a, doc_b"""
+    })
+
+  /** D46: DSIR-style importance-weighted data selection (Xie et al.
+    * 2302.03169): score each document by how much more likely its
+    * hashed bag-of-words is under a TARGET domain's unigram
+    * distribution than under the raw corpus', and keep the top-k. The
+    * cheap, trainless cousin of the D39 classifier — exactly what
+    * web-scale pipelines run to up-sample wiki-like text.
+    *
+    * Arithmetic contract: token features hash to 256 buckets
+    * ([[graft.functions.Classifier.bucketOfHex2]], engine-portable md5
+    * nibbles); the per-bucket log-ratio ln(t+1) − ln(c+1) (Laplace-
+    * smoothed counts; the normalizers fold into one per-corpus
+    * constant ln((Nc+256)/(Nt+256)) applied per token) is quantized
+    * floor(x·1e6) to a BIGINT once per BUCKET, so per-doc scores are
+    * exact integer sums — order-free, bit-identical in DuckDB.
+    *
+    * Scale shape: the two count tables are ≤ 256 rows (one shuffle of
+    * 256 keys each, map-side partials doing the real reduction); they
+    * broadcast back onto the token stream, the per-doc sum rides ONE
+    * hash shuffle of (doc_id, partial) rows, and the final top-k is
+    * TakeOrderedAndProject — no global sort, no driver materialization
+    * beyond the k result rows. */
+  val textDsirSelect = QueryDef(
+    "text_dsir_select",
+    (s, d) => {
+      import graft.functions.Classifier
+      val B = 256
+      val docs = Tables.documents(s, d)
+      val tokens = docs
+        .select(col("doc_id"), col("lang"),
+          explode(Text.words(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .select(col("doc_id"), col("lang"),
+          Classifier.bucketOfHex2(substring(md5(col("w").cast("binary")), 1, 2))
+            .as("b"))
+      val ccnt = tokens.groupBy("b").agg(count(lit(1)).as("c"))
+      val tcnt = tokens.filter(col("lang") === "en")
+        .groupBy("b").agg(count(lit(1)).as("t"))
+      val terms = ccnt.join(tcnt, Seq("b"), "left")
+        .select(col("b"),
+          floor((log(coalesce(col("t"), lit(0L)) + 1.0) - log(col("c") + 1.0))
+            * 1e6).cast("long").as("term_q"))
+      val cq = ccnt.agg(sum("c").as("nc"))
+        .crossJoin(tcnt.agg(coalesce(sum("t"), lit(0L)).as("nt")))
+        .select(floor((log(col("nc") + B.toDouble) - log(col("nt") + B.toDouble))
+          * 1e6).cast("long").as("cq"))
+      tokens
+        .join(broadcast(terms), Seq("b"))
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_tokens"), sum("term_q").as("sum_q"))
+        .crossJoin(broadcast(cq))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          (col("sum_q") + col("n_tokens") * col("cq")).as("logw_q"))
+        .orderBy(desc("logw_q"), asc("doc_id"))
+        .limit(100)
+    },
+    Some(s"""WITH w AS (
+               SELECT doc_id, lang, unnest(string_split($oCanon, ' ')) AS word
+               FROM documents),
+             tok AS (
+               SELECT doc_id, lang,
+                      (strpos('0123456789abcdef', substr(md5(word), 1, 1)) - 1) * 16
+                    + (strpos('0123456789abcdef', substr(md5(word), 2, 1)) - 1) AS b
+               FROM w WHERE length(word) > 0),
+             ccnt AS (SELECT b, COUNT(*) AS c FROM tok GROUP BY b),
+             tcnt AS (SELECT b, COUNT(*) AS t FROM tok WHERE lang = 'en' GROUP BY b),
+             terms AS (
+               SELECT ccnt.b,
+                      CAST(FLOOR((ln(COALESCE(t, 0) + 1.0) - ln(c + 1.0)) * 1e6)
+                        AS BIGINT) AS term_q
+               FROM ccnt LEFT JOIN tcnt ON ccnt.b = tcnt.b),
+             cst AS (
+               SELECT CAST(FLOOR((ln((SELECT SUM(c) FROM ccnt) + 256.0)
+                                - ln((SELECT COALESCE(SUM(t), 0) FROM tcnt) + 256.0))
+                           * 1e6) AS BIGINT) AS cq),
+             docw AS (
+               SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                      CAST(SUM(term_q) AS BIGINT) AS sum_q
+               FROM tok JOIN terms USING (b) GROUP BY doc_id, lang)
+             SELECT doc_id, lang, n_tokens,
+                    CAST(sum_q + n_tokens * cq AS BIGINT) AS logw_q
+             FROM docw, cst
+             ORDER BY logw_q DESC, doc_id LIMIT 100"""))
+
   /** D18: vocabulary building — corpus-wide term and document
     * frequencies, top-k. The tokenizer-training shape: explode words,
     * two-stage aggregation ((word, doc) partials then word totals — no
@@ -1563,7 +1738,7 @@ object PipelineQueries {
     dedupEmbeddingCosine, annBruteforceTopK, annLsh, annIvf,
     textLangId, textQualityScore, textTokenCount, textFingerprint,
     textWinnow, textWinnowGeometry, textVocab, textTokenize, vecCentroid,
-    mmBinaryMeta,
+    mmBinaryMeta, mmPhashNeardup, textDsirSelect,
     hashSplit, stratifiedSample,
     dedupClusters, dedupClustersCc, dedupPipelineQ, packSequences, textScrub,
     textDecontaminate, textDecontaminateBcast, textHeavyHitters,

@@ -215,6 +215,51 @@ object JdbcSink extends Serializable {
     out.get
   }
 
+  /** Apply a reduced CDC batch — one row per key, latest change wins,
+    * tombstones still present (the [[Cdc.latestChanges]] shape) — to a
+    * transactional table: tombstoned keys are DELETEd in batched
+    * per-partition transactions, everything else goes through the
+    * normal [[upsert]]. The two passes touch DISJOINT keys (one
+    * surviving row per key), so their relative order is immaterial and
+    * partitions cannot deadlock each other; both are idempotent, so a
+    * replayed micro-batch (E8c exactly-once contract) converges to the
+    * same table state. */
+  def applyCdc(df: DataFrame, url: String, table: String, keyCols: Seq[String],
+      opCol: String = "op", batchSize: Int = 1000, maxTxnRetries: Int = 0,
+      retryBackoffMs: Long = 100L): Unit = {
+    import org.apache.spark.sql.functions.col
+    val payload = df.drop(opCol)
+    ensureTable(url, table, payload.schema, keyCols)
+    val codes = payload.schema.fields.map(f => typeCode(f.dataType))
+    val keyIdx = keyCols.map(payload.schema.fieldNames.toSeq.indexOf)
+    val deleteSql = s"DELETE FROM $table " +
+      s"WHERE ${keyCols.map(k => s"$k = ?").mkString(" AND ")}"
+    df.filter(col(opCol) === "D").drop(opCol)
+      .foreachPartition { rows: Iterator[Row] =>
+        if (rows.nonEmpty) {
+          def attempt(batch: Seq[Row]): Unit = {
+            val conn = DriverManager.getConnection(url)
+            conn.setAutoCommit(false)
+            try {
+              val del = conn.prepareStatement(deleteSql)
+              try {
+                batch.foreach { r => bind(del, r, keyIdx, codes); del.addBatch() }
+                del.executeBatch()
+              } finally del.close()
+              conn.commit()
+            } catch { case e: Throwable => conn.rollback(); throw e }
+            finally conn.close()
+          }
+          rows.grouped(batchSize).foreach { g =>
+            val batch = g.toSeq
+            withTxnRetries(maxTxnRetries, retryBackoffMs)(() => attempt(batch))
+          }
+        }
+      }
+    upsert(df.filter(col(opCol) =!= "D").drop(opCol), url, table, keyCols,
+      batchSize, maxTxnRetries, retryBackoffMs)
+  }
+
   /** Upsert `df` into `table` keyed by `keyCols`. Creates the table on
     * first use.
     *

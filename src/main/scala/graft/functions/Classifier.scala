@@ -45,6 +45,13 @@ object Classifier {
     ((nib(h, 1) * 4096) + (nib(h, 2) * 256) + (nib(h, 3) * 16) + nib(h, 4))
       .cast("long")
 
+  /** 8-bit feature bucket from a 2-hex-char hash prefix — D46's DSIR
+    * feature space: 256 coarse buckets keep the two count tables
+    * broadcast-trivial and Laplace smoothing meaningful on small
+    * target corpora. Same bound-hash contract as [[bucketOfHex]]. */
+  def bucketOfHex2(h: Column): Column =
+    ((nib(h, 1) * 16) + nib(h, 2)).cast("long")
+
   /** Integer weight of a feature bucket, in [-500, 500]. */
   def weightOf(bucket: Column): Column =
     (bucket * lit(2654435761L)) % 1001 - 500

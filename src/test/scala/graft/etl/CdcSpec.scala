@@ -1,0 +1,64 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** E17 — CDC apply-changes semantics (tombstones, reinsertion, change
+  * ordering), the one-Exchange plan shape, and the JDBC application
+  * path (DELETE for tombstones + upsert for the rest) on Derby. */
+class CdcSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** (key, seq, op, value): k1 insert→update; k2 insert→delete;
+    * k3 insert→delete→reinsert; k4 tombstone for a key never seen
+    * (late delete of an already-compacted row — must stay a no-op on
+    * the final state but still reach a sink as a DELETE). */
+  private def feed = Seq(
+    ("k1", 1L, "U", "a"), ("k1", 2L, "U", "b"),
+    ("k2", 1L, "U", "x"), ("k2", 2L, "D", null),
+    ("k3", 1L, "U", "p"), ("k3", 2L, "D", null), ("k3", 3L, "U", "q"),
+    ("k4", 5L, "D", null)
+  ).toDF("k", "seq", "op", "v")
+
+  test("E17: latest change wins; tombstones remove; reinsert revives") {
+    val out = Cdc.applyChanges(feed, Seq("k"), Seq("seq"))
+      .select("k", "v").as[(String, String)].collect().toMap
+    assert(out === Map("k1" -> "b", "k3" -> "q"))
+  }
+
+  test("E17: latestChanges keeps exactly one row per key, tombstones included") {
+    val latest = Cdc.latestChanges(feed, Seq("k"), Seq("seq"))
+    assert(latest.count() === 4)
+    assert(latest.groupBy("k").count().filter($"count" > 1).count() === 0)
+    val ops = latest.select("k", "op").as[(String, String)].collect().toMap
+    assert(ops("k2") === "D" && ops("k4") === "D" && ops("k3") === "U")
+  }
+
+  test("E17: apply-changes costs one hash Exchange (the upsert shape)") {
+    val plan = Cdc.applyChanges(feed, Seq("k"), Seq("seq"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected 1 hash Exchange, plan:\n$plan")
+  }
+
+  test("E17: JdbcSink.applyCdc deletes tombstoned keys and upserts the rest") {
+    val url = "jdbc:derby:memory:graftcdc;create=true"
+    val table = "cdc_target"
+    // seed: the pre-batch table state
+    JdbcSink.upsert(
+      Seq(("k1", "a"), ("k2", "x"), ("k3", "p")).toDF("k", "v"),
+      url, table, Seq("k"))
+    // one reduced CDC batch (latest-per-key, tombstones included)
+    val batch = Cdc.latestChanges(feed, Seq("k"), Seq("seq")).select("k", "op", "v")
+    JdbcSink.applyCdc(batch, url, table, Seq("k"))
+    def state() = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .load().select("K", "V").as[(String, String)].collect().toMap
+    assert(state() === Map("k1" -> "b", "k3" -> "q"))
+    // replayed micro-batch (E8c at-least-once delivery) converges
+    JdbcSink.applyCdc(batch, url, table, Seq("k"))
+    assert(state() === Map("k1" -> "b", "k3" -> "q"))
+  }
+}

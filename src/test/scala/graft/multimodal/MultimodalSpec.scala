@@ -67,4 +67,25 @@ class MultimodalSpec extends SparkSpec {
       .filter(col("n_bytes") =!= col("len"))
     assert(bad.count() === 0)
   }
+
+  test("MM4: phash is local — a 3-byte payload stamp moves at most 4 of 60 bits") {
+    val ham = docs.select(
+      bit_count(Multimodal.phash(col("text").cast("binary")).bitwiseXOR(
+        Multimodal.phash(concat(col("text"), lit(" v2")).cast("binary"))))
+        .as("ham"))
+    val worst = ham.agg(max("ham")).head().getInt(0)
+    assert(worst <= 4, s"mutation moved $worst bits")
+  }
+
+  test("MM4: the near-dup entry finds every planted mutation under the threshold") {
+    val out = graft.SparkEntry.queries("mm_phash_neardup")(spark, sf).cache()
+    val expected = docs.filter(col("doc_id") % 50 === 0).count()
+    assert(out.filter(col("is_planted")).count() === expected,
+      s"expected $expected planted pairs")
+    assert(out.filter(col("hamming") > 6).count() === 0)
+    // banding is a candidate FILTER, not a hamming oracle: every
+    // reported pair must genuinely verify, planted or not
+    assert(out.filter(col("is_planted")).agg(max("hamming")).head().getInt(0) <= 4)
+    out.unpersist()
+  }
 }

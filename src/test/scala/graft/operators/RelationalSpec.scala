@@ -100,9 +100,13 @@ class RelationalSpec extends SparkSpec {
       "ann_lsh", "ann_ivf", "dedup_minhash_lsh", "dedup_simhash",
       "dedup_ngram_jaccard", "dedup_pipeline", "dedup_skew_stress",
       "text_bm25", "dedup_semantic", "text_lm_score",
+      // re-runs the D28 LM-scoring shape, so it inherits text_lm_score's
+      // 1-row vocab-size broadcast
+      "text_ppl_buckets",
       // 1-row stats broadcasts (sketch-union exact total, RI orphan
-      // count, planted-recall evidence rows)
+      // count, planted-recall evidence rows, DSIR's corpus-constant row)
       "q_sketch_rollup", "etl_quality_checks", "dedup_incremental",
+      "text_dsir_select",
       // calendar-grid cross join: spine O(days) x groups O(5), bounded
       // by time not data — the gap-fill grid is broadcast-tiny
       "q_gapfill")
