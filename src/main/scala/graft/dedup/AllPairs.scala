@@ -1,0 +1,99 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Spread, Text}
+
+/** D47 — EXACT all-pairs set-similarity self-join via prefix filtering
+  * (the AllPairs/PPJoin family: Bayardo et al., WWW'07; Chaudhuri et
+  * al., ICDE'06 — public literature). Complements the probabilistic
+  * candidate generators (D2 MinHash-LSH, D3 SimHash): those trade
+  * recall for speed; this one returns EXACTLY the pairs with
+  * Jaccard ≥ τ — no recall loss — while still never materializing the
+  * quadratic pair space.
+  *
+  * The trick: impose one global total order on the shingle universe —
+  * ascending document frequency, ties by value — and keep only each
+  * set's first `n − ⌈τ·n⌉ + 1` shingles (its "prefix"). Any pair with
+  * J ≥ τ has overlap ≥ ⌈τ·max(nₐ,n_b)⌉, and by pigeonhole the FIRST
+  * common shingle in the global order sits inside both prefixes, so an
+  * equi-join on prefix shingles loses no qualifying pair. Because the
+  * order is df-ASCENDING, prefixes are built from the RAREST shingles:
+  * the join key distribution is anti-skewed by construction (the
+  * boilerplate shingle every doc shares is the one shingle prefixes
+  * avoid), which is the property that keeps the candidate join linear
+  * at 100 TB where a naive token join would square on hot keys.
+  *
+  * Shuffle budget: one df aggregation (map-side combinable), one
+  * df join-back + per-doc window, one candidate equi-join on rare
+  * shingles, one distinct, two set join-backs for verification — all
+  * keyed joins, never a cross product.
+  *
+  * `hashed = true` (production) runs the identical pipeline over
+  * 64-bit xxhash shingle hashes — ~an order of magnitude less shuffle
+  * bandwidth than shingle strings; `hashed = false` keeps string
+  * shingles so DuckDB can mirror every step (the oracle entry). The
+  * spec proves both modes emit the identical pair set.
+  *
+  * Reference analogue: the reference dedups only by exact key
+  * (Net7-ETL-Bus `ZipCodeCacheService.cs` keyed upsert); exact
+  * similarity join is part of the LLM-curation surface this engine
+  * adds on top.
+  */
+object AllPairs {
+
+  /** (doc_id, sh, n): distinct shingle set per doc + its cardinality. */
+  def shingleSets(docs: DataFrame, k: Int, hashed: Boolean): DataFrame = {
+    val withWs = Spread(docs, col("doc_id"))
+      .select(col("doc_id"), Text.words(col("text")).as("ws"))
+    val sh =
+      if (hashed) array_distinct(Text.shingleHashes(col("ws"), k))
+      else array_distinct(transform(
+        sequence(lit(0), greatest(size(col("ws")) - k, lit(0))),
+        i => array_join(slice(col("ws"), i + lit(1), lit(k)), " ")))
+    withWs.select(col("doc_id"), sh.as("sh"))
+      .withColumn("n", size(col("sh")))
+  }
+
+  /** Prefix tokens: each doc's first n − ⌈τ·n⌉ + 1 shingles in global
+    * (df asc, value asc) order. Exposed for the spec's pruning assert. */
+  def prefixTokens(sets: DataFrame, tau: Double): DataFrame = {
+    val toks = sets.select(col("doc_id"), col("n"), explode(col("sh")).as("tok"))
+    val dfTab = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    toks.join(dfTab, "tok")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))))
+      .filter(col("rn") <= col("n") - ceil(lit(tau) * col("n")) + lit(1))
+      .select("doc_id", "tok")
+  }
+
+  /** Candidate (doc_a < doc_b) pairs sharing ≥1 prefix shingle. */
+  def candidatePairs(sets: DataFrame, tau: Double): DataFrame = {
+    val pref = prefixTokens(sets, tau)
+    pref.as("pa").join(pref.as("pb"),
+        col("pa.tok") === col("pb.tok") && col("pa.doc_id") < col("pb.doc_id"))
+      .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** All pairs with round(Jaccard, 6) ≥ τ over word-k-shingle sets.
+    * τ should be exactly representable in binary (0.75, 0.5, 0.625…)
+    * so ⌈τ·n⌉ computes identically in every engine.
+    */
+  def similarPairs(docs: DataFrame, k: Int = 3, tau: Double = 0.75,
+      hashed: Boolean = true): DataFrame = {
+    // one set build feeds df-count, prefix, and both verify sides
+    val sets = shingleSets(docs, k, hashed).cache()
+    val cand = candidatePairs(sets, tau)
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .filter(col("jaccard") >= tau)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+}

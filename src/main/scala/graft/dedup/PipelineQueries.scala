@@ -84,6 +84,37 @@ object PipelineQueries {
     },
     None)
 
+  /** D47: EXACT all-pairs Jaccard similarity self-join via prefix
+    * filtering — the first near-dup PAIR entry with a full SQL oracle:
+    * unlike the D2/D3 hash families, prefix filtering loses no
+    * qualifying pair, so a DuckDB brute-force all-pairs join over the
+    * same shingle sets must produce the IDENTICAL (doc_a, doc_b,
+    * jaccard) rows. The oracle entry runs string-shingle mode;
+    * production defaults to 64-bit hashed shingles (AllPairsSpec
+    * proves mode parity + that the prefix join prunes the pair space). */
+  val dedupJaccardAllpairs = QueryDef(
+    "dedup_jaccard_allpairs",
+    (s, d) => AllPairs.similarPairs(
+        Dedup.withPlantedDups(Tables.documents(s, d)), k = 3, tau = 0.75,
+        hashed = false)
+      .orderBy("doc_a", "doc_b"),
+    Some(s"""WITH c AS (SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + 1000000, text || ' planted near duplicate suffix'
+               FROM documents WHERE doc_id % 50 = 0),
+             w AS (SELECT doc_id, string_split($oCanon, ' ') AS ws FROM c),
+             t AS (SELECT doc_id, list_distinct(list_transform(
+                     generate_series(0, greatest(len(ws) - 3, 0)),
+                     i -> array_to_string(list_slice(ws, i + 1, i + 3), ' '))) AS sh
+                   FROM w),
+             p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                       6) AS jaccard
+                   FROM t a JOIN t b ON a.doc_id < b.doc_id)
+             SELECT doc_a, doc_b, jaccard FROM p
+             WHERE jaccard >= 0.75 ORDER BY doc_a, doc_b"""))
+
   /** D5: exact embedding-cosine near-dup pairs, label-blocked. The
     * oracle spells out dot/norm with the same double arithmetic and
     * summation order (list fold) as the Spark plan. */
@@ -1468,6 +1499,48 @@ object PipelineQueries {
              SELECT CAST(3 AS INTEGER), a, b, a || b, cnt FROM t3
              ORDER BY iter"""))
 
+  /** D48: BPE tokenizer APPLICATION — train 3 merge rules, then encode
+    * the corpus through the word-type dictionary (distinct words fold
+    * the rules map-side; the token stream joins the dictionary — the
+    * broadcast-vocabulary shape at scale). Oracle: the same unrolled
+    * bpeIter CTEs produce the encoded word-type state s3 directly
+    * (train's state update IS encode on word types), grouped back to
+    * per-word symbol lists and joined to the positional doc stream.
+    * Integer counts + a deterministic 12-subtoken document prefix keep
+    * both engines bit-identical. */
+  val textBpeEncode = QueryDef(
+    "text_bpe_encode",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val rules = graft.functions.Bpe.train(
+        graft.functions.Bpe.wordFreqs(docs), 3)
+      graft.functions.Bpe.encode(docs, rules).orderBy("doc_id")
+    },
+    Some(s"""WITH c AS (SELECT doc_id, $oCanon AS canon FROM documents),
+             wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+                    FROM (SELECT unnest(string_split(canon, ' ')) AS w FROM c)
+                    WHERE len(w) > 0 GROUP BY w),
+             s0 AS (SELECT w AS word, freq, i AS pos, substr(w, i, 1) AS sym
+                    FROM wf, UNNEST(generate_series(1, length(w))) AS t(i)),
+             ${bpeIter(1)},
+             ${bpeIter(2)},
+             ${bpeIter(3)},
+             enc AS (SELECT word, list(sym ORDER BY pos) AS syms,
+                            CAST(COUNT(*) AS BIGINT) AS nsym
+                     FROM s3 GROUP BY word),
+             dw AS (SELECT doc_id, i AS pos, ws[i] AS w
+                    FROM (SELECT doc_id, string_split(canon, ' ') AS ws FROM c),
+                         UNNEST(generate_series(1, len(ws))) AS t(i)
+                    WHERE len(ws[i]) > 0),
+             j AS (SELECT dw.doc_id, dw.pos, e.syms, e.nsym
+                   FROM dw JOIN enc e ON dw.w = e.word)
+             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+                    CAST(SUM(nsym) AS BIGINT) AS n_subtokens,
+                    array_to_string(
+                      list_slice(flatten(list(syms ORDER BY pos)), 1, 12),
+                      ' ') AS tok_prefix
+             FROM j GROUP BY doc_id ORDER BY doc_id"""))
+
   /** D39: quality-classifier inference (hashing-trick linear model —
     * the fasttext-filter shape). Map-side only: token → 16-bit md5
     * feature bucket → integer weight → exact integer sum → one
@@ -1735,6 +1808,7 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhashLsh, dedupSimhash, dedupNgramJaccard,
+    dedupJaccardAllpairs,
     dedupEmbeddingCosine, annBruteforceTopK, annLsh, annIvf,
     textLangId, textQualityScore, textTokenCount, textFingerprint,
     textWinnow, textWinnowGeometry, textVocab, textTokenize, vecCentroid,
@@ -1745,7 +1819,7 @@ object PipelineQueries {
     dedupSkewStress, textRepetition, embQuantize, textBm25, dedupSemantic,
     dedupEditDistance, textLmScore, alphaSample, pipelineCurate,
     dedupIncremental, embTruncate, mmFrameSample, splitLeakage,
-    annHardNegatives, textBpeTrain, textQualityClassifier,
+    annHardNegatives, textBpeTrain, textBpeEncode, textQualityClassifier,
     textCorpusProfile, mmAudioChunks, textChunkWindows, textPplBuckets,
     textDecontaminateBloom,
     graft.similarity.Pca.qTopPc, graft.similarity.Kmeans.qKmeans)

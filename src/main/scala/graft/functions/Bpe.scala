@@ -100,4 +100,50 @@ object Bpe {
     import spark.implicits._
     train(wordFreqs(docs), iters).toDF().orderBy("iter")
   }
+
+  /** Greedy left-to-right application of one merge rule to a symbol
+    * array — the same fold [[train]] uses for its state update, so
+    * encode and train share one semantics by construction. */
+  def applyRule(syms: org.apache.spark.sql.Column, a: String,
+      b: String): org.apache.spark.sql.Column =
+    aggregate(
+      syms,
+      lit(Array.empty[String]),
+      (acc, s) =>
+        when(try_element_at(acc, lit(-1)) === lit(a) && s === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(s))))
+
+  /** D48 — tokenizer APPLICATION (the other half of the train/apply
+    * pair): encode a corpus with an ordered rule list. The scale shape
+    * is dictionary encoding: rules fold over the distinct WORD-TYPE
+    * table (Zipf: word types ≪ corpus tokens), and the corpus token
+    * stream joins the tiny word→symbols dictionary — at 100 TB that
+    * join broadcasts a vocabulary, it never re-tokenizes per
+    * occurrence. Per doc: word count, subword count, and the first
+    * `prefixLen` subword tokens in document order (deterministic via
+    * sort_array over (pos, syms) structs).
+    */
+  def encode(docs: DataFrame, rules: Seq[Rule],
+      prefixLen: Int = 12): DataFrame = {
+    val docWords = docs
+      .select(col("doc_id"), posexplode(Text.words(col("text"))).as(Seq("pos", "w")))
+      .filter(length(col("w")) > 0)
+    val initial = docWords.select("w").distinct()
+      .select(col("w"), transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))).as("syms"))
+    // unrolled rule folds — all map-side, one projection per rule
+    val dict = rules.foldLeft(initial) { (st, r) =>
+      st.select(col("w"), applyRule(col("syms"), r.left_sym, r.right_sym).as("syms"))
+    }
+    docWords.join(dict, "w")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(size(col("syms"))).as("n_subtokens"),
+        array_join(
+          slice(flatten(transform(
+            sort_array(collect_list(struct(col("pos"), col("syms")))),
+            p => p.getField("syms"))), 1, prefixLen), " ").as("tok_prefix"))
+  }
 }

@@ -96,4 +96,38 @@ class BpeSpec extends SparkSpec {
     assert(rules.head.merged === "dd" && rules.head.pair_count === 2L)
     assert(rules.length === 1, "no adjacent pairs left after (d,d)")
   }
+
+  test("D48: encode applies rules greedily and counts subtokens exactly") {
+    import spark.implicits._
+    // rules: (a,a)→aa then (aa,a)→aaa; "aaaaa" → [aa][aa][a] → [aaa? ]
+    // greedy: pass1 "aaaaa"→[aa,aa,a]; pass2 (aa,a): [aa,aa,a]→[aa,aaa]
+    val rules = Seq(
+      Bpe.Rule(1, "a", "a", "aa", 0L),
+      Bpe.Rule(2, "aa", "a", "aaa", 0L))
+    val docs = Seq((1L, "aaaaa ab"), (2L, "b aaa")).toDF("doc_id", "text")
+    val out = Bpe.encode(docs, rules).orderBy("doc_id").collect()
+    val d1 = out(0)
+    assert(d1.getAs[Long]("n_words") === 2L)
+    // "aaaaa" → [aa, aaa] (2) ; "ab" → [a, b] (2)
+    assert(d1.getAs[Long]("n_subtokens") === 4L)
+    assert(d1.getAs[String]("tok_prefix") === "aa aaa a b")
+    val d2 = out(1)
+    // "b" → [b]; "aaa" → [aa, a] → (aa,a) → [aaa]
+    assert(d2.getAs[Long]("n_subtokens") === 2L)
+    assert(d2.getAs[String]("tok_prefix") === "b aaa")
+  }
+
+  test("D48: trained-rule encode is consistent with training token totals") {
+    val docs = graft.Tables.documents(spark, sf)
+    val rules = Bpe.train(Bpe.wordFreqs(docs), 3)
+    val enc = Bpe.encode(docs, rules)
+    import org.apache.spark.sql.functions._
+    val row = enc.agg(sum("n_words"), sum("n_subtokens")).head()
+    val (words, subs) = (row.getLong(0), row.getLong(1))
+    val canonWords = docs.select(sum(size(filter(
+      split(graft.functions.Text.canonical(col("text")), " "),
+      w => length(w) > 0)))).head().getLong(0)
+    assert(words === canonWords, "word totals must match the canonical stream")
+    assert(subs > words, "multi-char words must yield >1 subtoken on average")
+  }
 }
