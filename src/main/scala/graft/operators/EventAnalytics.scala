@@ -289,6 +289,99 @@ object EventAnalytics {
             GROUP BY touch_type
             ORDER BY touch_type"""))
 
+  /** R50 — merge overlapping per-user intervals (gaps-and-islands):
+    * each event opens an interval [ts, ts + ⌊value·60⌋ seconds]; any
+    * interval starting at or before the running max end of its
+    * predecessors joins that island. THE calendar primitive behind
+    * session coverage, on-call unions, and machine-uptime rollups.
+    * Shape at scale: ONE hash exchange on user_id feeds both windows
+    * (running max, running island sum) and the final island groupBy —
+    * the partitioning is reused end-to-end, no sort beyond the
+    * per-partition window sort, no driver state. Exact integer
+    * microsecond arithmetic both engines. */
+  def mergedIntervals(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d).select(
+      col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("s_us"),
+      (unix_micros(col("ts")) +
+        floor(col("value") * 60).cast("long") * 1000000L).as("e_us"))
+    val w = Window.partitionBy("user_id").orderBy("s_us", "event_id")
+    val prevMax = max(col("e_us"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val island = sum(
+      when(prevMax.isNull || col("s_us") > prevMax, 1L).otherwise(0L))
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ev.withColumn("island", island)
+      .groupBy("user_id", "island")
+      .agg(min(col("s_us")).as("start_us"), max(col("e_us")).as("end_us"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "island")
+  }
+
+  val qIntervalMerge = QueryDef(
+    "q_interval_merge",
+    (s, d) => mergedIntervals(s, d),
+    Some("""WITH iv AS (
+              SELECT user_id, event_id, epoch_us(ts) AS s_us,
+                     epoch_us(ts) + CAST(floor(value * 60) AS BIGINT) * 1000000
+                       AS e_us
+              FROM events),
+            pm AS (
+              SELECT *, max(e_us) OVER
+                       (PARTITION BY user_id ORDER BY s_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev_max
+              FROM iv),
+            flagged AS (
+              SELECT *, CASE WHEN prev_max IS NULL OR s_us > prev_max
+                     THEN 1 ELSE 0 END AS new_island
+              FROM pm),
+            islands AS (
+              SELECT *, sum(new_island) OVER
+                       (PARTITION BY user_id ORDER BY s_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS island
+              FROM flagged)
+            SELECT user_id, CAST(island AS BIGINT) AS island,
+                   min(s_us) AS start_us,
+                   max(e_us) AS end_us, CAST(count(*) AS BIGINT) AS n_events
+            FROM islands GROUP BY user_id, island
+            ORDER BY user_id, island"""))
+
+  /** R51 — per-key EWMA over event history (the feature-store /
+    * monitoring smoother): acc = α·x + (1−α)·acc folded over the
+    * time-ordered value sequence, α = 0.25 (exactly representable, so
+    * the recurrence is bit-identical across engines — mirrored by
+    * DuckDB's list_reduce, whose first-element seeding the Spark fold
+    * reproduces with element_at + slice). The per-key collect is the
+    * bounded-history valve class (sessionize/pack): per-entity
+    * sequences, never the corpus, sit in one task. */
+  def ewmaByUser(s: SparkSession, d: String, alpha: Double = 0.25): DataFrame = {
+    val sorted = sort_array(collect_list(struct(
+      unix_micros(col("ts")).as("t"), col("event_id"), col("value"))))
+    val vals = transform(sorted, p => p.getField("value"))
+    val ewma = aggregate(
+      slice(vals, lit(2), greatest(size(vals) - 1, lit(0))),
+      element_at(vals, 1),
+      (acc, x) => lit(alpha) * x + lit(1.0 - alpha) * acc)
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        (floor(ewma * 1e6 + 0.5) / 1e6).as("ewma_q"))
+      .orderBy("user_id")
+  }
+
+  val qEwma = QueryDef(
+    "q_ewma",
+    (s, d) => ewmaByUser(s, d),
+    Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   floor(list_reduce(list(value ORDER BY ts, event_id),
+                       (acc, x) -> CAST(0.25 AS DOUBLE) * x
+                                 + CAST(0.75 AS DOUBLE) * acc)
+                     * 1e6 + 0.5) / 1e6 AS ewma_q
+            FROM events GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[QueryDef] = Seq(qFunnel, qCohortRetention, qEventTransitions,
-    qRateAnomalies, qAttribution)
+    qRateAnomalies, qAttribution, qIntervalMerge, qEwma)
 }

@@ -66,4 +66,44 @@ class EventAnalyticsSpec extends SparkSpec {
     // no negative offsets: nothing is active before its cohort month
     assert(ret.filter(col("month_offset") < 0).count() === 0)
   }
+
+  test("R50: merged intervals are disjoint per user and conserve events") {
+    val merged = EventAnalytics.mergedIntervals(spark, sf).cache()
+    // intervals well-formed
+    assert(merged.filter(col("end_us") <= col("start_us")).count() === 0)
+    // islands pairwise disjoint: next island starts strictly after prev end
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("island")
+    val overlaps = merged
+      .withColumn("prev_end", lag(col("end_us"), 1).over(w))
+      .filter(col("prev_end").isNotNull && col("start_us") <= col("prev_end"))
+    assert(overlaps.count() === 0, "adjacent islands must not overlap")
+    // every event lands in exactly one island
+    val nEvents = Tables.events(spark, sf).count()
+    val total = merged.agg(sum("n_events")).head().getLong(0)
+    assert(total === nEvents)
+    merged.unpersist()
+  }
+
+  test("R51: EWMA matches a sequential fold and sits inside the value range") {
+    val out = EventAnalytics.ewmaByUser(spark, sf).cache()
+    // reference: straight Scala fold per user
+    val ref = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_id"), col("value")).collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .map { case (u, rows) =>
+        val vals = rows.sortBy(r =>
+          (r.getAs[Long]("tus"), r.getAs[Long]("event_id")))
+          .map(_.getAs[Double]("value"))
+        val e = vals.tail.foldLeft(vals.head)((acc, x) => 0.25 * x + 0.75 * acc)
+        u -> math.floor(e * 1e6 + 0.5) / 1e6
+      }
+    out.collect().foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      assert(r.getAs[Double]("ewma_q") === ref(u),
+        s"user $u: engine EWMA != sequential fold")
+    }
+    out.unpersist()
+  }
 }
