@@ -236,6 +236,28 @@ object PipelineQueries {
     },
     None)
 
+  /** D49: product-quantization ANN — SELF-VERIFYING like ann_lsh/
+    * ann_ivf (recall@10 + top-1 recall vs the D6 exact baseline over
+    * the planted eval corpus, in the entry output). The index is the
+    * codes column (m small ints per vector — the 32× storage cut);
+    * scoring decodes map-side from the broadcast codebook and runs
+    * the fused cosine. Codebook training is driver-side over an
+    * absolutely-bounded sample (standard PQ practice), memoized per
+    * dataset. */
+  val annPqAdc = QueryDef(
+    "ann_pq_adc",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = boundedQueries(emb)
+      val corpus = annEvalCorpus(emb, q)
+      val cb = graft.similarity.Pq.codebooks(corpus, d + "#eval")
+      Ann.withRecallVsExact(
+        graft.similarity.Pq.topK(corpus, q, 10, cb),
+        Ann.bruteForceTopK(corpus, q, 10), 10)
+        .orderBy("q_id", "rnk")
+    },
+    None)
+
   /** D36: hard-negative mining for contrastive embedding training —
     * per anchor, the exact top-k most-similar vectors with a DIFFERENT
     * label. Same bounded-broadcast scan shape as D6 (the label
@@ -1809,7 +1831,7 @@ object PipelineQueries {
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhashLsh, dedupSimhash, dedupNgramJaccard,
     dedupJaccardAllpairs,
-    dedupEmbeddingCosine, annBruteforceTopK, annLsh, annIvf,
+    dedupEmbeddingCosine, annBruteforceTopK, annLsh, annIvf, annPqAdc,
     textLangId, textQualityScore, textTokenCount, textFingerprint,
     textWinnow, textWinnowGeometry, textVocab, textTokenize, vecCentroid,
     mmBinaryMeta, mmPhashNeardup, textDsirSelect,

@@ -1,0 +1,150 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** D49 — product quantization (PQ) ANN: the compressed-index path
+  * (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+  * TPAMI 2011 — public literature; same family faiss implements).
+  *
+  * The 100 TB story is STORAGE and scan bandwidth, not candidate
+  * pruning (that's IVF's job, and the two compose): each dim-d float
+  * vector compresses to `m` one-byte codes (64-dim float = 256 B →
+  * 8 B, 32×), so a billion-vector index fits where raw vectors
+  * cannot, and an exhaustive scored scan reads 32× fewer bytes.
+  * Scoring is asymmetric (ADC): the query stays exact; each corpus
+  * vector is represented by its per-subspace codeword. This module
+  * scores via reconstruction — decode(codes) is a map-side O(d)
+  * projection from the broadcast codebook, and the fused
+  * `graft_cosine` then scores exactly the same sum ADC's per-subspace
+  * lookup tables would produce (the dot over a concatenation is the
+  * sum of subspace dots) — one expression pipeline, no extra shuffle,
+  * codegen-friendly.
+  *
+  * Codebook training follows standard PQ practice (faiss trains on a
+  * bounded sample, not the corpus): per-subspace L2 k-means over an
+  * absolutely-bounded deterministic sample (first [[MaxTrainSample]]
+  * rows by xxhash64(vec_id)) runs on the driver — the one driver
+  * materialization, O(MaxTrainSample × d) ≈ 2 MB, same budget class
+  * as the Ivf codebook, and memoized per dataset like Ivf's index.
+  * Everything corpus-scale (encode, decode, score, top-k) is
+  * distributed and map-side.
+  */
+object Pq {
+
+  /** Subspace count: dim must divide evenly (64 = 8 × 8 here). */
+  val M = 8
+  /** Centroids per subspace — 16 keeps a code in half a byte; real
+    * deployments use 256 (one byte). Both are O(1) plan constants. */
+  val Ksub = 16
+  val TrainIters = 5
+  /** Absolute bound on the driver-side training sample. */
+  val MaxTrainSample = 4096
+
+  /** Plain L2 Lloyd on the driver over the bounded sample: seeds are
+    * the first k distinct points in sample (hash) order, ties in
+    * assignment break to the lowest centroid index, empty cells keep
+    * their centroid — all deterministic. */
+  private def kmeansL2(xs: Array[Array[Double]], k: Int,
+      iters: Int): Seq[Seq[Double]] = {
+    val seeds = xs.distinct.take(k)
+    var cent: Array[Array[Double]] = seeds.map(_.clone)
+    val d = xs.head.length
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(cent.length, d)(0.0)
+      val counts = Array.fill(cent.length)(0L)
+      xs.foreach { x =>
+        var best = 0; var bestD = Double.MaxValue
+        var j = 0
+        while (j < cent.length) {
+          var dist = 0.0; var i = 0
+          while (i < d) { val t = x(i) - cent(j)(i); dist += t * t; i += 1 }
+          if (dist < bestD) { bestD = dist; best = j }
+          j += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < d) { sums(best)(i) += x(i); i += 1 }
+      }
+      cent = cent.indices.map { j =>
+        if (counts(j) == 0) cent(j)
+        else sums(j).map(_ / counts(j))
+      }.toArray
+    }
+    cent.map(_.toSeq).toSeq
+  }
+
+  /** m × ksub × dsub codebooks from a bounded driver-side sample. */
+  def trainCodebooks(emb: DataFrame, m: Int = M, ksub: Int = Ksub): Seq[Seq[Seq[Double]]] = {
+    val sample = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy("h").limit(MaxTrainSample)
+      .select("e").collect().map(_.getSeq[Double](0).toArray)
+    val d = sample.head.length
+    require(d % m == 0, s"dim $d not divisible into $m subspaces")
+    val dsub = d / m
+    (0 until m).map { s =>
+      kmeansL2(sample.map(_.slice(s * dsub, (s + 1) * dsub)), ksub, TrainIters)
+    }
+  }
+
+  /** Memoized per-dataset codebooks (the Ivf cacheKey pattern: a fixed
+    * corpus trains once per process, Bench reps time encode+score, not
+    * training). */
+  private val trained =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Seq[Double]]]]()
+  def codebooks(emb: DataFrame, cacheKey: String): Seq[Seq[Seq[Double]]] =
+    trained.computeIfAbsent(cacheKey, _ => trainCodebooks(emb))
+
+  /** Map-side encoder: per subspace, the index of the L2-nearest
+    * codeword (first-match tie-break = lowest index, mirrored by
+    * kmeansL2's `<`). Pure higher-order expressions over the codebook
+    * plan constant — no UDF, no shuffle. */
+  def codesCol(emb: Column, cb: Seq[Seq[Seq[Double]]]): Column = {
+    val m = cb.length
+    val dsub = cb.head.head.length
+    val cbLit = typedlit(cb)
+    transform(sequence(lit(0), lit(m - 1)), s => {
+      val sub = slice(emb, s * dsub + lit(1), lit(dsub))
+      val dists = transform(element_at(cbLit, s + lit(1)), c =>
+        aggregate(zip_with(sub, c, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    })
+  }
+
+  /** Map-side decoder: concatenated codewords — the PQ reconstruction. */
+  def decodeCol(codes: Column, cb: Seq[Seq[Seq[Double]]]): Column = {
+    val cbLit = typedlit(cb)
+    flatten(transform(sequence(lit(0), lit(cb.length - 1)), s =>
+      element_at(element_at(cbLit, s + lit(1)),
+        element_at(codes, s + lit(1)) + lit(1))))
+  }
+
+  /** (vec_id, codes): the stored index — m small ints per vector. */
+  def encode(corpus: DataFrame, cb: Seq[Seq[Seq[Double]]]): DataFrame =
+    corpus.select(col("vec_id"),
+      codesCol(col("embedding").cast("array<double>"), cb).as("codes"))
+
+  /** ADC top-k: bounded query set broadcast against the decoded-code
+    * scan — same shape as [[Ann.bruteForceTopK]], but the corpus side
+    * reads codes (m bytes/row at scale), not raw vectors. */
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int,
+      cb: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val decoded = encode(corpus, cb)
+      .select(col("vec_id"), decodeCol(col("codes"), cb).as("dec"))
+    val scored = decoded
+      .join(broadcast(queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"))),
+        col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(Ann.cosine(col("q_emb"), col("dec")), 6).as("adc_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_sim").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "vec_id", "adc_sim", "rnk")
+  }
+}
