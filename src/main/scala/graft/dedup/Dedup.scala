@@ -203,6 +203,58 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  // ------------------------------------------------------------- D50
+
+  /** D50 — cross-document repeated-SPAN masking (the exact-substring
+    * dedup of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", ACL'22 — public literature; the suffix-array
+    * pass re-expressed as keyed relational ops): a token is masked
+    * when ANY K-gram covering it also occurs in at least `minDf`
+    * OTHER documents. Unlike D1 (whole-doc) and D2-D4 (pair-level),
+    * this is the operator that removes boilerplate passages — headers,
+    * licenses, navigation chrome — that repeat across otherwise
+    * distinct documents.
+    *
+    * Shape: positional K-grams explode map-side; one gram-keyed
+    * aggregation counts distinct docs per gram; the join-back touches
+    * only duplicated grams (in a deduplicated web corpus the vast
+    * minority); covered token positions expand K-fold and collapse in
+    * one (doc, pos) distinct — every stage keyed, never quadratic.
+    * String grams so DuckDB mirrors exactly (at scale the same
+    * pipeline keys on xxhash64 grams — the Decontaminate.hashGrams
+    * pattern).
+    *
+    * Output per doc: token count, masked-token count, quantized ratio.
+    */
+  def spanMask(docs: DataFrame, k: Int = 8, minDf: Int = 2): DataFrame = {
+    val withWs = spread(docs)
+      .select(col("doc_id"), Text.words(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).as("n_tokens"))
+    // positional grams: docs shorter than k contribute none
+    val grams = withWs.filter(col("n_tokens") >= k)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("ws")) - k),
+          i => array_join(slice(col("ws"), i + lit(1), lit(k)), " ")))
+          .as(Seq("pos", "gram")))
+    val dupGrams = grams.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select("gram")
+    val covered = grams.join(dupGrams, "gram")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("tok"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_masked"))
+    withWs.select("doc_id", "n_tokens")
+      .join(covered, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_masked"))
+      .select(col("doc_id"), col("n_tokens"), col("n_masked"),
+        (floor(col("n_masked").cast("double") / col("n_tokens") * 1e6) / 1e6)
+          .as("mask_ratio_q"))
+  }
+
   // ------------------------------------------------- composed pipeline
 
   /** The shipping shape of the whole dedup block as ONE plan:

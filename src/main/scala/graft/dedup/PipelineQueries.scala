@@ -115,6 +115,41 @@ object PipelineQueries {
              SELECT doc_a, doc_b, jaccard FROM p
              WHERE jaccard >= 0.75 ORDER BY doc_a, doc_b"""))
 
+  /** D50: cross-document repeated-span masking (exact-substring dedup,
+    * Lee et al. ACL'22) — tokens covered by any 8-gram occurring in ≥2
+    * docs are masked. On the planted corpus the planted copies (and
+    * their originals) mask near-fully; unique text masks 0. Fully
+    * oracle-gated: string grams, integer position arithmetic, exact
+    * counts. */
+  val dedupSpanMask = QueryDef(
+    "dedup_span_mask",
+    (s, d) => Dedup.spanMask(
+        Dedup.withPlantedDups(Tables.documents(s, d)), k = 8, minDf = 2)
+      .orderBy("doc_id"),
+    Some(s"""WITH c AS (SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + 1000000, text || ' planted near duplicate suffix'
+               FROM documents WHERE doc_id % 50 = 0),
+             w AS (SELECT doc_id, string_split($oCanon, ' ') AS ws FROM c),
+             n AS (SELECT doc_id, CAST(len(ws) AS INT) AS n_tokens, ws FROM w),
+             g AS (SELECT doc_id, i AS pos,
+                     array_to_string(list_slice(ws, i + 1, i + 8), ' ') AS gram
+                   FROM n, UNNEST(generate_series(0, len(ws) - 8)) AS t(i)
+                   WHERE len(ws) >= 8),
+             dg AS (SELECT gram FROM g GROUP BY gram
+                    HAVING COUNT(DISTINCT doc_id) >= 2),
+             cov AS (SELECT DISTINCT g.doc_id, g.pos + j AS tok
+                     FROM g JOIN dg USING (gram),
+                          UNNEST(generate_series(0, 7)) AS t(j)),
+             m AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_masked
+                   FROM cov GROUP BY doc_id)
+             SELECT n.doc_id, n.n_tokens,
+                    COALESCE(m.n_masked, 0) AS n_masked,
+                    floor(CAST(COALESCE(m.n_masked, 0) AS DOUBLE)
+                      / n.n_tokens * 1e6) / 1e6 AS mask_ratio_q
+             FROM n LEFT JOIN m ON n.doc_id = m.doc_id
+             ORDER BY n.doc_id"""))
+
   /** D5: exact embedding-cosine near-dup pairs, label-blocked. The
     * oracle spells out dot/norm with the same double arithmetic and
     * summation order (list fold) as the Spark plan. */
@@ -1830,7 +1865,7 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhashLsh, dedupSimhash, dedupNgramJaccard,
-    dedupJaccardAllpairs,
+    dedupJaccardAllpairs, dedupSpanMask,
     dedupEmbeddingCosine, annBruteforceTopK, annLsh, annIvf, annPqAdc,
     textLangId, textQualityScore, textTokenCount, textFingerprint,
     textWinnow, textWinnowGeometry, textVocab, textTokenize, vecCentroid,

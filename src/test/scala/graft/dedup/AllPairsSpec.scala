@@ -52,6 +52,27 @@ class AllPairsSpec extends SparkSpec {
     assert(found === plantedPairs.count())
   }
 
+  test("D50: span masking hits planted duplicates and spares unique text") {
+    val out = Dedup.spanMask(corpus, k = 8, minDf = 2).cache()
+    // sanity: masked count never exceeds token count, never negative
+    assert(out.filter(col("n_masked") > col("n_tokens") ||
+      col("n_masked") < 0).count() === 0)
+    // every planted copy and its original share ALL their 8-grams
+    // except at the mutated suffix — both must mask ≥ half their tokens
+    val plantedIds = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val hot = out.filter(col("doc_id").isin(
+      (plantedIds ++ plantedIds.map(_ + 1000000L)).map(Long.box): _*))
+    assert(hot.count() > 0)
+    assert(hot.filter(col("mask_ratio_q") < 0.5).count() === 0,
+      "planted near-dup docs must be majority-masked")
+    // corpus-wide, most unique docs stay untouched
+    val untouched = out.filter(col("n_masked") === 0).count()
+    assert(untouched > out.count() / 2,
+      "unique word-salad docs should rarely share an 8-gram")
+    out.unpersist()
+  }
+
   test("D47: the candidate join prunes the quadratic pair space") {
     val sets = AllPairs.shingleSets(corpus, 3, hashed = true).cache()
     val n = sets.count()
