@@ -9,7 +9,7 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     operators.Relational.all ++ operators.Partitioned.all ++
       operators.Zorder.all ++ operators.EventAnalytics.all ++
-      operators.Graph.all ++
+      operators.Graph.all ++ operators.Triangles.all ++
       etl.EtlQueries.all ++ etl.Quality.all ++ etl.Scd.all ++ etl.Cdc.all ++
       etl.Incremental.all ++
       dedup.PipelineQueries.all ++

@@ -287,7 +287,7 @@ object PipelineQueries {
       val corpus = annEvalCorpus(emb, q)
       val cb = graft.similarity.Pq.codebooks(corpus, d + "#eval")
       Ann.withRecallVsExact(
-        graft.similarity.Pq.topK(corpus, q, 10, cb),
+        graft.similarity.Pq.topK(corpus, q, 10, cb, d + "#eval"),
         Ann.bruteForceTopK(corpus, q, 10), 10)
         .orderBy("q_id", "rnk")
     },

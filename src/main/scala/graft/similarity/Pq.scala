@@ -128,19 +128,67 @@ object Pq {
     corpus.select(col("vec_id"),
       codesCol(col("embedding").cast("array<double>"), cb).as("codes"))
 
-  /** ADC top-k: bounded query set broadcast against the decoded-code
-    * scan — same shape as [[Ann.bruteForceTopK]], but the corpus side
-    * reads codes (m bytes/row at scale), not raw vectors. */
+  /** The codes are a STORED index artifact (that is the whole point of
+    * PQ — the compressed representation lives on disk and the raw
+    * vectors are never scanned at query time). Memoized per (process,
+    * dataset) like the Ivf index; Bench reps time the ADC probe over
+    * stored codes, not the one-time index build. Materializing also
+    * guarantees the (interpreted, per-row) encoder runs ONCE per
+    * corpus row — left inline, ProjectCollapse would fold it into the
+    * post-join projection and re-run it per (query × corpus) pair. */
+  private val builtCodes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def encodedStored(corpus: DataFrame, cb: Seq[Seq[Seq[Double]]],
+      cacheKey: String): DataFrame = {
+    val s = corpus.sparkSession
+    val path = "/tmp/graft_warehouse/pq_codes_" +
+      cacheKey.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      ProcessHandle.current().pid()
+    if (builtCodes.add(path))
+      encode(corpus, cb).write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
+  /** ADC top-k — the real asymmetric-distance shape: each (bounded,
+    * broadcast) query row precomputes its per-(subspace, codeword)
+    * dot-product table ONCE (m × ksub doubles); the corpus side then
+    * scores a row with m table lookups + the codeword-norm lookup —
+    * never touching raw vectors, never decoding. The code scan reads
+    * m small ints per row: at 256-dim float, 32× less I/O than the
+    * exact scan. Scores are cosine(q, decode(codes)) algebraically
+    * (dot and norm both decompose over subspaces). */
   def topK(corpus: DataFrame, queries: DataFrame, k: Int,
-      cb: Seq[Seq[Seq[Double]]]): DataFrame = {
-    val decoded = encode(corpus, cb)
-      .select(col("vec_id"), decodeCol(col("codes"), cb).as("dec"))
-    val scored = decoded
-      .join(broadcast(queries.select(col("vec_id").as("q_id"),
-        col("embedding").as("q_emb"))),
-        col("vec_id") =!= col("q_id"))
+      cb: Seq[Seq[Seq[Double]]], cacheKey: String): DataFrame = {
+    val m = cb.length
+    val dsub = cb.head.head.length
+    val cbLit = typedlit(cb)
+    // ||codeword||² per (subspace, code): a plan constant
+    val norm2Lit = typedlit(cb.map(_.map(c => c.map(x => x * x).sum)))
+    val codes = encodedStored(corpus, cb, cacheKey)
+
+    val qEmb = col("embedding").cast("array<double>")
+    val dotLut = transform(sequence(lit(0), lit(m - 1)), s =>
+      transform(element_at(cbLit, s + lit(1)), c =>
+        aggregate(zip_with(slice(qEmb, s * dsub + lit(1), lit(dsub)), c,
+          (a, b) => a * b), lit(0.0), (acc, x) => acc + x)))
+    val qNorm = sqrt(aggregate(transform(qEmb, x => x * x),
+      lit(0.0), (acc, x) => acc + x))
+    val qSide = queries.select(col("vec_id").as("q_id"),
+      dotLut.as("lut"), qNorm.as("q_norm"))
+
+    // per corpus row: m LUT lookups for the dot, m for ||x̂||²
+    val dot = aggregate(
+      zip_with(col("codes"), col("lut"), (code, tab) =>
+        element_at(tab, code + lit(1))),
+      lit(0.0), (acc, x) => acc + x)
+    val xNorm2 = aggregate(
+      zip_with(col("codes"), norm2Lit, (code, tab) =>
+        element_at(tab, code + lit(1))),
+      lit(0.0), (acc, x) => acc + x)
+    val scored = codes
+      .join(broadcast(qSide), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(Ann.cosine(col("q_emb"), col("dec")), 6).as("adc_sim"))
+        round(dot / (col("q_norm") * sqrt(xNorm2)), 6).as("adc_sim"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("adc_sim").desc, col("vec_id"))
     scored.withColumn("rnk", row_number().over(w))
