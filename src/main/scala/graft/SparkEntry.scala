@@ -10,6 +10,7 @@ object SparkEntry {
     operators.Relational.all ++ operators.Partitioned.all ++
       operators.Zorder.all ++ operators.EventAnalytics.all ++
       operators.Graph.all ++ operators.Triangles.all ++
+      operators.Bucketed.all ++
       etl.EtlQueries.all ++ etl.Quality.all ++ etl.Scd.all ++ etl.Cdc.all ++
       etl.Incremental.all ++
       dedup.PipelineQueries.all ++
