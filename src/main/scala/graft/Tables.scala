@@ -17,16 +17,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    * parquet reader rejects; the session (see [[Sessions.local]]) sets
-    * spark.sql.legacy.parquet.nanosAsLong so ts arrives as a long,
-    * truncated here to the microsecond precision Spark timestamps
-    * carry (integer `div`, no double round-trip — ns epoch values
-    * exceed 2^53).
+  /** events.parquet's `ts` physical type has varied across testdata
+    * generations — TIMESTAMP(NANOS) (surfaced as BIGINT nanos via
+    * spark.sql.legacy.parquet.nanosAsLong, see [[Sessions.local]]),
+    * TIMESTAMP(MICROS) with isAdjustedToUTC=false (surfaced as
+    * TIMESTAMP_NTZ), or a plain session-zone timestamp. Normalize all
+    * three to TimestampType here so every downstream operator sees one
+    * schema. The session timezone is pinned to UTC, so the NTZ→LTZ cast
+    * is instant-preserving, and the nanos path uses integer `div` (no
+    * double round-trip — ns epoch values exceed 2^53).
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
