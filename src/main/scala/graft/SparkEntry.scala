@@ -10,10 +10,10 @@ object SparkEntry {
     operators.Relational.all ++ operators.Partitioned.all ++
       operators.Zorder.all ++ operators.EventAnalytics.all ++
       operators.Graph.all ++ operators.Triangles.all ++
-      operators.Bucketed.all ++
+      operators.Bucketed.all ++ operators.Ranks.all ++
       etl.EtlQueries.all ++ etl.Quality.all ++ etl.Scd.all ++ etl.Cdc.all ++
       etl.Incremental.all ++
-      dedup.PipelineQueries.all ++
+      dedup.PipelineQueries.all ++ dedup.InvertedIndex.all ++
       streaming.StreamQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

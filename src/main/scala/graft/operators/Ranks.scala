@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** R53 / D53 — scalable global enumeration + balanced training-shard
+  * packing.
+  *
+  * The naive global `row_number() OVER (ORDER BY ...)` plans an
+  * `Exchange SinglePartition`: every row of the table flows through ONE
+  * task — the canonical 100 TB scale trap (RanksSpec proves the naive
+  * shape really does plan that, and that this one does not). The
+  * scalable form is the classic two-pass rank:
+  *
+  *   1. `repartitionByRange` on the TOTAL sort key (range exchange,
+  *      sampled boundaries — deterministic for a fixed input layout);
+  *   2. count rows per range partition — an O(#partitions) driver
+  *      materialization (the documented bounded-collect class, SURVEY
+  *      §5), NOT a data collect;
+  *   3. broadcast the cumulative offsets back and add a
+  *      partition-local `row_number` keyed on the partition id.
+  *
+  * No task ever sees more than one range slice. The sort key must be
+  * total (tie-broken to a unique key) so ranks are well-defined
+  * independently of where sampled range boundaries fall.
+  *
+  * On top of the rank, `q_shard_assign` packs documents into
+  * [[NumShards]] training shards balanced by token count via snake
+  * (boustrophedon) assignment — sort by size desc, deal passes
+  * alternating left-to-right and right-to-left, the standard greedy
+  * guarantee that per-shard totals differ by at most one document's
+  * tokens per pass. Token-balanced shards are what keeps a
+  * data-parallel training job free of stragglers; hash-mod sharding
+  * balances row COUNTS only.
+  */
+object Ranks {
+
+  val NumShards = 8
+
+  /** Global 1-based row_number over `sort` (must be a total order)
+    * without a single-partition exchange. */
+  def globalRowNumber(df: DataFrame, sort: Seq[Column], npart: Int,
+      rankCol: String): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val ranged = df.repartitionByRange(npart, sort: _*)
+      .withColumn("_pid", spark_partition_id())
+    // O(#partitions) rows to the driver — bounded by construction
+    val counts = ranged.groupBy("_pid").agg(count(lit(1)).as("_n"))
+      .orderBy("_pid").collect()
+    var acc = 0L
+    val offsets = counts.map { r =>
+      val o = (r.getInt(0), acc); acc += r.getLong(1); o
+    }.toSeq
+    val offs = broadcast(offsets.toDF("_pid", "_off"))
+    ranged.join(offs, "_pid")
+      .withColumn(rankCol,
+        row_number().over(Window.partitionBy("_pid").orderBy(sort: _*))
+          .cast("long") + col("_off"))
+      .drop("_pid", "_off")
+  }
+
+  /** Snake assignment of 1-based rank r into n shards. Column `/` is
+    * double division, so the pass index goes through floor (exact for
+    * any realistic rank — doubles are integer-exact below 2^53). */
+  private def snakeShard(rank: Column, n: Int): Column = {
+    val r0 = rank - 1
+    val pass = floor(r0 / n).cast("long")
+    when(pass % 2 === 0, r0 % n).otherwise(lit(n - 1) - r0 % n)
+  }
+
+  /** Documents ranked by token count desc (doc_id tiebreak), exposed
+    * for the spec's rank-parity and plan asserts. */
+  def rankedDocs(s: SparkSession, d: String): DataFrame =
+    globalRowNumber(
+      Tables.documents(s, d).select(col("doc_id"),
+        graft.functions.Text.whitespaceTokenCount(col("text")).as("tok")),
+      Seq(col("tok").desc, col("doc_id")), 32, "rnk")
+
+  val qShardAssign = QueryDef(
+    "q_shard_assign",
+    (s, d) =>
+      rankedDocs(s, d)
+        .withColumn("shard", snakeShard(col("rnk"), NumShards))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok").cast("long")).as("token_sum"))
+        .orderBy("shard"),
+    Some(s"""WITH t AS (
+               SELECT doc_id,
+                      CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS tok
+               FROM documents),
+             r AS (
+               SELECT tok,
+                      row_number() OVER (ORDER BY tok DESC, doc_id) AS rnk
+               FROM t),
+             a AS (
+               SELECT tok,
+                      CASE WHEN ((rnk - 1) // ${NumShards}) % 2 = 0
+                           THEN (rnk - 1) % ${NumShards}
+                           ELSE ${NumShards - 1} - ((rnk - 1) % ${NumShards})
+                      END AS shard
+               FROM r)
+             SELECT CAST(shard AS BIGINT) AS shard,
+                    CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(tok) AS BIGINT) AS token_sum
+             FROM a GROUP BY shard ORDER BY shard"""))
+
+  val all: Seq[QueryDef] = Seq(qShardAssign)
+}

@@ -1,0 +1,70 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** D52 — inverted index: exact postings on a hand-built corpus, the
+  * posting cap engaging without corrupting df/tf, and the
+  * one-exchange plan property (window + groupBy + top-k all ride the
+  * single term clustering). */
+class InvertedIndexSpec extends SparkSpec {
+
+  private def tiny = {
+    import spark.implicits._
+    Seq((1L, "alpha beta alpha"), (2L, "beta gamma")).toDF("doc_id", "text")
+  }
+
+  test("D52: exact postings, df and tf on a known corpus") {
+    val out = InvertedIndex.build(tiny).collect()
+      .map(r => r.getAs[String]("term") ->
+        (r.getAs[Long]("df"), r.getAs[Long]("tf_total"),
+          r.getAs[Seq[Long]]("postings"), r.getAs[Boolean]("truncated")))
+      .toMap
+    val B = InvertedIndex.PosBase
+    assert(out("alpha") === ((1L, 2L, Seq(1L * B, 1L * B + 2), false)))
+    assert(out("beta") === ((2L, 2L, Seq(1L * B + 1, 2L * B), false)))
+    assert(out("gamma") === ((1L, 1L, Seq(2L * B + 1), false)))
+  }
+
+  test("D52: the cap bounds postings but never df/tf_total") {
+    import spark.implicits._
+    val docs = Seq((1L, ("rep " * 80).trim), (2L, "rep once"))
+      .toDF("doc_id", "text")
+    val out = InvertedIndex.build(docs, cap = 5).collect()
+      .map(r => r.getAs[String]("term") -> r).toMap
+    val rep = out("rep")
+    assert(rep.getAs[Long]("df") === 2L)
+    assert(rep.getAs[Long]("tf_total") === 81L)
+    assert(rep.getAs[Seq[Long]]("postings").length === 5)
+    assert(rep.getAs[Boolean]("truncated"))
+    // capped postings are the FIRST cap occurrences in (doc, pos) order
+    assert(rep.getAs[Seq[Long]]("postings") ===
+      (0 until 5).map(p => 1L * InvertedIndex.PosBase + p))
+    assert(!out("once").getAs[Boolean]("truncated"))
+  }
+
+  test("D52: one term exchange for the whole build (windows + agg + top-k)") {
+    val plan = InvertedIndex.textInvertedIndex.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1,
+      s"expected the single term-keyed exchange, got $exchanges:\n$plan")
+    assert(!plan.contains("SinglePartition"))
+  }
+
+  test("D52: postings decode back to real (doc, pos) token occurrences") {
+    val docs = graft.Tables.documents(spark, sf)
+    val idx = InvertedIndex.build(docs)
+      .filter(!col("truncated"))
+      .orderBy(desc("df"), asc("term")).limit(5)
+      .select(col("term"), explode(col("postings")).as("enc"))
+      .select(col("term"),
+        (col("enc") / InvertedIndex.PosBase).cast("long").as("doc_id"),
+        (col("enc") % InvertedIndex.PosBase).as("pos"))
+    val toks = docs.select(col("doc_id"),
+        posexplode(graft.functions.Text.words(col("text"))).as(Seq("pos", "term")))
+      .select("term", "doc_id", "pos")
+    assert(idx.exceptAll(toks).count() === 0,
+      "every decoded posting must be a real token occurrence")
+  }
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** R53/D53 — scalable global rank + snake shard packing: the
+  * two-pass rank must equal the single-partition reference rank
+  * exactly, must NOT plan the SinglePartition exchange the naive
+  * shape provably does, and the snake packing must balance token
+  * sums within one document's tokens. */
+class RanksSpec extends SparkSpec {
+
+  test("R53: two-pass global rank equals the naive global-window rank") {
+    val docs = graft.Tables.documents(spark, sf).select(col("doc_id"),
+      graft.functions.Text.whitespaceTokenCount(col("text")).as("tok"))
+    val naive = docs.withColumn("rnk_ref",
+      row_number().over(Window.orderBy(col("tok").desc, col("doc_id"))).cast("long"))
+    val fast = Ranks.globalRowNumber(
+      docs, Seq(col("tok").desc, col("doc_id")), 7, "rnk")
+    val joined = fast.join(naive, Seq("doc_id", "tok"))
+    assert(joined.count() === docs.count())
+    assert(joined.filter(col("rnk") =!= col("rnk_ref")).count() === 0,
+      "two-pass rank diverges from the total-order reference")
+  }
+
+  test("R53: no SinglePartition exchange (and the naive shape HAS one)") {
+    val docs = graft.Tables.documents(spark, sf).select(col("doc_id"),
+      graft.functions.Text.whitespaceTokenCount(col("text")).as("tok"))
+    val naivePlan = docs.withColumn("rnk",
+      row_number().over(Window.orderBy(col("tok").desc, col("doc_id"))))
+      .queryExecution.executedPlan.toString
+    assert(naivePlan.contains("SinglePartition"),
+      "sensitivity check: the naive global window must plan SinglePartition")
+    val fastPlan = Ranks.rankedDocs(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!fastPlan.contains("SinglePartition"),
+      "scalable rank must not funnel the table through one task")
+  }
+
+  test("D53: snake shards balance token sums within one max-doc spread") {
+    val rows = Ranks.qShardAssign.fn(spark, sf).collect()
+    assert(rows.length === Ranks.NumShards)
+    assert(rows.map(_.getAs[Long]("shard")).toSeq ===
+      (0L until Ranks.NumShards.toLong))
+    val docs = graft.Tables.documents(spark, sf)
+    val total = docs.select(
+      sum(graft.functions.Text.whitespaceTokenCount(col("text")).cast("long")))
+      .head().getLong(0)
+    assert(rows.map(_.getAs[Long]("token_sum")).sum === total,
+      "every token lands in exactly one shard")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    val maxTok = docs.select(
+      max(graft.functions.Text.whitespaceTokenCount(col("text")).cast("long")))
+      .head().getLong(0)
+    val sums = rows.map(_.getAs[Long]("token_sum"))
+    assert(sums.max - sums.min <= maxTok,
+      s"snake packing spread ${sums.max - sums.min} exceeds max doc $maxTok")
+  }
+}

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import java.nio.file.Files
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** S18 — exactly-once foreachBatch file sink: batches commit once,
+  * a replayed batchId is a no-op, a crash orphan (data written,
+  * manifest not swapped) is invisible until its txn retries, and a
+  * second query resuming from the checkpoint appends only new data. */
+class ExactlyOnceSpec extends SparkSpec {
+
+  test("S18: commit-once, replay no-op, orphan invisibility, checkpointed resume") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_eos").toString
+    val (table, ckpt) = (s"$base/table", s"$base/ckpt")
+
+    val stream = MemoryStream[(Long, String)]
+    stream.addData((1L, "a"), (2L, "b"))
+    val q1 = ExactlyOnceSink.attach(
+      stream.toDF().toDF("id", "v"), table, ckpt)
+    q1.awaitTermination() // AvailableNow drains and self-terminates
+    assert(ExactlyOnceSink.read(spark, table).count() === 2)
+    assert(ExactlyOnceSink.committed(table) === Seq("batch-0"))
+
+    // post-crash replay: same batchId arrives again → must be a no-op
+    val replay = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    assert(!ExactlyOnceSink.appendOnce(replay, table, "batch-0"))
+    assert(ExactlyOnceSink.read(spark, table).count() === 2)
+
+    // resume from the same checkpoint: only the NEW batch commits
+    stream.addData((3L, "c"))
+    val q2 = ExactlyOnceSink.attach(
+      stream.toDF().toDF("id", "v"), table, ckpt)
+    q2.awaitTermination()
+    assert(ExactlyOnceSink.read(spark, table).count() === 3)
+    assert(ExactlyOnceSink.committed(table) === Seq("batch-0", "batch-1"))
+
+    // crash orphan: data dir written, manifest never swapped —
+    // readers must not see it...
+    val orphan = Seq((9L, "x")).toDF("id", "v")
+    orphan.write.mode("overwrite").parquet(s"$table/txn-late")
+    assert(ExactlyOnceSink.read(spark, table).count() === 3)
+    // ...until the txn retries, which overwrites the orphan and
+    // commits exactly once
+    assert(ExactlyOnceSink.appendOnce(orphan, table, "late"))
+    assert(ExactlyOnceSink.read(spark, table).count() === 4)
+    assert(!ExactlyOnceSink.appendOnce(orphan, table, "late"))
+    assert(ExactlyOnceSink.read(spark, table).count() === 4)
+  }
+}
