@@ -108,5 +108,36 @@ object Ranks {
                     CAST(sum(tok) AS BIGINT) AS token_sum
              FROM a GROUP BY shard ORDER BY shard"""))
 
-  val all: Seq[QueryDef] = Seq(qShardAssign)
+  /** D54 — deterministic per-group k-sample: rank by a content hash
+    * within each group and keep the first [[SampleK]]. Unlike D14's
+    * Bernoulli rate filter (expected counts), this yields EXACTLY
+    * min(k, |group|) rows per group, reproducibly — the "cap every
+    * source at k examples" curation op. Scale: the rank filter plans a
+    * WindowGroupLimit (spec-asserted), so each map task pre-prunes to
+    * its local top-k per group BEFORE the window exchange — shuffle
+    * traffic is O(groups × k) per task, not the corpus. */
+  val SampleK = 20
+
+  val qGroupSample = QueryDef(
+    "q_group_sample",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          md5(col("doc_id").cast("string")).as("h"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("lang").orderBy("h", "doc_id")))
+        .filter(col("rn") <= SampleK)
+        .select("lang", "rn", "doc_id")
+        .orderBy("lang", "rn"),
+    Some(s"""WITH h AS (SELECT doc_id, lang,
+                          md5(CAST(doc_id AS VARCHAR)) AS h
+                        FROM documents),
+             r AS (SELECT lang, doc_id,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY h, doc_id) AS rn
+                   FROM h)
+             SELECT lang, CAST(rn AS INT) AS rn, doc_id
+             FROM r WHERE rn <= $SampleK ORDER BY lang, rn"""))
+
+  val all: Seq[QueryDef] = Seq(qShardAssign, qGroupSample)
 }

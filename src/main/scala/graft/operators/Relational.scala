@@ -1157,6 +1157,84 @@ object Relational {
             FROM nation JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name ORDER BY r_name"""))
 
+  /** R54 — winsorized aggregation: per-group exact p01/p99 thresholds
+    * (the R14 rank-arithmetic pass — spillable window sorts, never the
+    * memory-unbounded builtin `percentile` buffer), broadcast back
+    * (O(groups) rows) and values clamped before aggregating — the
+    * standard outlier-robust cleaning pass. The clamped sum goes
+    * through DECIMAL(38,6) so summation order can't drift the hash
+    * (E18 convention); thresholds must be BIT-identical across
+    * engines, so the oracle mirrors the exact interp arithmetic
+    * instead of calling quantile_cont. At 100 TB the exact rank pass
+    * swaps for the R25 mergeable sketch; the clamp+agg shape is
+    * unchanged. */
+  val qWinsorize = QueryDef(
+    "q_winsorize",
+    (s, d) => {
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+      val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val ranked = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"))
+        .withColumn("r", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+      def t(p: Double) = lit(1.0) + (col("n") - 1) * lit(p)
+      val need = ranked.filter(
+        col("r") === floor(t(0.01)) || col("r") === ceil(t(0.01)) ||
+          col("r") === floor(t(0.99)) || col("r") === ceil(t(0.99)))
+      def pick(p: Double, side: Column => Column) =
+        max(when(col("r") === side(t(p)), col("l_extendedprice")))
+      val picked = need.groupBy("l_returnflag").agg(
+        first(col("n")).as("n"),
+        pick(0.01, floor).as("lo01"), pick(0.01, ceil).as("hi01"),
+        pick(0.99, floor).as("lo99"), pick(0.99, ceil).as("hi99"))
+      def interp(lo: String, hi: String, p: Double) = {
+        val tt = lit(1.0) + (col("n") - 1) * lit(p)
+        col(lo) + (col(hi) - col(lo)) * (tt - floor(tt))
+      }
+      val thresholds = picked.select(col("l_returnflag"),
+        interp("lo01", "hi01", 0.01).as("p_lo"),
+        interp("lo99", "hi99", 0.99).as("p_hi"))
+      Tables.lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice"))
+        .join(broadcast(thresholds), "l_returnflag")
+        .withColumn("clamped",
+          least(greatest(col("l_extendedprice"), col("p_lo")), col("p_hi")))
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("l_extendedprice") < col("p_lo"), 1L).otherwise(0L)).as("n_lo_clamped"),
+          sum(when(col("l_extendedprice") > col("p_hi"), 1L).otherwise(0L)).as("n_hi_clamped"),
+          round(first(col("p_lo")), 4).as("p_lo_q"),
+          round(first(col("p_hi")), 4).as("p_hi_q"),
+          round(sum(col("clamped").cast("decimal(38,6)")), 4)
+            .cast("double").as("sum_winsorized"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH b AS (SELECT l_returnflag, l_extendedprice,
+                         row_number() OVER (PARTITION BY l_returnflag
+                                            ORDER BY l_extendedprice) AS r,
+                         count(*) OVER (PARTITION BY l_returnflag) AS n
+                       FROM lineitem),
+            g AS (SELECT l_returnflag, max(n) AS n,
+                    max(CASE WHEN r = CAST(floor(1.0 + (n-1)*0.01) AS BIGINT) THEN l_extendedprice END) AS lo01,
+                    max(CASE WHEN r = CAST(ceil(1.0 + (n-1)*0.01) AS BIGINT) THEN l_extendedprice END) AS hi01,
+                    max(CASE WHEN r = CAST(floor(1.0 + (n-1)*0.99) AS BIGINT) THEN l_extendedprice END) AS lo99,
+                    max(CASE WHEN r = CAST(ceil(1.0 + (n-1)*0.99) AS BIGINT) THEN l_extendedprice END) AS hi99
+                  FROM b GROUP BY l_returnflag),
+            p AS (SELECT l_returnflag,
+                    lo01 + (hi01 - lo01) * ((1.0 + (n-1)*0.01) - floor(1.0 + (n-1)*0.01)) AS p_lo,
+                    lo99 + (hi99 - lo99) * ((1.0 + (n-1)*0.99) - floor(1.0 + (n-1)*0.99)) AS p_hi
+                  FROM g)
+            SELECT l.l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN l_extendedprice < p_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo_clamped,
+                   CAST(sum(CASE WHEN l_extendedprice > p_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi_clamped,
+                   ROUND(p_lo, 4) AS p_lo_q,
+                   ROUND(p_hi, 4) AS p_hi_q,
+                   CAST(ROUND(SUM(CAST(least(greatest(l_extendedprice, p_lo), p_hi) AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_winsorized
+            FROM lineitem l JOIN p USING (l_returnflag)
+            GROUP BY l.l_returnflag, p_lo, p_hi
+            ORDER BY l.l_returnflag"""))
+
   val all: Seq[QueryDef] = Seq(
     qScanPushdown, q1PricingSummary, q3ShippingPriority, q5LocalSupplier,
     qBroadcastJoin, qSemiJoin, qAntiJoin, qWindowRank, qWindowRunning,
@@ -1166,5 +1244,5 @@ object Relational {
     qApproxPercentile, qOuterJoin, qSlidingWindow, qSetOps, qSqlSurface,
     qGroupingSets, qBloomJoin, qArgmax, qUnpivot, q18LargeOrders,
     qCorrStats, qRecursiveCte, qWindowDist, qSketchRollup, qListagg,
-    qLateralTopn, qGapfill, qNullsafeJoin)
+    qLateralTopn, qGapfill, qNullsafeJoin, qWinsorize)
 }

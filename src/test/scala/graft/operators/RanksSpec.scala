@@ -38,6 +38,29 @@ class RanksSpec extends SparkSpec {
       "scalable rank must not funnel the table through one task")
   }
 
+  test("D54: per-group sample yields exactly min(k, |group|) rows via WindowGroupLimit") {
+    val docs = graft.Tables.documents(spark, sf)
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = Ranks.qGroupSample.fn(spark, sf).collect()
+    val byLang = out.groupBy(_.getAs[String]("lang"))
+    assert(byLang.keySet === sizes.keySet)
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.length === math.min(Ranks.SampleK.toLong, sizes(lang)),
+        s"$lang: expected exactly min(k, group size) rows")
+      assert(rows.map(_.getAs[Int]("rn")).sorted.toSeq ===
+        (1 to rows.length), s"$lang: ranks must be contiguous from 1")
+    }
+    // reproducible: a second run returns the identical sample
+    val again = Ranks.qGroupSample.fn(spark, sf).collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+    // the rank filter must pre-prune map-side before the exchange
+    val plan = Ranks.qGroupSample.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected a WindowGroupLimit partial top-k:\n$plan")
+  }
+
   test("D53: snake shards balance token sums within one max-doc spread") {
     val rows = Ranks.qShardAssign.fn(spark, sf).collect()
     assert(rows.length === Ranks.NumShards)

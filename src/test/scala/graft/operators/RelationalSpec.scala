@@ -60,6 +60,22 @@ class RelationalSpec extends SparkSpec {
         s"WindowExec, got ${windows.length}")
   }
 
+  test("R54: winsorize clamps ~1% tails per group, thresholds ordered") {
+    val rows = graft.SparkEntry.queries("q_winsorize")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      assert(r.getAs[Double]("p_lo_q") < r.getAs[Double]("p_hi_q"))
+      // strict-inequality clamp counts sit within one row of the 1% tails
+      Seq("n_lo_clamped", "n_hi_clamped").foreach { c =>
+        val clamped = r.getAs[Long](c)
+        assert(clamped <= math.ceil(n * 0.01).toLong + 1, s"$c=$clamped of n=$n")
+        assert(clamped >= math.floor(n * 0.01).toLong - 1, s"$c=$clamped of n=$n")
+      }
+      assert(r.getAs[Double]("sum_winsorized") > 0.0)
+    }
+  }
+
   test("R25: approx percentiles stay within 1% of the exact rank-arithmetic values") {
     val rows = graft.SparkEntry.queries("q_approx_percentile")(spark, sf).collect()
     assert(rows.nonEmpty)
