@@ -28,8 +28,9 @@ object PipelineQueries {
     path
   }
 
-  /** Canonicalization mirrored in DuckDB. */
-  private val oCanon =
+  /** Canonicalization mirrored in DuckDB (shared with the D55
+    * budget-select oracle in operators/Ranks.scala). */
+  private[graft] val oCanon =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
 
   /** D1: exact dedup via content-hash groupBy. */
@@ -355,9 +356,10 @@ object PipelineQueries {
   /** D9: quality scoring — canon/words materialized once per row, and
     * the corpus spread across cores before the regex-heavy stage. */
   /** The D9 quality-score SQL expression (over an `m` CTE carrying
-    * text/canon/n_words/text_len) — shared by the D9 oracle and the
-    * D30 composed-curation oracle so the two can never diverge. */
-  private val oQualityExpr =
+    * text/canon/n_words/text_len) — shared by the D9 oracle, the
+    * D30 composed-curation oracle and the D55 budget-select oracle so
+    * they can never diverge. */
+  private[graft] val oQualityExpr =
     s"""floor((0.3 * least(1.0, CAST(n_words AS DOUBLE) / 100.0)
           + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / text_len)
           + 0.2 * least(1.0, CAST(len(list_filter(string_split(canon, ' '),

@@ -69,7 +69,13 @@ object Snapshots {
   def commit(df: DataFrame, root: String): String = {
     Files.createDirectories(Paths.get(root))
     val (_, hist) = readManifest(root)
-    val next = s"snap-${hist.size + 1}-${System.nanoTime()}"
+    // next ordinal = max surviving ordinal + 1, NOT hist.size + 1 —
+    // vacuum shrinks the history list, and a reused ordinal would
+    // alias a vacuumed version id (IO15 reads by ordinal)
+    val ord = hist.flatMap(h =>
+      "snap-(\\d+)-".r.findFirstMatchIn(h).map(_.group(1).toInt))
+      .maxOption.getOrElse(0) + 1
+    val next = s"snap-$ord-${System.nanoTime()}"
     df.write.parquet(s"$root/$next")
     writeManifest(root, next, hist :+ next)
     next
@@ -82,6 +88,24 @@ object Snapshots {
     val snap = cur.getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $root"))
     spark.read.parquet(s"$root/$snap")
+  }
+
+  /** IO15 — time travel: read the table as of commit `version`
+    * (1-based, oldest = 1). History is exactly the manifest's commit
+    * list, so any un-vacuumed version is readable at plan time — the
+    * audit/backfill-debugging read every table format ships. A
+    * version vacuumed away fails LOUDLY (the grace-window contract:
+    * retention is a policy decision, readers must see its edge). */
+  def readVersion(spark: SparkSession, root: String, version: Int): DataFrame = {
+    val (_, hist) = readManifest(root)
+    // the commit ordinal is part of the immutable snapshot name
+    // (snap-<n>-<nanos>), so version ids stay stable across vacuums
+    // (vacuum drops entries from the history list)
+    val snap = hist.find(_.startsWith(s"snap-$version-"))
+    require(snap.isDefined,
+      s"version $version is not readable under $root — never committed, " +
+        s"or vacuumed away (retained: ${hist.mkString(", ")})")
+    spark.read.parquet(s"$root/${snap.get}")
   }
 
   /** Retain the newest `keep` referenced snapshots (always including

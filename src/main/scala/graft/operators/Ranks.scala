@@ -62,6 +62,31 @@ object Ranks {
       .drop("_pid", "_off")
   }
 
+  /** Global running sum of `value` over the total order `sort`, same
+    * two-pass shape as [[globalRowNumber]]: range exchange, per-range
+    * partial SUMS to the driver (O(#partitions)), broadcast cumulative
+    * offsets, pid-local running-sum window. The default RANGE frame is
+    * safe because the sort key is total — no two rows tie. */
+  def globalPrefixSum(df: DataFrame, sort: Seq[Column], value: Column,
+      npart: Int, cumCol: String): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val ranged = df.repartitionByRange(npart, sort: _*)
+      .withColumn("_pid", spark_partition_id())
+    val sums = ranged.groupBy("_pid").agg(sum(value).as("_s"))
+      .orderBy("_pid").collect()
+    var acc = 0L
+    val offsets = sums.map { r =>
+      val o = (r.getInt(0), acc); acc += r.getLong(1); o
+    }.toSeq
+    val offs = broadcast(offsets.toDF("_pid", "_off"))
+    ranged.join(offs, "_pid")
+      .withColumn(cumCol,
+        sum(value).over(Window.partitionBy("_pid").orderBy(sort: _*))
+          + col("_off"))
+      .drop("_pid", "_off")
+  }
+
   /** Snake assignment of 1-based rank r into n shards. Column `/` is
     * double division, so the pass index goes through floor (exact for
     * any realistic rank — doubles are integer-exact below 2^53). */
@@ -139,5 +164,51 @@ object Ranks {
              SELECT lang, CAST(rn AS INT) AS rn, doc_id
              FROM r WHERE rn <= $SampleK ORDER BY lang, rn"""))
 
-  val all: Seq[QueryDef] = Seq(qShardAssign, qGroupSample)
+  /** D55 — token-budget data selection: take documents in quality
+    * order (best first) until a token budget fills — THE data-mixing
+    * primitive ("train on the best 25% of this source"). The greedy
+    * prefix needs a GLOBAL running token sum over the quality order;
+    * the naive window is the same single-partition funnel R53 exists
+    * to kill, so this rides [[globalPrefixSum]]. The budget (25% of
+    * corpus tokens) and the D9 quality key are both deterministic; the
+    * only driver materializations are the 1-row token total and the
+    * O(#partitions) offsets. */
+  val BudgetFraction = 0.25
+
+  val qBudgetSelect = QueryDef(
+    "q_budget_select",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        graft.functions.Text.qualityScore(col("text")).as("quality"),
+        graft.functions.Text.whitespaceTokenCount(col("text"))
+          .cast("long").as("tok"))
+      val total = docs.agg(sum("tok")).head().getLong(0)
+      val budget = math.floor(BudgetFraction * total).toLong
+      globalPrefixSum(docs, Seq(col("quality").desc, col("doc_id")),
+          col("tok"), 32, "cum_tok")
+        .filter(col("cum_tok") <= budget)
+        .select("doc_id", "quality", "tok", "cum_tok")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH c AS (SELECT doc_id, text,
+                          ${graft.dedup.PipelineQueries.oCanon} AS canon
+                        FROM documents),
+             m AS (SELECT doc_id, text, canon,
+                     len(string_split(canon, ' ')) AS n_words,
+                     greatest(length(text), 1) AS text_len
+                   FROM c),
+             q AS (SELECT doc_id,
+                     ${graft.dedup.PipelineQueries.oQualityExpr} AS quality,
+                     CAST(n_words AS BIGINT) AS tok
+                   FROM m),
+             r AS (SELECT doc_id, quality, tok,
+                     CAST(sum(tok) OVER (ORDER BY quality DESC, doc_id)
+                       AS BIGINT) AS cum_tok
+                   FROM q),
+             b AS (SELECT CAST(floor($BudgetFraction * sum(tok)) AS BIGINT)
+                     AS budget FROM q)
+             SELECT doc_id, quality, tok, cum_tok
+             FROM r, b WHERE cum_tok <= budget ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(qShardAssign, qGroupSample, qBudgetSelect)
 }

@@ -46,6 +46,34 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, root).count() === 1)
   }
 
+  test("IO15: time travel reads any retained version by stable ordinal; vacuumed versions fail loudly") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_snap_tt").toString
+    Snapshots.commit(Seq((1L, "v1")).toDF("id", "tag"), root)
+    Snapshots.commit(Seq((1L, "v2"), (2L, "v2")).toDF("id", "tag"), root)
+    Snapshots.commit(Seq((1L, "v3"), (2L, "v3"), (3L, "v3")).toDF("id", "tag"), root)
+    assert(Snapshots.readVersion(spark, root, 1).collect()
+      .map(_.getString(1)).toSeq === Seq("v1"))
+    assert(Snapshots.readVersion(spark, root, 2).count() === 2)
+    assert(Snapshots.readVersion(spark, root, 3).count() === 3)
+    // current == newest version, always
+    assert(Snapshots.read(spark, root).count() ===
+      Snapshots.readVersion(spark, root, 3).count())
+    Snapshots.vacuum(root, keep = 2)
+    // version ids stay STABLE across the vacuum...
+    assert(Snapshots.readVersion(spark, root, 2).count() === 2)
+    // ...the reclaimed version fails loudly...
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.readVersion(spark, root, 1)
+    }
+    assert(e.getMessage.contains("vacuumed"))
+    // ...and a post-vacuum commit gets a FRESH ordinal, never a reused one
+    Snapshots.commit(Seq((4L, "v4")).toDF("id", "tag"), root)
+    assert(Snapshots.readVersion(spark, root, 4).collect()
+      .map(_.getString(1)).toSeq === Seq("v4"))
+    assert(Snapshots.read(spark, root).count() === 1)
+  }
+
   test("reading an uncommitted table fails loudly") {
     val root = Files.createTempDirectory("graft_snap_empty").toString
     val e = intercept[IllegalStateException] { Snapshots.read(spark, root) }

@@ -61,6 +61,26 @@ class RanksSpec extends SparkSpec {
       s"expected a WindowGroupLimit partial top-k:\n$plan")
   }
 
+  test("D55: budget select == the naive single-partition greedy prefix") {
+    val docs = graft.Tables.documents(spark, sf).select(col("doc_id"),
+      graft.functions.Text.qualityScore(col("text")).as("quality"),
+      graft.functions.Text.whitespaceTokenCount(col("text")).cast("long").as("tok"))
+    val total = docs.agg(sum("tok")).head().getLong(0)
+    val budget = math.floor(Ranks.BudgetFraction * total).toLong
+    val naive = docs.withColumn("cum_tok",
+        sum("tok").over(Window.orderBy(col("quality").desc, col("doc_id"))))
+      .filter(col("cum_tok") <= budget)
+      .select("doc_id", "quality", "tok", "cum_tok")
+      .orderBy("doc_id").collect().toSeq
+    val fast = Ranks.qBudgetSelect.fn(spark, sf).collect().toSeq
+    assert(fast.map(_.toSeq) === naive.map(_.toSeq))
+    assert(fast.nonEmpty && fast.map(_.getAs[Long]("cum_tok")).max <= budget)
+    val plan = Ranks.qBudgetSelect.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      "budget select must not funnel the corpus through one task")
+  }
+
   test("D53: snake shards balance token sums within one max-doc spread") {
     val rows = Ranks.qShardAssign.fn(spark, sf).collect()
     assert(rows.length === Ranks.NumShards)
