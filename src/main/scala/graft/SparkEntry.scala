@@ -14,6 +14,7 @@ object SparkEntry {
       etl.EtlQueries.all ++ etl.Quality.all ++ etl.Scd.all ++ etl.Cdc.all ++
       etl.Incremental.all ++
       dedup.PipelineQueries.all ++ dedup.InvertedIndex.all ++
+      dedup.SourceOverlap.all ++
       streaming.StreamQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
