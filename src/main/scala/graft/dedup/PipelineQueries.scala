@@ -1865,7 +1865,65 @@ object PipelineQueries {
              SELECT doc_id, CAST(MIN(node) AS BIGINT) AS cluster_id
              FROM reach GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** D57 — SEMANTIC decontamination: flag corpus embeddings whose
+    * cosine to ANY eval-set embedding reaches the exact-copy band —
+    * the paraphrase/re-render leak n-gram decontamination (D20 family)
+    * cannot see. Eval set is absolutely bounded (the D6 broadcast
+    * contract), scoring is the fused map-side graft_cosine against the
+    * broadcast eval side with a bounded ×|eval| fan-out into a partial
+    * agg — never a corpus×corpus product. Planted exact copies of the
+    * eval vectors carry guaranteed positives through the oracle: the
+    * entry's flag set provably includes every plant and nothing else
+    * at τ = 0.999 (corpus noise sims sit near 0.3–0.4 at dim 768). */
+  private val EvalIdBound = graft.similarity.Ann.MaxBroadcastQueries * 97L
+  val embDecontaminate = QueryDef(
+    "emb_decontaminate",
+    (s, d) => {
+      val tau = 0.999
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val eval = emb.filter(col("vec_id") % 97 === 0 &&
+        col("vec_id") < EvalIdBound)
+      val corpus = emb.unionByName(eval.select(
+        (col("vec_id") + 10000000L).as("vec_id"), col("embedding")))
+      corpus
+        .crossJoin(broadcast(eval.select(
+          col("vec_id").as("eval_id"), col("embedding").as("evec"))))
+        .filter(col("eval_id") =!= col("vec_id"))
+        .withColumn("sim", Ann.cosine(col("embedding"), col("evec")))
+        .groupBy("vec_id")
+        .agg(round(max("sim"), 6).as("max_sim_q"),
+          sum(when(col("sim") >= tau, 1L).otherwise(0L)).as("n_close"))
+        .select(col("vec_id"),
+          (col("vec_id") >= 10000000L).as("is_planted"),
+          col("max_sim_q"), col("n_close"),
+          (col("max_sim_q") >= tau).as("flagged"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                        FROM embeddings),
+             ev AS (SELECT vec_id AS eval_id, emb AS evec FROM e
+                    WHERE vec_id % 97 = 0 AND vec_id < $EvalIdBound),
+             c AS (SELECT vec_id, emb FROM e
+                   UNION ALL
+                   SELECT vec_id + 10000000, emb FROM e
+                   WHERE vec_id % 97 = 0 AND vec_id < $EvalIdBound),
+             s AS (SELECT c.vec_id,
+                     list_sum(list_transform(list_zip(c.emb, ev.evec),
+                       p -> p[1] * p[2]))
+                     / (sqrt(list_sum(list_transform(c.emb, x -> x * x)))
+                      * sqrt(list_sum(list_transform(ev.evec, x -> x * x))))
+                       AS sim
+                   FROM c CROSS JOIN ev WHERE ev.eval_id != c.vec_id),
+             a AS (SELECT vec_id, ROUND(max(sim), 6) AS max_sim_q,
+                     CAST(sum(CASE WHEN sim >= 0.999 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_close
+                   FROM s GROUP BY vec_id)
+             SELECT vec_id, vec_id >= 10000000 AS is_planted,
+                    max_sim_q, n_close, max_sim_q >= 0.999 AS flagged
+             FROM a ORDER BY vec_id"""))
+
   val all: Seq[QueryDef] = Seq(
+    embDecontaminate,
     dedupExact, dedupMinhashLsh, dedupSimhash, dedupNgramJaccard,
     dedupJaccardAllpairs, dedupSpanMask,
     dedupEmbeddingCosine, annBruteforceTopK, annLsh, annIvf, annPqAdc,

@@ -123,6 +123,8 @@ class RelationalSpec extends SparkSpec {
       // count, planted-recall evidence rows, DSIR's corpus-constant row)
       "q_sketch_rollup", "etl_quality_checks", "dedup_incremental",
       "text_dsir_select",
+      // bounded-broadcast eval-set scan, same class as ann_bruteforce
+      "emb_decontaminate",
       // calendar-grid cross join: spine O(days) x groups O(5), bounded
       // by time not data — the gap-fill grid is broadcast-tiny
       "q_gapfill")

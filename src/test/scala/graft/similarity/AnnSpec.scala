@@ -10,6 +10,23 @@ class AnnSpec extends SparkSpec {
 
   private lazy val emb = Tables.embeddings(spark, sf).cache()
 
+  test("D57: semantic decontamination flags exactly the planted eval copies") {
+    val out = graft.SparkEntry.queries("emb_decontaminate")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val (planted, organic) = out.partition(_.getAs[Boolean]("is_planted"))
+    assert(planted.nonEmpty, "the entry must plant eval copies")
+    planted.foreach { r =>
+      assert(r.getAs[Boolean]("flagged") && r.getAs[Long]("n_close") >= 1L,
+        s"planted copy ${r.getAs[Long]("vec_id")} must flag")
+      assert(r.getAs[Double]("max_sim_q") >= 0.999999)
+    }
+    organic.foreach { r =>
+      assert(!r.getAs[Boolean]("flagged"),
+        s"organic vec ${r.getAs[Long]("vec_id")} flagged at " +
+          s"${r.getAs[Double]("max_sim_q")} — noise should sit far below τ")
+    }
+  }
+
   test("D5: cosine of a vector with itself is 1") {
     val self = emb.select(
       round(Ann.cosine(col("embedding"), col("embedding")), 4).as("c"))
