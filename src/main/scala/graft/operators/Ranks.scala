@@ -210,5 +210,69 @@ object Ranks {
              SELECT doc_id, quality, tok, cum_tok
              FROM r, b WHERE cum_tok <= budget ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(qShardAssign, qGroupSample, qBudgetSelect)
+  /** D58 — length-bucketed batch packing: fixed-size micro-batches of
+    * length-SORTED documents vs arrival-order batching, with the
+    * padding bill of each. A batch pads every member to its max
+    * length, so batching similar lengths together is the standard
+    * serving/training trick — this entry MEASURES it (total padding
+    * tokens + ratio per method) rather than asserting it. Sorting
+    * rides [[globalRowNumber]] (no single-partition funnel); the
+    * contrast leg batches by arrival id. One summary row per method —
+    * the operator a batch scheduler calls to justify its sort. */
+  val BatchSize = 64
+
+  val qLengthBatches = QueryDef(
+    "q_length_batches",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        graft.functions.Text.whitespaceTokenCount(col("text"))
+          .cast("long").as("tok"))
+      val nBatches = math.ceil(docs.count().toDouble / BatchSize).toLong
+      val sorted = globalRowNumber(docs, Seq(col("tok"), col("doc_id")),
+          32, "rnk")
+        .withColumn("b", floor((col("rnk") - 1) / BatchSize).cast("long"))
+      val arrival = docs.withColumn("b", col("doc_id") % nBatches)
+      def summarize(leg: DataFrame, method: String) =
+        leg.groupBy("b")
+          .agg(count(lit(1)).as("n"), max("tok").as("mx"),
+            sum("tok").as("sm"))
+          .agg(count(lit(1)).as("n_batches"),
+            sum(col("sm")).as("total_tokens"),
+            sum(col("n") * col("mx") - col("sm")).as("total_padding"))
+          .select(lit(method).as("method"), col("n_batches"),
+            col("total_tokens"), col("total_padding"))
+      summarize(arrival, "arrival").unionByName(summarize(sorted, "sorted"))
+        .withColumn("padding_ratio_q",
+          floor(col("total_padding").cast("double")
+            / (col("total_padding") + col("total_tokens")) * 1e6) / 1e6)
+        .orderBy("method")
+    },
+    Some(s"""WITH t AS (SELECT doc_id,
+                          CAST(len(string_split(${graft.dedup.PipelineQueries.oCanon}, ' ')) AS BIGINT) AS tok
+                        FROM documents),
+             nb AS (SELECT CAST(ceil(CAST(count(*) AS DOUBLE) / $BatchSize)
+                      AS BIGINT) AS n FROM t),
+             sl AS (SELECT tok, CAST(floor(CAST(row_number() OVER (ORDER BY tok, doc_id) - 1 AS DOUBLE) / $BatchSize) AS BIGINT) AS b FROM t),
+             al AS (SELECT tok, doc_id % (SELECT n FROM nb) AS b FROM t),
+             sb AS (SELECT b, count(*) AS n, max(tok) AS mx, sum(tok) AS sm
+                    FROM sl GROUP BY b),
+             ab AS (SELECT b, count(*) AS n, max(tok) AS mx, sum(tok) AS sm
+                    FROM al GROUP BY b),
+             u AS (SELECT 'arrival' AS method,
+                     CAST(count(*) AS BIGINT) AS n_batches,
+                     CAST(sum(sm) AS BIGINT) AS total_tokens,
+                     CAST(sum(n * mx - sm) AS BIGINT) AS total_padding
+                   FROM ab
+                   UNION ALL
+                   SELECT 'sorted', CAST(count(*) AS BIGINT),
+                     CAST(sum(sm) AS BIGINT), CAST(sum(n * mx - sm) AS BIGINT)
+                   FROM sb)
+             SELECT method, n_batches, total_tokens, total_padding,
+                    floor(CAST(total_padding AS DOUBLE)
+                      / (total_padding + total_tokens) * 1e6) / 1e6
+                      AS padding_ratio_q
+             FROM u ORDER BY method"""))
+
+  val all: Seq[QueryDef] =
+    Seq(qShardAssign, qGroupSample, qBudgetSelect, qLengthBatches)
 }

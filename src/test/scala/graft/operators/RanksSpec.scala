@@ -81,6 +81,23 @@ class RanksSpec extends SparkSpec {
       "budget select must not funnel the corpus through one task")
   }
 
+  test("D58: length-sorted batching strictly cuts the padding bill") {
+    val rows = Ranks.qLengthBatches.fn(spark, sf).collect()
+      .map(r => r.getAs[String]("method") -> r).toMap
+    assert(rows.keySet === Set("arrival", "sorted"))
+    val (a, s) = (rows("arrival"), rows("sorted"))
+    assert(a.getAs[Long]("total_tokens") === s.getAs[Long]("total_tokens"),
+      "both methods batch the same corpus")
+    assert(s.getAs[Long]("total_padding") < a.getAs[Long]("total_padding"),
+      "sorting by length must strictly reduce padding")
+    val n = graft.Tables.documents(spark, sf).count()
+    assert(s.getAs[Long]("n_batches") ===
+      math.ceil(n.toDouble / Ranks.BatchSize).toLong)
+    assert(s.getAs[Double]("padding_ratio_q") >= 0.0 &&
+      s.getAs[Double]("padding_ratio_q") <=
+        a.getAs[Double]("padding_ratio_q"))
+  }
+
   test("D53: snake shards balance token sums within one max-doc spread") {
     val rows = Ranks.qShardAssign.fn(spark, sf).collect()
     assert(rows.length === Ranks.NumShards)
