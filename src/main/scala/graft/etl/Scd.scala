@@ -76,5 +76,63 @@ object Scd {
             FROM versions
             ORDER BY o_custkey, valid_from, seq"""))
 
-  val all: Seq[QueryDef] = Seq(etlScd2)
+  /** E13b — point-in-time (temporal) lookup against the SCD2
+    * dimension: for each probe row, the attribute version whose
+    * half-open validity interval [valid_from, valid_to) contains the
+    * probe instant — "what did the dimension say WHEN this happened",
+    * the read that makes SCD2 worth building. At most one version
+    * matches per probe (intervals are non-overlapping per key by
+    * construction; same-timestamp change chains leave zero-length
+    * intervals that can never match). Scale shape: an EQUI join on the
+    * dimension key with the interval test as a residual predicate —
+    * per-key version lists are small, so this is a plain key-partitioned
+    * join, not R23's harder keyless range join. Probes 30 days before
+    * their own order so the lookup genuinely walks history (probes
+    * before a key's first version LEFT-join to null). */
+  val qPitLookup = QueryDef(
+    "q_pit_lookup",
+    (s, d) => {
+      val dim = scd2(orderFeed(s, d), "o_custkey", "attr")
+        .select(col("o_custkey").as("k"), col("attr"),
+          col("valid_from"), col("valid_to"))
+      val probes = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          expr("o_orderdate - INTERVAL 30 DAYS").as("probe_ts"))
+      probes.join(dim,
+          col("o_custkey") === col("k") &&
+            col("valid_from") <= col("probe_ts") &&
+            (col("valid_to").isNull || col("probe_ts") < col("valid_to")),
+          "left")
+        .select(col("o_orderkey"), col("o_custkey"), col("probe_ts"),
+          col("attr").as("attr_at_probe"), col("valid_from"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH feed AS (
+              SELECT o_custkey, o_orderpriority AS attr,
+                     o_orderdate AS ts, o_orderkey AS seq,
+                     lag(o_orderpriority) OVER
+                       (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                       AS prev
+              FROM orders),
+            changes AS (
+              SELECT * FROM feed WHERE prev IS NULL OR attr <> prev),
+            versions AS (
+              SELECT o_custkey, attr, ts AS valid_from,
+                     lead(ts) OVER
+                       (PARTITION BY o_custkey ORDER BY ts, seq) AS valid_to
+              FROM changes),
+            probes AS (
+              SELECT o_orderkey, o_custkey,
+                     o_orderdate - INTERVAL 30 DAY AS probe_ts
+              FROM orders WHERE o_orderkey % 10 = 0)
+            SELECT p.o_orderkey, p.o_custkey, p.probe_ts,
+                   v.attr AS attr_at_probe, v.valid_from
+            FROM probes p LEFT JOIN versions v
+              ON p.o_custkey = v.o_custkey
+             AND v.valid_from <= p.probe_ts
+             AND (v.valid_to IS NULL OR p.probe_ts < v.valid_to)
+            ORDER BY p.o_orderkey"""))
+
+  val all: Seq[QueryDef] = Seq(etlScd2, qPitLookup)
 }

@@ -14,6 +14,22 @@ class ScdSpec extends SparkSpec {
       col("o_orderdate").as("ts"), col("o_orderkey").as("seq")),
     "o_custkey", "attr")
 
+  test("E13b: PIT lookup matches at most one version, inside its interval") {
+    val probes = Tables.orders(spark, sf)
+      .filter(col("o_orderkey") % 10 === 0).count()
+    val out = Scd.qPitLookup.fn(spark, sf).cache()
+    assert(out.count() === probes,
+      "left join + non-overlapping intervals ⇒ exactly one row per probe")
+    assert(out.groupBy("o_orderkey").count().filter(col("count") > 1).count() === 0)
+    val hits = out.filter(col("attr_at_probe").isNotNull)
+    assert(hits.count() > 0, "some probes must find history")
+    assert(out.filter(col("attr_at_probe").isNull).count() > 0,
+      "probes 30 days before a key's first order must miss")
+    assert(hits.filter(col("valid_from") > col("probe_ts")).count() === 0,
+      "a matched version must already be valid at the probe instant")
+    out.unpersist()
+  }
+
   test("exactly one current version per key; no consecutive-equal attrs") {
     // no cache: a cached canonical plan would satisfy the later plan
     // test with an InMemoryTableScan instead of the real build
