@@ -382,6 +382,59 @@ object EventAnalytics {
                      * 1e6 + 0.5) / 1e6 AS ewma_q
             FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  /** R55 — rolling 7-day distinct users (DAU/WAU): for every calendar
+    * day with activity, the distinct-user count of that day and of the
+    * trailing 7-day window. The naive formulation re-scans the fact
+    * once per window (or range-joins day spine × pairs — quadratic in
+    * window length × days); this shape is linear: dedup to (user, day)
+    * pairs once, fan each pair out map-side into the ≤ 7 windows it
+    * can serve, then aggregate. Two keyed aggregations, no Expand
+    * (countDistinct would Expand ×2 — instead the first groupBy
+    * reduces to one row per (window_day, user) carrying min(offset),
+    * the second counts rows and offset-0 rows), no re-scan per window.
+    * At 100 TB the same plan holds with window length as the only
+    * fan-out multiplier; for long windows (90-day MAU) the stored
+    * per-day HLL sketch rollup (R40) replaces exact counting. */
+  def rollingDistinct(s: SparkSession, d: String,
+      windowDays: Int = 7): DataFrame = {
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val fanned = pairs
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("off"),
+        col("day"))
+      .select(col("user_id"), col("off"),
+        date_add(col("day"), col("off")).as("window_day"))
+    fanned
+      .groupBy(col("window_day"), col("user_id"))
+      .agg(min(col("off")).as("min_off"))
+      .groupBy(col("window_day"))
+      .agg(count(lit(1)).as("wau_7d"),
+        count(when(col("min_off") === 0, lit(1))).as("dau"))
+      // a window day is reported only if it had activity itself (its
+      // trailing window otherwise describes a day outside the data)
+      .filter(col("dau") >= 1)
+      .select(col("window_day"), col("dau"), col("wau_7d"))
+      .orderBy(col("window_day"))
+  }
+
+  val qRollingDistinct = QueryDef(
+    "q_rolling_distinct",
+    (s, d) => rollingDistinct(s, d),
+    Some("""WITH pairs AS (
+              SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+              FROM events),
+            days AS (SELECT DISTINCT day FROM pairs)
+            SELECT d.day AS window_day,
+                   CAST(COUNT(DISTINCT CASE WHEN p.day = d.day
+                     THEN p.user_id END) AS BIGINT) AS dau,
+                   CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS wau_7d
+            FROM days d
+            JOIN pairs p ON p.day >= d.day - 6 AND p.day <= d.day
+            GROUP BY d.day
+            ORDER BY window_day"""))
+
   val all: Seq[QueryDef] = Seq(qFunnel, qCohortRetention, qEventTransitions,
-    qRateAnomalies, qAttribution, qIntervalMerge, qEwma)
+    qRateAnomalies, qAttribution, qIntervalMerge, qEwma, qRollingDistinct)
 }

@@ -62,6 +62,30 @@ class ScdSpec extends SparkSpec {
       .filter(col("first_from") =!= col("min_ts")).count() === 0)
   }
 
+  test("E13c: incremental apply equals the full rebuild; untouched keys byte-identical") {
+    def feed = Tables.orders(spark, sf).select(
+      col("o_custkey"), col("o_orderpriority").as("attr"),
+      col("o_orderdate").as("ts"), col("o_orderkey").as("seq"))
+    val cutoff = "1995-01-01"
+    val history = feed.filter(col("ts") <= lit(cutoff))
+    val delta = feed.filter(col("ts") > lit(cutoff))
+    val state = Scd.scd2(history, "o_custkey", "attr").cache()
+    val merged = Scd.scd2Apply(state, delta, "o_custkey", "attr").cache()
+    val full = Scd.scd2(feed, "o_custkey", "attr")
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty,
+      "incremental SCD2 apply must equal the full rebuild")
+    // keys absent from the delta pass through with no row change at all
+    val deltaKeys = delta.select("o_custkey").distinct()
+    val stateUntouched = state.join(deltaKeys, Seq("o_custkey"), "left_anti")
+    val mergedUntouched = merged.join(deltaKeys, Seq("o_custkey"), "left_anti")
+    assert(mergedUntouched.exceptAll(stateUntouched).isEmpty &&
+      stateUntouched.exceptAll(mergedUntouched).isEmpty)
+    // empty delta: state passes through unchanged
+    val noop = Scd.scd2Apply(state, delta.limit(0), "o_custkey", "attr")
+    assert(noop.exceptAll(state).isEmpty && state.exceptAll(noop).isEmpty)
+    merged.unpersist(); state.unpersist()
+  }
+
   test("the whole build runs inside one hash partitioning on the key") {
     // window Exchanges are inserted by EnsureRequirements, so they only
     // exist in executedPlan; on a fresh (unexecuted, uncached) plan the

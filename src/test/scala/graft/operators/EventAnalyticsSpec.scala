@@ -85,6 +85,34 @@ class EventAnalyticsSpec extends SparkSpec {
     merged.unpersist()
   }
 
+  test("R55: rolling 7-day distinct equals a naive per-day recount") {
+    val out = EventAnalytics.rollingDistinct(spark, sf).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // dau can never exceed the trailing-window distinct count, and the
+    // earliest reported day has nothing trailing it: wau == dau there
+    rows.foreach { r =>
+      assert(r.getAs[Long]("wau_7d") >= r.getAs[Long]("dau"))
+    }
+    val first = rows.minBy(_.getAs[java.sql.Date]("window_day").getTime)
+    assert(first.getAs[Long]("wau_7d") === first.getAs[Long]("dau"))
+    // naive reference: (user, day) pairs range-joined to the day spine
+    val pairs = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val days = pairs.select(col("day").as("window_day")).distinct()
+    val naive = days.join(pairs,
+        col("day") >= date_sub(col("window_day"), 6) &&
+          col("day") <= col("window_day"))
+      .groupBy("window_day")
+      .agg(countDistinct(when(col("day") === col("window_day"),
+          col("user_id"))).as("dau"),
+        countDistinct(col("user_id")).as("wau_7d"))
+      .select("window_day", "dau", "wau_7d")
+    assert(out.exceptAll(naive).isEmpty && naive.exceptAll(out).isEmpty,
+      "fan-out rolling distinct must equal the naive range-join recount")
+    out.unpersist()
+  }
+
   test("R51: EWMA matches a sequential fold and sits inside the value range") {
     val out = EventAnalytics.ewmaByUser(spark, sf).cache()
     // reference: straight Scala fold per user
