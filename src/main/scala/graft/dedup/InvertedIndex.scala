@@ -96,5 +96,97 @@ object InvertedIndex {
              FROM r GROUP BY term
              ORDER BY df DESC, term LIMIT $TopTerms"""))
 
-  val all: Seq[QueryDef] = Seq(textInvertedIndex)
+  /** D59 — index-only retrieval: top-k documents per query scored
+    * ENTIRELY from the inverted index — the read path that justifies
+    * building D52 at all. The corpus is never scanned at query time:
+    * the (broadcast) query term table equi-joins the term-keyed index
+    * (at 100 TB a term-partitioned stored index makes this a pruned
+    * lookup of |query terms| keys), capped postings decode back to
+    * (doc, tf), and tf·idf contributions aggregate per (query, doc).
+    *
+    * Scoring is over the index AS BUILT — the cap is part of the
+    * artifact's contract (production indexes store impact-ordered
+    * truncated postings the same way; here cap order is the build's
+    * deterministic (doc_id, pos)). idf = ln((N+1)/(df+1)) with df from
+    * the UNcapped count the index stores; per-term contributions are
+    * floor-quantized to 1e-6 (the D46/D25 convention) so the per-doc
+    * sum is an exact integer both engines collate identically. N rides
+    * a 1-row stats broadcast (the sanctioned crossJoin class). Top-k
+    * per query is a rank window — WindowGroupLimit prunes map-side
+    * (the D54 plan property), so shuffle traffic is O(queries × k). */
+  val TopK = 10
+
+  def retrieve(docs: DataFrame, queries: DataFrame,
+      k: Int = TopK): DataFrame = {
+    val idx = build(docs)
+    val nRow = docs.agg(count(lit(1)).as("n_docs"))
+    val hits = idx.join(broadcast(queries), "term")
+      .select(col("q_id"), col("term"), col("df"),
+        explode(col("postings")).as("enc"))
+      .withColumn("doc_id", expr(s"enc div ${PosBase}"))
+      .groupBy("q_id", "term", "df", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+    val scored = hits.crossJoin(broadcast(nRow))
+      .withColumn("contrib",
+        floor(col("tf") *
+          log((col("n_docs") + lit(1)).cast("double") / (col("df") + lit(1)))
+          * 1e6).cast("long"))
+      .groupBy("q_id", "doc_id")
+      .agg(sum("contrib").as("score_q"), count(lit(1)).as("n_terms_hit"))
+    val byQ = Window.partitionBy("q_id")
+      .orderBy(desc("score_q"), asc("doc_id"))
+    scored.withColumn("rank", row_number().over(byQ))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc_id"),
+        col("score_q"), col("n_terms_hit"))
+  }
+
+  /** Deterministic literal query workload over the synthetic vocab. */
+  private val QueryTerms: Seq[(Int, String)] = Seq(
+    1 -> "data", 1 -> "spark", 1 -> "merge",
+    2 -> "window", 2 -> "join", 2 -> "fast",
+    3 -> "stream", 3 -> "table", 3 -> "slow")
+
+  val textIndexRetrieve = QueryDef(
+    "text_index_retrieve",
+    (s, d) => {
+      import s.implicits._
+      retrieve(Tables.documents(s, d), QueryTerms.toDF("q_id", "term"))
+        .orderBy("q_id", "rank")
+    },
+    Some(s"""WITH w AS (SELECT doc_id, string_split($oCanon, ' ') AS ws
+                        FROM documents),
+             t AS (SELECT doc_id, i AS pos, ws[i + 1] AS term
+                   FROM w, UNNEST(generate_series(0, len(ws) - 1)) AS u(i)
+                   WHERE ws[i + 1] != ''),
+             r AS (SELECT term, doc_id,
+                     row_number() OVER (PARTITION BY term
+                                        ORDER BY doc_id, pos) AS rn
+                   FROM t),
+             dfs AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                     FROM t GROUP BY term),
+             q(q_id, term) AS (VALUES ${QueryTerms
+               .map { case (q, t) => s"($q, '$t')" }.mkString(", ")}),
+             hits AS (
+               SELECT q.q_id, r.term, dfs.df, r.doc_id,
+                      CAST(count(*) AS BIGINT) AS tf
+               FROM q JOIN r ON r.term = q.term AND r.rn <= $Cap
+               JOIN dfs ON dfs.term = q.term
+               GROUP BY q.q_id, r.term, dfs.df, r.doc_id),
+             scored AS (
+               SELECT q_id, doc_id,
+                      CAST(SUM(CAST(floor(tf *
+                        ln(CAST((SELECT count(*) + 1 FROM documents) AS DOUBLE)
+                           / (df + 1)) * 1e6) AS BIGINT)) AS BIGINT) AS score_q,
+                      CAST(count(*) AS BIGINT) AS n_terms_hit
+               FROM hits GROUP BY q_id, doc_id)
+             SELECT q_id,
+                    CAST(row_number() OVER (PARTITION BY q_id
+                      ORDER BY score_q DESC, doc_id) AS INT) AS rank,
+                    doc_id, score_q, n_terms_hit
+             FROM scored
+             QUALIFY rank <= $TopK
+             ORDER BY q_id, rank"""))
+
+  val all: Seq[QueryDef] = Seq(textInvertedIndex, textIndexRetrieve)
 }

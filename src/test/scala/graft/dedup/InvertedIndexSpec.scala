@@ -67,4 +67,31 @@ class InvertedIndexSpec extends SparkSpec {
     assert(idx.exceptAll(toks).count() === 0,
       "every decoded posting must be a real token occurrence")
   }
+
+  test("D59: retrieval ranks are contiguous, score-ordered, and every hit is real") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+    val queries = Seq(1 -> "data", 1 -> "merge", 2 -> "window", 2 -> "join")
+      .toDF("q_id", "term")
+    val out = InvertedIndex.retrieve(docs, queries).cache()
+    val rows = out.orderBy("q_id", "rank").collect()
+    assert(rows.nonEmpty)
+    // per query: ranks 1..n contiguous, scores non-increasing with rank
+    rows.groupBy(_.getAs[Int]("q_id")).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getAs[Int]("rank")).toSeq
+      assert(ranks === (1 to ranks.length))
+      val scores = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("score_q"))
+      assert(scores.sliding(2).forall(s => s.length < 2 || s(0) >= s(1)))
+    }
+    // every retrieved doc really contains >= n_terms_hit distinct query
+    // terms (postings never invent occurrences)
+    val words = docs.select(col("doc_id"),
+      graft.functions.Text.words(col("text")).as("ws"))
+    val checked = out.join(words, "doc_id")
+      .join(queries.groupBy("q_id").agg(collect_set("term").as("qts")), "q_id")
+      .withColumn("n_real",
+        size(array_intersect(array_distinct(col("ws")), col("qts"))))
+    assert(checked.filter(col("n_real") < col("n_terms_hit")).count() === 0)
+    out.unpersist()
+  }
 }

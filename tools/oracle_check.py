@@ -12,9 +12,14 @@ SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") else "
 OUT = f"/tmp/graft_verify_{os.path.basename(SF.rstrip('/'))}"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+ONLY = next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")), None)
+if ONLY:
+    OUT += "_only"  # never mix a filtered dump with a full one
+
 if "--skip-verify" not in sys.argv:
+    names = f" {ONLY}" if ONLY else ""
     r = subprocess.run(
-        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}{names}'],
         capture_output=True, text=True, cwd="/root/repo")
     sys.stdout.write("\n".join(l for l in r.stdout.splitlines() if "[verify]" in l or "error" in l.lower()) + "\n")
     if r.returncode != 0:
