@@ -4,7 +4,8 @@ import graft.{QueryDef, Tables}
 import graft.functions.Text
 import graft.multimodal.Multimodal
 import graft.similarity.Ann
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Coverage entries D1-D12 (SURVEY.md §2.4) over the documents /
@@ -1922,8 +1923,72 @@ object PipelineQueries {
                     max_sim_q, n_close, max_sim_q >= 0.999 AS flagged
              FROM a ORDER BY vec_id"""))
 
+  /** D60 — label-centroid outlier detection (mislabel / out-of-
+    * distribution audit): every vector scored by cosine to ITS OWN
+    * label's centroid; the k least-central vectors per label flag for
+    * review — the embedding-space complement of D9's text-side quality
+    * scoring, and the standard first pass for label-noise cleanup
+    * (nearest-centroid confidence, the cheap half of confident-
+    * learning). Scale shape: ONE `graft_vec_sum_long` aggregation
+    * builds all centroids from map-side floor-quantized long vectors
+    * (exact integer sums — order-free, so the centroid is bit-identical
+    * across engines and partitionings; the D40 determinism trick),
+    * centroids broadcast at O(#labels × d), scoring is a fused
+    * map-side graft_cosine, and the per-label rank is one window pass
+    * (a flag-only variant at 100 TB would emit just the k flagged rows
+    * per label and let WindowGroupLimit prune map-side, the D54
+    * property). The corpus never self-joins. */
+  def labelOutliers(embeddings: DataFrame, k: Int = 10): DataFrame = {
+    val emb = embeddings
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"))
+      .withColumn("xq",
+        transform(col("emb"), x => floor(x * 1e6).cast("long")))
+    val cents = emb.groupBy("label")
+      .agg(call_function("graft_vec_sum_long", col("xq")).as("sums"),
+        count(lit(1)).as("n"))
+      .select(col("label"),
+        transform(col("sums"), s0 => s0 / (lit(1e6) * col("n"))).as("cvec"))
+    val byLabel = Window.partitionBy("label")
+      .orderBy(asc("cos_q"), asc("vec_id"))
+    emb.join(broadcast(cents), "label")
+      .withColumn("cos_q",
+        round(graft.similarity.Ann.cosine(col("emb"), col("cvec")), 6))
+      .withColumn("rank_low", row_number().over(byLabel))
+      .select(col("vec_id"), col("label"), col("cos_q"),
+        (col("rank_low") <= k).as("is_outlier"))
+  }
+
+  val embOutliers = QueryDef(
+    "emb_outliers",
+    (s, d) => labelOutliers(Tables.embeddings(s, d)).orderBy("vec_id"),
+    Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+                       FROM embeddings),
+            q AS (SELECT vec_id, label, emb,
+                    list_transform(emb, x -> CAST(floor(x * 1e6) AS BIGINT))
+                      AS xq
+                  FROM e),
+            dims AS (SELECT label, i, xq[i + 1] AS v
+                     FROM q, UNNEST(generate_series(0, len(xq) - 1)) AS u(i)),
+            sums AS (SELECT label, i, SUM(v) AS s FROM dims GROUP BY label, i),
+            cnt AS (SELECT label, count(*) AS n FROM q GROUP BY label),
+            cent AS (SELECT label, list(s / (1e6 * n) ORDER BY i) AS cvec
+                     FROM sums JOIN cnt USING (label) GROUP BY label, n),
+            sc AS (SELECT q.vec_id, q.label,
+                     ROUND(
+                       list_sum(list_transform(list_zip(q.emb, c.cvec),
+                         p -> p[1] * p[2]))
+                       / (sqrt(list_sum(list_transform(q.emb, x -> x * x)))
+                        * sqrt(list_sum(list_transform(c.cvec, x -> x * x)))),
+                       6) AS cos_q
+                   FROM q JOIN cent c USING (label))
+            SELECT vec_id, label, cos_q,
+                   row_number() OVER (PARTITION BY label
+                     ORDER BY cos_q, vec_id) <= 10 AS is_outlier
+            FROM sc ORDER BY vec_id"""))
+
   val all: Seq[QueryDef] = Seq(
-    embDecontaminate,
+    embDecontaminate, embOutliers,
     dedupExact, dedupMinhashLsh, dedupSimhash, dedupNgramJaccard,
     dedupJaccardAllpairs, dedupSpanMask,
     dedupEmbeddingCosine, annBruteforceTopK, annLsh, annIvf, annPqAdc,

@@ -27,6 +27,36 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("D60: planted mislabels rank at the bottom of their wrong label") {
+    import spark.implicits._
+    // two tight orthogonal clusters + two vectors that geometrically
+    // belong to A but carry label B — nearest-centroid confidence must
+    // put the mislabels at B's bottom ranks
+    def near(axis: Int, j: Int): Array[Float] = {
+      val v = Array.fill(4)(0.001f * (j % 3 + 1))
+      v(axis) = 1f; v
+    }
+    val rows =
+      (0 until 20).map(j => (j.toLong, near(0, j), "A")) ++
+        (100 until 120).map(j => (j.toLong, near(1, j), "B")) ++
+        Seq((900L, near(0, 0), "B"), (901L, near(0, 1), "B"))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = graft.dedup.PipelineQueries.labelOutliers(df, k = 2).cache()
+    val flagged = out.filter(col("is_outlier")).collect()
+    assert(flagged.map(_.getAs[Long]("vec_id")).toSet.intersect(
+      Set(900L, 901L)) === Set(900L, 901L),
+      "both mislabeled vectors must flag as B-outliers")
+    // every A vector is central to A: none flagged (k=2 forces exactly
+    // two flags in A — check they score near 1 and the B mislabels don't)
+    val aScores = out.filter(col("label") === "A")
+      .agg(min("cos_q")).head().getDouble(0)
+    assert(aScores > 0.99, s"A cluster should be tight, min cos $aScores")
+    val misScores = out.filter(col("vec_id") >= 900L)
+      .agg(max("cos_q")).head().getDouble(0)
+    assert(misScores < 0.5, s"mislabels should score low vs B, max $misScores")
+    out.unpersist()
+  }
+
   test("D5: cosine of a vector with itself is 1") {
     val self = emb.select(
       round(Ann.cosine(col("embedding"), col("embedding")), 4).as("c"))
