@@ -12,7 +12,7 @@ object SparkEntry {
       operators.Graph.all ++ operators.Triangles.all ++
       operators.Bucketed.all ++ operators.Ranks.all ++
       etl.EtlQueries.all ++ etl.Quality.all ++ etl.Scd.all ++ etl.Cdc.all ++
-      etl.Incremental.all ++
+      etl.Incremental.all ++ etl.Repair.all ++
       dedup.PipelineQueries.all ++ dedup.InvertedIndex.all ++
       dedup.SourceOverlap.all ++
       streaming.StreamQueries.all
