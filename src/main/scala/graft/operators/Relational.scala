@@ -1235,7 +1235,57 @@ object Relational {
             GROUP BY l.l_returnflag, p_lo, p_hi
             ORDER BY l.l_returnflag"""))
 
+  /** R56 — equi-width histogram with a dense bin spine: 20 bins over
+    * [min, max] of o_totalprice, empty bins zero-filled via the
+    * generated spine (R48's gap-fill idea applied to value space).
+    * Two passes total: a 1-row min/max stats aggregate (the sanctioned
+    * crossJoin broadcast), then one map-side bin assignment + one
+    * bin-keyed count — the profile query every warehouse runs, shaped
+    * so the fact shuffles 20 partial counts per task, not rows. The
+    * bin arithmetic is a single deterministic double expression
+    * (identical operation order both engines); edges are 6dp-quantized
+    * for the hash gate. Bins are [lo, hi) except the last, which
+    * closes at max (the `least` clamp). */
+  val NBins = 20
+  val qHistogram = QueryDef(
+    "q_histogram",
+    (s, d) => {
+      val stats = Tables.orders(s, d)
+        .agg(min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+      val binned = Tables.orders(s, d)
+        .crossJoin(broadcast(stats))
+        .withColumn("bin",
+          least(floor((col("o_totalprice") - col("lo")) * NBins /
+            (col("hi") - col("lo"))), lit(NBins - 1)).cast("int"))
+        .groupBy("bin").agg(count(lit(1)).as("n"))
+      val spine = s.range(NBins).select(col("id").cast("int").as("bin"))
+        .crossJoin(broadcast(stats))
+      spine.join(binned, Seq("bin"), "left")
+        .select(col("bin"),
+          round(col("lo") + col("bin") * (col("hi") - col("lo")) / NBins, 6)
+            .as("edge_lo"),
+          round(col("lo") + (col("bin") + 1) * (col("hi") - col("lo")) / NBins, 6)
+            .as("edge_hi"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("bin")
+    },
+    Some(s"""WITH st AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+                         FROM orders),
+             b AS (SELECT CAST(least(floor((o_totalprice - lo) * $NBins
+                       / (hi - lo)), $NBins - 1) AS INT) AS bin,
+                     CAST(count(*) AS BIGINT) AS n
+                   FROM orders, st GROUP BY 1),
+             spine AS (SELECT CAST(i AS INT) AS bin FROM
+                       UNNEST(generate_series(0, $NBins - 1)) AS u(i))
+             SELECT spine.bin,
+                    ROUND(lo + spine.bin * (hi - lo) / $NBins, 6) AS edge_lo,
+                    ROUND(lo + (spine.bin + 1) * (hi - lo) / $NBins, 6) AS edge_hi,
+                    COALESCE(b.n, 0) AS n
+             FROM spine CROSS JOIN st LEFT JOIN b ON b.bin = spine.bin
+             ORDER BY spine.bin"""))
+
   val all: Seq[QueryDef] = Seq(
+    qHistogram,
     qScanPushdown, q1PricingSummary, q3ShippingPriority, q5LocalSupplier,
     qBroadcastJoin, qSemiJoin, qAntiJoin, qWindowRank, qWindowRunning,
     qCountDistinct, qConditionalAgg, qTopK, qRollup, qPercentiles,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
 import org.apache.spark.sql.functions._
 
 /** Specs for the relational core R1-R19: plan-shape assertions (the
@@ -76,6 +76,24 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("R56: histogram covers every row once, spine dense, edges tile [min,max]") {
+    val out = Relational.qHistogram.fn(spark, sf).collect()
+    assert(out.map(_.getAs[Int]("bin")).toSeq === (0 until Relational.NBins))
+    val total = out.map(_.getAs[Long]("n")).sum
+    assert(total === Tables.orders(spark, sf).count(),
+      "every row lands in exactly one bin")
+    // edges tile: bin i's hi edge is bin i+1's lo edge; widths equal
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("edge_hi") === b.getAs[Double]("edge_lo"))
+      case _ =>
+    }
+    val st = Tables.orders(spark, sf)
+      .agg(min("o_totalprice"), max("o_totalprice")).head()
+    assert(math.abs(out.head.getAs[Double]("edge_lo") - st.getDouble(0)) < 1e-4)
+    assert(math.abs(out.last.getAs[Double]("edge_hi") - st.getDouble(1)) < 1e-4)
+  }
+
   test("R25: approx percentiles stay within 1% of the exact rank-arithmetic values") {
     val rows = graft.SparkEntry.queries("q_approx_percentile")(spark, sf).collect()
     assert(rows.nonEmpty)
@@ -127,7 +145,12 @@ class RelationalSpec extends SparkSpec {
       "emb_decontaminate",
       // calendar-grid cross join: spine O(days) x groups O(5), bounded
       // by time not data — the gap-fill grid is broadcast-tiny
-      "q_gapfill")
+      "q_gapfill",
+      // 1-row min/max stats broadcast onto the fact and the O(NBins)
+      // spine — both bounded by construction
+      "q_histogram",
+      // 1-row corpus-size (N) stats broadcast for the idf term
+      "text_index_retrieve")
     graft.SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
