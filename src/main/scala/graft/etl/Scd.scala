@@ -147,10 +147,14 @@ object Scd {
     *
     * Contract (the standard warehouse-loader assumption): per key,
     * delta rows are strictly newer than the state's open version
-    * (event-time-ordered arrival). Late rows that should interleave
-    * into CLOSED history are a restatement — rebuild the key from the
-    * raw feed; no incremental loader can patch closed intervals
-    * without keeping the collapsed raw rows it dropped.
+    * (event-time-ordered arrival). Rows at or before the open
+    * version's (valid_from, seq) are dropped as STALE — either an
+    * at-least-once replay of already-applied rows (making the whole
+    * apply idempotent, which the streaming composition requires) or a
+    * late row that should interleave into CLOSED history, which is a
+    * restatement: rebuild the key from the raw feed; no incremental
+    * loader can patch closed intervals without keeping the collapsed
+    * raw rows it dropped.
     *
     * Scale: the refresh cost is O(touched keys' open versions + delta)
     * — state's closed history is anti/semi-joined (one key shuffle)
@@ -166,10 +170,23 @@ object Scd {
     val touched = state.join(deltaKeys, Seq(key), "left_semi")
     val untouched = state.join(deltaKeys, Seq(key), "left_anti")
     val closed = touched.filter(!col("is_current"))
-    val openFeed = touched.filter(col("is_current"))
+    val open = touched.filter(col("is_current"))
+    // The contract made executable: delta rows at or before the open
+    // version's (valid_from, seq) are STALE — already folded into
+    // history (an at-least-once replay) or a restatement this loader
+    // must not corrupt closed intervals with. Dropping them makes the
+    // apply IDEMPOTENT: re-applying an already-applied batch is a
+    // provable no-op (the streaming S20 composition relies on this).
+    val openV = open.select(col(key), col("valid_from").as("open_from"),
+      col("seq").as("open_seq"))
+    val freshDelta = delta.join(openV, Seq(key), "left")
+      .filter(col("open_from").isNull ||
+        col("ts") > col("open_from") ||
+        (col("ts") === col("open_from") && col("seq") > col("open_seq")))
+      .select(col(key), col(attr), col("ts"), col("seq"))
+    val openFeed = open
       .select(col(key), col(attr), col("valid_from").as("ts"), col("seq"))
-    val rebuilt = scd2(openFeed.union(delta.select(col(key), col(attr),
-      col("ts"), col("seq"))), key, attr)
+    val rebuilt = scd2(openFeed.union(freshDelta), key, attr)
     untouched.unionByName(closed).unionByName(rebuilt)
   }
 

@@ -81,6 +81,10 @@ object Snapshots {
     next
   }
 
+  /** True once the table has a committed current snapshot — the
+    * bootstrap probe for incremental maintainers (S20). */
+  def hasCurrent(root: String): Boolean = readManifest(root)._1.isDefined
+
   /** Read the current snapshot (empty-schema error if no commit yet —
     * callers race-checking existence should handle None). */
   def read(spark: SparkSession, root: String): DataFrame = {

@@ -83,6 +83,11 @@ class ScdSpec extends SparkSpec {
     // empty delta: state passes through unchanged
     val noop = Scd.scd2Apply(state, delta.limit(0), "o_custkey", "attr")
     assert(noop.exceptAll(state).isEmpty && state.exceptAll(noop).isEmpty)
+    // IDEMPOTENCE: re-applying the already-applied delta is a no-op —
+    // every replayed row is stale under the (valid_from, seq) gate
+    val replay = Scd.scd2Apply(merged, delta, "o_custkey", "attr")
+    assert(replay.exceptAll(merged).isEmpty && merged.exceptAll(replay).isEmpty,
+      "replaying an applied batch must not change the state")
     merged.unpersist(); state.unpersist()
   }
 
