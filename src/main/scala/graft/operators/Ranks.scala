@@ -40,13 +40,23 @@ object Ranks {
   val NumShards = 8
 
   /** Global 1-based row_number over `sort` (must be a total order)
-    * without a single-partition exchange. */
+    * without a single-partition exchange.
+    *
+    * The ranged table is MATERIALIZED (localCheckpoint) before the
+    * offset collect: RangePartitioner samples its boundaries with a
+    * per-execution seed, so without pinning, the offsets action and
+    * the downstream action can land rows in different partitions —
+    * per-partition counts then disagree with the offsets and ranks
+    * silently duplicate/skip at partition seams. On a cluster, swap
+    * localCheckpoint for a reliable checkpoint dir (executor-loss
+    * safety), exactly as `dedup/Clusters` parameterizes it. */
   def globalRowNumber(df: DataFrame, sort: Seq[Column], npart: Int,
       rankCol: String): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
     val ranged = df.repartitionByRange(npart, sort: _*)
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
     // O(#partitions) rows to the driver — bounded by construction
     val counts = ranged.groupBy("_pid").agg(count(lit(1)).as("_n"))
       .orderBy("_pid").collect()
@@ -73,6 +83,7 @@ object Ranks {
     import s.implicits._
     val ranged = df.repartitionByRange(npart, sort: _*)
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint() // pin boundaries — see globalRowNumber
     val sums = ranged.groupBy("_pid").agg(sum(value).as("_s"))
       .orderBy("_pid").collect()
     var acc = 0L

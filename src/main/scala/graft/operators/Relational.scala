@@ -1284,8 +1284,43 @@ object Relational {
              FROM spine CROSS JOIN st LEFT JOIN b ON b.bin = spine.bin
              ORDER BY spine.bin"""))
 
+  /** R57 — EQUI-DEPTH histogram (the optimizer-statistics shape: every
+    * bin holds ~n/k rows, bin edges adapt to the distribution, where
+    * R56's equi-width bins starve in sparse ranges). Bin assignment is
+    * pure rank arithmetic — bin = (rank−1)·k div n — over a GLOBAL
+    * row_number on (value, unique key), which is exactly the R53
+    * funnel trap: the naive global window funnels the table through
+    * one task. Composed on [[Ranks.globalRowNumber]] instead: range
+    * exchange + O(#partitions) offsets + pid-local windows, no
+    * SinglePartition anywhere. Edges are min/max DATA values per bin —
+    * no arithmetic, so nothing to quantize cross-engine. */
+  val qHistogramDepth = QueryDef(
+    "q_histogram_depth",
+    (s, d) => {
+      val ranked = Ranks.globalRowNumber(
+        Tables.orders(s, d)
+          .select(col("o_totalprice").as("price"), col("o_orderkey").as("k")),
+        Seq(col("price").asc, col("k").asc), 32, "rn")
+      val nRow = ranked.agg(count(lit(1)).as("n_total"))
+      ranked.crossJoin(broadcast(nRow))
+        .withColumn("bin",
+          expr(s"cast(((rn - 1) * $NBins) div n_total as int)"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), min("price").as("lo"), max("price").as("hi"))
+        .orderBy("bin")
+    },
+    Some(s"""WITH r AS (SELECT o_totalprice AS price, o_orderkey AS k,
+                     row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+                       AS rn
+                   FROM orders),
+             n AS (SELECT count(*) AS n_total FROM orders)
+             SELECT CAST(((rn - 1) * $NBins) // n_total AS INT) AS bin,
+                    CAST(count(*) AS BIGINT) AS n,
+                    min(price) AS lo, max(price) AS hi
+             FROM r, n GROUP BY 1 ORDER BY bin"""))
+
   val all: Seq[QueryDef] = Seq(
-    qHistogram,
+    qHistogram, qHistogramDepth,
     qScanPushdown, q1PricingSummary, q3ShippingPriority, q5LocalSupplier,
     qBroadcastJoin, qSemiJoin, qAntiJoin, qWindowRank, qWindowRunning,
     qCountDistinct, qConditionalAgg, qTopK, qRollup, qPercentiles,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -116,5 +116,31 @@ class RanksSpec extends SparkSpec {
     val sums = rows.map(_.getAs[Long]("token_sum"))
     assert(sums.max - sums.min <= maxTok,
       s"snake packing spread ${sums.max - sums.min} exceeds max doc $maxTok")
+  }
+
+  test("R57: equi-depth bins balance within one row, edges ordered, no funnel") {
+    val df = Relational.qHistogramDepth.fn(spark, sf)
+    val rows = df.collect()
+    assert(rows.map(_.getAs[Int]("bin")).toSeq ===
+      (0 until Relational.NBins))
+    val sizes = rows.map(_.getAs[Long]("n"))
+    assert(sizes.max - sizes.min <= 1L,
+      s"equi-depth sizes must differ by at most 1, got ${sizes.toSeq}")
+    // bin value ranges are ordered: hi(i) <= lo(i+1)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"))
+      case _ =>
+    }
+    // the rank path itself must not funnel (the entry's 1-row count
+    // aggregates legitimately reduce O(#partitions) partials on one
+    // task — that's metadata, not data; R53's spec covers the rank)
+    val ranked = Ranks.globalRowNumber(
+      Tables.orders(spark, sf)
+        .select(col("o_totalprice").as("price"), col("o_orderkey").as("k")),
+      Seq(col("price").asc, col("k").asc), 8, "rn")
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      "rank assignment must not funnel through one task")
   }
 }

@@ -149,6 +149,8 @@ class RelationalSpec extends SparkSpec {
       // 1-row min/max stats broadcast onto the fact and the O(NBins)
       // spine — both bounded by construction
       "q_histogram",
+      // 1-row total-count broadcast for the rank→bin arithmetic
+      "q_histogram_depth",
       // 1-row corpus-size (N) stats broadcast for the idf term
       "text_index_retrieve")
     graft.SparkEntry.queries.keys.foreach { name =>
