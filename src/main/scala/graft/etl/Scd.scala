@@ -222,5 +222,124 @@ object Scd {
             FROM versions
             ORDER BY o_custkey, valid_from, seq"""))
 
-  val all: Seq[QueryDef] = Seq(etlScd2, qPitLookup, etlScd2Apply)
+  /** E13d — SCD2 from a CDC feed WITH delete tombstones: the version
+    * history a real change-data-capture stream implies, which plain
+    * [[scd2]] cannot express (E17's applyChanges keeps only final
+    * state; this keeps the full timeline). Semantics per key, in
+    * (ts, seq) order, over the row's EFFECTIVE state (attr, or NULL
+    * while deleted):
+    *
+    *   - a version opens when the effective state changes (so a
+    *     re-insert of the SAME value after a delete is a NEW version —
+    *     the gap is real history — while consecutive equal upserts
+    *     still collapse);
+    *   - a tombstone closes the open version at its ts and emits no
+    *     version of its own, UNLESS it is the key's trailing event, in
+    *     which case it stays as the deleted-state marker row
+    *     (attr NULL, valid_to NULL, is_current false) — what tells
+    *     readers "this key ended deleted" and what makes the
+    *     incremental apply idempotent for deleted keys;
+    *   - a leading tombstone records "known deleted upstream" the same
+    *     way (CDC asserts the key existed) — keeping full-rebuild ≡
+    *     incremental-apply exact.
+    *
+    * Same one-Exchange shape as [[scd2]]: lag/row_number/lead all ride
+    * Window.partitionBy(key). */
+  def scd2Cdc(feed: DataFrame, key: String, attr: String,
+      opCol: String = "op"): DataFrame = {
+    val byKey = Window.partitionBy(col(key)).orderBy(col("ts"), col("seq"))
+    feed
+      .withColumn("eff",
+        when(col(opCol) === "D", lit(null).cast("string"))
+          .otherwise(col(attr)))
+      .withColumn("prev_eff", lag(col("eff"), 1).over(byKey))
+      .withColumn("rn", row_number().over(byKey))
+      .filter(col("rn") === 1 || !(col("eff") <=> col("prev_eff")))
+      .withColumn("valid_to", lead(col("ts"), 1).over(byKey))
+      .filter(col("eff").isNotNull || col("valid_to").isNull)
+      .select(col(key), col("eff").as(attr), col("ts").as("valid_from"),
+        col("valid_to"),
+        (col("valid_to").isNull && col("eff").isNotNull).as("is_current"),
+        col("seq"))
+  }
+
+  /** E13d incremental half: [[scd2Apply]]'s merge for the CDC-feed
+    * dimension. The "open" row of a key is its valid_to-IS-NULL row —
+    * the current version OR the trailing tombstone; both re-enter
+    * change detection (the tombstone as a 'D' row, so a delta
+    * re-insert of the pre-delete value still opens a NEW version and
+    * an empty delta reproduces the tombstone). The (valid_from, seq)
+    * stale gate works unchanged because deleted keys keep their
+    * tombstone's coordinates in the state. */
+  def scd2ApplyCdc(state: DataFrame, delta: DataFrame, key: String,
+      attr: String, opCol: String = "op"): DataFrame = {
+    val deltaKeys = delta.select(col(key)).distinct()
+    val touched = state.join(deltaKeys, Seq(key), "left_semi")
+    val untouched = state.join(deltaKeys, Seq(key), "left_anti")
+    val closed = touched.filter(col("valid_to").isNotNull)
+    val open = touched.filter(col("valid_to").isNull)
+    val openV = open.select(col(key), col("valid_from").as("open_from"),
+      col("seq").as("open_seq"))
+    val freshDelta = delta.join(openV, Seq(key), "left")
+      .filter(col("open_from").isNull ||
+        col("ts") > col("open_from") ||
+        (col("ts") === col("open_from") && col("seq") > col("open_seq")))
+      .select(col(key), col(attr), col(opCol), col("ts"), col("seq"))
+    val openFeed = open.select(col(key), col(attr),
+      when(col(attr).isNull, lit("D")).otherwise(lit("U")).as(opCol),
+      col("valid_from").as("ts"), col("seq"))
+    val rebuilt = scd2Cdc(openFeed.union(freshDelta), key, attr, opCol)
+    untouched.unionByName(closed).unionByName(rebuilt)
+  }
+
+  private def cdcFeed(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      (col("o_orderkey") % 3000).as("ck"),
+      when(col("o_orderkey") % 7 === 0, lit("D")).otherwise(lit("U")).as("op"),
+      col("o_orderstatus").as("attr"),
+      col("o_orderdate").as("ts"), col("o_orderkey").as("seq"))
+
+  private val cdcRebuildSql =
+    """WITH feed AS (
+         SELECT o_orderkey % 3000 AS ck,
+                CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+                o_orderstatus AS attr, o_orderdate AS ts, o_orderkey AS seq
+         FROM orders),
+       e AS (SELECT *, CASE WHEN op = 'D' THEN NULL ELSE attr END AS eff
+             FROM feed),
+       w AS (SELECT *,
+               lag(eff) OVER (PARTITION BY ck ORDER BY ts, seq) AS prev_eff,
+               row_number() OVER (PARTITION BY ck ORDER BY ts, seq) AS rn
+             FROM e),
+       kept AS (SELECT * FROM w
+                WHERE rn = 1 OR (eff IS DISTINCT FROM prev_eff)),
+       v AS (SELECT *,
+               lead(ts) OVER (PARTITION BY ck ORDER BY ts, seq) AS valid_to
+             FROM kept)
+       SELECT ck, eff AS attr, ts AS valid_from, valid_to,
+              (valid_to IS NULL AND eff IS NOT NULL) AS is_current, seq
+       FROM v WHERE eff IS NOT NULL OR valid_to IS NULL
+       ORDER BY ck, valid_from, seq"""
+
+  val etlScd2Cdc = QueryDef(
+    "etl_scd2_cdc",
+    (s, d) => scd2Cdc(cdcFeed(s, d), "ck", "attr")
+      .orderBy(col("ck"), col("valid_from"), col("seq")),
+    Some(cdcRebuildSql))
+
+  val etlScd2CdcApply = QueryDef(
+    "etl_scd2_cdc_apply",
+    (s, d) => {
+      val cutoff = "1995-01-01"
+      val history = cdcFeed(s, d).filter(col("ts") <= lit(cutoff))
+      val delta = cdcFeed(s, d).filter(col("ts") > lit(cutoff))
+      val state = scd2Cdc(history, "ck", "attr")
+      scd2ApplyCdc(state, delta, "ck", "attr")
+        .orderBy(col("ck"), col("valid_from"), col("seq"))
+    },
+    // incremental apply must reproduce the full rebuild bit-for-bit
+    Some(cdcRebuildSql))
+
+  val all: Seq[QueryDef] = Seq(etlScd2, qPitLookup, etlScd2Apply,
+    etlScd2Cdc, etlScd2CdcApply)
 }

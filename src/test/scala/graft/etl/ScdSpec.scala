@@ -91,6 +91,45 @@ class ScdSpec extends SparkSpec {
     merged.unpersist(); state.unpersist()
   }
 
+  test("E13d: tombstone semantics — gaps are history, trailing deletes are markers") {
+    import spark.implicits._
+    val feed = Seq(
+      // key 1: A → delete → A again: the re-insert is a NEW version
+      (1L, "U", "A", 10L, 1L), (1L, "D", null, 20L, 2L), (1L, "U", "A", 30L, 3L),
+      // key 2: update then delete: trailing tombstone marker stays
+      (2L, "U", "X", 10L, 4L), (2L, "U", "Y", 20L, 5L), (2L, "D", null, 30L, 6L),
+      // key 3: consecutive equal upserts still collapse
+      (3L, "U", "P", 10L, 7L), (3L, "U", "P", 20L, 8L),
+      // key 4: leading tombstone records "known deleted"
+      (4L, "D", null, 10L, 9L)
+    ).toDF("k", "op", "attr", "ts", "seq")
+    val v = Scd.scd2Cdc(feed, "k", "attr").orderBy("k", "valid_from").collect()
+    val k1 = v.filter(_.getLong(0) == 1L)
+    assert(k1.map(r => (r.getAs[String]("attr"), r.getAs[Long]("valid_from"),
+      Option(r.getAs[Any]("valid_to")))).toSeq ===
+      Seq(("A", 10L, Some(20L)), ("A", 30L, None)),
+      "delete-then-reinsert of the same value must be two versions with a gap")
+    assert(k1.last.getAs[Boolean]("is_current"))
+    val k2 = v.filter(_.getLong(0) == 2L)
+    assert(k2.length === 3)
+    assert(k2(1).getAs[Any]("valid_to") === 30L, "delete closes the open version")
+    assert(k2(2).getAs[String]("attr") === null &&
+      !k2(2).getAs[Boolean]("is_current"), "trailing tombstone marker row")
+    assert(v.count(_.getLong(0) == 3L) === 1, "equal upserts collapse")
+    val k4 = v.filter(_.getLong(0) == 4L)
+    assert(k4.length === 1 && k4.head.getAs[String]("attr") === null)
+
+    // incremental apply across a split + replay idempotence
+    val hist = feed.filter(col("ts") <= 20L)
+    val delta = feed.filter(col("ts") > 20L)
+    val merged = Scd.scd2ApplyCdc(Scd.scd2Cdc(hist, "k", "attr"),
+      delta, "k", "attr")
+    val full = Scd.scd2Cdc(feed, "k", "attr")
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
+    val replay = Scd.scd2ApplyCdc(merged, delta, "k", "attr")
+    assert(replay.exceptAll(merged).isEmpty && merged.exceptAll(replay).isEmpty)
+  }
+
   test("the whole build runs inside one hash partitioning on the key") {
     // window Exchanges are inserted by EnsureRequirements, so they only
     // exist in executedPlan; on a fresh (unexecuted, uncached) plan the
