@@ -295,6 +295,25 @@ object PipelineQueries {
     },
     None)
 
+  /** D61: IVF-PQ composed index — SELF-VERIFYING like its parents
+    * (D7-alt cells, D49 codes): recall columns vs the D6 exact
+    * baseline over the planted eval corpus. A planted identical copy
+    * lands in the query's own argmax cell AND encodes to the query's
+    * own codes, so it must survive BOTH prunings and rank first —
+    * top-1 recall is the composed index's correctness signal. */
+  val annIvfPq = QueryDef(
+    "ann_ivf_pq",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = boundedQueries(emb)
+      val corpus = annEvalCorpus(emb, q)
+      Ann.withRecallVsExact(
+        graft.similarity.IvfPq.topK(corpus, q, 10, cacheKey = d + "#eval"),
+        Ann.bruteForceTopK(corpus, q, 10), 10)
+        .orderBy("q_id", "rnk")
+    },
+    None)
+
   /** D36: hard-negative mining for contrastive embedding training —
     * per anchor, the exact top-k most-similar vectors with a DIFFERENT
     * label. Same bounded-broadcast scan shape as D6 (the label
@@ -1992,6 +2011,7 @@ object PipelineQueries {
     dedupExact, dedupMinhashLsh, dedupSimhash, dedupNgramJaccard,
     dedupJaccardAllpairs, dedupSpanMask,
     dedupEmbeddingCosine, annBruteforceTopK, annLsh, annIvf, annPqAdc,
+    annIvfPq,
     textLangId, textQualityScore, textTokenCount, textFingerprint,
     textWinnow, textWinnowGeometry, textVocab, textTokenize, vecCentroid,
     mmBinaryMeta, mmPhashNeardup, textDsirSelect,

@@ -74,7 +74,7 @@ object Ivf {
   /** The nprobe highest-scoring cells for each query vector. The
     * lambdas are CLOSED (only their own arguments) — no free column
     * references, so no per-element re-evaluation hazard. */
-  private def probeCells(emb: Column, codebook: Seq[Seq[Double]],
+  private[similarity] def probeCells(emb: Column, codebook: Seq[Seq[Double]],
       nprobe: Int): Column = {
     val scored = transform(cellScores(emb, codebook),
       (s, i) => struct((-s).as("neg"), i.as("cell")))

@@ -157,38 +157,52 @@ object Pq {
     * m small ints per row: at 256-dim float, 32× less I/O than the
     * exact scan. Scores are cosine(q, decode(codes)) algebraically
     * (dot and norm both decompose over subspaces). */
-  def topK(corpus: DataFrame, queries: DataFrame, k: Int,
-      cb: Seq[Seq[Seq[Double]]], cacheKey: String): DataFrame = {
+  /** The per-query dot-product lookup table: m × ksub doubles —
+    * ⟨q_sub, codeword⟩ for every (subspace, codeword). Built ONCE per
+    * query row; corpus rows then score with m lookups. */
+  def dotLut(qEmb: Column, cb: Seq[Seq[Seq[Double]]]): Column = {
     val m = cb.length
     val dsub = cb.head.head.length
     val cbLit = typedlit(cb)
-    // ||codeword||² per (subspace, code): a plan constant
-    val norm2Lit = typedlit(cb.map(_.map(c => c.map(x => x * x).sum)))
-    val codes = encodedStored(corpus, cb, cacheKey)
-
-    val qEmb = col("embedding").cast("array<double>")
-    val dotLut = transform(sequence(lit(0), lit(m - 1)), s =>
+    transform(sequence(lit(0), lit(m - 1)), s =>
       transform(element_at(cbLit, s + lit(1)), c =>
         aggregate(zip_with(slice(qEmb, s * dsub + lit(1), lit(dsub)), c,
           (a, b) => a * b), lit(0.0), (acc, x) => acc + x)))
-    val qNorm = sqrt(aggregate(transform(qEmb, x => x * x),
-      lit(0.0), (acc, x) => acc + x))
-    val qSide = queries.select(col("vec_id").as("q_id"),
-      dotLut.as("lut"), qNorm.as("q_norm"))
+  }
 
-    // per corpus row: m LUT lookups for the dot, m for ||x̂||²
+  def vecNorm(qEmb: Column): Column =
+    sqrt(aggregate(transform(qEmb, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** ||codeword||² per (subspace, code) — a plan constant. */
+  def norm2Table(cb: Seq[Seq[Seq[Double]]]): Column =
+    typedlit(cb.map(_.map(c => c.map(x => x * x).sum)))
+
+  /** ADC cosine of a coded corpus row against a query's LUT: m table
+    * lookups for the dot, m for ||x̂||² — algebraically
+    * cosine(q, decode(codes)), never decoding. 6dp-rounded (the repo's
+    * similarity-score convention). */
+  def adcScore(codes: Column, lut: Column, qNorm: Column,
+      norm2Lit: Column): Column = {
     val dot = aggregate(
-      zip_with(col("codes"), col("lut"), (code, tab) =>
-        element_at(tab, code + lit(1))),
+      zip_with(codes, lut, (code, tab) => element_at(tab, code + lit(1))),
       lit(0.0), (acc, x) => acc + x)
     val xNorm2 = aggregate(
-      zip_with(col("codes"), norm2Lit, (code, tab) =>
-        element_at(tab, code + lit(1))),
+      zip_with(codes, norm2Lit, (code, tab) => element_at(tab, code + lit(1))),
       lit(0.0), (acc, x) => acc + x)
+    round(dot / (qNorm * sqrt(xNorm2)), 6)
+  }
+
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int,
+      cb: Seq[Seq[Seq[Double]]], cacheKey: String): DataFrame = {
+    val codes = encodedStored(corpus, cb, cacheKey)
+    val qEmb = col("embedding").cast("array<double>")
+    val qSide = queries.select(col("vec_id").as("q_id"),
+      dotLut(qEmb, cb).as("lut"), vecNorm(qEmb).as("q_norm"))
     val scored = codes
       .join(broadcast(qSide), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(dot / (col("q_norm") * sqrt(xNorm2)), 6).as("adc_sim"))
+        adcScore(col("codes"), col("lut"), col("q_norm"),
+          norm2Table(cb)).as("adc_sim"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("adc_sim").desc, col("vec_id"))
     scored.withColumn("rnk", row_number().over(w))

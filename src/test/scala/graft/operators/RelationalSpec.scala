@@ -131,7 +131,8 @@ class RelationalSpec extends SparkSpec {
     // self-verifying entries whose 1-row corpus-stats cross join is an
     // intentional broadcast of a single aggregated row
     val bnljAllowed = Set("ann_bruteforce_topk", "ann_hard_negatives",
-      "ann_lsh", "ann_ivf", "ann_pq_adc", "dedup_minhash_lsh", "dedup_simhash",
+      "ann_lsh", "ann_ivf", "ann_pq_adc", "ann_ivf_pq",
+      "dedup_minhash_lsh", "dedup_simhash",
       "dedup_ngram_jaccard", "dedup_pipeline", "dedup_skew_stress",
       "text_bm25", "dedup_semantic", "text_lm_score",
       // re-runs the D28 LM-scoring shape, so it inherits text_lm_score's

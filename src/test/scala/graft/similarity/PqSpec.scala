@@ -49,4 +49,33 @@ class PqSpec extends SparkSpec {
       s"top1_recall ${stats.getAs[Double]("top1_recall")}")
     assert(stats.getAs[Double]("mean_recall") >= 0.2)
   }
+
+  test("D61: IVF-PQ planted copies survive both prunings; probe scan prunes cells") {
+    val out = graft.SparkEntry.queries("ann_ivf_pq")(spark, sf).cache()
+    val stats = out.select("top1_recall", "mean_recall", "min_recall")
+      .distinct().head()
+    // an identical copy lands in the query's own argmax cell AND shares
+    // its codes — the composed index must keep finding it
+    assert(stats.getAs[Double]("top1_recall") >= 0.9,
+      s"top1_recall ${stats.getAs[Double]("top1_recall")}")
+    // doubly-lossy: the noise tail shrinks further than PQ-only, but
+    // the planted signal must hold
+    assert(stats.getAs[Double]("mean_recall") >= 0.1)
+    out.unpersist()
+
+    // the probe's scan must prune to the probed cell partitions —
+    // assert on the pruned index read the entry path constructs
+    import graft.Tables
+    val emb = Tables.embeddings(spark, sf)
+    val cbIvf = Ivf.codebookFor(emb, 16, sf + "#prunecheck")
+    val cbPq = Pq.codebooks(emb, sf + "#prunecheck")
+    val index = IvfPq.indexStored(emb, cbIvf, cbPq, sf + "#prunecheck")
+    val pruned = index.filter(col("cell").isin(0, 3))
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.selectedPartitions.partitionCount <= 2,
+      s"cell IN (0,3) must read ≤2 of 16 cell partitions, " +
+        s"read ${scan.selectedPartitions.partitionCount}")
+  }
 }
