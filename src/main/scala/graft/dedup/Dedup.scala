@@ -34,6 +34,43 @@ object Dedup {
     * quadratic bucket. The skew-safety valve SURVEY §5 calls for. */
   val MaxBucket = 100
 
+  /** D2b — LSH parameter auto-tuning: choose (bands, rowsPerBand) with
+    * b·r = numPerm minimizing the integrated deviation of the banding
+    * S-curve P(candidate | s) = 1 − (1 − s^r)^b from the ideal step at
+    * the target Jaccard threshold τ — ∫₀^τ P (false-positive mass) +
+    * ∫τ^1 (1 − P) (false-negative mass), trapezoid-integrated. This is
+    * the standard MinHashLSH calibration (Leskovec/Rajaraman/Ullman,
+    * Mining of Massive Datasets §3.4.3); `fnWeight` skews the
+    * integral when misses cost more than extra verify work (dedup
+    * usually wants fnWeight > 1: a missed near-dup stays in the
+    * corpus, a false candidate just costs one D4 verification).
+    * Driver-side O(divisors × steps) arithmetic — a planning call, no
+    * data touched. */
+  def lshParams(numPerm: Int, tau: Double,
+      fnWeight: Double = 1.0): (Int, Int) = {
+    require(numPerm > 0 && tau > 0 && tau < 1)
+    val configs = (1 to numPerm).filter(numPerm % _ == 0)
+      .map(b => (b, numPerm / b))
+    def err(b: Int, r: Int): Double = {
+      val n = 500
+      var fp, fn = 0.0
+      var i = 0
+      while (i < n) {
+        val s = (i + 0.5) / n
+        val p = 1.0 - math.pow(1.0 - math.pow(s, r.toDouble), b.toDouble)
+        if (s < tau) fp += p / n else fn += (1.0 - p) / n
+        i += 1
+      }
+      fp + fnWeight * fn
+    }
+    configs.minBy { case (b, r) => err(b, r) }
+  }
+
+  /** The s where the S-curve crosses 1/2 — the config's effective
+    * threshold, ≈ (1/b)^(1/r). */
+  def lshThreshold(bands: Int, rowsPerBand: Int): Double =
+    math.pow(1.0 / bands, 1.0 / rowsPerBand)
+
   private def spread(docs: DataFrame): DataFrame =
     graft.functions.Spread(docs, col("doc_id"))
 

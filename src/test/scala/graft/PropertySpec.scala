@@ -224,4 +224,54 @@ class PropertySpec extends SparkSpec {
       assert((fps(1L) & fps(2L)).nonEmpty, s"prefixes: '$p' / '$q'")
     }
   }
+
+  test("D2b: LSH tuning tracks the target threshold and beats neighbor configs") {
+    import graft.dedup.Dedup
+    // the chosen config's effective threshold follows τ monotonically
+    // and lands near it
+    val taus = Seq(0.3, 0.5, 0.7, 0.9)
+    val effs = taus.map { tau =>
+      val (b, r) = Dedup.lshParams(128, tau)
+      assert(b * r === 128)
+      Dedup.lshThreshold(b, r)
+    }
+    effs.zip(taus).foreach { case (eff, tau) =>
+      assert(math.abs(eff - tau) < 0.2,
+        s"effective threshold $eff strays from target $tau") }
+    assert(effs === effs.sorted, "effective threshold must rise with τ")
+    // higher τ demands longer bands (more rows per band)
+    val rLow = Dedup.lshParams(128, 0.3)._2
+    val rHigh = Dedup.lshParams(128, 0.9)._2
+    assert(rHigh > rLow)
+    // the chosen config minimizes the integral among all divisors —
+    // spot-check against every alternative at τ = 0.5
+    val (bStar, rStar) = Dedup.lshParams(64, 0.5)
+    def curveErr(b: Int, r: Int): Double = {
+      val n = 500
+      (0 until n).map { i =>
+        val s = (i + 0.5) / n
+        val p = 1.0 - math.pow(1.0 - math.pow(s, r.toDouble), b.toDouble)
+        (if (s < 0.5) p else 1.0 - p) / n
+      }.sum
+    }
+    (1 to 64).filter(64 % _ == 0).foreach { b =>
+      assert(curveErr(bStar, rStar) <= curveErr(b, 64 / b) + 1e-12)
+    }
+    // fnWeight > 1 must never RAISE the false-negative mass
+    def fnMass(b: Int, r: Int): Double = {
+      val n = 500
+      (0 until n).map { i =>
+        val s = (i + 0.5) / n
+        if (s >= 0.5)
+          (1.0 - (1.0 - math.pow(1.0 - math.pow(s, r.toDouble), b.toDouble))) / n
+        else 0.0
+      }.sum
+    }
+    val (bW, rW) = Dedup.lshParams(64, 0.5, fnWeight = 4.0)
+    assert(fnMass(bW, rW) <= fnMass(bStar, rStar) + 1e-12)
+    // the repo's D2 defaults sit at the threshold they were designed
+    // for (τ ≈ 0.5-0.6 near-dup band)
+    val eff = Dedup.lshThreshold(Dedup.Bands, Dedup.RowsPerBand)
+    assert(eff > 0.4 && eff < 0.7, s"D2 default effective threshold $eff")
+  }
 }
