@@ -2006,8 +2006,99 @@ object PipelineQueries {
                      ORDER BY cos_q, vec_id) <= 10 AS is_outlier
             FROM sc ORDER BY vec_id"""))
 
+  /** D62 — URL canonicalization + URL-keyed dedup: the fetch-level
+    * dedup web corpora run before any content dedup. Deterministic
+    * synthetic surface forms (5 variants per page id: scheme/host
+    * case, www, default ports, trailing slash, tracking params,
+    * param order, fragments) exercise every rule in
+    * [[graft.functions.Url.canonicalize]]; variants that denote the
+    * same resource MUST collapse to one canonical key and those that
+    * differ semantically (http vs https, query vs none) MUST NOT.
+    * Canonicalization is pure codegen'd string/array expressions —
+    * map-side, zero shuffle; the dedup is one window pass on the
+    * canonical key (D1's shape). */
+  val textUrlCanonical = QueryDef(
+    "text_url_canonical",
+    (s, d) => {
+      val v = col("doc_id") % 5
+      val page = col("doc_id") % 97
+      val urlRaw = concat(
+        when(v === 2, lit("HTTPS")).when(v === 3, lit("http"))
+          .when(v === 4, lit("HTTP")).otherwise(lit("https")),
+        lit("://"),
+        when(v % 2 === 1, lit("WWW.CDN.Example.ORG"))
+          .otherwise(lit("cdn.example.org")),
+        when(v === 0, lit(":443")).when(v === 3, lit(":80"))
+          .otherwise(lit("")),
+        lit("/corpus/doc-"), page,
+        when(v === 1, lit("/")).otherwise(lit("")),
+        when(v === 2, lit("?b=2&a=1&utm_source=feed"))
+          .when(v === 4, lit("?a=1&b=2&fbclid=xyz"))
+          .when(v === 0, lit("?a=1&b=2")).otherwise(lit("")),
+        when(v === 1, lit("#top")).otherwise(lit("")))
+      val byCanon = Window.partitionBy(col("url_canon"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), urlRaw.as("url_raw"))
+        .withColumn("url_canon", graft.functions.Url.canonicalize(col("url_raw")))
+        .withColumn("n_same", count(lit(1)).over(byCanon))
+        .withColumn("is_keeper", min(col("doc_id")).over(byCanon) === col("doc_id"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH raw AS (
+              SELECT doc_id,
+                     (CASE WHEN doc_id % 5 = 2 THEN 'HTTPS'
+                           WHEN doc_id % 5 = 3 THEN 'http'
+                           WHEN doc_id % 5 = 4 THEN 'HTTP'
+                           ELSE 'https' END)
+                     || '://'
+                     || (CASE WHEN (doc_id % 5) % 2 = 1 THEN 'WWW.CDN.Example.ORG'
+                              ELSE 'cdn.example.org' END)
+                     || (CASE WHEN doc_id % 5 = 0 THEN ':443'
+                              WHEN doc_id % 5 = 3 THEN ':80' ELSE '' END)
+                     || '/corpus/doc-' || CAST(doc_id % 97 AS VARCHAR)
+                     || (CASE WHEN doc_id % 5 = 1 THEN '/' ELSE '' END)
+                     || (CASE WHEN doc_id % 5 = 2 THEN '?b=2&a=1&utm_source=feed'
+                              WHEN doc_id % 5 = 4 THEN '?a=1&b=2&fbclid=xyz'
+                              WHEN doc_id % 5 = 0 THEN '?a=1&b=2' ELSE '' END)
+                     || (CASE WHEN doc_id % 5 = 1 THEN '#top' ELSE '' END)
+                       AS url_raw
+              FROM documents),
+            parts AS (
+              SELECT doc_id, url_raw,
+                     lower(regexp_extract(url_raw,
+                       '^([A-Za-z]+)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 1)) AS sch,
+                     regexp_replace(lower(regexp_extract(url_raw,
+                       '^([A-Za-z]+)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 2)),
+                       '^www\.', '') AS h0,
+                     regexp_replace(regexp_extract(url_raw,
+                       '^([A-Za-z]+)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 3),
+                       '/+$', '') AS path,
+                     regexp_extract(url_raw,
+                       '^([A-Za-z]+)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 4) AS rawq
+              FROM raw),
+            canon AS (
+              SELECT doc_id, url_raw,
+                     sch || '://'
+                     || (CASE WHEN sch = 'http' THEN regexp_replace(h0, ':80$', '')
+                              WHEN sch = 'https' THEN regexp_replace(h0, ':443$', '')
+                              ELSE h0 END)
+                     || path
+                     || (CASE WHEN len(list_filter(string_split(substr(rawq, 2), '&'),
+                            p -> p != '' AND NOT regexp_matches(p,
+                              '^(utm_[a-z]+|fbclid|gclid|ref)='))) > 0
+                          THEN '?' || array_to_string(list_sort(
+                            list_filter(string_split(substr(rawq, 2), '&'),
+                              p -> p != '' AND NOT regexp_matches(p,
+                                '^(utm_[a-z]+|fbclid|gclid|ref)='))), '&')
+                          ELSE '' END) AS url_canon
+              FROM parts)
+            SELECT doc_id, url_raw, url_canon,
+                   CAST(COUNT(*) OVER (PARTITION BY url_canon) AS BIGINT) AS n_same,
+                   (MIN(doc_id) OVER (PARTITION BY url_canon) = doc_id) AS is_keeper
+            FROM canon ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(
-    embDecontaminate, embOutliers,
+    embDecontaminate, embOutliers, textUrlCanonical,
     dedupExact, dedupMinhashLsh, dedupSimhash, dedupNgramJaccard,
     dedupJaccardAllpairs, dedupSpanMask,
     dedupEmbeddingCosine, annBruteforceTopK, annLsh, annIvf, annPqAdc,
