@@ -2097,8 +2097,78 @@ object PipelineQueries {
                    (MIN(doc_id) OVER (PARTITION BY url_canon) = doc_id) AS is_keeper
             FROM canon ORDER BY doc_id"""))
 
+  /** D63 — PMI collocation mining: corpus-level bigram association
+    * scores ln(p(w1w2) / (p(w1)·p(w2))) with a minimum-support cut —
+    * the phrase-detection pass (word2vec-phrases / NLTK collocations
+    * shape) that feeds tokenizer vocabularies multi-word units and
+    * surfaces corpus boilerplate n-gram dedup misses. Shape: the
+    * bigram explode is D28's inherent shuffle; unigram and bigram
+    * count tables reduce map-side; two word-keyed join-backs price
+    * the PMI (at 100 TB both key on xxhash64 longs — the D28
+    * hashKeys trade, string mode kept for the oracle); min-support
+    * kills the hapax tail BEFORE the joins; top-k is
+    * TakeOrderedAndProject. ln is quantized floor(·1e6) from
+    * identical division order (the D46 convention). */
+  def collocations(docs: DataFrame, minC: Int, k: Int): DataFrame = {
+      val withWs = graft.functions.Spread(docs, col("doc_id"))
+        .withColumn("ws", Text.words(col("text")))
+      val pairs = withWs.select(explode(expr(
+        """CASE WHEN size(ws) >= 2 THEN
+             transform(sequence(1, size(ws) - 1),
+               i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))
+           ELSE CAST(array() AS array<struct<w1:string,w2:string>>) END"""))
+        .as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val toks = withWs.select(explode(col("ws")).as("w"))
+        .filter(col("w") =!= "")
+      val cw = toks.groupBy("w").agg(count(lit(1)).as("cw"))
+      val nTok = toks.agg(count(lit(1)).as("n_tok"))
+      val nBig = pairs.agg(count(lit(1)).as("n_big"))
+      val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= minC)
+      c12
+        .join(cw.withColumnsRenamed(Map("w" -> "w1", "cw" -> "c1")), "w1")
+        .join(cw.withColumnsRenamed(Map("w" -> "w2", "cw" -> "c2")), "w2")
+        .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBig))
+        .withColumn("pmi_q",
+          floor(log((col("c12").cast("double") / col("n_big")) /
+            ((col("c1").cast("double") / col("n_tok")) *
+              (col("c2").cast("double") / col("n_tok")))) * 1e6).cast("long"))
+        .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+          col("pmi_q"))
+        .orderBy(desc("pmi_q"), asc("w1"), asc("w2"))
+        .limit(k)
+  }
+
+  val textCollocations = QueryDef(
+    "text_collocations",
+    (s, d) => collocations(Tables.documents(s, d), minC = 5, k = 50),
+    Some(s"""WITH w AS (SELECT doc_id, string_split($oCanon, ' ') AS ws
+                        FROM documents),
+             t AS (SELECT ws[i + 1] AS w FROM w,
+                     UNNEST(generate_series(0, len(ws) - 1)) AS u(i)
+                   WHERE ws[i + 1] != ''),
+             p AS (SELECT ws[i + 1] AS w1, ws[i + 2] AS w2 FROM w,
+                     UNNEST(generate_series(0, len(ws) - 2)) AS u(i)
+                   WHERE len(ws) >= 2),
+             cw AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM t GROUP BY w),
+             nt AS (SELECT count(*) AS n_tok FROM t),
+             nb AS (SELECT count(*) AS n_big FROM p),
+             c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                     FROM p GROUP BY w1, w2 HAVING count(*) >= 5)
+             SELECT c12.w1, c12.w2, c12.c12,
+                    a.cw AS c1, b.cw AS c2,
+                    CAST(floor(ln((CAST(c12.c12 AS DOUBLE) / n_big) /
+                      ((CAST(a.cw AS DOUBLE) / n_tok) *
+                       (CAST(b.cw AS DOUBLE) / n_tok))) * 1e6) AS BIGINT)
+                      AS pmi_q
+             FROM c12 JOIN cw a ON a.w = c12.w1
+                      JOIN cw b ON b.w = c12.w2
+                      CROSS JOIN nt CROSS JOIN nb
+             ORDER BY pmi_q DESC, w1, w2 LIMIT 50"""))
+
   val all: Seq[QueryDef] = Seq(
-    embDecontaminate, embOutliers, textUrlCanonical,
+    embDecontaminate, embOutliers, textUrlCanonical, textCollocations,
     dedupExact, dedupMinhashLsh, dedupSimhash, dedupNgramJaccard,
     dedupJaccardAllpairs, dedupSpanMask,
     dedupEmbeddingCosine, annBruteforceTopK, annLsh, annIvf, annPqAdc,

@@ -104,4 +104,26 @@ class TextSpec extends SparkSpec {
     val tenth = freqs.take(10).last
     assert(rows.forall(_.getAs[Long]("exact_freq") >= tenth))
   }
+
+  test("D63: a bound phrase out-scores an equally frequent independent pair") {
+    import spark.implicits._
+    // "neural network" only ever occurs as a unit; "the data" co-occur
+    // as often but both words also appear everywhere else
+    val filler = (1 to 6).map(i =>
+      s"the data of run $i and the cost of the data store $i")
+    val phrase = (1 to 6).map(i => s"neural network results for run $i")
+    val docs = (filler ++ phrase).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = graft.dedup.PipelineQueries
+      .collocations(docs, minC = 5, k = 20).collect()
+    val pmi = out.map(r => (r.getString(0), r.getString(1)) ->
+      r.getAs[Long]("pmi_q")).toMap
+    assert(pmi.contains(("neural", "network")), s"pairs: ${pmi.keys}")
+    assert(pmi.contains(("the", "data")))
+    assert(pmi(("neural", "network")) > pmi(("the", "data")),
+      "the bound phrase must carry strictly higher PMI")
+    // the top rank carries the bound-phrase PMI (ties like
+    // "network results" share the identical unit-pair counts)
+    assert(out.head.getAs[Long]("pmi_q") === pmi(("neural", "network")))
+  }
 }

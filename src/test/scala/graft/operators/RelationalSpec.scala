@@ -153,7 +153,9 @@ class RelationalSpec extends SparkSpec {
       // 1-row total-count broadcast for the rank→bin arithmetic
       "q_histogram_depth",
       // 1-row corpus-size (N) stats broadcast for the idf term
-      "text_index_retrieve")
+      "text_index_retrieve",
+      // 1-row token-total and bigram-total broadcasts for the PMI terms
+      "text_collocations")
     graft.SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
