@@ -373,6 +373,58 @@ object PipelineQueries {
                     ELSE 'fr' END AS lang_pred
              FROM h ORDER BY doc_id"""))
 
+  /** D64 — classifier evaluation harness: confusion matrix + per-class
+    * recall of the D8 language-ID signal against the corpus's labeled
+    * `lang` column — the eval loop every heuristic filter (D8, D9's
+    * classifier, D28's perplexity cut) needs before it gates data at
+    * scale. One (label, prediction) count aggregation; per-label
+    * totals/correct ride a label window on the TINY cell table
+    * (O(#classes²)), recall floor-quantized. Honest readout included:
+    * langs outside the marker set (zh here) can never be predicted —
+    * their recall_q = 0 rows quantify the filter's blind spot instead
+    * of hiding it. */
+  val textLangidEval = QueryDef(
+    "text_langid_eval",
+    (s, d) => {
+      val byLang = Window.partitionBy("lang")
+      graft.functions.Spread(Tables.documents(s, d), col("doc_id"))
+        .withColumn("ws", Text.words(col("text")))
+        .select(col("lang"), Text.langIdOnWords(col("ws")).as("lang_pred"))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+        .withColumn("lang_total", sum("n").over(byLang))
+        .withColumn("n_correct",
+          sum(when(col("lang") === col("lang_pred"), col("n"))
+            .otherwise(0L)).over(byLang))
+        .withColumn("recall_q",
+          floor(col("n_correct") * lit(1e6) / col("lang_total")).cast("long"))
+        .select(col("lang"), col("lang_pred"), col("n"),
+          col("lang_total"), col("recall_q"))
+        .orderBy("lang", "lang_pred")
+    },
+    Some(s"""WITH w AS (SELECT doc_id, lang, string_split($oCanon, ' ') AS ws
+                        FROM documents),
+             h AS (SELECT doc_id, lang,
+               len(list_filter(ws, x -> x IN ('the','a','of','and','is'))) AS en_hits,
+               len(list_filter(ws, x -> x IN ('der','die','und','das','ist'))) AS de_hits,
+               len(list_filter(ws, x -> x IN ('el','los','y','las','es'))) AS es_hits,
+               len(list_filter(ws, x -> x IN ('le','la','et','les','des'))) AS fr_hits
+             FROM w),
+             p AS (SELECT lang,
+               CASE WHEN en_hits >= greatest(de_hits, es_hits, fr_hits) THEN 'en'
+                    WHEN de_hits >= greatest(en_hits, es_hits, fr_hits) THEN 'de'
+                    WHEN es_hits >= greatest(en_hits, de_hits, fr_hits) THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+             FROM h),
+             cells AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+                       FROM p GROUP BY lang, lang_pred)
+             SELECT lang, lang_pred, n,
+                    CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
+                    CAST(floor(SUM(CASE WHEN lang = lang_pred THEN n ELSE 0 END)
+                        OVER (PARTITION BY lang)
+                      * 1e6 / SUM(n) OVER (PARTITION BY lang)) AS BIGINT)
+                      AS recall_q
+             FROM cells ORDER BY lang, lang_pred"""))
+
   /** D9: quality scoring — canon/words materialized once per row, and
     * the corpus spread across cores before the regex-heavy stage. */
   /** The D9 quality-score SQL expression (over an `m` CTE carrying
@@ -2169,6 +2221,7 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] = Seq(
     embDecontaminate, embOutliers, textUrlCanonical, textCollocations,
+    textLangidEval,
     dedupExact, dedupMinhashLsh, dedupSimhash, dedupNgramJaccard,
     dedupJaccardAllpairs, dedupSpanMask,
     dedupEmbeddingCosine, annBruteforceTopK, annLsh, annIvf, annPqAdc,
