@@ -50,6 +50,28 @@ object StreamJoin {
       .select(col("i.user_id"), col("i.imp_id"), col("c.click_id"),
         col("i.imp_ts"), col("c.click_ts"))
 
+  /** S21: FULL OUTER stream-stream interval join — completes the S8 /
+    * S13 join matrix: unmatched rows from BOTH sides survive. The
+    * click side's null-padded rows are the attribution-fraud /
+    * data-loss signal (a click with no impression should not exist —
+    * when it does, you want the row, not silence). Emission semantics
+    * are symmetric: an unmatched impression emits when the watermark
+    * closes [imp_ts, imp_ts + window]; an unmatched click emits when
+    * the watermark proves no in-window impression can still arrive.
+    * State on both sides stays watermark-evictable for exactly the
+    * S8 reason — the join condition bounds event time on both ends. */
+  def impressionClickJoinFull(impressions: DataFrame, clicks: DataFrame,
+      windowMinutes: Int = 10): DataFrame =
+    impressions.alias("i")
+      .join(clicks.alias("c"),
+        col("i.user_id") === col("c.user_id") &&
+          col("c.click_ts") >= col("i.imp_ts") &&
+          col("c.click_ts") <= col("i.imp_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+        "full_outer")
+      .select(col("i.user_id").as("imp_user"), col("c.user_id").as("click_user"),
+        col("i.imp_id"), col("c.click_id"),
+        col("i.imp_ts"), col("c.click_ts"))
+
   /** S9: stream–static enrichment join — every micro-batch of the
     * stream joins a STATIC dimension (inner, broadcast-hinted). The
     * standard "enrich events with reference data" shape: stateless (no

@@ -517,6 +517,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("S21: full-outer interval join keeps unmatched rows from BOTH streams") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val impStream = MemoryStream[(Long, Long, Timestamp)]
+    val clickStream = MemoryStream[(Long, Long, Timestamp)]
+    val joined = StreamJoin.impressionClickJoinFull(
+      impStream.toDF().toDF("user_id", "imp_id", "imp_ts")
+        .withWatermark("imp_ts", "1 hour"),
+      clickStream.toDF().toDF("user_id", "click_id", "click_ts")
+        .withWatermark("click_ts", "1 hour"))
+    val q = joined.writeStream.format("memory").queryName("s21_out")
+      .outputMode("append").start()
+    try {
+      impStream.addData(
+        (1L, 100L, ts("2026-01-01 10:00:00")), // matches click 900
+        (1L, 101L, ts("2026-01-01 12:00:00")), // converts never
+        (3L, 103L, ts("2026-01-01 10:00:00"))) // user with no clicks
+      clickStream.addData(
+        (1L, 900L, ts("2026-01-01 10:05:00")),
+        (4L, 904L, ts("2026-01-01 10:07:00"))) // orphan click: no impression
+      q.processAllAvailable()
+      val early = spark.table("s21_out").collect()
+      assert(!early.exists(r => r.isNullAt(2) || r.isNullAt(3)),
+        "no null-padded row may emit while its window is still open")
+      // push both watermarks far past every open interval
+      impStream.addData((9L, 199L, ts("2026-01-01 20:00:00")))
+      clickStream.addData((9L, 999L, ts("2026-01-01 20:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("s21_out")
+        .select("imp_id", "click_id").collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+      assert(rows === Set(
+        (100L, 900L), (199L, 999L), // matches
+        (101L, -1L), (103L, -1L),   // no-convert impressions
+        (-1L, 904L)),               // the orphan click survives
+        s"unexpected full-outer output: $rows")
+    } finally q.stop()
+  }
+
   test("S9: stream-static broadcast enrichment equals the batch join and drops unmatched keys") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
