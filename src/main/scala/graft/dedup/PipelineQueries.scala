@@ -425,6 +425,28 @@ object PipelineQueries {
                       AS recall_q
              FROM cells ORDER BY lang, lang_pred"""))
 
+  /** D65 — exact-count stratified split (see
+    * [[graft.functions.Splits.exactStratifiedSplit]]): per language,
+    * exactly ceil(10% · n_lang) docs held out. The oracle derives the
+    * SAME assignment independently via a per-stratum row_number —
+    * proving the global-rank-minus-offset composition equals the
+    * direct per-stratum rank. */
+  val qExactSplit = QueryDef(
+    "q_exact_split",
+    (s, d) => graft.functions.Splits.exactStratifiedSplit(
+      Tables.documents(s, d), "doc_id", "lang", 0.1).orderBy("doc_id"),
+    Some("""WITH h AS (SELECT doc_id, lang,
+                       md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+            r AS (SELECT *,
+                    row_number() OVER (PARTITION BY lang
+                                       ORDER BY h, doc_id) AS sr,
+                    COUNT(*) OVER (PARTITION BY lang) AS n_s
+                  FROM h)
+            SELECT doc_id, lang, CAST(sr AS BIGINT) AS sr,
+                   CASE WHEN sr <= CEIL(n_s * 0.1) THEN 'val'
+                        ELSE 'train' END AS split
+            FROM r ORDER BY doc_id"""))
+
   /** D9: quality scoring — canon/words materialized once per row, and
     * the corpus spread across cores before the regex-heavy stage. */
   /** The D9 quality-score SQL expression (over an `m` CTE carrying
@@ -2221,7 +2243,7 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] = Seq(
     embDecontaminate, embOutliers, textUrlCanonical, textCollocations,
-    textLangidEval,
+    textLangidEval, qExactSplit,
     dedupExact, dedupMinhashLsh, dedupSimhash, dedupNgramJaccard,
     dedupJaccardAllpairs, dedupSpanMask,
     dedupEmbeddingCosine, annBruteforceTopK, annLsh, annIvf, annPqAdc,

@@ -92,4 +92,45 @@ object Splits {
       _.otherwise(hexThreshold(defaultRate)))
     df.filter(hashBucket(key) < thr)
   }
+
+  /** D65 — EXACT-count stratified split: per stratum, exactly
+    * ceil(p · n_s) rows to the held-out split, the rest to train.
+    * [[hashSplit]]'s thresholds give EXPECTED proportions — fine for
+    * train, but an eval set wants its size exact and reproducible.
+    * Selection is by md5-hash order within the stratum (content-
+    * independent, stable under corpus growth only in the hashSplit
+    * sense — adding rows shifts the boundary by design: exact counts
+    * and insertion stability are mutually exclusive, which is WHY both
+    * operators exist).
+    *
+    * Scale shape: the per-stratum rank rides [[graft.operators.Ranks
+    * .globalRowNumber]] on the (stratum, hash, key) total order —
+    * stratum-local rank = global rank − stratum start offset, with
+    * the offsets from the O(#strata) count table (the documented
+    * bounded driver materialization class, same as alphaSampleRates).
+    * No per-stratum window ever funnels a whole stratum through one
+    * task — the trap a naive Window.partitionBy(stratum) hits when
+    * strata are few and huge. */
+  def exactStratifiedSplit(df: DataFrame, key: String, stratum: String,
+      p: Double, heldOut: String = "val",
+      npart: Int = 32): DataFrame = {
+    val withH = df.select(col(key), col(stratum),
+      md5(col(key).cast("string").cast("binary")).as("_h"))
+    val ranked = graft.operators.Ranks.globalRowNumber(withH,
+      Seq(col(stratum).asc, col("_h").asc, col(key).asc), npart, "_grn")
+    val counts = withH.groupBy(stratum).agg(count(lit(1)).as("n_s"))
+      .orderBy(stratum).collect() // O(#strata)
+    var acc = 0L
+    val offs = counts.map { r =>
+      val o = (r.getString(0), acc, r.getLong(1)); acc += r.getLong(1); o
+    }.toSeq
+    val s = df.sparkSession
+    import s.implicits._
+    ranked.join(broadcast(offs.toDF(stratum, "_off", "n_s")), Seq(stratum))
+      .withColumn("sr", col("_grn") - col("_off"))
+      .withColumn("split",
+        when(col("sr") <= ceil(col("n_s") * p), lit(heldOut))
+          .otherwise(lit("train")))
+      .select(col(key), col(stratum), col("sr"), col("split"))
+  }
 }

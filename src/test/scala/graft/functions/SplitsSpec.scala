@@ -66,6 +66,27 @@ class SplitsSpec extends SparkSpec {
     assert(none.filter(col("lang") === "en").count() === 0)
   }
 
+  test("D65: exact stratified split holds out exactly ceil(p*n) per stratum") {
+    val out = Splits.exactStratifiedSplit(
+      docs.select("doc_id", "lang"), "doc_id", "lang", 0.1).cache()
+    val perLang = out.groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"))
+      .collect()
+    assert(perLang.nonEmpty)
+    perLang.foreach { r =>
+      val expected = math.ceil(r.getAs[Long]("n") * 0.1).toLong
+      assert(r.getAs[Long]("n_val") === expected,
+        s"lang ${r.getString(0)}: val=${r.getAs[Long]("n_val")} expected=$expected")
+    }
+    // total conservation + determinism across runs
+    assert(out.count() === docs.count())
+    val again = Splits.exactStratifiedSplit(
+      docs.select("doc_id", "lang"), "doc_id", "lang", 0.1)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    out.unpersist()
+  }
+
   test("the split expression stays map-side: no shuffle in the plan") {
     val plan = Splits.hashSplit(docs.select("doc_id"), col("doc_id"))
       .queryExecution.executedPlan.toString
