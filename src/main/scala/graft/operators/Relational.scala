@@ -1136,6 +1136,55 @@ object Relational {
     },
     None)
 
+  /** R58 — sketch-based audience overlap: distinct-user counts of two
+    * behavioral segments, their union (a NATIVE sketch merge) and
+    * their intersection (inclusion–exclusion over the estimates —
+    * HLL cannot intersect directly; |A∩B| = |A|+|B|−|A∪B| inherits
+    * roughly the union's absolute error, which RELATIVE to a small
+    * intersection can be large: the entry reports it rather than
+    * hiding it, and the spec bounds it on this data). The 100 TB
+    * story: segment sketches are stored per partition/day (R40),
+    * overlap questions between ANY segments answer from sketch bytes
+    * without re-scanning or joining raw events. SELF-VERIFYING: exact
+    * baselines + rel_err per metric in-output (the exact side is eval
+    * instrumentation; production reads only sketches). One user_id
+    * shuffle for the flag table, one 1-row aggregation after. */
+  val qSketchOverlap = QueryDef(
+    "q_sketch_overlap",
+    (s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(
+          max(when(col("event_type") === "view", 1).otherwise(0)).as("has_a"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("has_b"))
+      val row = perUser.agg(
+        expr("hll_sketch_agg(CASE WHEN has_a = 1 THEN user_id END)").as("sk_a"),
+        expr("hll_sketch_agg(CASE WHEN has_b = 1 THEN user_id END)").as("sk_b"),
+        sum(col("has_a")).as("ex_a"),
+        sum(col("has_b")).as("ex_b"),
+        sum(when(col("has_a") === 1 && col("has_b") === 1, 1L)
+          .otherwise(0L)).as("ex_inter"),
+        sum(when(col("has_a") === 1 || col("has_b") === 1, 1L)
+          .otherwise(0L)).as("ex_union"))
+        .select(
+          expr("hll_sketch_estimate(sk_a)").as("ap_a"),
+          expr("hll_sketch_estimate(sk_b)").as("ap_b"),
+          expr("hll_sketch_estimate(hll_union(sk_a, sk_b))").as("ap_union"),
+          col("ex_a"), col("ex_b"), col("ex_inter"), col("ex_union"))
+        .withColumn("ap_inter", col("ap_a") + col("ap_b") - col("ap_union"))
+      row.select(expr(
+        """stack(4,
+             'segment_a',    ex_a,     CAST(ap_a AS DOUBLE),
+             'segment_b',    ex_b,     CAST(ap_b AS DOUBLE),
+             'union',        ex_union, CAST(ap_union AS DOUBLE),
+             'intersection', ex_inter, CAST(ap_inter AS DOUBLE))
+           AS (metric, exact, approx)"""))
+        .withColumn("rel_err",
+          round(abs(col("approx") - col("exact")) / col("exact"), 4))
+        .orderBy("metric")
+    },
+    None)
+
   /** R46 — ordered string aggregation (listagg / string_agg WITHIN
     * GROUP), the report-building aggregate SQL:2016 standardized.
     * Determinism comes from the mandatory WITHIN GROUP order; an
@@ -1328,6 +1377,6 @@ object Relational {
     qPivot, qCubeGrouping, qWindowFuncs, qRangeJoin, qSaltedJoin,
     qApproxPercentile, qOuterJoin, qSlidingWindow, qSetOps, qSqlSurface,
     qGroupingSets, qBloomJoin, qArgmax, qUnpivot, q18LargeOrders,
-    qCorrStats, qRecursiveCte, qWindowDist, qSketchRollup, qListagg,
-    qLateralTopn, qGapfill, qNullsafeJoin, qWinsorize)
+    qCorrStats, qRecursiveCte, qWindowDist, qSketchRollup, qSketchOverlap,
+    qListagg, qLateralTopn, qGapfill, qNullsafeJoin, qWinsorize)
 }

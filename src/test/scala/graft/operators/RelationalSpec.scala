@@ -181,6 +181,24 @@ class RelationalSpec extends SparkSpec {
     assert(all.getAs[Long]("approx_distinct") >= (groupMax * 0.95).toLong)
   }
 
+  test("R58: sketch overlap estimates within bounds; union consistent with inclusion-exclusion") {
+    val rows = Relational.qSketchOverlap.fn(spark, sf).collect()
+      .map(r => r.getAs[String]("metric") ->
+        (r.getAs[Long]("exact"), r.getAs[Double]("approx"),
+          r.getAs[Double]("rel_err"))).toMap
+    assert(rows.keySet === Set("segment_a", "segment_b", "union", "intersection"))
+    // direct sketch estimates carry standard HLL error
+    Seq("segment_a", "segment_b", "union").foreach { m =>
+      assert(rows(m)._3 < 0.05, s"$m rel_err ${rows(m)._3}") }
+    // the derived intersection inherits the union's absolute error —
+    // looser bound, still must be informative on this data
+    assert(rows("intersection")._3 < 0.15,
+      s"intersection rel_err ${rows("intersection")._3}")
+    // exact-side sanity: inclusion-exclusion holds exactly
+    assert(rows("segment_a")._1 + rows("segment_b")._1 -
+      rows("intersection")._1 === rows("union")._1)
+  }
+
   test("R47: the LATERAL top-N decorrelates to a window rank, not a nested loop") {
     val plan = Relational.qLateralTopn.fn(spark, sf)
       .queryExecution.executedPlan.toString
