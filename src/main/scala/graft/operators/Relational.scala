@@ -1185,6 +1185,64 @@ object Relational {
     },
     None)
 
+  /** R59 — per-group OLS trend line (the monitoring/forecast read:
+    * "is order value drifting per priority class"): slope and
+    * intercept of cents-quantized value over month index, from the
+    * closed-form normal equations over EXACT integer sums —
+    * Σx, Σy, Σxy, Σx² accumulate as DECIMAL(38,0) (order-free, no
+    * merge drift; the R35 corr entry rounds because it uses float
+    * co-moments — this shape is the hash-exact alternative), with ONE
+    * double conversion and ONE division at the end, floor-quantized.
+    * One groupBy shuffle of 4 decimal partials per group; map-side
+    * partial aggregation does the heavy summing. */
+  val qTrendSlope = QueryDef(
+    "q_trend_slope",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderpriority"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("decimal(38,0)").as("x"),
+          round(col("o_totalprice") * 100).cast("decimal(38,0)").as("y"))
+      val agg = o.groupBy("o_orderpriority").agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      agg.select(col("o_orderpriority"),
+        col("n").cast("long").as("n"),
+        floor(((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          * 1e6).cast("long").as("slope_q"),
+        floor(((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+          * col("sx").cast("double")) / col("n").cast("double")) * 1e2)
+          .cast("long").as("intercept_q"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH b AS (
+              SELECT o_orderpriority,
+                     CAST(year(o_orderdate) * 12 + month(o_orderdate)
+                       AS HUGEINT) AS x,
+                     CAST(ROUND(o_totalprice * 100) AS HUGEINT) AS y
+              FROM orders),
+            a AS (
+              SELECT o_orderpriority,
+                     CAST(count(*) AS HUGEINT) AS n,
+                     SUM(x) AS sx, SUM(y) AS sy,
+                     SUM(x * y) AS sxy, SUM(x * x) AS sxx
+              FROM b GROUP BY o_orderpriority)
+            SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+                   CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6) AS BIGINT)
+                     AS slope_q,
+                   CAST(floor((CAST(sy AS DOUBLE)
+                     - CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE)
+                       * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) * 1e2)
+                     AS BIGINT) AS intercept_q
+            FROM a ORDER BY o_orderpriority"""))
+
   /** R46 — ordered string aggregation (listagg / string_agg WITHIN
     * GROUP), the report-building aggregate SQL:2016 standardized.
     * Determinism comes from the mandatory WITHIN GROUP order; an
@@ -1378,5 +1436,5 @@ object Relational {
     qApproxPercentile, qOuterJoin, qSlidingWindow, qSetOps, qSqlSurface,
     qGroupingSets, qBloomJoin, qArgmax, qUnpivot, q18LargeOrders,
     qCorrStats, qRecursiveCte, qWindowDist, qSketchRollup, qSketchOverlap,
-    qListagg, qLateralTopn, qGapfill, qNullsafeJoin, qWinsorize)
+    qTrendSlope, qListagg, qLateralTopn, qGapfill, qNullsafeJoin, qWinsorize)
 }

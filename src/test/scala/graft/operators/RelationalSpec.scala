@@ -181,6 +181,38 @@ class RelationalSpec extends SparkSpec {
     assert(all.getAs[Long]("approx_distinct") >= (groupMax * 0.95).toLong)
   }
 
+  test("R59: OLS trend slope equals a driver-side reference regression per group") {
+    val out = Relational.qTrendSlope.fn(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("slope_q"),
+          r.getAs[Long]("intercept_q"))).toMap
+    assert(out.nonEmpty)
+    val raw = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("x"),
+        round(col("o_totalprice") * 100).cast("long").as("y"))
+      .collect()
+      .groupBy(_.getString(0))
+    raw.foreach { case (prio, rows) =>
+      val n = rows.length.toDouble
+      val xs = rows.map(_.getAs[Int]("x").toDouble)
+      val ys = rows.map(_.getAs[Long]("y").toDouble)
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val (gotN, gotSlope, gotIcept) = out(prio)
+      assert(gotN === rows.length)
+      // quantized engine values within one quantum of the double ref
+      // (the engine sums exactly; the reference sums doubles)
+      assert(math.abs(gotSlope - math.floor(slope * 1e6)) <= 1,
+        s"$prio slope_q $gotSlope vs ref ${math.floor(slope * 1e6)}")
+      val icept = (sy - slope * sx) / n
+      assert(math.abs(gotIcept - math.floor(icept * 1e2)) <= 1,
+        s"$prio intercept_q $gotIcept vs ref ${math.floor(icept * 1e2)}")
+    }
+  }
+
   test("R58: sketch overlap estimates within bounds; union consistent with inclusion-exclusion") {
     val rows = Relational.qSketchOverlap.fn(spark, sf).collect()
       .map(r => r.getAs[String]("metric") ->
