@@ -144,5 +144,59 @@ object Repair {
             FROM e GROUP BY month
             ORDER BY month"""))
 
-  val all: Seq[QueryDef] = Seq(etlRepairPlan)
+  /** E20 — count-level backfill plan: the CHEAP reconciliation that
+    * runs on a schedule, where E19's row-level diff is the targeted
+    * fix that runs when this fires. Source-of-truth counts per
+    * partition vs loaded counts per partition — no key shuffle, no
+    * full-outer row join: two partition-keyed count aggregations and
+    * an O(#partitions) comparison. A partition entirely absent from
+    * the warehouse surfaces via the left join's null→0. At 100 TB
+    * this is the hourly freshness/completeness monitor (counts ride
+    * map-side partials; the E14 argument: monitoring must not re-scan
+    * what it monitors — here it scans counts, not rows, and in a real
+    * deployment the source side comes from ingest-ledger counts (E6),
+    * not a source re-scan). */
+  def backfillPlan(source: DataFrame, loaded: DataFrame,
+      part: String): DataFrame = {
+    val srcCnt = source.groupBy(part).agg(count(lit(1)).as("n_src"))
+    val ldCnt = loaded.groupBy(part).agg(count(lit(1)).as("n_loaded"))
+    srcCnt.join(ldCnt, Seq(part), "left")
+      .withColumn("n_loaded", coalesce(col("n_loaded"), lit(0L)))
+      .filter(col("n_loaded") < col("n_src"))
+      .withColumn("n_missing", col("n_src") - col("n_loaded"))
+      .select(col(part), col("n_src"), col("n_loaded"), col("n_missing"))
+  }
+
+  val etlBackfillPlan = QueryDef(
+    "etl_backfill_plan",
+    (s, d) => {
+      // deterministic damage: every 5th month index never loaded, and
+      // month index % 7 == 1 months lost half their rows (orderkey odd)
+      val src = Tables.orders(s, d)
+        .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .withColumn("mi", year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+      val loaded = src.filter(col("mi") % 5 =!= 0)
+        .filter(!(col("mi") % 7 === 1 && col("o_orderkey") % 2 === 1))
+      backfillPlan(src, loaded, "month").orderBy("month")
+    },
+    Some("""WITH src AS (
+              SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                     year(o_orderdate) * 12 + month(o_orderdate) AS mi,
+                     o_orderkey
+              FROM orders),
+            loaded AS (
+              SELECT * FROM src
+              WHERE mi % 5 <> 0 AND NOT (mi % 7 = 1 AND o_orderkey % 2 = 1)),
+            sc AS (SELECT month, CAST(count(*) AS BIGINT) AS n_src
+                   FROM src GROUP BY month),
+            lc AS (SELECT month, CAST(count(*) AS BIGINT) AS n_loaded
+                   FROM loaded GROUP BY month)
+            SELECT sc.month, sc.n_src,
+                   COALESCE(lc.n_loaded, 0) AS n_loaded,
+                   sc.n_src - COALESCE(lc.n_loaded, 0) AS n_missing
+            FROM sc LEFT JOIN lc ON lc.month = sc.month
+            WHERE COALESCE(lc.n_loaded, 0) < sc.n_src
+            ORDER BY sc.month"""))
+
+  val all: Seq[QueryDef] = Seq(etlRepairPlan, etlBackfillPlan)
 }

@@ -66,4 +66,25 @@ class RepairSpec extends SparkSpec {
     assert(cleanPlan.isEmpty)
     plan.unpersist(); expected.unpersist()
   }
+
+  test("E20: backfill plan finds exactly the damaged partitions with exact deficits") {
+    val src = Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("mi"))
+      .cache()
+    val loaded = src.filter(col("mi") % 5 =!= 0)
+    val plan = Repair.backfillPlan(src, loaded, "month").collect()
+    val expectedMissing = src.filter(col("mi") % 5 === 0)
+      .groupBy("month").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(plan.map(_.getString(0)).toSet === expectedMissing.keySet)
+    plan.foreach { r =>
+      assert(r.getAs[Long]("n_loaded") === 0L)
+      assert(r.getAs[Long]("n_missing") === expectedMissing(r.getString(0)))
+    }
+    // fully loaded: empty plan
+    assert(Repair.backfillPlan(src, src, "month").isEmpty)
+    src.unpersist()
+  }
 }
