@@ -202,7 +202,51 @@ object EtlQueries {
                s.expected
              FROM scen s LEFT JOIN b USING (scenario) ORDER BY s.scenario"""))
 
+  /** E21 — upsert dry-run preview: classify every delta key against
+    * the target BEFORE the merge runs — insert (new key), update
+    * (payload differs), noop (byte-identical payload). The
+    * change-review gate every operator wants in front of a mutating
+    * merge (the reference just runs; a 100 TB warehouse wants "this
+    * delta updates 3 rows" vs "this delta rewrites the table" BEFORE
+    * committing). One key-equi join, null-safe payload compare
+    * map-side, zero writes; the class counts come free as a groupBy
+    * over the preview. */
+  val upsertPreview = QueryDef(
+    "etl_upsert_preview",
+    (s, _) => {
+      val base = ZipEtl.processedBaseline(s)
+        .select(col("composite_key"), col("latitude").as("b_lat"),
+          col("longitude").as("b_lon"), col("elevation").as("b_elev"),
+          col("timezone").as("b_tz"), col("tz_region").as("b_tzr"),
+          lit(1).as("in_base"))
+      ZipEtl.enrich(ZipEtl.dedupeLastWins(ZipEtl.ingest(s)))
+        .join(base, Seq("composite_key"), "left")
+        .withColumn("change_class",
+          when(col("in_base").isNull, lit("insert"))
+            .when(col("latitude") <=> col("b_lat") &&
+              col("longitude") <=> col("b_lon") &&
+              col("elevation") <=> col("b_elev") &&
+              col("timezone") <=> col("b_tz") &&
+              col("tz_region") <=> col("b_tzr"), lit("noop"))
+            .otherwise(lit("update")))
+        .select(col("composite_key"), col("change_class"))
+        .orderBy("composite_key")
+    },
+    Some(s"""WITH $oIngest, $oDedup, $oEnrich, $oBaseline
+             SELECT d.composite_key,
+                    CASE WHEN b.composite_key IS NULL THEN 'insert'
+                         WHEN d.latitude  IS NOT DISTINCT FROM b.latitude
+                          AND d.longitude IS NOT DISTINCT FROM b.longitude
+                          AND d.elevation IS NOT DISTINCT FROM b.elevation
+                          AND d.timezone  IS NOT DISTINCT FROM b.timezone
+                          AND d.tz_region IS NOT DISTINCT FROM b.tz_region
+                         THEN 'noop'
+                         ELSE 'update' END AS change_class
+             FROM enriched d LEFT JOIN baseline b
+               ON b.composite_key = d.composite_key
+             ORDER BY d.composite_key"""))
+
   val all: Seq[QueryDef] = Seq(
     csvIngest, dedupeByKey, excludeProcessed, enrichQ, upsertMerge,
-    pipelineQ, ledgerQ)
+    pipelineQ, ledgerQ, upsertPreview)
 }

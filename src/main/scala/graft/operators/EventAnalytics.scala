@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** R38/R39 — ordered-event analytics: funnel conversion and cohort
@@ -435,6 +436,57 @@ object EventAnalytics {
             GROUP BY d.day
             ORDER BY window_day"""))
 
+  /** R60 — time-weighted average value per key (TWAP — the metric/
+    * pricing read where a plain mean over-weights bursts: each sample
+    * holds until the NEXT sample, so it weighs by its holding
+    * duration). Interval durations come from one lead window on the
+    * key's timeline (the R50/S2 partitioning, reused); products and
+    * durations accumulate as exact DECIMAL(38,0) (value quantized to
+    * 1e-6 first), one double division at the end — hash-exact across
+    * engines and partitionings, the R59 determinism recipe. Keys with
+    * a single event (no interval) or zero total duration drop
+    * explicitly. */
+  def twapByUser(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("next_us", lead(col("us"), 1).over(byUser))
+      .filter(col("next_us").isNotNull)
+      .select(col("user_id"),
+        (col("next_us") - col("us")).cast("decimal(38,0)").as("dur"),
+        floor(col("value") * 1e6).cast("decimal(38,0)").as("vq"))
+      .groupBy("user_id")
+      .agg(sum(col("vq") * col("dur")).as("wsum"),
+        sum(col("dur")).as("dsum"),
+        count(lit(1)).as("n_intervals"))
+      .filter(col("dsum") > 0)
+      .select(col("user_id"), col("n_intervals"),
+        floor(col("wsum").cast("double") / col("dsum").cast("double"))
+          .cast("long").as("twap_q"))
+      .orderBy("user_id")
+  }
+
+  val qTwap = QueryDef(
+    "q_twap",
+    (s, d) => twapByUser(s, d),
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value
+                       FROM events),
+            w AS (SELECT *, lead(us) OVER (PARTITION BY user_id
+                    ORDER BY us, event_id) AS next_us FROM e),
+            i AS (SELECT user_id, CAST(next_us - us AS HUGEINT) AS dur,
+                    CAST(floor(value * 1e6) AS HUGEINT) AS vq
+                  FROM w WHERE next_us IS NOT NULL),
+            a AS (SELECT user_id, SUM(vq * dur) AS wsum, SUM(dur) AS dsum,
+                    CAST(count(*) AS BIGINT) AS n_intervals
+                  FROM i GROUP BY user_id HAVING SUM(dur) > 0)
+            SELECT user_id, n_intervals,
+                   CAST(floor(CAST(wsum AS DOUBLE) / CAST(dsum AS DOUBLE))
+                     AS BIGINT) AS twap_q
+            FROM a ORDER BY user_id"""))
+
   val all: Seq[QueryDef] = Seq(qFunnel, qCohortRetention, qEventTransitions,
-    qRateAnomalies, qAttribution, qIntervalMerge, qEwma, qRollingDistinct)
+    qRateAnomalies, qAttribution, qIntervalMerge, qEwma, qRollingDistinct,
+    qTwap)
 }

@@ -113,6 +113,38 @@ class EventAnalyticsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("R60: TWAP equals an exact sequential reference and sits in the value range") {
+    val out = EventAnalytics.twapByUser(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_intervals"), r.getAs[Long]("twap_q"))).toMap
+    assert(out.nonEmpty)
+    val raw = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value")).collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    raw.foreach { case (u, rows) =>
+      val seq = rows.sortBy(r =>
+        (r.getAs[Long]("us"), r.getAs[Long]("event_id")))
+      val ivs = seq.sliding(2).collect { case Array(a, b) =>
+        val dur = BigInt(b.getAs[Long]("us") - a.getAs[Long]("us"))
+        val vq = BigInt(math.floor(a.getAs[Double]("value") * 1e6).toLong)
+        (vq * dur, dur)
+      }.toSeq
+      val dsum = ivs.map(_._2).sum
+      if (ivs.isEmpty || dsum == 0) assert(!out.contains(u))
+      else {
+        val wsum = ivs.map(_._1).sum
+        val expected =
+          math.floor(wsum.toDouble / dsum.toDouble).toLong
+        assert(out(u) === ((ivs.length.toLong, expected)), s"user $u")
+        // TWAP is a convex combination of quantized sample values
+        val vqs = seq.init.map(r =>
+          math.floor(r.getAs[Double]("value") * 1e6).toLong)
+        assert(out(u)._2 >= vqs.min - 1 && out(u)._2 <= vqs.max)
+      }
+    }
+  }
+
   test("R51: EWMA matches a sequential fold and sits inside the value range") {
     val out = EventAnalytics.ewmaByUser(spark, sf).cache()
     // reference: straight Scala fold per user
