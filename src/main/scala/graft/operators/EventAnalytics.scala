@@ -486,7 +486,46 @@ object EventAnalytics {
                      AS BIGINT) AS twap_q
             FROM a ORDER BY user_id"""))
 
+  /** R61 — cumulative-distinct growth curve (new-user acquisition):
+    * per day, how many users were seen that day for the FIRST time,
+    * and the running total of distinct users to date. The naive
+    * cumulative count-distinct re-scans an ever-growing prefix per
+    * day; this is linear: distinct-to-date ≡ count of per-user FIRST
+    * days ≤ d — one user-keyed min aggregation, one day-keyed count,
+    * one running sum over the O(#days) day table. Complement of R55:
+    * trailing window there, cumulative-to-date here. The final window
+    * runs on the day-count table (hundreds of rows), a documented
+    * O(calendar) frame — not a data-scale funnel. */
+  def cumulativeDistinct(s: SparkSession, d: String): DataFrame = {
+    val firstSeen = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+      .groupBy("user_id").agg(min("hr").as("first_hr"))
+    val perHour = firstSeen.groupBy(col("first_hr").as("hr"))
+      .agg(count(lit(1)).as("new_users"))
+    val wCum = Window.orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perHour
+      .withColumn("total_users", sum("new_users").over(wCum))
+      .orderBy("hr")
+  }
+
+  val qCumulativeDistinct = QueryDef(
+    "q_cumulative_distinct",
+    (s, d) => cumulativeDistinct(s, d),
+    Some("""WITH f AS (
+              SELECT user_id,
+                     MIN(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS first_hr
+              FROM events GROUP BY user_id),
+            p AS (SELECT first_hr AS hr,
+                    CAST(count(*) AS BIGINT) AS new_users
+                  FROM f GROUP BY first_hr)
+            SELECT hr, new_users,
+                   CAST(SUM(new_users) OVER (ORDER BY hr
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS total_users
+            FROM p ORDER BY hr"""))
+
   val all: Seq[QueryDef] = Seq(qFunnel, qCohortRetention, qEventTransitions,
     qRateAnomalies, qAttribution, qIntervalMerge, qEwma, qRollingDistinct,
-    qTwap)
+    qTwap, qCumulativeDistinct)
 }

@@ -113,6 +113,18 @@ class EventAnalyticsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("R61: cumulative-distinct curve is monotone and converges to the true distinct count") {
+    val rows = EventAnalytics.cumulativeDistinct(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totals = rows.map(_.getAs[Long]("total_users"))
+    assert(totals.sliding(2).forall(s => s.length < 2 || s(0) < s(1)),
+      "every reported hour adds at least one new user, so totals strictly rise")
+    assert(rows.map(_.getAs[Long]("new_users")).sum === totals.last)
+    val trueDistinct = Tables.events(spark, sf)
+      .select(countDistinct("user_id")).head().getLong(0)
+    assert(totals.last === trueDistinct)
+  }
+
   test("R60: TWAP equals an exact sequential reference and sits in the value range") {
     val out = EventAnalytics.twapByUser(spark, sf).collect()
       .map(r => r.getAs[Long]("user_id") ->
