@@ -1959,6 +1959,63 @@ object PipelineQueries {
              SELECT doc_id, CAST(MIN(node) AS BIGINT) AS cluster_id
              FROM reach GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** D66 — BEST-of-cluster keeper selection: D15 resolves WHO is a
+    * duplicate of whom; this decides WHICH copy survives. min-doc-id
+    * keepers (D15's default) throw away information when near-dup
+    * cluster members differ — the standard curation policy keeps the
+    * most complete member (here: most tokens, doc_id tiebreak; swap
+    * the ordering column for D9 quality or D28 perplexity without
+    * changing the shape). Planted variants are LONGER than their
+    * originals, so the chosen keeper provably differs from the min-id
+    * default — the policy is exercised, not vacuously equal to D15.
+    * Shape: CC labels (left join, singletons self-clustered) + ONE
+    * cluster-keyed rank window; keeper columns come from rank-1
+    * conditional aggregation on the same clustering. */
+  val dedupBestKeeper = QueryDef(
+    "dedup_best_keeper",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val variants = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" appended supplementary passage tail"))
+            .as("text"))
+      val corpus = docs.unionByName(variants)
+      val pairs = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("doc_a"),
+          (col("doc_id") + 1000000L).as("doc_b"))
+      val labels = graft.dedup.Clusters.connectedComponents(pairs)
+      val withC = corpus.join(labels, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+        .withColumn("toks",
+          Text.whitespaceTokenCount(col("text")).cast("long"))
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(desc("toks"), asc("doc_id"))
+      withC.withColumn("rn", row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_docs"),
+          max(when(col("rn") === 1, col("doc_id"))).as("keeper_doc_id"),
+          max(when(col("rn") === 1, col("toks"))).as("keeper_tokens"))
+        .orderBy("cluster_id")
+    },
+    Some(s"""WITH planted AS (
+               SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + 1000000,
+                      text || ' appended supplementary passage tail'
+               FROM documents WHERE doc_id % 50 = 0),
+             c AS (SELECT doc_id,
+                     CASE WHEN doc_id >= 1000000 THEN doc_id - 1000000
+                          ELSE doc_id END AS cluster_id,
+                     CAST(len(string_split($oCanon, ' ')) AS BIGINT) AS toks
+                   FROM planted),
+             r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                     ORDER BY toks DESC, doc_id) AS rn
+                   FROM c)
+             SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
+                    MAX(CASE WHEN rn = 1 THEN doc_id END) AS keeper_doc_id,
+                    MAX(CASE WHEN rn = 1 THEN toks END) AS keeper_tokens
+             FROM r GROUP BY cluster_id ORDER BY cluster_id"""))
+
   /** D57 — SEMANTIC decontamination: flag corpus embeddings whose
     * cosine to ANY eval-set embedding reaches the exact-copy band —
     * the paraphrase/re-render leak n-gram decontamination (D20 family)
@@ -2243,7 +2300,7 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] = Seq(
     embDecontaminate, embOutliers, textUrlCanonical, textCollocations,
-    textLangidEval, qExactSplit,
+    textLangidEval, qExactSplit, dedupBestKeeper,
     dedupExact, dedupMinhashLsh, dedupSimhash, dedupNgramJaccard,
     dedupJaccardAllpairs, dedupSpanMask,
     dedupEmbeddingCosine, annBruteforceTopK, annLsh, annIvf, annPqAdc,

@@ -104,4 +104,21 @@ class ClustersSpec extends SparkSpec {
       "unpaired originals all survive")
     pairs.unpersist(); kept.unpersist()
   }
+
+  test("D66: best-keeper picks the LONGER planted variant, not the min id") {
+    val out = graft.SparkEntry.queries("dedup_best_keeper")(spark, sf)
+      .collect()
+    val clusters = out.map(r => r.getAs[Long]("cluster_id") ->
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("keeper_doc_id"))).toMap
+    val planted = clusters.filter(_._2._1 == 2L)
+    assert(planted.nonEmpty, "the %50 variants must form 2-doc clusters")
+    planted.foreach { case (cid, (_, keeper)) =>
+      assert(keeper === cid + 1000000L,
+        s"cluster $cid: the appended-tail variant is longer and must win")
+    }
+    // singletons keep themselves
+    clusters.filter(_._2._1 == 1L).foreach { case (cid, (_, keeper)) =>
+      assert(keeper === cid)
+    }
+  }
 }
