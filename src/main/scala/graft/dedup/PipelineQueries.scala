@@ -2016,6 +2016,65 @@ object PipelineQueries {
                     MAX(CASE WHEN rn = 1 THEN toks END) AS keeper_tokens
              FROM r GROUP BY cluster_id ORDER BY cluster_id"""))
 
+  /** D67 — per-dimension embedding health profile: mean and variance
+    * of every embedding dimension — the feature health check run
+    * before indexing/training (a dead dimension wastes index bytes;
+    * mean drift between snapshots signals an encoder change that
+    * silently breaks stored ANN indexes built on the old geometry).
+    * TWO `graft_vec_sum_long` aggregations (values and squares,
+    * floor-quantized to 1e-6 map-side) — exact integer sums, compact
+    * long[] buffers, no (row × dim) explode shuffle; the (dim, s1,
+    * s2) fan-out happens on the single aggregated row. Quantized-
+    * square magnitudes stay below 2^63 for |x| ≤ ~1 up to ~10^6 rows
+    * per aggregation group; larger corpora shift the quantum. */
+  val embDimStats = QueryDef(
+    "emb_dim_stats",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("embedding").cast("array<double>").as("emb"))
+        .withColumn("xq",
+          transform(col("emb"), x => floor(x * 1e6).cast("long")))
+        .withColumn("x2q",
+          transform(col("emb"),
+            x => (floor(x * 1e6) * floor(x * 1e6)).cast("long")))
+      emb.agg(
+          call_function("graft_vec_sum_long", col("xq")).as("s1"),
+          call_function("graft_vec_sum_long", col("x2q")).as("s2"),
+          count(lit(1)).as("n"))
+        .select(posexplode(arrays_zip(col("s1"), col("s2")))
+          .as(Seq("dim", "z")), col("n"))
+        .select(col("dim").cast("int").as("dim"),
+          (col("z.s1") / (lit(1e6) * col("n"))).as("mean_d"),
+          (col("z.s2") / (lit(1e12) * col("n"))).as("ex2"),
+          col("n"))
+        .select(col("dim"),
+          floor(col("mean_d") * 1e6).cast("long").as("mean_q"),
+          floor((col("ex2") - col("mean_d") * col("mean_d")) * 1e9)
+            .cast("long").as("var_q"),
+          col("n"))
+        .orderBy("dim")
+    },
+    Some("""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS emb
+                       FROM embeddings),
+            q AS (SELECT
+                    list_transform(emb, x -> CAST(floor(x * 1e6) AS BIGINT))
+                      AS xq,
+                    list_transform(emb,
+                      x -> CAST(floor(x * 1e6) * floor(x * 1e6) AS BIGINT))
+                      AS x2q
+                  FROM e),
+            d AS (SELECT i AS dim, xq[i + 1] AS v1, x2q[i + 1] AS v2
+                  FROM q, UNNEST(generate_series(0, len(xq) - 1)) AS u(i)),
+            a AS (SELECT dim, SUM(v1) AS s1, SUM(v2) AS s2, count(*) AS n
+                  FROM d GROUP BY dim)
+            SELECT CAST(dim AS INT) AS dim,
+                   CAST(floor(s1 / (1e6 * n) * 1e6) AS BIGINT) AS mean_q,
+                   CAST(floor((s2 / (1e12 * n)
+                     - (s1 / (1e6 * n)) * (s1 / (1e6 * n))) * 1e9) AS BIGINT)
+                     AS var_q,
+                   CAST(n AS BIGINT) AS n
+            FROM a ORDER BY dim"""))
+
   /** D57 — SEMANTIC decontamination: flag corpus embeddings whose
     * cosine to ANY eval-set embedding reaches the exact-copy band —
     * the paraphrase/re-render leak n-gram decontamination (D20 family)
@@ -2300,7 +2359,7 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] = Seq(
     embDecontaminate, embOutliers, textUrlCanonical, textCollocations,
-    textLangidEval, qExactSplit, dedupBestKeeper,
+    textLangidEval, qExactSplit, dedupBestKeeper, embDimStats,
     dedupExact, dedupMinhashLsh, dedupSimhash, dedupNgramJaccard,
     dedupJaccardAllpairs, dedupSpanMask,
     dedupEmbeddingCosine, annBruteforceTopK, annLsh, annIvf, annPqAdc,

@@ -104,4 +104,27 @@ class ExtensionsSpec extends SparkSpec {
     val expected = g0.sum / g0.size
     assert(math.abs(rows.head.getSeq[Double](1).head - expected) < 1e-9)
   }
+
+  test("D67: dim stats match an exact driver recomputation on dim 0") {
+    import org.apache.spark.sql.functions._
+    val out = graft.SparkEntry.queries("emb_dim_stats")(spark, sf).collect()
+    assert(out.length === 64)
+    out.foreach { r =>
+      assert(r.getAs[Long]("var_q") >= 0L, s"dim ${r.getInt(0)} negative var")
+    }
+    val xs = graft.Tables.embeddings(spark, sf)
+      .select(element_at(col("embedding").cast("array<double>"), 1))
+      .collect().map(_.getDouble(0))
+    val n = xs.length.toLong
+    val s1 = xs.map(x => math.floor(x * 1e6).toLong).sum
+    val s2 = xs.map { x =>
+      val q = math.floor(x * 1e6); (q * q).toLong }.sum
+    val mean = s1 / (1e6 * n)
+    val expMean = math.floor(mean * 1e6).toLong
+    val expVar = math.floor((s2 / (1e12 * n) - mean * mean) * 1e9).toLong
+    val d0 = out.find(_.getInt(0) == 0).get
+    assert(d0.getAs[Long]("mean_q") === expMean)
+    assert(d0.getAs[Long]("var_q") === expVar)
+    assert(d0.getAs[Long]("n") === n)
+  }
 }
