@@ -92,6 +92,11 @@ class InvertedIndexSpec extends SparkSpec {
       .withColumn("n_real",
         size(array_intersect(array_distinct(col("ws")), col("qts"))))
     assert(checked.filter(col("n_real") < col("n_terms_hit")).count() === 0)
+    // the top-k rank filter must pre-prune map-side (shuffle O(q × k))
+    val plan = InvertedIndex.retrieve(docs, queries)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "rank <= k must plan a WindowGroupLimit")
     out.unpersist()
   }
 }
