@@ -78,6 +78,49 @@ object AllPairs {
       .distinct()
   }
 
+  /** D68 — EXACT containment join: ordered pairs (A, B) with
+    * |A∩B| / |A| ≥ τ, A the smaller set ((n, id) order). The
+    * asymmetric relation symmetric Jaccard cannot see: an excerpt
+    * quoted inside a long document has containment ≈ 1 but Jaccard
+    * ≈ n_a/n_b ≈ 0 — the quote/excerpt/syndication detector.
+    *
+    * Exactness via one-sided prefix filtering: containment ≥ τ forces
+    * overlap ≥ ⌈τ·n_a⌉, so A∖B has at most n_a − ⌈τ·n_a⌉ shingles and
+    * A's (df-asc) prefix of n_a − ⌈τ·n_a⌉ + 1 must hit B — only the
+    * CONTAINED side prunes (no useful lower bound exists on the
+    * container side; indexing the full big side is how published
+    * containment joins work too). The join stays anti-skewed because
+    * the pruned side's keys are its RAREST shingles; per-key work is
+    * prefix-occurrences × df, both small for rare keys. Verification
+    * is the exact array_intersect on candidate pairs only. */
+  def containedPairs(docs: DataFrame, k: Int = 3, tau: Double = 0.8,
+      hashed: Boolean = true): DataFrame = {
+    val sets = shingleSets(docs, k, hashed).cache()
+    val prefA = prefixTokens(sets, tau)
+      .join(sets.select(col("doc_id"), col("n")), Seq("doc_id"))
+    val fullB = sets.select(col("doc_id").as("doc_b"), col("n").as("n_b"),
+      explode(col("sh")).as("tok"))
+    val cand = prefA.join(fullB,
+        prefA("tok") === fullB("tok") &&
+          (col("n") < col("n_b") ||
+            (col("n") === col("n_b") && col("doc_id") < col("doc_b"))))
+      .select(col("doc_id").as("doc_a"), col("doc_b"))
+      .distinct()
+    val thr = math.floor(tau * 1e6).toLong
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("n").as("n_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        Seq("doc_b"))
+      .withColumn("n_shared",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("containment_q",
+        floor(col("n_shared") * lit(1e6) / col("n_a")).cast("long"))
+      .filter(col("containment_q") >= thr)
+      .select(col("doc_a"), col("doc_b"), col("n_a").cast("long").as("n_a"),
+        col("n_shared"), col("containment_q"))
+  }
+
   /** All pairs with round(Jaccard, 6) ≥ τ over word-k-shingle sets.
     * τ should be exactly representable in binary (0.75, 0.5, 0.625…)
     * so ⌈τ·n⌉ computes identically in every engine.

@@ -2075,6 +2075,58 @@ object PipelineQueries {
                    CAST(n AS BIGINT) AS n
             FROM a ORDER BY dim"""))
 
+  /** D68 — containment join entry (see [[AllPairs.containedPairs]]):
+    * planted 10-word excerpts of every 40th doc must flag against
+    * their source with containment 1.0 — the quote/excerpt relation
+    * whose Jaccard is near zero (tiny |A| over a big |A∪B|), proving
+    * this catches what D47 by design does not. Oracle is the BRUTE
+    * FORCE containment join over all ordered pairs — the exact
+    * algorithm must match the quadratic reference bit-for-bit, the
+    * D47 oracle discipline. */
+  val dedupContainment = QueryDef(
+    "dedup_containment",
+    (s, d) => {
+      val docs0 = Tables.documents(s, d).select("doc_id", "text")
+      val excerpts = docs0.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          array_join(slice(Text.words(col("text")), 1, 10), " ").as("text"))
+      val corpus = docs0.unionByName(excerpts)
+      graft.dedup.AllPairs.containedPairs(corpus, hashed = false)
+        .withColumn("is_planted",
+          (col("doc_a") >= 2000000L &&
+            col("doc_b") === col("doc_a") - 2000000L) ||
+            (col("doc_b") >= 2000000L &&
+              col("doc_a") === col("doc_b") - 2000000L))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH c AS (SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + 2000000,
+                      array_to_string(list_slice(
+                        string_split($oCanon, ' '), 1, 10), ' ')
+               FROM documents WHERE doc_id % 40 = 0),
+             w AS (SELECT doc_id, string_split($oCanon, ' ') AS ws FROM c),
+             t AS (SELECT doc_id, list_distinct(list_transform(
+                     generate_series(0, greatest(len(ws) - 3, 0)),
+                     i -> array_to_string(list_slice(ws, i + 1, i + 3), ' ')))
+                     AS sh
+                   FROM w),
+             p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     len(a.sh) AS n_a,
+                     len(list_intersect(a.sh, b.sh)) AS n_shared
+                   FROM t a JOIN t b
+                     ON (len(a.sh) < len(b.sh)
+                         OR (len(a.sh) = len(b.sh) AND a.doc_id < b.doc_id)))
+             SELECT doc_a, doc_b, CAST(n_a AS BIGINT) AS n_a,
+                    CAST(n_shared AS BIGINT) AS n_shared,
+                    CAST(floor(n_shared * 1e6 / n_a) AS BIGINT)
+                      AS containment_q,
+                    (doc_a >= 2000000 AND doc_b = doc_a - 2000000)
+                      OR (doc_b >= 2000000 AND doc_a = doc_b - 2000000)
+                      AS is_planted
+             FROM p WHERE floor(n_shared * 1e6 / n_a) >= 800000
+             ORDER BY doc_a, doc_b"""))
+
   /** D57 — SEMANTIC decontamination: flag corpus embeddings whose
     * cosine to ANY eval-set embedding reaches the exact-copy band —
     * the paraphrase/re-render leak n-gram decontamination (D20 family)
@@ -2360,6 +2412,7 @@ object PipelineQueries {
   val all: Seq[QueryDef] = Seq(
     embDecontaminate, embOutliers, textUrlCanonical, textCollocations,
     textLangidEval, qExactSplit, dedupBestKeeper, embDimStats,
+    dedupContainment,
     dedupExact, dedupMinhashLsh, dedupSimhash, dedupNgramJaccard,
     dedupJaccardAllpairs, dedupSpanMask,
     dedupEmbeddingCosine, annBruteforceTopK, annLsh, annIvf, annPqAdc,

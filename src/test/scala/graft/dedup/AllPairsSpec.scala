@@ -81,4 +81,35 @@ class AllPairsSpec extends SparkSpec {
     assert(cand < n * (n - 1) / 2 / 10,
       s"prefix join produced $cand candidates for $n docs — not pruning")
   }
+
+  test("D68: every planted excerpt flags with containment 1.0 — and Jaccard couldn't see it") {
+    val rows = graft.SparkEntry.queries("dedup_containment")(spark, sf)
+      .collect()
+    val planted = rows.filter(_.getAs[Boolean]("is_planted"))
+    val expected = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 40 === 0).count()
+    assert(planted.length === expected,
+      s"planted recall ${planted.length}/$expected must be 1.0")
+    planted.foreach { r =>
+      assert(r.getAs[Long]("containment_q") === 1000000L,
+        "an excerpt's shingles are all inside its source")
+      // the same pair under symmetric Jaccard sits far below D47's τ:
+      // tiny |A| over a large |A∪B|
+      val jac = r.getAs[Long]("n_shared").toDouble /
+        (r.getAs[Long]("n_a") + 100) // n_b >= ~100 shingles for full docs
+      assert(jac < 0.5, "containment catches what Jaccard misses")
+    }
+    // hashed mode emits the identical pair set (production path)
+    val docs0 = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val excerpts = docs0.filter(col("doc_id") % 40 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        array_join(slice(graft.functions.Text.words(col("text")), 1, 10), " ")
+          .as("text"))
+    val corpus2 = docs0.unionByName(excerpts)
+    val h = AllPairs.containedPairs(corpus2, hashed = true)
+      .select("doc_a", "doc_b")
+    val s = AllPairs.containedPairs(corpus2, hashed = false)
+      .select("doc_a", "doc_b")
+    assert(h.exceptAll(s).isEmpty && s.exceptAll(h).isEmpty)
+  }
 }
