@@ -447,6 +447,38 @@ object PipelineQueries {
                         ELSE 'train' END AS split
             FROM r ORDER BY doc_id"""))
 
+  /** D69 — weighted sample entry (see
+    * [[graft.functions.Splits.weightedSample]]): 100 docs sampled
+    * without replacement with probability ∝ n_chars — the
+    * "sample long documents preferentially" curation draw, keyed
+    * deterministically so re-runs and partitionings agree. The rank
+    * window runs on the 100-row top-k result (bounded O(k) frame),
+    * never the corpus. */
+  val qWeightedSample = QueryDef(
+    "q_weighted_sample",
+    (s, d) => {
+      val topk = graft.functions.Splits.weightedSample(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        col("doc_id"), col("n_chars"), 100)
+      val w = Window.orderBy(col("es_key").desc, col("doc_id"))
+      topk.withColumn("rank", row_number().over(w).cast("int"))
+        .select(col("rank"), col("doc_id"), col("n_chars"),
+          floor(col("es_key") * 1e12).cast("long").as("es_key_q"))
+        .orderBy("rank")
+    },
+    Some("""WITH h AS (SELECT doc_id, n_chars,
+                   (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                      AS BIGINT) + 0.5) / power(16, 12) AS u
+                 FROM documents),
+            s AS (SELECT doc_id, n_chars,
+                    ln(u) / CAST(n_chars AS DOUBLE) AS es FROM h),
+            t AS (SELECT * FROM s ORDER BY es DESC, doc_id LIMIT 100)
+            SELECT CAST(row_number() OVER (ORDER BY es DESC, doc_id) AS INT)
+                     AS rank,
+                   doc_id, n_chars,
+                   CAST(floor(es * 1e12) AS BIGINT) AS es_key_q
+            FROM t ORDER BY rank"""))
+
   /** D9: quality scoring — canon/words materialized once per row, and
     * the corpus spread across cores before the regex-heavy stage. */
   /** The D9 quality-score SQL expression (over an `m` CTE carrying
@@ -2412,7 +2444,7 @@ object PipelineQueries {
   val all: Seq[QueryDef] = Seq(
     embDecontaminate, embOutliers, textUrlCanonical, textCollocations,
     textLangidEval, qExactSplit, dedupBestKeeper, embDimStats,
-    dedupContainment,
+    dedupContainment, qWeightedSample,
     dedupExact, dedupMinhashLsh, dedupSimhash, dedupNgramJaccard,
     dedupJaccardAllpairs, dedupSpanMask,
     dedupEmbeddingCosine, annBruteforceTopK, annLsh, annIvf, annPqAdc,

@@ -111,6 +111,29 @@ object Splits {
     * No per-stratum window ever funnels a whole stratum through one
     * task — the trap a naive Window.partitionBy(stratum) hits when
     * strata are few and huge. */
+  /** D69 — deterministic weighted sampling WITHOUT replacement
+    * (Efraimidis–Spirakis, IPL 2006): each row gets the key
+    * ln(u)/w with u a deterministic md5-derived uniform and w its
+    * weight; the top-k by key IS a weighted sample without
+    * replacement (u^(1/w) order, in log space). The distributed-
+    * sampling primitive: one map-side key computation + a top-k
+    * (TakeOrderedAndProject — no global sort, no single-partition
+    * window), reproducible across runs/partitionings because u comes
+    * from the row's identity, not an RNG stream. Weights must be
+    * strictly positive. */
+  def esKey(key: Column, weight: Column): Column = {
+    val v = conv(substring(md5(key.cast("string").cast("binary")), 1, 12),
+      16, 10).cast("long")
+    val u = (v.cast("double") + 0.5) / math.pow(16, 12)
+    log(u) / weight.cast("double")
+  }
+
+  def weightedSample(df: DataFrame, key: Column, weight: Column,
+      k: Int): DataFrame =
+    df.withColumn("es_key", esKey(key, weight))
+      .orderBy(col("es_key").desc, key.asc)
+      .limit(k)
+
   def exactStratifiedSplit(df: DataFrame, key: String, stratum: String,
       p: Double, heldOut: String = "val",
       npart: Int = 32): DataFrame = {

@@ -87,6 +87,35 @@ class SplitsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("D69: ES weighted sample matches a driver reference and skews toward heavy rows") {
+    val base = docs.select(col("doc_id"), col("n_chars"))
+    val out = Splits.weightedSample(base, col("doc_id"), col("n_chars"), 50)
+      .collect()
+    assert(out.length === 50)
+    // exact driver reference: same md5-uniform, same key, top-50
+    val all = base.collect().map { r =>
+      val id = r.getLong(0); val w = r.getLong(1)
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / math.pow(16, 12)
+      (id, w, math.log(u) / w)
+    }
+    val expect = all.sortBy { case (id, _, k) => (-k, id) }.take(50)
+      .map(_._1).toSeq
+    assert(out.map(_.getLong(0)).toSeq === expect,
+      "engine top-k must equal the reference ES order")
+    // the sample over-represents heavy rows vs the corpus average
+    val corpusAvgW = all.map(_._2.toDouble).sum / all.length
+    val sampleAvgW = out.map(_.getLong(1).toDouble).sum / out.length
+    assert(sampleAvgW > corpusAvgW,
+      s"weighted sample avg weight $sampleAvgW must exceed corpus $corpusAvgW")
+    // reproducible
+    val again = Splits.weightedSample(base, col("doc_id"), col("n_chars"), 50)
+      .collect().map(_.getLong(0)).toSeq
+    assert(again === out.map(_.getLong(0)).toSeq)
+  }
+
   test("the split expression stays map-side: no shuffle in the plan") {
     val plan = Splits.hashSplit(docs.select("doc_id"), col("doc_id"))
       .queryExecution.executedPlan.toString
