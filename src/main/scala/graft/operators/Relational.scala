@@ -471,6 +471,73 @@ object Relational {
             FROM events p WHERE p.event_type = 'purchase'
             ORDER BY purchase_event_id"""))
 
+  /** R62 — NEAREST as-of join (both directions): each purchase matches
+    * the view closest in absolute time, backward or forward — the
+    * sensor-alignment / nearest-reading variant R17's backward-only
+    * as-of can't express (a reading 1 s later beats one 2 h earlier).
+    * Same single user-keyed window shuffle as R17: ONE union + two
+    * frames over one ordering (backward last / forward first, both
+    * ignoreNulls), then a map-side distance compare. Ties: equal
+    * distance prefers the BACKWARD match (already-observed data);
+    * equal-ts candidates keep R17's id rules (backward largest,
+    * forward smallest). */
+  val qAsofNearest = QueryDef(
+    "q_asof_nearest",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          lit(0).as("side"), col("event_id").as("view_event_id"),
+          lit(null).cast("long").as("purchase_event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          lit(1).as("side"), lit(null).cast("long").as("view_event_id"),
+          col("event_id").as("purchase_event_id"))
+      val ord = Seq(col("us"), col("side"), col("view_event_id"))
+      val wBack = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wFwd = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val vStruct = when(col("side") === 0,
+        struct(col("us").as("vus"), col("view_event_id").as("vid")))
+      val picked = views.union(purchases)
+        .withColumn("vb", last(vStruct, ignoreNulls = true).over(wBack))
+        .withColumn("vf", first(vStruct, ignoreNulls = true).over(wFwd))
+        .filter(col("side") === 1)
+        .withColumn("d_b", col("us") - col("vb.vus"))
+        .withColumn("d_f", col("vf.vus") - col("us"))
+        .withColumn("use_back",
+          col("vb").isNotNull &&
+            (col("vf").isNull || col("d_b") <= col("d_f")))
+      picked.select(
+          col("purchase_event_id"), col("user_id"),
+          when(col("use_back"), col("vb.vid")).otherwise(col("vf.vid"))
+            .as("view_event_id"),
+          when(col("vb").isNull && col("vf").isNull, lit(null).cast("string"))
+            .when(col("use_back"), lit("back")).otherwise(lit("fwd"))
+            .as("dir"),
+          when(col("use_back"), col("d_b")).otherwise(col("d_f"))
+            .as("dist_us"))
+        .orderBy("purchase_event_id")
+    },
+    Some("""SELECT p.event_id AS purchase_event_id, p.user_id,
+              m.view_event_id, m.dir, m.dist_us
+            FROM events p LEFT JOIN LATERAL (
+              SELECT v.event_id AS view_event_id,
+                CASE WHEN v.ts <= p.ts
+                  THEN epoch_us(p.ts) - epoch_us(v.ts)
+                  ELSE epoch_us(v.ts) - epoch_us(p.ts) END AS dist_us,
+                CASE WHEN v.ts <= p.ts THEN 'back' ELSE 'fwd' END AS dir
+              FROM events v
+              WHERE v.event_type = 'view' AND v.user_id = p.user_id
+              ORDER BY dist_us,
+                CASE WHEN v.ts <= p.ts THEN 0 ELSE 1 END,
+                CASE WHEN v.ts <= p.ts THEN -v.event_id
+                     ELSE v.event_id END
+              LIMIT 1) m ON TRUE
+            WHERE p.event_type = 'purchase'
+            ORDER BY purchase_event_id"""))
+
   /** R18: higher-order array aggregation (codegen'd, no UDF):
     * L2 norm and mean over the embedding array, accumulated in double. */
   val qVectorAgg = QueryDef(
@@ -1431,7 +1498,8 @@ object Relational {
     qScanPushdown, q1PricingSummary, q3ShippingPriority, q5LocalSupplier,
     qBroadcastJoin, qSemiJoin, qAntiJoin, qWindowRank, qWindowRunning,
     qCountDistinct, qConditionalAgg, qTopK, qRollup, qPercentiles,
-    qUnionDedup, qScalarFuncs, qAsofJoin, qVectorAgg, qApproxDistinct,
+    qUnionDedup, qScalarFuncs, qAsofJoin, qAsofNearest, qVectorAgg,
+    qApproxDistinct,
     qPivot, qCubeGrouping, qWindowFuncs, qRangeJoin, qSaltedJoin,
     qApproxPercentile, qOuterJoin, qSlidingWindow, qSetOps, qSqlSurface,
     qGroupingSets, qBloomJoin, qArgmax, qUnpivot, q18LargeOrders,

@@ -181,6 +181,32 @@ class RelationalSpec extends SparkSpec {
     assert(all.getAs[Long]("approx_distinct") >= (groupMax * 0.95).toLong)
   }
 
+  test("R62: nearest as-of dominates the backward-only as-of and uses both directions") {
+    val nearest = Relational.qAsofNearest.fn(spark, sf).collect()
+      .map(r => r.getAs[Long]("purchase_event_id") ->
+        (Option(r.getAs[String]("dir")),
+          Option(r.getAs[Any]("dist_us")).map(_.asInstanceOf[Long]))).toMap
+    assert(nearest.nonEmpty)
+    val dirs = nearest.values.flatMap(_._1).toSet
+    assert(dirs === Set("back", "fwd"),
+      s"both directions must occur on real data, got $dirs")
+    // the nearest match is never farther than the backward-only match
+    val backOnly = Relational.qAsofJoin.fn(spark, sf)
+      .join(Tables.events(spark, sf)
+        .select(col("event_id").as("view_event_id"),
+          unix_micros(col("ts")).as("v_us")), Seq("view_event_id"))
+      .join(Tables.events(spark, sf)
+        .select(col("event_id").as("purchase_event_id"),
+          unix_micros(col("ts")).as("p_us")), Seq("purchase_event_id"))
+      .select(col("purchase_event_id"), (col("p_us") - col("v_us")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    backOnly.foreach { case (pid, dBack) =>
+      val (_, dNear) = nearest(pid)
+      assert(dNear.exists(_ <= dBack),
+        s"purchase $pid: nearest ${dNear} must be <= backward $dBack")
+    }
+  }
+
   test("R59: OLS trend slope equals a driver-side reference regression per group") {
     val out = Relational.qTrendSlope.fn(spark, sf).collect()
       .map(r => r.getString(0) ->
