@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1493,8 +1493,101 @@ object Relational {
                     min(price) AS lo, max(price) AS hi
              FROM r, n GROUP BY 1 ORDER BY bin"""))
 
+  /** Exact linear-interpolated quantile per group via the R14
+    * rank-arithmetic pass — the reusable core of R14/R54/R63: one
+    * spillable window, the two bracketing ranks picked, one interp.
+    * Emits (group, n, <out>). */
+  private def exactQuantile(df: DataFrame, group: String, value: String,
+      p: Double, out: String): DataFrame = {
+    val w = Window.partitionBy(col(group)).orderBy(col(value))
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = df
+      .withColumn("r", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+    val t = lit(1.0) + (col("n") - 1) * lit(p)
+    ranked.filter(col("r") === floor(t) || col("r") === ceil(t))
+      .groupBy(group).agg(first(col("n")).as("n"),
+        max(when(col("r") === floor(t), col(value))).as("_lo"),
+        max(when(col("r") === ceil(t), col(value))).as("_hi"))
+      .select(col(group), col("n"),
+        (col("_lo") + (col("_hi") - col("_lo")) *
+          ((lit(1.0) + (col("n") - 1) * lit(p)) -
+            floor(lit(1.0) + (col("n") - 1) * lit(p)))).as(out))
+  }
+
+  /** R63 — MAD robust outlier detection per group: median absolute
+    * deviation is the robust scale estimate a contaminated
+    * distribution can't drag (stddev-based z-scores let the outliers
+    * inflate their own yardstick — the R44 z approach assumes clean
+    * moments). Two exact rank-arithmetic median passes (value, then
+    * |x − median|), thresholds at 3·1.4826·MAD (the Gaussian
+    * consistency constant, multiplied IN-ENGINE on both sides so the
+    * doubles match bitwise), flag counts map-side. Cost family =
+    * R54's winsorize; at 100 TB both medians swap for the R25
+    * mergeable sketch with the flag scan unchanged. */
+  val qMadOutliers = QueryDef(
+    "q_mad_outliers",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
+      val med = exactQuantile(li, "g", "x", 0.5, "med").select("g", "med")
+      val devs = li.join(broadcast(med), Seq("g"))
+        .select(col("g"), abs(col("x") - col("med")).as("dv"))
+      val mad = exactQuantile(devs, "g", "dv", 0.5, "mad").select("g", "mad")
+      li.join(broadcast(med), Seq("g")).join(broadcast(mad), Seq("g"))
+        .withColumn("thr", lit(3.0) * lit(1.4826) * col("mad"))
+        .groupBy("g")
+        .agg(count(lit(1)).as("n"),
+          round(first(col("med")), 4).as("med_q"),
+          round(first(col("mad")), 4).as("mad_q"),
+          sum(when(abs(col("x") - col("med")) > col("thr"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy("g")
+    },
+    Some("""WITH li AS (SELECT l_returnflag AS g, l_extendedprice AS x
+                        FROM lineitem),
+            r1 AS (SELECT g, x,
+                     row_number() OVER (PARTITION BY g ORDER BY x) AS r,
+                     count(*) OVER (PARTITION BY g) AS n
+                   FROM li),
+            m1 AS (SELECT g, MAX(n) AS n,
+                     MAX(CASE WHEN r = floor(1.0 + (n-1)*0.5) THEN x END) AS lo,
+                     MAX(CASE WHEN r = ceil(1.0 + (n-1)*0.5) THEN x END) AS hi
+                   FROM r1
+                   WHERE r = floor(1.0 + (n-1)*0.5)
+                      OR r = ceil(1.0 + (n-1)*0.5)
+                   GROUP BY g),
+            med AS (SELECT g,
+                      lo + (hi - lo) * ((1.0 + (n-1)*0.5)
+                        - floor(1.0 + (n-1)*0.5)) AS med
+                    FROM m1),
+            dv AS (SELECT li.g, li.x, abs(li.x - med.med) AS dv, med.med
+                   FROM li JOIN med USING (g)),
+            r2 AS (SELECT g, dv,
+                     row_number() OVER (PARTITION BY g ORDER BY dv) AS r,
+                     count(*) OVER (PARTITION BY g) AS n
+                   FROM dv),
+            m2 AS (SELECT g, MAX(n) AS n,
+                     MAX(CASE WHEN r = floor(1.0 + (n-1)*0.5) THEN dv END) AS lo,
+                     MAX(CASE WHEN r = ceil(1.0 + (n-1)*0.5) THEN dv END) AS hi
+                   FROM r2
+                   WHERE r = floor(1.0 + (n-1)*0.5)
+                      OR r = ceil(1.0 + (n-1)*0.5)
+                   GROUP BY g),
+            mad AS (SELECT g,
+                      lo + (hi - lo) * ((1.0 + (n-1)*0.5)
+                        - floor(1.0 + (n-1)*0.5)) AS mad
+                    FROM m2)
+            SELECT dv.g AS g, CAST(count(*) AS BIGINT) AS n,
+                   ROUND(MAX(dv.med), 4) AS med_q,
+                   ROUND(MAX(mad.mad), 4) AS mad_q,
+                   CAST(SUM(CASE WHEN dv.dv > 3.0 * 1.4826 * mad.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM dv JOIN mad ON mad.g = dv.g
+            GROUP BY dv.g ORDER BY g"""))
+
   val all: Seq[QueryDef] = Seq(
-    qHistogram, qHistogramDepth,
+    qHistogram, qHistogramDepth, qMadOutliers,
     qScanPushdown, q1PricingSummary, q3ShippingPriority, q5LocalSupplier,
     qBroadcastJoin, qSemiJoin, qAntiJoin, qWindowRank, qWindowRunning,
     qCountDistinct, qConditionalAgg, qTopK, qRollup, qPercentiles,

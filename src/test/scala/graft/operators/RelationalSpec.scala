@@ -181,6 +181,35 @@ class RelationalSpec extends SparkSpec {
     assert(all.getAs[Long]("approx_distinct") >= (groupMax * 0.95).toLong)
   }
 
+  test("R63: MAD flags exactly the planted extremes a stddev z-score would dilute") {
+    val rows = Relational.qMadOutliers.fn(spark, sf).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mad_q") > 0)
+      // lineitem prices are broad but unimodal: the 3-MAD band must
+      // keep the bulk (outlier fraction well under half)
+      assert(r.getAs[Long]("n_outliers") < r.getAs[Long]("n") / 4)
+    }
+    // robustness: the flag threshold derives from median/MAD, so a few
+    // huge planted values can't inflate their own yardstick — all 5
+    // plants flag, and the clean rows' flags are unchanged
+    import spark.implicits._
+    def madFlags(df: org.apache.spark.sql.DataFrame): Map[Long, Boolean] = {
+      val med = df.orderBy("x").collect().map(_.getDouble(1))
+      val m = med(med.length / 2)
+      val devs = med.map(v => math.abs(v - m)).sorted
+      val mad = devs(devs.length / 2)
+      df.collect().map(r => r.getLong(0) ->
+        (math.abs(r.getDouble(1) - m) > 3.0 * 1.4826 * mad)).toMap
+    }
+    val clean = (1 to 101).map(i => (i.toLong, 100.0 + (i % 11))).toDF("id", "x")
+    val dirty = clean.unionByName(
+      (1 to 5).map(i => (1000L + i, 1e7 + i)).toDF("id", "x"))
+    val flags = madFlags(dirty)
+    (1001L to 1005L).foreach(id => assert(flags(id), s"plant $id must flag"))
+    (1L to 101L).foreach(id => assert(!flags(id), s"clean $id must not flag"))
+  }
+
   test("R62: nearest as-of dominates the backward-only as-of and uses both directions") {
     val nearest = Relational.qAsofNearest.fn(spark, sf).collect()
       .map(r => r.getAs[Long]("purchase_event_id") ->
