@@ -1,6 +1,7 @@
 package graft.etl
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** E11/E12 — the two validation operators every production ETL bus
@@ -99,6 +100,39 @@ object Quality {
     * totalprice on % 97 = 0, re-add keys % 101 = 0 shifted by 10M) so
     * DuckDB reconstructs the identical pair of tables. One shuffle on
     * the key; comparisons are map-side. */
+  /** Generic key-level diff (the E12 classification as a reusable
+    * transform): one full-outer key shuffle, null-safe value compare
+    * map-side, one row per differing key tagged added/removed/changed.
+    * `a` is the old state, `b` the new; both carry `key` + `valueCols`. */
+  def keyDiff(a: DataFrame, b: DataFrame, key: String,
+      valueCols: Seq[String]): DataFrame = {
+    val av = a.select((key +: valueCols).map(col): _*)
+      .withColumnsRenamed(valueCols.map(c => c -> s"${c}_a").toMap)
+    val bv = b.select((key +: valueCols).map(col): _*)
+      .withColumnsRenamed(valueCols.map(c => c -> s"${c}_b").toMap)
+    val allNullA = valueCols.map(c => col(s"${c}_a").isNull).reduce(_ && _)
+    val allNullB = valueCols.map(c => col(s"${c}_b").isNull).reduce(_ && _)
+    val changed = valueCols
+      .map(c => !(col(s"${c}_a") <=> col(s"${c}_b"))).reduce(_ || _)
+    av.join(bv, Seq(key), "full_outer")
+      .withColumn("change",
+        when(allNullA, lit("added"))
+          .when(allNullB, lit("removed"))
+          .when(changed, lit("changed")))
+      .filter(col("change").isNotNull)
+      .select(col(key), col("change"))
+  }
+
+  /** E23 — run-over-run audit: what did last night's job change?
+    * Composes IO15's stable-ordinal time travel with the E12 diff —
+    * any two retained snapshot versions reconcile without the job
+    * having logged anything. The read every incident review starts
+    * with. */
+  def snapshotDiff(spark: org.apache.spark.sql.SparkSession, root: String,
+      vOld: Int, vNew: Int, key: String, valueCols: Seq[String]): DataFrame =
+    keyDiff(Snapshots.readVersion(spark, root, vOld),
+      Snapshots.readVersion(spark, root, vNew), key, valueCols)
+
   val tableDiff = QueryDef(
     "etl_table_diff",
     (s, d) => {

@@ -79,4 +79,22 @@ class SnapshotsSpec extends SparkSpec {
     val e = intercept[IllegalStateException] { Snapshots.read(spark, root) }
     assert(e.getMessage.contains("no committed snapshot"))
   }
+
+  test("E23: run-over-run snapshot diff names exactly what the job changed") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_snap_diff").toString
+    Snapshots.commit(Seq((1L, 10.0, "A"), (2L, 20.0, "B"), (3L, 30.0, "C"))
+      .toDF("k", "price", "status"), root)
+    // "the nightly run": drops 3, changes 2, adds 4
+    Snapshots.commit(Seq((1L, 10.0, "A"), (2L, 25.0, "B"), (4L, 40.0, "D"))
+      .toDF("k", "price", "status"), root)
+    val diff = Quality.snapshotDiff(spark, root, 1, 2, "k",
+      Seq("price", "status")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff === Map(2L -> "changed", 3L -> "removed", 4L -> "added"),
+      s"got $diff")
+    // identical versions diff empty
+    assert(Quality.snapshotDiff(spark, root, 2, 2, "k",
+      Seq("price", "status")).isEmpty)
+  }
 }
