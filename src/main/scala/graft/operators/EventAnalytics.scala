@@ -27,19 +27,23 @@ object EventAnalytics {
     * key-equi + a residual time predicate, so it stays a hash join on
     * the stage key — co-partitioned with the groupBy that follows. */
   private def nextStage(events: DataFrame, etype: String,
-      bound: DataFrame): DataFrame =
+      bound: DataFrame, maxDelayHours: Option[Int] = None): DataFrame = {
+    val inWindow = maxDelayHours.fold(lit(true))(h =>
+      col("ts") <= col("bound_ts") + expr(s"INTERVAL $h HOURS"))
     events.filter(col("event_type") === etype)
       .join(bound, Seq("user_id"))
-      .filter(col("ts") > col("bound_ts"))
+      .filter(col("ts") > col("bound_ts") && inWindow)
       .groupBy("user_id")
       .agg(min(col("ts")).as("stage_ts"))
+  }
 
   /** R38: strict-order funnel view → click → purchase. A user converts
     * through stage N only with an event strictly after their stage-N−1
     * conversion time (earliest-completion semantics — the standard
     * product-analytics definition). Output: one row per stage with the
     * surviving-user count. */
-  def funnel(s: SparkSession, dir: String): DataFrame = {
+  def funnel(s: SparkSession, dir: String,
+      maxDelayHours: Option[Int] = None): DataFrame = {
     val ev = Tables.events(s, dir).select("user_id", "event_type", "ts")
     // view and click each feed TWO consumers (their stage row + the
     // next stage's bound); without the persist each reuse re-scans the
@@ -50,10 +54,12 @@ object EventAnalytics {
       .groupBy("user_id").agg(min(col("ts")).as("stage_ts"))
       .persist()
     val click = nextStage(ev, "click",
-      view.select(col("user_id"), col("stage_ts").as("bound_ts")))
+      view.select(col("user_id"), col("stage_ts").as("bound_ts")),
+      maxDelayHours)
       .persist()
     val purchase = nextStage(ev, "purchase",
-      click.select(col("user_id"), col("stage_ts").as("bound_ts")))
+      click.select(col("user_id"), col("stage_ts").as("bound_ts")),
+      maxDelayHours)
     def stageRow(df: DataFrame, name: String, ord: Int) =
       df.agg(count(lit(1)).as("n_users"))
         .select(lit(name).as("stage"), lit(ord).as("stage_ord"),
@@ -79,6 +85,39 @@ object EventAnalytics {
               SELECT e.user_id, min(e.ts) AS stage_ts
               FROM events e JOIN c ON e.user_id = c.user_id
               WHERE e.event_type = 'purchase' AND e.ts > c.stage_ts
+              GROUP BY e.user_id)
+            SELECT * FROM (
+              SELECT 'view' AS stage, 1 AS stage_ord, count(*) AS n_users FROM v
+              UNION ALL
+              SELECT 'click', 2, count(*) FROM c
+              UNION ALL
+              SELECT 'purchase', 3, count(*) FROM p)
+            ORDER BY stage_ord"""))
+
+  /** R64 — funnel with a CONVERSION WINDOW: each stage must complete
+    * within `maxDelayHours` of the previous stage's completion — the
+    * product-analytics default (an unbounded funnel credits a
+    * purchase months after the view; attribution policies don't).
+    * Same persisted shrinking-survivor-set machinery as R41 with one
+    * extra residual predicate on the stage joins; windowed counts are
+    * by construction ≤ the unbounded funnel's (spec-gated). */
+  val qFunnelWindowed = QueryDef(
+    "q_funnel_windowed",
+    (s, d) => funnel(s, d, maxDelayHours = Some(24)),
+    Some("""WITH v AS (
+              SELECT user_id, min(ts) AS stage_ts FROM events
+              WHERE event_type = 'view' GROUP BY user_id),
+            c AS (
+              SELECT e.user_id, min(e.ts) AS stage_ts
+              FROM events e JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'click' AND e.ts > v.stage_ts
+                AND e.ts <= v.stage_ts + INTERVAL 24 HOUR
+              GROUP BY e.user_id),
+            p AS (
+              SELECT e.user_id, min(e.ts) AS stage_ts
+              FROM events e JOIN c ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > c.stage_ts
+                AND e.ts <= c.stage_ts + INTERVAL 24 HOUR
               GROUP BY e.user_id)
             SELECT * FROM (
               SELECT 'view' AS stage, 1 AS stage_ord, count(*) AS n_users FROM v
@@ -525,7 +564,7 @@ object EventAnalytics {
                      AS BIGINT) AS total_users
             FROM p ORDER BY hr"""))
 
-  val all: Seq[QueryDef] = Seq(qFunnel, qCohortRetention, qEventTransitions,
-    qRateAnomalies, qAttribution, qIntervalMerge, qEwma, qRollingDistinct,
-    qTwap, qCumulativeDistinct)
+  val all: Seq[QueryDef] = Seq(qFunnel, qFunnelWindowed, qCohortRetention,
+    qEventTransitions, qRateAnomalies, qAttribution, qIntervalMerge, qEwma,
+    qRollingDistinct, qTwap, qCumulativeDistinct)
 }

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** L1 — plan linter: SURVEY §5's scale rules as an executable check
+  * instead of reviewer folklore. Walks a query's physical plan and
+  * reports the anti-patterns that are survivable at sf0.1 and fatal
+  * at 100 TB:
+  *
+  *   - `cartesian-product`: CartesianProductExec anywhere;
+  *   - `nested-loop-join`: BroadcastNestedLoopJoinExec — legitimate
+  *     ONLY for the sanctioned 1-row stats broadcasts / bounded eval
+  *     scans, so it reports and the caller allowlists;
+  *   - `single-partition-exchange`: an Exchange with SinglePartition
+  *     whose input is not already an aggregate — the global-window
+  *     funnel trap (R53's reason to exist). Aggregates feeding a
+  *     1-row reduction are the documented benign class.
+  *   - `global-window`: a WindowExec directly over a SinglePartition
+  *     exchange — the naive global row_number/running-sum shape.
+  *
+  * Use in tests and pre-deploy checks: `Lint.check(df)` returns the
+  * findings; `Lint.assertClean(df, allow)` throws on anything not
+  * allowlisted. This is the tool form of the RelationalSpec
+  * plan-guard test, available to library users for THEIR queries.
+  */
+object Lint {
+
+  final case class Finding(kind: String, node: String)
+
+  private def collect(p: SparkPlan): Seq[Finding] = {
+    val self = p match {
+      case _: CartesianProductExec =>
+        Seq(Finding("cartesian-product", p.nodeName))
+      case _: BroadcastNestedLoopJoinExec =>
+        Seq(Finding("nested-loop-join", p.nodeName))
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.numPartitions == 1 &&
+            !e.child.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec] =>
+        Seq(Finding("single-partition-exchange", e.child.nodeName))
+      case w: WindowExec
+          if w.partitionSpec.isEmpty =>
+        Seq(Finding("global-window", w.nodeName))
+      case _ => Seq.empty
+    }
+    val children = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case _ => p.children
+    }
+    self ++ children.flatMap(collect) ++
+      p.subqueries.flatMap(collect)
+  }
+
+  /** All scale-risk findings in the query's physical plan. */
+  def check(df: DataFrame): Seq[Finding] =
+    collect(df.queryExecution.executedPlan).distinct
+
+  /** Throw unless every finding's kind is allowlisted — the CI gate
+    * form. */
+  def assertClean(df: DataFrame, allow: Set[String] = Set.empty): Unit = {
+    val bad = check(df).filterNot(f => allow.contains(f.kind))
+    if (bad.nonEmpty)
+      throw new IllegalStateException(
+        "plan lint: " + bad.map(f => s"${f.kind} at ${f.node}").mkString("; "))
+  }
+}

@@ -113,6 +113,23 @@ class EventAnalyticsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("R64: the conversion window only ever shrinks the funnel") {
+    val unbounded = EventAnalytics.funnel(spark, sf).collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_users")).toMap
+    val windowed = EventAnalytics.funnel(spark, sf, Some(24)).collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_users")).toMap
+    assert(windowed("view") === unbounded("view"),
+      "stage 1 has no previous stage — identical")
+    Seq("click", "purchase").foreach { s =>
+      assert(windowed(s) <= unbounded(s), s"window must not grow stage $s")
+    }
+    // a tight window must actually bite on month-spread events
+    val tight = EventAnalytics.funnel(spark, sf, Some(1)).collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_users")).toMap
+    assert(tight("click") < unbounded("click"),
+      "a 1-hour window over month-spread events must exclude someone")
+  }
+
   test("R61: cumulative-distinct curve is monotone and converges to the true distinct count") {
     val rows = EventAnalytics.cumulativeDistinct(spark, sf).collect()
     assert(rows.nonEmpty)
