@@ -64,6 +64,88 @@ object Cdc {
       col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
       col("o_totalprice"), col("o_orderdate"))
 
+  /** E24 — CDC EXTRACTION: the inverse of [[applyChanges]] — given two
+    * table states, emit the minimal change feed (I/U/D with payload,
+    * tombstones payload-free) that transforms old into new. The
+    * snapshot-diff-to-CDC bridge: systems without upstream CDC
+    * backfill their change streams from successive snapshots exactly
+    * this way (and E23's audit becomes replayable, not just
+    * readable). One full-outer key shuffle; payloads ride the same
+    * join. Round-trip law (spec-gated): applying the extracted feed
+    * onto the old state reproduces the new state exactly. */
+  def extractChanges(oldDf: DataFrame, newDf: DataFrame, key: String,
+      valueCols: Seq[String]): DataFrame = {
+    val o = oldDf.select((key +: valueCols).map(col): _*)
+      .withColumnsRenamed(valueCols.map(c => c -> s"${c}_o").toMap)
+      .withColumn("_in_o", lit(1))
+    val n = newDf.select((key +: valueCols).map(col): _*)
+      .withColumn("_in_n", lit(1))
+    val changed = valueCols
+      .map(c => !(col(s"${c}_o") <=> col(c))).reduce(_ || _)
+    o.join(n, Seq(key), "full_outer")
+      .withColumn("op",
+        when(col("_in_o").isNull, lit("I"))
+          .when(col("_in_n").isNull, lit("D"))
+          .when(changed, lit("U")))
+      .filter(col("op").isNotNull)
+      .select(col(key) +: col("op") +:
+        valueCols.map(c =>
+          when(col("op") =!= "D", col(c)).otherwise(lit(null)).as(c)): _*)
+  }
+
+  /** Apply an extracted feed back onto the old state — the replay half
+    * of the round-trip law. Deletes and updates displace old rows;
+    * inserts and updates carry the new payload. */
+  def applyExtracted(oldDf: DataFrame, changes: DataFrame, key: String,
+      valueCols: Seq[String]): DataFrame = {
+    val touched = changes.select(col(key))
+    val kept = oldDf.select((key +: valueCols).map(col): _*)
+      .join(touched, Seq(key), "left_anti")
+    kept.unionByName(changes.filter(col("op") =!= "D")
+      .select((key +: valueCols).map(col): _*))
+  }
+
+  val etlCdcExtract = QueryDef(
+    "etl_cdc_extract",
+    (s, d) => {
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+          col("o_orderstatus").as("status"))
+      val updated = base.filter(col("k") % 89 =!= 0)
+        .withColumn("price",
+          when(col("k") % 97 === 0, col("price") + 1).otherwise(col("price")))
+        .unionByName(base.filter(col("k") % 101 === 0)
+          .select((col("k") + 10000000L).as("k"), col("price"),
+            col("status")))
+      extractChanges(base, updated, "k", Seq("price", "status"))
+        .orderBy("k", "op")
+    },
+    Some("""WITH base AS (
+              SELECT o_orderkey AS k, o_totalprice AS price,
+                     o_orderstatus AS status
+              FROM orders),
+            updated AS (
+              SELECT k,
+                     CASE WHEN k % 97 = 0 THEN price + 1 ELSE price END AS price,
+                     status
+              FROM base WHERE k % 89 <> 0
+              UNION ALL
+              SELECT k + 10000000, price, status FROM base WHERE k % 101 = 0),
+            j AS (
+              SELECT COALESCE(o.k, n.k) AS k,
+                     CASE WHEN o.k IS NULL THEN 'I'
+                          WHEN n.k IS NULL THEN 'D'
+                          WHEN (o.price IS DISTINCT FROM n.price)
+                            OR (o.status IS DISTINCT FROM n.status) THEN 'U'
+                     END AS op,
+                     n.price, n.status
+              FROM base o FULL OUTER JOIN updated n ON o.k = n.k)
+            SELECT k, op,
+                   CASE WHEN op <> 'D' THEN price END AS price,
+                   CASE WHEN op <> 'D' THEN status END AS status
+            FROM j WHERE op IS NOT NULL
+            ORDER BY k, op"""))
+
   val etlCdcMerge = QueryDef(
     "etl_cdc_merge",
     (s, d) => applyChanges(ordersFeed(Tables.orders(s, d)),
@@ -84,5 +166,5 @@ object Cdc {
             FROM ranked WHERE rn = 1 AND op <> 'D'
             ORDER BY ck"""))
 
-  val all: Seq[QueryDef] = Seq(etlCdcMerge)
+  val all: Seq[QueryDef] = Seq(etlCdcMerge, etlCdcExtract)
 }
