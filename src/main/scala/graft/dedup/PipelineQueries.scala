@@ -343,6 +343,49 @@ object PipelineQueries {
             SELECT q_id, vec_id, neg_label, cos_sim, rnk FROM ranked
             WHERE rnk <= 10 ORDER BY q_id, rnk"""))
 
+  /** D71 — batch-hard triplet mining entry (see [[Ann.hardTriplets]]):
+    * the contrastive-training dataset builder — hardest positive +
+    * hardest negative per bounded anchor, fully oracle-gated (the
+    * D5/D36 fold-arithmetic cosine mirror, identical rank windows). */
+  val embTriplets = QueryDef(
+    "emb_triplets",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.hardTriplets(emb, boundedQueries(emb)).orderBy("q_id")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+                        FROM embeddings),
+             q AS (SELECT vec_id AS q_id, label AS q_label, emb AS q_emb
+                   FROM e
+                   WHERE vec_id % 100 = 0
+                     AND vec_id < ${Ann.MaxBroadcastQueries * 100L}),
+             sc AS (SELECT q.q_id, q.q_label, e.vec_id,
+                      e.label = q.q_label AS same_label,
+                      ROUND(
+                        list_sum(list_transform(list_zip(q.q_emb, e.emb),
+                          p -> p[1] * p[2]))
+                        / (sqrt(list_sum(list_transform(q.q_emb, x -> x * x)))
+                         * sqrt(list_sum(list_transform(e.emb, x -> x * x)))),
+                        6) AS cos_sim
+                    FROM q JOIN e ON e.vec_id <> q.q_id),
+             pos AS (SELECT q_id, q_label, vec_id AS pos_id,
+                       cos_sim AS pos_sim
+                     FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                             ORDER BY cos_sim ASC, vec_id) AS r
+                           FROM sc WHERE same_label)
+                     WHERE r = 1),
+             neg AS (SELECT q_id, vec_id AS neg_id, cos_sim AS neg_sim
+                     FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                             ORDER BY cos_sim DESC, vec_id) AS r
+                           FROM sc WHERE NOT same_label)
+                     WHERE r = 1)
+             SELECT pos.q_id, pos.q_label, pos.pos_id, pos.pos_sim,
+                    neg.neg_id, neg.neg_sim,
+                    CAST(floor((pos.pos_sim - neg.neg_sim) * 1e6) AS BIGINT)
+                      AS margin_q
+             FROM pos JOIN neg ON neg.q_id = pos.q_id
+             ORDER BY pos.q_id"""))
+
   /** D8: marker-word language ID. */
   val textLangId = QueryDef(
     "text_lang_id",
@@ -2444,7 +2487,7 @@ object PipelineQueries {
   val all: Seq[QueryDef] = Seq(
     embDecontaminate, embOutliers, textUrlCanonical, textCollocations,
     textLangidEval, qExactSplit, dedupBestKeeper, embDimStats,
-    dedupContainment, qWeightedSample,
+    dedupContainment, qWeightedSample, embTriplets,
     dedupExact, dedupMinhashLsh, dedupSimhash, dedupNgramJaccard,
     dedupJaccardAllpairs, dedupSpanMask,
     dedupEmbeddingCosine, annBruteforceTopK, annLsh, annIvf, annPqAdc,

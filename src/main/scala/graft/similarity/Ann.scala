@@ -126,6 +126,44 @@ object Ann {
       .select("q_id", "vec_id", "neg_label", "cos_sim", "rnk")
   }
 
+  /** D71 — batch-hard triplet mining (Hermans et al. 1703.07737, the
+    * re-identification training standard): per anchor, the HARDEST
+    * positive (least-similar same-label vector — the stretch the
+    * model must close) and the HARDEST negative (most-similar
+    * cross-label vector — the confusion it must separate), plus the
+    * margin. Same bounded-broadcast map-side scan as D6/D36 — the
+    * corpus streams once against the broadcast anchors, one fused
+    * cosine per (anchor, row), then two rank windows (per side) whose
+    * WindowGroupLimit keeps shuffle at O(anchors); corpus-scale
+    * anchor sets mine from the ANN candidate stream instead
+    * (the D36 note). */
+  def hardTriplets(corpus: DataFrame, anchors: DataFrame): DataFrame = {
+    val scored = corpus.as("c")
+      .join(broadcast(anchors.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"), col("label").as("q_label"))),
+        col("c.vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_label"), col("c.vec_id").as("vec_id"),
+        (col("c.label") === col("q_label")).as("same_label"),
+        round(cosine(col("q_emb"), col("c.embedding")), 6).as("cos_sim"))
+    val wPos = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").asc, col("vec_id"))
+    val wNeg = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val pos = scored.filter(col("same_label"))
+      .withColumn("r", row_number().over(wPos)).filter(col("r") === 1)
+      .select(col("q_id"), col("q_label"), col("vec_id").as("pos_id"),
+        col("cos_sim").as("pos_sim"))
+    val neg = scored.filter(!col("same_label"))
+      .withColumn("r", row_number().over(wNeg)).filter(col("r") === 1)
+      .select(col("q_id"), col("vec_id").as("neg_id"),
+        col("cos_sim").as("neg_sim"))
+    pos.join(neg, Seq("q_id"))
+      .withColumn("margin_q",
+        floor((col("pos_sim") - col("neg_sim")) * 1e6).cast("long"))
+      .select("q_id", "q_label", "pos_id", "pos_sim", "neg_id", "neg_sim",
+        "margin_q")
+  }
+
   /** Self-verification harness for the approximate top-k coverage
     * entries: joins the exact [[bruteForceTopK]] baseline into an ANN
     * result and emits per-row exact-set membership, per-query

@@ -57,6 +57,44 @@ class AnnSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("D71: batch-hard triplets pick the true extremes; clustered data yields positive margins") {
+    import spark.implicits._
+    def near(axis: Int, j: Int): Array[Float] = {
+      val v = Array.fill(4)(0.01f * (j % 5 + 1)); v(axis) = 1f; v
+    }
+    val df = ((0 until 10).map(j => (j.toLong, near(0, j), "A")) ++
+      (100 until 110).map(j => (j.toLong, near(1, j), "B")))
+      .toDF("vec_id", "embedding", "label")
+    val anchors = df.filter(col("vec_id").isin(0L, 100L))
+    val out = Ann.hardTriplets(df, anchors).collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      // tight clusters, orthogonal classes: worst positive still beats
+      // best negative
+      assert(r.getAs[Long]("margin_q") > 0L,
+        s"anchor ${r.getAs[Long]("q_id")} margin must be positive")
+      assert(r.getAs[Double]("pos_sim") > 0.9)
+      assert(r.getAs[Double]("neg_sim") < 0.3)
+    }
+    // exhaustive check for anchor 0: pos/neg are the argmin/argmax
+    val a0 = out.find(_.getAs[Long]("q_id") == 0L).get
+    val sims = df.filter(col("vec_id") =!= 0L).collect().map { r =>
+      val v = r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble)
+      val q = near(0, 0).map(_.toDouble)
+      val dot = q.zip(v).map { case (a, b) => a * b }.sum
+      val c = dot / (math.sqrt(q.map(x => x * x).sum) *
+        math.sqrt(v.map(x => x * x).sum))
+      (r.getAs[Long]("vec_id"), r.getAs[String]("label"),
+        math.rint(c * 1e6) / 1e6)
+    }
+    val hardestPos = sims.filter(_._2 == "A")
+      .minBy { case (id, _, c) => (c, id) }._1
+    val hardestNeg = sims.filter(_._2 == "B")
+      .minBy { case (id, _, c) => (-c, id) }._1
+    assert(a0.getAs[Long]("pos_id") === hardestPos)
+    assert(a0.getAs[Long]("neg_id") === hardestNeg)
+  }
+
   test("D5: cosine of a vector with itself is 1") {
     val self = emb.select(
       round(Ann.cosine(col("embedding"), col("embedding")), 4).as("c"))
