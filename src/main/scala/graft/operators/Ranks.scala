@@ -284,6 +284,82 @@ object Ranks {
                       AS padding_ratio_q
              FROM u ORDER BY method"""))
 
+  /** R65 — decile lift / gains table: rank the corpus by a score,
+    * split into equal-count deciles (R57's rank arithmetic on the R53
+    * two-pass rank — no funnel), and report per-decile response rate,
+    * lift over the base rate, and cumulative gains — the
+    * model-evaluation readout behind "the top 10% by score captures
+    * X% of positives". Here: does the D9 quality score predict
+    * English-labeled docs (the outcome D64 measures directly)?
+    * Everything after the rank is a 10-row frame — the cum/total
+    * windows are O(deciles). */
+  val qDecileLift = QueryDef(
+    "q_decile_lift",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        graft.functions.Text.qualityScore(col("text")).as("score"),
+        (col("lang") === "en").as("pos"))
+      val ranked = globalRowNumber(docs,
+        Seq(col("score").desc, col("doc_id")), 32, "rn")
+      val nRow = docs.agg(count(lit(1)).as("n_total"))
+      val per = ranked.crossJoin(broadcast(nRow))
+        .withColumn("decile", expr("cast(((rn - 1) * 10) div n_total as int)"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
+      val wCum = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      per
+        .withColumn("cum_pos", sum("n_pos").over(wCum))
+        .withColumn("tot_pos", sum("n_pos").over(wAll))
+        .withColumn("tot_n", sum("n").over(wAll))
+        .select(col("decile"), col("n"), col("n_pos"),
+          floor(col("n_pos") * lit(1e6) / col("n")).cast("long").as("rate_q"),
+          floor((col("n_pos").cast("double") / col("n")) /
+            (col("tot_pos").cast("double") / col("tot_n")) * 1e6)
+            .cast("long").as("lift_q"),
+          floor(col("cum_pos") * lit(1e6) / col("tot_pos")).cast("long")
+            .as("cum_gain_q"))
+        .orderBy("decile")
+    },
+    Some(s"""WITH c AS (SELECT doc_id, lang, text,
+                          ${graft.dedup.PipelineQueries.oCanon} AS canon
+                        FROM documents),
+             m AS (SELECT doc_id, lang, text, canon,
+                     len(string_split(canon, ' ')) AS n_words,
+                     greatest(length(text), 1) AS text_len
+                   FROM c),
+             q AS (SELECT doc_id, lang = 'en' AS pos,
+                     ${graft.dedup.PipelineQueries.oQualityExpr} AS score
+                   FROM m),
+             r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id)
+                     AS rn,
+                     (SELECT count(*) FROM documents) AS n_total
+                   FROM q),
+             per AS (SELECT CAST(((rn - 1) * 10) // n_total AS INT) AS decile,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_pos
+                     FROM r GROUP BY 1),
+             w AS (SELECT *,
+                     SUM(n_pos) OVER (ORDER BY decile
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_pos,
+                     SUM(n_pos) OVER () AS tot_pos,
+                     SUM(n) OVER () AS tot_n
+                   FROM per)
+             SELECT decile, n, n_pos,
+                    CAST(floor(n_pos * 1e6 / n) AS BIGINT) AS rate_q,
+                    CAST(floor((CAST(n_pos AS DOUBLE) / n)
+                      / (CAST(tot_pos AS DOUBLE) / tot_n) * 1e6) AS BIGINT)
+                      AS lift_q,
+                    CAST(floor(cum_pos * 1e6 / tot_pos) AS BIGINT)
+                      AS cum_gain_q
+             FROM w ORDER BY decile"""))
+
   val all: Seq[QueryDef] =
-    Seq(qShardAssign, qGroupSample, qBudgetSelect, qLengthBatches)
+    Seq(qShardAssign, qGroupSample, qBudgetSelect, qLengthBatches,
+      qDecileLift)
 }

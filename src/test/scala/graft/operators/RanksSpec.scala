@@ -118,6 +118,20 @@ class RanksSpec extends SparkSpec {
       s"snake packing spread ${sums.max - sums.min} exceeds max doc $maxTok")
   }
 
+  test("R65: the lift table conserves counts and its gains curve is a proper CDF") {
+    val out = Ranks.qDecileLift.fn(spark, sf).collect()
+    assert(out.map(_.getAs[Int]("decile")).toSeq === (0 until 10))
+    val sizes = out.map(_.getAs[Long]("n"))
+    assert(sizes.max - sizes.min <= 1, s"deciles must balance: ${sizes.toSeq}")
+    val docs = Tables.documents(spark, sf)
+    assert(sizes.sum === docs.count())
+    assert(out.map(_.getAs[Long]("n_pos")).sum ===
+      docs.filter(col("lang") === "en").count())
+    val gains = out.map(_.getAs[Long]("cum_gain_q"))
+    assert(gains.sliding(2).forall(s => s.length < 2 || s(0) <= s(1)))
+    assert(gains.last === 1000000L, "cumulative gains must end at 100%")
+  }
+
   test("R57: equi-depth bins balance within one row, edges ordered, no funnel") {
     val df = Relational.qHistogramDepth.fn(spark, sf)
     val rows = df.collect()
