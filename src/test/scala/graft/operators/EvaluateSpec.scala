@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** R66-R69 — evaluation/drift metrics verified against naive
+  * driver-side references on sf0.001 (the references are the O(n²)
+  * or single-pass forms the scalable entries must reproduce). */
+class EvaluateSpec extends SparkSpec {
+
+  test("R66: rank-sum AUC equals the naive all-pairs AUC per source") {
+    val rows = Tables.documents(spark, sf).select(col("source"),
+      graft.functions.Text.qualityScore(col("text")).as("score"),
+      (col("lang") === "en").as("pos")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2)))
+    val ref = rows.groupBy(_._1).flatMap { case (src, rs) =>
+      val posS = rs.filter(_._3).map(_._2)
+      val negS = rs.filterNot(_._3).map(_._2)
+      if (posS.isEmpty || negS.isEmpty) None
+      else {
+        val s = (for (p <- posS; n <- negS)
+          yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+        Some(src -> s / (posS.length.toLong * negS.length))
+      }
+    }
+    val got = Evaluate.qAuc.fn(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("auc_q")).toMap
+    assert(got.keySet === ref.keySet)
+    ref.foreach { case (src, auc) =>
+      assert(got(src) === math.floor(auc * 1e6).toLong,
+        s"$src: rank-sum AUC diverges from the pairwise definition")
+    }
+  }
+
+  test("R67: calibration bins conserve counts and ECE matches its definition") {
+    val out = Evaluate.qCalibration.fn(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n")).sum === total)
+    val ece = out.map(r => r.getAs[Long]("n") * r.getAs[Long]("gap_q")).sum /
+      out.map(_.getAs[Long]("n")).sum
+    assert(out.forall(_.getAs[Long]("ece_q") === ece))
+    out.foreach { r =>
+      val bin = r.getAs[Int]("bin")
+      val m = r.getAs[Long]("mean_score_q")
+      assert(m >= bin * 100000L && m <= (bin + 1) * 100000L,
+        s"bin $bin: mean predicted score outside the bin's range")
+      assert(r.getAs[Long]("gap_q") ===
+        math.abs(m - r.getAs[Long]("rate_q")))
+    }
+  }
+
+  test("R68: PSI emits the full 10-bin frame, conserves counts, and is non-negative") {
+    val out = Evaluate.qPsi.fn(spark, sf).collect()
+    assert(out.map(_.getAs[Int]("bin")).sorted.toSeq === (0 to 9))
+    val totalEvents = Tables.events(spark, sf).count()
+    assert(out.map(r => r.getAs[Long]("n_a") + r.getAs[Long]("n_b")).sum
+      === totalEvents)
+    // (pa-pb)·ln(pa/pb) ≥ 0 per bin, so every quantized contribution
+    // and the total are ≥ 0
+    assert(out.forall(_.getAs[Long]("contrib_q") >= 0L))
+    val psi = out.head.getAs[Long]("psi_q")
+    assert(out.forall(_.getAs[Long]("psi_q") === psi))
+    assert(psi === out.map(_.getAs[Long]("contrib_q")).sum)
+  }
+
+  test("R69: gridded KS equals the naive per-type CDF sweep") {
+    val rows = Tables.events(spark, sf)
+      .select(col("event_type"), floor(col("value")).cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val grid = rows.map(_._2).distinct.sorted
+    val types = rows.map(_._1).distinct
+    val ref = types.map { t =>
+      val a = rows.filter(_._1 == t).map(_._2)
+      val b = rows.filterNot(_._1 == t).map(_._2)
+      val gaps = grid.map { v =>
+        v -> math.abs(a.count(_ <= v).toDouble / a.length -
+          b.count(_ <= v).toDouble / b.length)
+      }
+      val ks = gaps.map(_._2).max
+      t -> (math.floor(ks * 1e6).toLong, gaps.filter(_._2 == ks).map(_._1).min)
+    }.toMap
+    val got = Evaluate.qKsDrift.fn(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("ks_q"), r.getAs[Long]("v_at"))).toMap
+    assert(got === ref)
+  }
+}

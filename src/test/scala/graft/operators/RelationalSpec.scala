@@ -144,6 +144,9 @@ class RelationalSpec extends SparkSpec {
       "text_dsir_select",
       // bounded-broadcast eval-set scan, same class as ann_bruteforce
       "emb_decontaminate",
+      // bounded-broadcast anchor-set corpus scan (D71's documented
+      // shape), same class as ann_bruteforce/ann_hard_negatives
+      "emb_triplets",
       // calendar-grid cross join: spine O(days) x groups O(5), bounded
       // by time not data — the gap-fill grid is broadcast-tiny
       "q_gapfill",
@@ -152,6 +155,13 @@ class RelationalSpec extends SparkSpec {
       "q_histogram",
       // 1-row total-count broadcast for the rank→bin arithmetic
       "q_histogram_depth",
+      // 1-row n_total broadcast for the rank→decile arithmetic
+      "q_decile_lift",
+      // 1-row min/max stats broadcast for the PSI bin grid
+      "q_psi",
+      // bounded completion frame: O(value-grid) × O(event-types)
+      // crossed aggregates plus a 1-row total broadcast
+      "q_ks_drift",
       // 1-row corpus-size (N) stats broadcast for the idf term
       "text_index_retrieve",
       // 1-row token-total and bigram-total broadcasts for the PMI terms
