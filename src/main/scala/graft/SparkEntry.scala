@@ -11,7 +11,8 @@ object SparkEntry {
       operators.Zorder.all ++ operators.EventAnalytics.all ++
       operators.Graph.all ++ operators.Triangles.all ++
       operators.Bucketed.all ++ operators.Ranks.all ++
-      operators.Evaluate.all ++
+      operators.Evaluate.all ++ operators.Audit.all ++
+      dedup.CorpusStats.all ++
       etl.EtlQueries.all ++ etl.Quality.all ++ etl.Scd.all ++ etl.Cdc.all ++
       etl.Incremental.all ++ etl.Repair.all ++
       dedup.PipelineQueries.all ++ dedup.InvertedIndex.all ++

@@ -1,0 +1,158 @@
+package graft.dedup
+
+import graft.{QueryDef, Tables}
+import graft.functions.Text
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** D72/D73 — corpus-level distribution statistics for curation:
+  * per-source token-distribution entropy + Jensen-Shannon divergence
+  * against the corpus, and per-document TF-IDF keyword extraction.
+  *
+  * Both reduce to (key, token) counts before any divergence/window
+  * arithmetic, so raw document volume only touches the first
+  * aggregation. Every divergence/entropy term is quantized to a long
+  * PER TOKEN and then integer-summed — a vocabulary-sized float sum
+  * is accumulation-order-sensitive and Spark's merge order differs
+  * from DuckDB's; the quantize-then-sum form is order-free (the same
+  * discipline as R68's PSI total).
+  */
+object CorpusStats {
+
+  /** D72 — per-source unigram entropy and JS divergence vs the corpus
+    * distribution: the "which source is distributionally weird" read
+    * that decides mixture weights and flags contaminated or
+    * boilerplate-heavy sources before training. JSD(P‖C) with
+    * M = (P+C)/2, both KL halves summed per token in 1e-9-quantized
+    * units (bounded: JSD ≤ ln 2). Counts join word-keyed — the corpus
+    * side is already word-aggregated so the join is
+    * bounded-by-vocabulary, never by document count. */
+  val textEntropyJsd = QueryDef(
+    "text_entropy_jsd",
+    (s, d) => {
+      val words = graft.functions.Spread(Tables.documents(s, d), col("doc_id"))
+        .select(col("source"), explode(Text.words(col("text"))).as("word"))
+      val sw = words.groupBy("source", "word").agg(count(lit(1)).as("n"))
+      val corpus = sw.groupBy("word").agg(sum("n").as("nc"))
+      val totS = sw.groupBy("source").agg(sum("n").as("tot"))
+      val nAll = corpus.agg(sum("nc").as("nn"))
+      val joined = sw.join(corpus, "word")
+        .join(totS, "source")
+        .crossJoin(broadcast(nAll))
+        .withColumn("p", col("n").cast("double") / col("tot"))
+        .withColumn("q", col("nc").cast("double") / col("nn"))
+        .withColumn("m", (col("p") + col("q")) / 2)
+      // per-token quantized contributions, integer-summed:
+      //   entropy term  −p·ln p          (≥ 0)
+      //   jsd terms     ½·p·ln(p/m) summed over the source's tokens
+      //                 + ½·q·ln(q/m) over ALL tokens (the corpus-side
+      //                 KL half needs every word, including those the
+      //                 source lacks, where p=0 ⇒ m=q/2 ⇒ term = ½q·ln2)
+      val perSource = joined.groupBy("source").agg(
+        sum(floor((col("p") * -log(col("p"))) * 1e9).cast("long"))
+          .as("entropy_q9"),
+        sum(floor(col("p") * log(col("p") / col("m")) * lit(0.5) * 1e9)
+          .cast("long")).as("kl_pm_q9"),
+        sum(floor(col("q") * log(col("q") / col("m")) * lit(0.5) * 1e9)
+          .cast("long")).as("kl_qm_present_q9"),
+        sum(floor(col("q") * lit(0.5 * math.log(2.0)) * 1e9).cast("long"))
+          .as("absent_base_q9"))
+      // corpus-side KL half over ABSENT tokens = Σ_all ½q·ln2 − Σ_present
+      // (½q·ln2 − ½q·ln(q/m) is not the identity — instead compute the
+      // absent mass directly: Σ_absent ½q·ln2 = ½ln2 − Σ_present ½q·ln2,
+      // all in the same 1e-9 quantized units so the subtraction is exact
+      // in the quantized algebra)
+      val halfLn2Q9 = math.floor(0.5 * math.log(2.0) * 1e9).toLong
+      perSource
+        .join(totS, "source")
+        .select(col("source"), col("tot").as("n_tokens"),
+          col("entropy_q9"),
+          (col("kl_pm_q9") + col("kl_qm_present_q9")
+            + (lit(halfLn2Q9) - col("absent_base_q9"))).as("jsd_q9"))
+        .orderBy("source")
+    },
+    Some(s"""WITH w AS (SELECT source,
+                          unnest(string_split(${PipelineQueries.oCanon}, ' '))
+                            AS word
+                        FROM documents),
+             sw AS (SELECT source, word, CAST(count(*) AS BIGINT) AS n
+                    FROM w GROUP BY 1, 2),
+             corpus AS (SELECT word, SUM(n) AS nc FROM sw GROUP BY 1),
+             tots AS (SELECT source, SUM(n) AS tot FROM sw GROUP BY 1),
+             nall AS (SELECT SUM(nc) AS nn FROM corpus),
+             j AS (SELECT sw.source, sw.n, tots.tot, corpus.nc, nall.nn,
+                     CAST(sw.n AS DOUBLE) / tots.tot AS p,
+                     CAST(corpus.nc AS DOUBLE) / nall.nn AS q
+                   FROM sw JOIN corpus ON sw.word = corpus.word
+                   JOIN tots ON sw.source = tots.source
+                   CROSS JOIN nall),
+             jm AS (SELECT *, (p + q) / 2 AS m FROM j),
+             per AS (SELECT source,
+                       SUM(CAST(floor(p * -ln(p) * 1e9) AS BIGINT))
+                         AS entropy_q9,
+                       SUM(CAST(floor(p * ln(p / m) * 0.5 * 1e9) AS BIGINT))
+                         AS kl_pm_q9,
+                       SUM(CAST(floor(q * ln(q / m) * 0.5 * 1e9) AS BIGINT))
+                         AS kl_qm_present_q9,
+                       SUM(CAST(floor(q * 0.5 * ln(2.0) * 1e9) AS BIGINT))
+                         AS absent_base_q9
+                     FROM jm GROUP BY 1)
+             SELECT per.source, CAST(tots.tot AS BIGINT) AS n_tokens,
+                    CAST(entropy_q9 AS BIGINT) AS entropy_q9,
+                    CAST(kl_pm_q9 + kl_qm_present_q9
+                      + (CAST(floor(0.5 * ln(2.0) * 1e9) AS BIGINT)
+                         - absent_base_q9) AS BIGINT) AS jsd_q9
+             FROM per JOIN tots ON per.source = tots.source
+             ORDER BY per.source"""))
+
+  val KeywordsPerDoc = 3
+
+  /** D73 — TF-IDF keyword extraction: top-3 distinguishing terms per
+    * document, the metadata tag a retrieval/curation pipeline stores
+    * beside each doc. tf from the per-(doc, word) count, idf from the
+    * word-keyed document frequency, corpus size as a 1-row broadcast.
+    * The per-doc rank window carries a WindowGroupLimit (rank ≤ 3
+    * prunes map-side before the exchange) and orders by the QUANTIZED
+    * score so the word tiebreak is identical cross-engine. */
+  val textTfidfKeywords = QueryDef(
+    "text_tfidf_keywords",
+    (s, d) => {
+      val words = graft.functions.Spread(Tables.documents(s, d), col("doc_id"))
+        .select(col("doc_id"), explode(Text.words(col("text"))).as("word"))
+      val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("nd"))
+      val scored = tf.join(df, "word").crossJoin(broadcast(nDocs))
+        .withColumn("tfidf_q",
+          floor(col("tf") * log(col("nd").cast("double") / col("df")) * 1e6)
+            .cast("long"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf_q").desc, col("word"))
+      scored
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= KeywordsPerDoc)
+        .select(col("doc_id"), col("rnk"), col("word"), col("tfidf_q"))
+        .orderBy("doc_id", "rnk")
+    },
+    Some(s"""WITH w AS (SELECT doc_id,
+                          unnest(string_split(${PipelineQueries.oCanon}, ' '))
+                            AS word
+                        FROM documents),
+             tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+                    FROM w GROUP BY 1, 2),
+             df AS (SELECT word, CAST(count(*) AS BIGINT) AS df
+                    FROM tf GROUP BY 1),
+             nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+             sc AS (SELECT tf.doc_id, tf.word,
+                      CAST(floor(tf.tf * ln(CAST(nd.nd AS DOUBLE) / df.df)
+                        * 1e6) AS BIGINT) AS tfidf_q
+                    FROM tf JOIN df ON tf.word = df.word CROSS JOIN nd),
+             r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                     ORDER BY tfidf_q DESC, word) AS rnk
+                   FROM sc)
+             SELECT doc_id, CAST(rnk AS INT) AS rnk, word, tfidf_q
+             FROM r WHERE rnk <= $KeywordsPerDoc
+             ORDER BY doc_id, rnk"""))
+
+  def all: Seq[QueryDef] = Seq(textEntropyJsd, textTfidfKeywords)
+}

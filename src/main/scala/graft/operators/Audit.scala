@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** R70/R71 — data-audit statistics: Benford first-digit conformance
+  * and Gini concentration. Both follow the R59/R60 hash-exact recipe:
+  * quantize doubles to integer cents FIRST, accumulate as
+  * BIGINT/DECIMAL (order-free, so hash-stable at any parallelism),
+  * divide once at the end.
+  *
+  * Reference analogue: the per-batch quality/audit checks an ETL
+  * service runs before accepting a load (Net7-ETL-Bus
+  * Net7EtlBus.Service/Workers/ServiceBusWorker.cs logs batch
+  * validity) — here the validity tests are statistical laws.
+  */
+object Audit {
+
+  /** R70 — Benford's-law first-digit audit of line-item prices: a
+    * fabricated or truncated numeric column drifts from the
+    * log10(1+1/d) law long before row-level checks notice. First
+    * significant digit is taken from the STRING of the positive cents
+    * value — no float log10 near power-of-ten edges. Per digit:
+    * observed vs expected proportion (ppm) and |deviation|; the
+    * Benford MAD statistic (mean |dev| over the 9 digits, the
+    * standard conformance threshold test) repeats per row, summed
+    * from the quantized longs so no cross-engine float accumulation
+    * exists. One map-side digit extraction + one 9-key aggregation —
+    * audit cost is a single scan at any scale. */
+  val qBenford = QueryDef(
+    "q_benford",
+    (s, d) => {
+      val cents = Tables.lineitem(s, d)
+        .select(floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+          .as("cents"))
+        .filter(col("cents") > 0)
+      val per = cents
+        .select(substring(col("cents").cast("string"), 1, 1).cast("int")
+          .as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val wAll = Window.orderBy("digit")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      per
+        .withColumn("total", sum("n").over(wAll))
+        .withColumn("obs_q", expr("(n * 1000000) div total"))
+        .withColumn("exp_q",
+          floor(log10(lit(1.0) + lit(1.0) / col("digit")) * 1e6)
+            .cast("long"))
+        .withColumn("dev_q", abs(col("obs_q") - col("exp_q")))
+        .select(col("digit"), col("n"), col("obs_q"), col("exp_q"),
+          col("dev_q"),
+          expr("sum(dev_q) OVER (ORDER BY digit ROWS BETWEEN UNBOUNDED "
+            + "PRECEDING AND UNBOUNDED FOLLOWING) div 9").as("mad_q"))
+        .orderBy("digit")
+    },
+    Some("""WITH cents AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5)
+                             AS BIGINT) AS cents
+                           FROM lineitem
+                           WHERE floor(l_extendedprice * 100 + 0.5) > 0),
+             per AS (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1)
+                       AS INT) AS digit,
+                       CAST(count(*) AS BIGINT) AS n
+                     FROM cents GROUP BY 1),
+             g AS (SELECT digit, n,
+                     CAST((n * 1000000) // SUM(n) OVER () AS BIGINT)
+                       AS obs_q,
+                     CAST(floor(log10(1.0 + 1.0 / digit) * 1e6) AS BIGINT)
+                       AS exp_q
+                   FROM per),
+             dv AS (SELECT *, abs(obs_q - exp_q) AS dev_q FROM g)
+             SELECT digit, n, obs_q, exp_q, dev_q,
+                    CAST(SUM(dev_q) OVER () // 9 AS BIGINT) AS mad_q
+             FROM dv ORDER BY digit"""))
+
+  /** R71 — Gini concentration of customer revenue per nation: how
+    * unequally is spend distributed over the customer base. Sorted-sum
+    * identity G = (2·Σ i·x_i)/(n·Σx) − (n+1)/n over cents-exact
+    * revenues; the rank window is PARTITIONED by nation (never a
+    * global sort), and equal revenues give an order-invariant Σ i·x_i,
+    * so the custkey tiebreak affects nothing but determinism of the
+    * plan. Revenue accumulation is DECIMAL(38,0) — exact, order-free.
+    * At 100 TB this is one custkey agg + one nation-partitioned rank;
+    * nations are the natural bounded partition key. */
+  val qGini = QueryDef(
+    "q_gini",
+    (s, d) => {
+      val rev = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        .groupBy("o_custkey")
+        .agg(sum(col("cents").cast("decimal(38,0)")).as("rev"))
+      val withNation = rev
+        .join(Tables.customer(s, d).select(col("c_custkey"),
+          col("c_nationkey").cast("int").as("nation")),
+          col("o_custkey") === col("c_custkey"))
+      val w = Window.partitionBy("nation")
+        .orderBy(col("rev"), col("o_custkey"))
+      withNation
+        .withColumn("i", row_number().over(w).cast("long"))
+        .groupBy("nation")
+        .agg(count(lit(1)).as("n_customers"),
+          sum("rev").as("total"),
+          sum(col("rev") * col("i")).as("weighted"))
+        .select(col("nation"), col("n_customers"),
+          col("total").cast("long").as("total_cents"),
+          floor((lit(2.0) * col("weighted").cast("double")
+            / (col("n_customers").cast("double")
+              * col("total").cast("double"))
+            - (col("n_customers") + 1).cast("double")
+              / col("n_customers").cast("double")) * 1e6)
+            .cast("long").as("gini_q"))
+        .orderBy("nation")
+    },
+    Some("""WITH rev AS (SELECT o_custkey,
+                           SUM(CAST(floor(o_totalprice * 100 + 0.5)
+                             AS BIGINT)) AS rev
+                         FROM orders GROUP BY 1),
+             j AS (SELECT rev.o_custkey, rev.rev,
+                     CAST(c.c_nationkey AS INT) AS nation
+                   FROM rev JOIN customer c ON rev.o_custkey = c.c_custkey),
+             r AS (SELECT *, CAST(row_number() OVER (PARTITION BY nation
+                     ORDER BY rev, o_custkey) AS BIGINT) AS i
+                   FROM j),
+             a AS (SELECT nation, CAST(count(*) AS BIGINT) AS n_customers,
+                     SUM(rev) AS total, SUM(rev * i) AS weighted
+                   FROM r GROUP BY 1)
+             SELECT nation, n_customers,
+                    CAST(total AS BIGINT) AS total_cents,
+                    CAST(floor((2.0 * CAST(weighted AS DOUBLE)
+                      / (CAST(n_customers AS DOUBLE) * CAST(total AS DOUBLE))
+                      - CAST(n_customers + 1 AS DOUBLE)
+                        / CAST(n_customers AS DOUBLE)) * 1e6) AS BIGINT)
+                      AS gini_q
+             FROM a ORDER BY nation"""))
+
+  def all: Seq[QueryDef] = Seq(qBenford, qGini)
+}

@@ -1,0 +1,72 @@
+package graft.dedup
+
+import graft.{SparkSpec, Tables}
+import graft.functions.Text
+import org.apache.spark.sql.functions._
+
+/** D72/D73 — corpus statistics vs exact driver-side replications of
+  * the quantized algebra (same double ops, same floors — results must
+  * be bit-identical, not approximately close). */
+class CorpusStatsSpec extends SparkSpec {
+
+  private def tokenCounts(): Map[(String, String), Long] =
+    Tables.documents(spark, sf)
+      .select(col("source"), explode(Text.words(col("text"))).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+  test("D72: entropy/JSD equals the driver-side quantized-algebra replay") {
+    val sw = tokenCounts()
+    val tots = sw.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    val corpus = sw.groupBy(_._1._2).map { case (w, m) => w -> m.values.sum }
+    val nn = corpus.values.sum
+    val halfLn2Q9 = math.floor(0.5 * math.log(2.0) * 1e9).toLong
+    val ref = tots.keys.map { src =>
+      val present = sw.collect { case ((s, w), n) if s == src => (w, n) }
+      var eQ, klPmQ, klQmQ, absQ = 0L
+      present.foreach { case (w, n) =>
+        val p = n.toDouble / tots(src)
+        val q = corpus(w).toDouble / nn
+        val m = (p + q) / 2
+        eQ += math.floor(p * -math.log(p) * 1e9).toLong
+        klPmQ += math.floor(p * math.log(p / m) * 0.5 * 1e9).toLong
+        klQmQ += math.floor(q * math.log(q / m) * 0.5 * 1e9).toLong
+        absQ += math.floor(q * (0.5 * math.log(2.0)) * 1e9).toLong
+      }
+      src -> (tots(src), eQ, klPmQ + klQmQ + (halfLn2Q9 - absQ))
+    }.toMap
+    val got = CorpusStats.textEntropyJsd.fn(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("entropy_q9"),
+          r.getAs[Long]("jsd_q9"))).toMap
+    assert(got === ref)
+    // JSD is bounded by ln 2 (up to quantization slack below zero)
+    got.values.foreach { case (_, e, j) =>
+      assert(e >= 0L)
+      assert(j <= math.ceil(math.log(2.0) * 1e9).toLong)
+    }
+  }
+
+  test("D73: per-doc keywords equal the driver-side tf-idf replay") {
+    val tf = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(Text.words(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val df = tf.keys.groupBy(_._2).map { case (w, ks) => w -> ks.size.toLong }
+    val nd = Tables.documents(spark, sf).count()
+    val ref = tf.keys.map(_._1).toSeq.distinct.sorted.flatMap { doc =>
+      val scored = tf.collect { case ((d0, w), t) if d0 == doc =>
+        (w, math.floor(t * math.log(nd.toDouble / df(w)) * 1e6).toLong)
+      }.toSeq
+      scored.sortBy { case (w, s) => (-s, w) }
+        .take(CorpusStats.KeywordsPerDoc).zipWithIndex
+        .map { case ((w, s), i) => (doc, i + 1, w, s) }
+    }
+    val got = CorpusStats.textTfidfKeywords.fn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rnk"),
+        r.getAs[String]("word"), r.getAs[Long]("tfidf_q"))).toSeq
+    assert(got === ref)
+  }
+}

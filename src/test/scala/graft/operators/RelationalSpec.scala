@@ -162,6 +162,9 @@ class RelationalSpec extends SparkSpec {
       // bounded completion frame: O(value-grid) × O(event-types)
       // crossed aggregates plus a 1-row total broadcast
       "q_ks_drift",
+      // 1-row corpus-total / corpus-size broadcasts for the
+      // divergence and idf terms
+      "text_entropy_jsd", "text_tfidf_keywords",
       // 1-row corpus-size (N) stats broadcast for the idf term
       "text_index_retrieve",
       // 1-row token-total and bigram-total broadcasts for the PMI terms
