@@ -1,0 +1,231 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** R72/R73/R74 — feature-engineering transforms: leave-one-out target
+  * encoding, per-group standard + robust feature scaling, and lagged
+  * autocorrelation of event-rate series. The reference's enrichment
+  * transform (Net7-ETL-Bus DataflowProcessor.cs — per-record derived
+  * columns before load) generalized to the statistical encodings an
+  * ML feature pipeline derives in-engine.
+  *
+  * Hash-exactness discipline throughout: doubles are quantized to
+  * integer cents/ppm units BEFORE aggregation wherever a sum crosses
+  * rows (exact DECIMAL/BIGINT accumulation is merge-order-free), and
+  * any remaining double arithmetic is a fixed operation sequence over
+  * exact integers — identical bit-for-bit in Spark and the oracle.
+  */
+object Features {
+
+  /** R72 — leave-one-out target encoding of customer market segment
+    * against the "order is urgent" outcome. LOO removes the row's own
+    * label from its category mean — the standard leakage guard that a
+    * plain group-mean encoding fails (each row would see its own
+    * target). Encoded value stays integer: (Σy − y)·1e6 div (n−1);
+    * singleton categories emit NULL (no peers to average). One
+    * bounded groupBy + one broadcast join-back; the output sample is
+    * a deterministic keyspace slice so the entry's row count stays
+    * audit-sized at any SF. */
+  val qTargetEncode = QueryDef(
+    "q_target_encode",
+    (s, d) => {
+      val rows = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("segment"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("segment"),
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+            .as("y"))
+      val stats = rows.groupBy("segment")
+        .agg(count(lit(1)).as("n"), sum("y").as("sy"))
+      rows.join(broadcast(stats), "segment")
+        .filter(col("o_orderkey") % 29 === 0)
+        .select(col("o_orderkey"), col("segment"), col("y"),
+          when(col("n") > 1,
+            expr("((sy - y) * 1000000) div (n - 1)")).as("loo_q"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH rows_ AS (SELECT o_orderkey, c.c_mktsegment AS segment,
+                             CASE WHEN o_orderpriority = '1-URGENT'
+                               THEN 1 ELSE 0 END AS y
+                           FROM orders o
+                           JOIN customer c ON o.o_custkey = c.c_custkey),
+             st AS (SELECT segment, CAST(count(*) AS BIGINT) AS n,
+                      CAST(SUM(y) AS BIGINT) AS sy
+                    FROM rows_ GROUP BY 1)
+             SELECT o_orderkey, r.segment, CAST(y AS BIGINT) AS y,
+                    CASE WHEN n > 1 THEN
+                      CAST(((sy - y) * 1000000) // (n - 1) AS BIGINT)
+                    END AS loo_q
+             FROM rows_ r JOIN st ON r.segment = st.segment
+             WHERE o_orderkey % 29 = 0
+             ORDER BY o_orderkey"""))
+
+  /** R73 — per-group feature scaling: z-score from exact DECIMAL
+    * moment sums (population σ, one fixed double sequence at the
+    * end) and robust (x − median)/IQR from three exact rank-arithmetic
+    * quantile passes — the outlier-resistant scaling a skewed feature
+    * needs where z-scores let the tail set its own yardstick. Stats
+    * ride broadcast join-backs; the emitted rows are a deterministic
+    * keyspace slice. */
+  val qFeatureScale = QueryDef(
+    "q_feature_scale",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag").as("g"),
+        floor(col("l_quantity") * 100 + 0.5).cast("long").as("xc"))
+      val moments = li.groupBy("g").agg(count(lit(1)).as("n"),
+        sum(col("xc").cast("decimal(38,0)")).as("sx"),
+        sum((col("xc") * col("xc")).cast("decimal(38,0)")).as("sxx"))
+      val dli = li.withColumn("x", col("xc").cast("double"))
+      val med = Relational.exactQuantile(dli, "g", "x", 0.5, "med")
+        .select("g", "med")
+      val p25 = Relational.exactQuantile(dli, "g", "x", 0.25, "p25")
+        .select("g", "p25")
+      val p75 = Relational.exactQuantile(dli, "g", "x", 0.75, "p75")
+        .select("g", "p75")
+      li.join(broadcast(moments), "g").join(broadcast(med), "g")
+        .join(broadcast(p25), "g").join(broadcast(p75), "g")
+        .filter(col("l_orderkey") % 97 === 0)
+        .withColumn("mean", col("sx").cast("double") / col("n"))
+        .withColumn("std",
+          sqrt((col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))
+            / (col("n").cast("double") * col("n").cast("double"))))
+        .withColumn("iqr", col("p75") - col("p25"))
+        .select(col("g"), col("l_orderkey"), col("l_linenumber"),
+          col("xc"),
+          floor((col("xc").cast("double") - col("mean")) / col("std")
+            * 1e4).cast("long").as("z_q"),
+          when(col("iqr") > 0,
+            floor((col("xc").cast("double") - col("med")) / col("iqr")
+              * 1e4).cast("long")).as("robust_q"))
+        .orderBy("g", "l_orderkey", "l_linenumber")
+    },
+    Some("""WITH li AS (SELECT l_orderkey, l_linenumber,
+                          l_returnflag AS g,
+                          CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+                            AS xc
+                        FROM lineitem),
+             mo AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                      SUM(xc) AS sx, SUM(xc * xc) AS sxx
+                    FROM li GROUP BY 1),
+             rk AS (SELECT g, CAST(xc AS DOUBLE) AS x,
+                      row_number() OVER (PARTITION BY g ORDER BY
+                        CAST(xc AS DOUBLE)) AS r,
+                      count(*) OVER (PARTITION BY g) AS n
+                    FROM li),
+             qq AS (SELECT g,
+                      MAX(CASE WHEN r = floor(1.0 + (n-1) * 0.5) THEN x END)
+                        AS m_lo,
+                      MAX(CASE WHEN r = ceil(1.0 + (n-1) * 0.5) THEN x END)
+                        AS m_hi,
+                      MAX(CASE WHEN r = floor(1.0 + (n-1) * 0.25) THEN x END)
+                        AS q1_lo,
+                      MAX(CASE WHEN r = ceil(1.0 + (n-1) * 0.25) THEN x END)
+                        AS q1_hi,
+                      MAX(CASE WHEN r = floor(1.0 + (n-1) * 0.75) THEN x END)
+                        AS q3_lo,
+                      MAX(CASE WHEN r = ceil(1.0 + (n-1) * 0.75) THEN x END)
+                        AS q3_hi,
+                      MAX(n) AS n
+                    FROM rk GROUP BY g),
+             qv AS (SELECT g,
+                      m_lo + (m_hi - m_lo) * ((1.0 + (n-1) * 0.5)
+                        - floor(1.0 + (n-1) * 0.5)) AS med,
+                      q1_lo + (q1_hi - q1_lo) * ((1.0 + (n-1) * 0.25)
+                        - floor(1.0 + (n-1) * 0.25)) AS p25,
+                      q3_lo + (q3_hi - q3_lo) * ((1.0 + (n-1) * 0.75)
+                        - floor(1.0 + (n-1) * 0.75)) AS p75
+                    FROM qq)
+             SELECT li.g, l_orderkey, l_linenumber, xc,
+                    CAST(floor((CAST(xc AS DOUBLE)
+                      - CAST(sx AS DOUBLE) / n)
+                      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                      * 1e4) AS BIGINT) AS z_q,
+                    CASE WHEN p75 - p25 > 0 THEN
+                      CAST(floor((CAST(xc AS DOUBLE) - med) / (p75 - p25)
+                        * 1e4) AS BIGINT)
+                    END AS robust_q
+             FROM li JOIN mo ON li.g = mo.g JOIN qv ON li.g = qv.g
+             WHERE l_orderkey % 97 = 0
+             ORDER BY li.g, l_orderkey, l_linenumber"""))
+
+  /** R74 — lagged autocorrelation of per-type daily event counts
+    * (lag 1 and lag 7): does yesterday / the same weekday predict
+    * today — the seasonality read behind anomaly thresholds and
+    * forecast features. The series is the (type, day) aggregate, so
+    * everything past the first count is O(types × calendar). Pearson r
+    * from exact BIGINT co-moment sums over the lag-joined pairs
+    * (closed form, one double conversion at the end) — not the float
+    * corr aggregate, whose merge order is nondeterministic. */
+  val qAutocorr = QueryDef(
+    "q_autocorr",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      def ac(lagDays: Int, out: String) = {
+        val a = daily.select(col("event_type"), col("day"), col("c").as("x"))
+        val b = daily.select(col("event_type"),
+          date_add(col("day"), lagDays).as("day"), col("c").as("y"))
+        a.join(b, Seq("event_type", "day"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("event_type"), col("n").as(s"n_$out"),
+            floor((col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast("double")
+              / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")
+                * (col("n") * col("syy") - col("sy") * col("sy"))
+                  .cast("double")) * 1e6)
+              .cast("long").as(out))
+      }
+      ac(1, "ac1_q").join(ac(7, "ac7_q"), "event_type")
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                             CAST(count(*) AS BIGINT) AS c
+                           FROM events GROUP BY 1, 2),
+             l1 AS (SELECT a.event_type, CAST(count(*) AS BIGINT) AS n,
+                      SUM(a.c) AS sx, SUM(b.c) AS sy,
+                      SUM(a.c * b.c) AS sxy, SUM(a.c * a.c) AS sxx,
+                      SUM(b.c * b.c) AS syy
+                    FROM daily a JOIN daily b
+                      ON a.event_type = b.event_type
+                      AND a.day = b.day + 1
+                    GROUP BY 1),
+             l7 AS (SELECT a.event_type, CAST(count(*) AS BIGINT) AS n,
+                      SUM(a.c) AS sx, SUM(b.c) AS sy,
+                      SUM(a.c * b.c) AS sxy, SUM(a.c * a.c) AS sxx,
+                      SUM(b.c * b.c) AS syy
+                    FROM daily a JOIN daily b
+                      ON a.event_type = b.event_type
+                      AND a.day = b.day + 7
+                    GROUP BY 1),
+             r1 AS (SELECT event_type, n AS n_ac1_q,
+                      CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                        / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy * sy AS DOUBLE)) * 1e6)
+                        AS BIGINT) AS ac1_q
+                    FROM l1),
+             r7 AS (SELECT event_type, n AS n_ac7_q,
+                      CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                        / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy * sy AS DOUBLE)) * 1e6)
+                        AS BIGINT) AS ac7_q
+                    FROM l7)
+             SELECT r1.event_type, r1.n_ac1_q, r1.ac1_q,
+                    r7.n_ac7_q, r7.ac7_q
+             FROM r1 JOIN r7 ON r1.event_type = r7.event_type
+             ORDER BY r1.event_type"""))
+
+  def all: Seq[QueryDef] = Seq(qTargetEncode, qFeatureScale, qAutocorr)
+}

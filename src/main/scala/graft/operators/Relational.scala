@@ -1497,7 +1497,7 @@ object Relational {
     * rank-arithmetic pass — the reusable core of R14/R54/R63: one
     * spillable window, the two bracketing ranks picked, one interp.
     * Emits (group, n, <out>). */
-  private def exactQuantile(df: DataFrame, group: String, value: String,
+  private[operators] def exactQuantile(df: DataFrame, group: String, value: String,
       p: Double, out: String): DataFrame = {
     val w = Window.partitionBy(col(group)).orderBy(col(value))
     val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** R72-R74 — feature-engineering transforms vs exact driver-side
+  * replays. */
+class FeaturesSpec extends SparkSpec {
+
+  test("R72: LOO encoding excludes the row's own label (anti-leakage direction)") {
+    val all = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf).select(col("c_custkey"),
+        col("c_mktsegment").as("segment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("segment"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+          .as("y")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val stats = all.groupBy(_._1).map { case (seg, rs) =>
+      seg -> (rs.length.toLong, rs.map(_._2).sum)
+    }
+    val out = Features.qTargetEncode.fn(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, sy) = stats(r.getAs[String]("segment"))
+      val y = r.getAs[Long]("y")
+      val expected = if (n > 1) ((sy - y) * 1000000L) / (n - 1) else -1L
+      if (n > 1) {
+        assert(r.getAs[Long]("loo_q") === expected)
+        // removing a positive label pulls the encoding DOWN vs the
+        // plain mean; removing a negative pulls it UP (strictly, when
+        // the category is mixed) — the anti-leakage direction itself
+        val mean = (sy * 1000000L) / n
+        if (sy > 0 && sy < n) {
+          if (y == 1L) assert(r.getAs[Long]("loo_q") < mean)
+          else assert(r.getAs[Long]("loo_q") >= mean)
+        }
+      } else assert(r.isNullAt(r.fieldIndex("loo_q")))
+    }
+  }
+
+  test("R73: scaled features match a driver-side replay and are monotone in x") {
+    val byG = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("g"),
+        floor(col("l_quantity") * 100 + 0.5).cast("long").as("xc"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (g, rs) => g -> rs.map(_._2) }
+    def interp(sorted: Array[Double], p: Double): Double = {
+      val t = 1.0 + (sorted.length - 1) * p
+      val lo = sorted(math.floor(t).toInt - 1)
+      val hi = sorted(math.ceil(t).toInt - 1)
+      lo + (hi - lo) * (t - math.floor(t))
+    }
+    val out = Features.qFeatureScale.fn(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val g = r.getAs[String]("g")
+      val xs = byG(g)
+      val n = xs.length.toLong
+      val sx = xs.map(BigInt(_)).sum
+      val sxx = xs.map(x => BigInt(x) * x).sum
+      val mean = sx.toDouble / n
+      val std = math.sqrt((n.toDouble * sxx.toDouble
+        - sx.toDouble * sx.toDouble) / (n.toDouble * n.toDouble))
+      val sorted = xs.map(_.toDouble).sorted
+      val med = interp(sorted, 0.5)
+      val iqr = interp(sorted, 0.75) - interp(sorted, 0.25)
+      val xc = r.getAs[Long]("xc")
+      assert(r.getAs[Long]("z_q") ===
+        math.floor((xc - mean) / std * 1e4).toLong)
+      assert(r.getAs[Long]("robust_q") ===
+        math.floor((xc - med) / iqr * 1e4).toLong)
+    }
+    // within a group both scalings preserve the order of x
+    out.groupBy(_.getAs[String]("g")).values.foreach { rs =>
+      val byX = rs.sortBy(_.getAs[Long]("xc"))
+      assert(byX.map(_.getAs[Long]("z_q")).toSeq ===
+        byX.map(_.getAs[Long]("z_q")).sorted.toSeq)
+      assert(byX.map(_.getAs[Long]("robust_q")).toSeq ===
+        byX.map(_.getAs[Long]("robust_q")).sorted.toSeq)
+    }
+  }
+
+  test("R74: lagged autocorrelation equals the exact co-moment replay") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0),
+        r.getAs[java.sql.Date](1).toLocalDate, r.getLong(2)))
+    def ref(lag: Int): Map[String, (Long, Long)] =
+      daily.groupBy(_._1).map { case (t, rs) =>
+        val m = rs.map(r => r._2 -> r._3).toMap
+        val pairs = m.toSeq.flatMap { case (day, x) =>
+          m.get(day.minusDays(lag)).map(y => (x, y))
+        }
+        val n = pairs.length.toLong
+        val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+        val sxy = pairs.map(p => p._1 * p._2).sum
+        val sxx = pairs.map(p => p._1 * p._1).sum
+        val syy = pairs.map(p => p._2 * p._2).sum
+        val r0 = (n * sxy - sx * sy).toDouble /
+          math.sqrt((n * sxx - sx * sx).toDouble *
+            (n * syy - sy * sy).toDouble)
+        t -> (n, math.floor(r0 * 1e6).toLong)
+      }
+    val r1 = ref(1); val r7 = ref(7)
+    val out = Features.qAutocorr.fn(spark, sf).collect()
+    assert(out.map(_.getAs[String]("event_type")).toSet === r1.keySet)
+    out.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      assert((r.getAs[Long]("n_ac1_q"), r.getAs[Long]("ac1_q")) === r1(t))
+      assert((r.getAs[Long]("n_ac7_q"), r.getAs[Long]("ac7_q")) === r7(t))
+      assert(math.abs(r.getAs[Long]("ac1_q")) <= 1000000L)
+      assert(math.abs(r.getAs[Long]("ac7_q")) <= 1000000L)
+    }
+  }
+}
