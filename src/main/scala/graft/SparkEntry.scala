@@ -12,7 +12,7 @@ object SparkEntry {
       operators.Graph.all ++ operators.Triangles.all ++
       operators.Bucketed.all ++ operators.Ranks.all ++
       operators.Evaluate.all ++ operators.Audit.all ++
-      operators.Features.all ++
+      operators.Features.all ++ operators.Compaction.all ++
       dedup.CorpusStats.all ++
       etl.EtlQueries.all ++ etl.Quality.all ++ etl.Scd.all ++ etl.Cdc.all ++
       etl.Incremental.all ++ etl.Repair.all ++

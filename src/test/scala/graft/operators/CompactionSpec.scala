@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** R75 — compaction planning over the fragmented fixture. */
+class CompactionSpec extends SparkSpec {
+
+  test("R75: bins replay the greedy prefix packing and conserve rows") {
+    val out = Compaction.plan(spark, sf).collect()
+    assert(out.length === Compaction.SmallFiles)
+    // driver-side replay of the same packing
+    var prefix = 0L
+    val refBins = out.sortBy(_.getAs[String]("file")).map { r =>
+      val bin = prefix / Compaction.TargetRows
+      prefix += r.getAs[Long]("rows")
+      bin
+    }
+    assert(out.map(_.getAs[Long]("bin")).toSeq === refBins.toSeq)
+    // conservation + monotone bins + per-bin rollups consistent
+    assert(out.map(_.getAs[Long]("rows")).sum ===
+      Tables.events(spark, sf).count())
+    assert(out.map(_.getAs[Long]("bin")).toSeq ===
+      out.map(_.getAs[Long]("bin")).sorted.toSeq)
+    out.groupBy(_.getAs[Long]("bin")).foreach { case (_, rs) =>
+      assert(rs.forall(_.getAs[Long]("bin_files") === rs.length))
+      assert(rs.forall(_.getAs[Long]("bin_rows") ===
+        rs.map(_.getAs[Long]("rows")).sum))
+    }
+    // every bin but the last fills to at least the target minus one
+    // straddling file (the greedy guarantee a compactor relies on)
+    val maxFile = out.map(_.getAs[Long]("rows")).max
+    val lastBin = out.map(_.getAs[Long]("bin")).max
+    out.groupBy(_.getAs[Long]("bin"))
+      .filter(_._1 != lastBin).values.foreach { rs =>
+        assert(rs.head.getAs[Long]("bin_rows") >
+          Compaction.TargetRows - maxFile,
+          "a non-final bin stopped short of the target")
+      }
+  }
+}
