@@ -13,6 +13,7 @@ object SparkEntry {
       operators.Bucketed.all ++ operators.Ranks.all ++
       operators.Evaluate.all ++ operators.Audit.all ++
       operators.Features.all ++ operators.Compaction.all ++
+      operators.Retail.all ++ operators.Diagnose.all ++
       dedup.CorpusStats.all ++
       etl.EtlQueries.all ++ etl.Quality.all ++ etl.Scd.all ++ etl.Cdc.all ++
       etl.Incremental.all ++ etl.Repair.all ++

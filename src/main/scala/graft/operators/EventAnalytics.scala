@@ -564,7 +564,45 @@ object EventAnalytics {
                      AS BIGINT) AS total_users
             FROM p ORDER BY hr"""))
 
+  val TopPaths = 25
+
+  /** R78 — frequent event paths: the top 3-step journeys across all
+    * user timelines (the Sankey/path-analysis read behind "what do
+    * users actually do"). Trigrams come from two lead() frames over
+    * ONE user-keyed ordering — the R41/R44 window family: a single
+    * hash exchange on user_id, linear per-key work, no sequence
+    * materialization or per-user collect. Tie order inside a
+    * timestamp is pinned by event_id so paths are deterministic. */
+  val qEventPaths = QueryDef(
+    "q_event_paths",
+    (s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      graft.Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("e2", lead("event_type", 1).over(w))
+        .withColumn("e3", lead("event_type", 2).over(w))
+        .filter(col("e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+          .as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("path"))
+        .limit(TopPaths)
+    },
+    Some(s"""WITH seq AS (SELECT user_id, event_type,
+                       lead(event_type, 1) OVER w AS e2,
+                       lead(event_type, 2) OVER w AS e3
+                     FROM events
+                     WINDOW w AS (PARTITION BY user_id
+                       ORDER BY ts, event_id)),
+             p AS (SELECT event_type || '>' || e2 || '>' || e3 AS path
+                   FROM seq WHERE e3 IS NOT NULL)
+             SELECT path, CAST(count(*) AS BIGINT) AS n
+             FROM p GROUP BY 1
+             ORDER BY n DESC, path LIMIT $TopPaths"""))
+
   val all: Seq[QueryDef] = Seq(qFunnel, qFunnelWindowed, qCohortRetention,
     qEventTransitions, qRateAnomalies, qAttribution, qIntervalMerge, qEwma,
-    qRollingDistinct, qTwap, qCumulativeDistinct)
+    qRollingDistinct, qTwap, qCumulativeDistinct, qEventPaths)
 }

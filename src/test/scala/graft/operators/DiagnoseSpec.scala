@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** R78/R79 — path mining and join-explosion diagnostics vs exact
+  * driver-side replays. */
+class DiagnoseSpec extends SparkSpec {
+
+  test("R78: top event paths replay the per-user trigram walk") {
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3)))
+    val ref = events.groupBy(_._1).values.toSeq.flatMap { rs =>
+      val ordered = rs.sortBy(r => (r._2.getTime, r._3)).map(_._4)
+      ordered.sliding(3).filter(_.length == 3).map(_.mkString(">"))
+    }.groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+      .toSeq.sortBy(t => (-t._2, t._1)).take(EventAnalytics.TopPaths)
+    val got = EventAnalytics.qEventPaths.fn(spark, sf).collect()
+      .map(r => r.getAs[String]("path") -> r.getAs[Long]("n")).toSeq
+    assert(got === ref)
+  }
+
+  test("R79: join-explosion estimate replays and flags the true hot keys") {
+    val counts = Tables.lineitem(spark, sf)
+      .groupBy("l_suppkey").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = counts.values.map(n => n * n).sum
+    val ref = counts.toSeq
+      .map { case (k, n) =>
+        (k, n, n * n, n * n * 1000000L / total,
+          counts.size.toLong, counts.values.max)
+      }
+      .sortBy(t => (-t._3, t._1)).take(Diagnose.TopKeys)
+    val got = Diagnose.qJoinExplosion.fn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[Long]("na"),
+        r.getAs[Long]("est_rows"), r.getAs[Long]("pct_q"),
+        r.getAs[Long]("n_keys"), r.getAs[Long]("max_na"))).toSeq
+    assert(got === ref)
+    // the reported top key really is the max-multiplicity key
+    assert(got.head._2 === counts.values.max)
+  }
+}

@@ -165,6 +165,9 @@ class RelationalSpec extends SparkSpec {
       // 1-row corpus-total / corpus-size broadcasts for the
       // divergence and idf terms
       "text_entropy_jsd", "text_tfidf_keywords",
+      // 1-row stats broadcasts: max order date + customer count (rfm),
+      // order count (basket), self-join estimate total (explosion)
+      "q_rfm", "q_market_basket", "q_join_explosion",
       // 1-row corpus-size (N) stats broadcast for the idf term
       "text_index_retrieve",
       // 1-row token-total and bigram-total broadcasts for the PMI terms

@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** R76/R77 — RFM segmentation and basket rules vs exact driver-side
+  * replays on sf0.001. */
+class RetailSpec extends SparkSpec {
+
+  test("R76: RFM segments replay exactly and quintiles are equal-count") {
+    val perCust = Tables.orders(spark, sf)
+      .groupBy("o_custkey")
+      .agg(max(to_date(col("o_orderdate"))).as("last"),
+        count(lit(1)).as("freq"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1).toLocalDate,
+        r.getLong(2), r.getLong(3)))
+    val mx = perCust.map(_._2).max
+    val nc = perCust.length.toLong
+    def quint(ranked: Seq[Long]): Map[Long, Int] =
+      ranked.zipWithIndex.map { case (k, i) =>
+        k -> ((i.toLong * 5) / nc + 1).toInt
+      }.toMap
+    val r = quint(perCust.sortBy(c =>
+      (-java.time.temporal.ChronoUnit.DAYS.between(c._2, mx), c._1))
+      .map(_._1))
+    val f = quint(perCust.sortBy(c => (c._3, c._1)).map(_._1))
+    val m = quint(perCust.sortBy(c => (c._4, c._1)).map(_._1))
+    val ref = perCust.groupBy(c => (r(c._1), f(c._1), m(c._1)))
+      .map { case (seg, cs) =>
+        seg -> (cs.length.toLong, cs.map(_._4).sum / cs.length)
+      }
+    val got = Retail.qRfm.fn(spark, sf).collect()
+      .map(row => (row.getAs[Int]("r"), row.getAs[Int]("f"),
+        row.getAs[Int]("m")) ->
+        (row.getAs[Long]("n_customers"), row.getAs[Long]("avg_monetary_q")))
+      .toMap
+    assert(got === ref)
+    // per dimension, quintile populations are equal within one
+    Seq(r, f, m).foreach { dim =>
+      val sizes = dim.values.groupBy(identity).map(_._2.size)
+      assert(sizes.max - sizes.min <= 1)
+    }
+  }
+
+  test("R77: association rules replay the support/confidence/lift definitions") {
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = items.groupBy(_._1).map { case (o, ps) =>
+      o -> ps.map(_._2).toSet
+    }
+    val no = byOrder.size.toLong
+    val supp = items.groupBy(_._2).map { case (p, os) => p -> os.length.toLong }
+    val pairCounts = byOrder.values.toSeq.flatMap { ps =>
+      val sorted = ps.toSeq.sorted
+      for (i <- sorted.indices; j <- i + 1 until sorted.length)
+        yield (sorted(i), sorted(j))
+    }.groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+      .filter(_._2 >= Retail.MinSupport)
+    val ref = pairCounts.toSeq.map { case ((i1, i2), sp) =>
+      val s1 = supp(i1); val s2 = supp(i2)
+      (i1, i2, sp, s1, s2, sp * 1000000L / s1, sp * no * 1000000L / (s1 * s2))
+    }.sortBy(t => (-t._7, t._1, t._2)).take(Retail.TopRules)
+    val got = Retail.qMarketBasket.fn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("i1"), r.getAs[Long]("i2"),
+        r.getAs[Long]("sp"), r.getAs[Long]("s1"), r.getAs[Long]("s2"),
+        r.getAs[Long]("conf_q"), r.getAs[Long]("lift_q"))).toSeq
+    assert(got === ref)
+    // rule sanity: support never exceeds either side's singleton support
+    got.foreach { case (_, _, sp, s1, s2, conf, _) =>
+      assert(sp <= math.min(s1, s2))
+      assert(conf <= 1000000L)
+    }
+  }
+}
