@@ -154,5 +154,57 @@ object CorpusStats {
              FROM r WHERE rnk <= $KeywordsPerDoc
              ORDER BY doc_id, rnk"""))
 
-  def all: Seq[QueryDef] = Seq(textEntropyJsd, textTfidfKeywords)
+  /** D74 — readability scoring (Flesch reading ease + Flesch-Kincaid
+    * grade): the classic curation signal separating prose from lists,
+    * code and boilerplate. Sentence count from terminator-run counts,
+    * syllables approximated by vowel-group runs over the canonical
+    * text — the standard heuristic; every count is a codegen'd
+    * regexp_count, the whole operator is one map-side scan. Scores
+    * floor-quantized at 1e4 from one fixed double sequence. */
+  val textReadability = QueryDef(
+    "text_readability",
+    (s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"),
+        col("text"), Text.canonical(col("text")).as("canon"))
+      val withCounts = base.select(col("doc_id"),
+        greatest(size(split(col("canon"), " ")), lit(1)).cast("long")
+          .as("n_words"),
+        greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+          .cast("long").as("n_sents"),
+        greatest(regexp_count(col("canon"), lit("[aeiou]+")), lit(1))
+          .cast("long").as("n_syll"))
+      withCounts.select(col("doc_id"), col("n_words"), col("n_sents"),
+        col("n_syll"),
+        floor((lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sents"))
+          - lit(84.6) * (col("n_syll").cast("double") / col("n_words")))
+          * 1e4).cast("long").as("flesch_q"),
+        floor((lit(0.39) * (col("n_words").cast("double") / col("n_sents"))
+          + lit(11.8) * (col("n_syll").cast("double") / col("n_words"))
+          - lit(15.59)) * 1e4).cast("long").as("fk_grade_q"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH c AS (SELECT doc_id, text,
+                          ${PipelineQueries.oCanon} AS canon
+                        FROM documents),
+             k AS (SELECT doc_id,
+                     CAST(greatest(len(string_split(canon, ' ')), 1)
+                       AS BIGINT) AS n_words,
+                     CAST(greatest(len(regexp_extract_all(text,
+                       '[.!?]+')), 1) AS BIGINT) AS n_sents,
+                     CAST(greatest(len(regexp_extract_all(canon,
+                       '[aeiou]+')), 1) AS BIGINT) AS n_syll
+                   FROM c)
+             SELECT doc_id, n_words, n_sents, n_syll,
+                    CAST(floor((206.835
+                      - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+                      - 84.6 * (CAST(n_syll AS DOUBLE) / n_words))
+                      * 1e4) AS BIGINT) AS flesch_q,
+                    CAST(floor((0.39 * (CAST(n_words AS DOUBLE) / n_sents)
+                      + 11.8 * (CAST(n_syll AS DOUBLE) / n_words)
+                      - 15.59) * 1e4) AS BIGINT) AS fk_grade_q
+             FROM k ORDER BY doc_id"""))
+
+  def all: Seq[QueryDef] = Seq(textEntropyJsd, textTfidfKeywords,
+    textReadability)
 }

@@ -309,5 +309,94 @@ object Evaluate {
              FROM mx WHERE gap = ks
              GROUP BY event_type ORDER BY event_type"""))
 
-  def all: Seq[QueryDef] = Seq(qAuc, qCalibration, qPsi, qKsDrift)
+  /** R80 — two-proportion A/B test: the per-user outcome ("this
+    * user's purchase share exceeds the corpus share" — decided by
+    * exact integer cross-multiplication np·gt > gp·nt, no float
+    * boundary) compared between a deterministic 50/50 user-parity
+    * assignment, with the pooled two-proportion z statistic and the
+    * 95% significance flag — the experiment readout every growth team
+    * runs. A binary "ever purchased" outcome saturates on this data
+    * (every user converts → pooled p = 1 → z is 0/0), which is why
+    * the outcome is share-relative; degenerate denominators emit NULL
+    * rather than dividing by zero. Reduces to per-user outcomes FIRST
+    * (one user-keyed agg), then a 2-row cohort aggregate; all doubles
+    * derive from exact BIGINTs in one fixed operation sequence. */
+  val qAbTest = QueryDef(
+    "q_ab_test",
+    (s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("np"),
+          count(lit(1)).as("nt"))
+      val glob = perUser.agg(sum("np").as("gp"), sum("nt").as("gt"))
+      val cohort = perUser.crossJoin(broadcast(glob))
+        .select((col("user_id") % 2 === 0).as("grp"),
+          when(col("np") * col("gt") > col("gp") * col("nt"), 1L)
+            .otherwise(0L).as("conv"))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("conv").as("x"))
+      val a = cohort.filter(col("grp")).select(col("n").as("n_a"),
+        col("x").as("x_a"))
+      val b = cohort.filter(!col("grp")).select(col("n").as("n_b"),
+        col("x").as("x_b"))
+      a.crossJoin(b)
+        .withColumn("pa", col("x_a").cast("double") / col("n_a"))
+        .withColumn("pb", col("x_b").cast("double") / col("n_b"))
+        .withColumn("pp",
+          (col("x_a") + col("x_b")).cast("double")
+            / (col("n_a") + col("n_b")))
+        .withColumn("den",
+          sqrt(col("pp") * (lit(1.0) - col("pp"))
+            * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+        .withColumn("z",
+          when(col("den") > 0, (col("pa") - col("pb")) / col("den")))
+        .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+          floor(col("pa") * 1e6).cast("long").as("conv_a_q"),
+          floor(col("pb") * 1e6).cast("long").as("conv_b_q"),
+          when(col("pb") > 0,
+            floor((col("pa") - col("pb")) / col("pb") * 1e6).cast("long"))
+            .as("uplift_q"),
+          floor(col("z") * 1e4).cast("long").as("z_q"),
+          (abs(col("z")) > 1.959963984540054).as("sig95"))
+    },
+    Some("""WITH pu AS (SELECT user_id,
+                          CAST(SUM(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS np,
+                          CAST(count(*) AS BIGINT) AS nt
+                        FROM events GROUP BY user_id),
+             g AS (SELECT CAST(SUM(np) AS BIGINT) AS gp,
+                     CAST(SUM(nt) AS BIGINT) AS gt
+                   FROM pu),
+             c AS (SELECT user_id % 2 = 0 AS grp,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN np * gt > gp * nt
+                       THEN 1 ELSE 0 END) AS BIGINT) AS x
+                   FROM pu CROSS JOIN g GROUP BY 1),
+             ab AS (SELECT a.n AS n_a, a.x AS x_a, b.n AS n_b, b.x AS x_b
+                    FROM (SELECT * FROM c WHERE grp) a,
+                         (SELECT * FROM c WHERE NOT grp) b),
+             st AS (SELECT *,
+                      CAST(x_a AS DOUBLE) / n_a AS pa,
+                      CAST(x_b AS DOUBLE) / n_b AS pb,
+                      CAST(x_a + x_b AS DOUBLE) / (n_a + n_b) AS pp
+                    FROM ab),
+             dz AS (SELECT *,
+                      sqrt(pp * (1.0 - pp)
+                        * (1.0 / n_a + 1.0 / n_b)) AS den
+                    FROM st),
+             z AS (SELECT *,
+                     CASE WHEN den > 0 THEN (pa - pb) / den END AS z
+                   FROM dz)
+             SELECT n_a, x_a, n_b, x_b,
+                    CAST(floor(pa * 1e6) AS BIGINT) AS conv_a_q,
+                    CAST(floor(pb * 1e6) AS BIGINT) AS conv_b_q,
+                    CASE WHEN pb > 0 THEN
+                      CAST(floor((pa - pb) / pb * 1e6) AS BIGINT)
+                    END AS uplift_q,
+                    CAST(floor(z * 1e4) AS BIGINT) AS z_q,
+                    abs(z) > 1.959963984540054 AS sig95
+             FROM z"""))
+
+  def all: Seq[QueryDef] = Seq(qAuc, qCalibration, qPsi, qKsDrift, qAbTest)
 }

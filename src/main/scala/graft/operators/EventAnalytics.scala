@@ -602,7 +602,53 @@ object EventAnalytics {
              FROM p GROUP BY 1
              ORDER BY n DESC, path LIMIT $TopPaths"""))
 
+  /** R81 — seasonality profile: the day-of-week × hour-of-day traffic
+    * grid with each cell's share and its LIFT over the independence
+    * expectation (dow-marginal × hour-marginal) — the heatmap that
+    * separates "Mondays are busy" from "Monday 9am specifically
+    * spikes". One 168-key aggregation; every window after runs on the
+    * O(168) frame. Shares/lifts are ppm integers off exact counts
+    * (marginal products ride one double division at the end, same
+    * fixed sequence both engines). Day numbering pinned to
+    * Sunday = 0 (Spark dayofweek−1 ≡ DuckDB dayofweek). */
+  val qSeasonality = QueryDef(
+    "q_seasonality",
+    (s, d) => {
+      val per = graft.Tables.events(s, d)
+        .groupBy((dayofweek(col("ts")) - 1).as("dow"),
+          hour(col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val wAll = Window.partitionBy(lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wDow = Window.partitionBy("dow")
+      val wHr = Window.partitionBy("hr")
+      per
+        .withColumn("tot", sum("n").over(wAll))
+        .withColumn("n_dow", sum("n").over(wDow))
+        .withColumn("n_hr", sum("n").over(wHr))
+        .select(col("dow"), col("hr"), col("n"),
+          expr("(n * 1000000) div tot").as("share_q"),
+          floor(col("n").cast("double") * col("tot").cast("double")
+            / (col("n_dow").cast("double") * col("n_hr").cast("double"))
+            * 1e6).cast("long").as("lift_q"))
+        .orderBy("dow", "hr")
+    },
+    Some("""WITH per AS (SELECT dayofweek(ts) AS dow, hour(ts) AS hr,
+                           CAST(count(*) AS BIGINT) AS n
+                         FROM events GROUP BY 1, 2),
+             w AS (SELECT dow, hr, n,
+                     SUM(n) OVER () AS tot,
+                     SUM(n) OVER (PARTITION BY dow) AS n_dow,
+                     SUM(n) OVER (PARTITION BY hr) AS n_hr
+                   FROM per)
+             SELECT CAST(dow AS INT) AS dow, CAST(hr AS INT) AS hr, n,
+                    CAST((n * 1000000) // tot AS BIGINT) AS share_q,
+                    CAST(floor(CAST(n AS DOUBLE) * CAST(tot AS DOUBLE)
+                      / (CAST(n_dow AS DOUBLE) * CAST(n_hr AS DOUBLE))
+                      * 1e6) AS BIGINT) AS lift_q
+             FROM w ORDER BY dow, hr"""))
+
   val all: Seq[QueryDef] = Seq(qFunnel, qFunnelWindowed, qCohortRetention,
     qEventTransitions, qRateAnomalies, qAttribution, qIntervalMerge, qEwma,
-    qRollingDistinct, qTwap, qCumulativeDistinct, qEventPaths)
+    qRollingDistinct, qTwap, qCumulativeDistinct, qEventPaths, qSeasonality)
 }

@@ -48,6 +48,24 @@ class CorpusStatsSpec extends SparkSpec {
     }
   }
 
+  test("D74: readability counts and scores replay the formula") {
+    val out = CorpusStats.textReadability.fn(spark, sf).collect()
+    assert(out.length === Tables.documents(spark, sf).count())
+    out.foreach { r =>
+      val w = r.getAs[Long]("n_words"); val s0 = r.getAs[Long]("n_sents")
+      val sy = r.getAs[Long]("n_syll")
+      assert(w >= 1 && s0 >= 1 && sy >= 1)
+      assert(r.getAs[Long]("flesch_q") === math.floor((206.835
+        - 1.015 * (w.toDouble / s0) - 84.6 * (sy.toDouble / w))
+        * 1e4).toLong)
+      assert(r.getAs[Long]("fk_grade_q") === math.floor((0.39
+        * (w.toDouble / s0) + 11.8 * (sy.toDouble / w) - 15.59)
+        * 1e4).toLong)
+      // prose has roughly 1-4 syllable groups per word
+      assert(sy <= 5 * w)
+    }
+  }
+
   test("D73: per-doc keywords equal the driver-side tf-idf replay") {
     val tf = Tables.documents(spark, sf)
       .select(col("doc_id"), explode(Text.words(col("text"))).as("word"))

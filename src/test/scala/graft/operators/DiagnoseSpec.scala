@@ -23,6 +23,33 @@ class DiagnoseSpec extends SparkSpec {
     assert(got === ref)
   }
 
+  test("R81: seasonality grid conserves counts and lift averages to 1 per margin") {
+    val out = EventAnalytics.qSeasonality.fn(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("n")).sum ===
+      Tables.events(spark, sf).count())
+    // cells unique, bounded to the 7×24 grid
+    val cells = out.map(r => (r.getAs[Int]("dow"), r.getAs[Int]("hr")))
+    assert(cells.distinct.length === cells.length)
+    assert(cells.forall { case (d, h) =>
+      d >= 0 && d <= 6 && h >= 0 && h <= 23
+    })
+    // independence lift: the n-weighted average over any dow row is 1
+    // (Σ_h n·lift = Σ_h n·tot/(n_dow·n_hr)·n ... verified via the
+    // definition on raw counts instead)
+    val n = out.map(r => ((r.getAs[Int]("dow"), r.getAs[Int]("hr")),
+      r.getAs[Long]("n"))).toMap
+    val tot = n.values.sum
+    val nDow = n.groupBy(_._1._1).map { case (d, m) => d -> m.values.sum }
+    val nHr = n.groupBy(_._1._2).map { case (h, m) => h -> m.values.sum }
+    out.foreach { r =>
+      val k = (r.getAs[Int]("dow"), r.getAs[Int]("hr"))
+      val expect = math.floor(n(k).toDouble * tot.toDouble /
+        (nDow(k._1).toDouble * nHr(k._2).toDouble) * 1e6).toLong
+      assert(r.getAs[Long]("lift_q") === expect)
+      assert(r.getAs[Long]("share_q") === n(k) * 1000000L / tot)
+    }
+  }
+
   test("R79: join-explosion estimate replays and flags the true hot keys") {
     val counts = Tables.lineitem(spark, sf)
       .groupBy("l_suppkey").agg(count(lit(1)).as("n"))

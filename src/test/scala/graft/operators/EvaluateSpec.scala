@@ -63,6 +63,32 @@ class EvaluateSpec extends SparkSpec {
     assert(psi === out.map(_.getAs[Long]("contrib_q")).sum)
   }
 
+  test("R80: two-proportion z replays exactly and the outcome rule is share-relative") {
+    val users = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("np"), count(lit(1)).as("nt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gp = users.map(_._2).sum; val gt = users.map(_._3).sum
+    val (as, bs) = users.partition(_._1 % 2 == 0)
+    def x(us: Array[(Long, Long, Long)]) =
+      us.count(u => u._2 * gt > gp * u._3).toLong
+    val (na, xa, nb, xb) = (as.length.toLong, x(as), bs.length.toLong, x(bs))
+    val pa = xa.toDouble / na; val pb = xb.toDouble / nb
+    val pp = (xa + xb).toDouble / (na + nb)
+    val den = math.sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb))
+    val r = Evaluate.qAbTest.fn(spark, sf).collect().head
+    assert((r.getAs[Long]("n_a"), r.getAs[Long]("x_a"),
+      r.getAs[Long]("n_b"), r.getAs[Long]("x_b")) === ((na, xa, nb, xb)))
+    assert(r.getAs[Long]("z_q") ===
+      math.floor((pa - pb) / den * 1e4).toLong)
+    assert(r.getAs[Boolean]("sig95") ===
+      (math.abs((pa - pb) / den) > 1.959963984540054))
+    // the share-relative outcome must actually discriminate: neither
+    // cohort saturates at 0 or n (the failure mode that motivated it)
+    assert(xa > 0 && xa < na && xb > 0 && xb < nb)
+  }
+
   test("R69: gridded KS equals the naive per-type CDF sweep") {
     val rows = Tables.events(spark, sf)
       .select(col("event_type"), floor(col("value")).cast("long").as("v"))

@@ -168,6 +168,8 @@ class RelationalSpec extends SparkSpec {
       // 1-row stats broadcasts: max order date + customer count (rfm),
       // order count (basket), self-join estimate total (explosion)
       "q_rfm", "q_market_basket", "q_join_explosion",
+      // 1-row global purchase-share broadcast for the outcome rule
+      "q_ab_test",
       // 1-row corpus-size (N) stats broadcast for the idf term
       "text_index_retrieve",
       // 1-row token-total and bigram-total broadcasts for the PMI terms
