@@ -170,6 +170,8 @@ class RelationalSpec extends SparkSpec {
       "q_rfm", "q_market_basket", "q_join_explosion",
       // 1-row global purchase-share broadcast for the outcome rule
       "q_ab_test",
+      // O(types)² pair frame from two bounded distinct-type aggregates
+      "q_kmv_jaccard",
       // 1-row corpus-size (N) stats broadcast for the idf term
       "text_index_retrieve",
       // 1-row token-total and bigram-total broadcasts for the PMI terms
