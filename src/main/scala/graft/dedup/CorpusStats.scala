@@ -205,6 +205,48 @@ object CorpusStats {
                       - 15.59) * 1e4) AS BIGINT) AS fk_grade_q
              FROM k ORDER BY doc_id"""))
 
+  /** D75 — corpus-internal novelty: per document, the fraction of its
+    * distinct word 3-shingles shared with NO other document — the
+    * inverse duplication signal that ranks boilerplate (novelty → 0)
+    * against unique prose (novelty → 1) without any pairwise work:
+    * one shingle explode, one document-frequency aggregation, one
+    * join-back. The same gram→df table the decontaminators build,
+    * read for a per-doc score instead of a cross-corpus flag. */
+  val textNovelty = QueryDef(
+    "text_novelty",
+    (s, d) => {
+      val sh = graft.functions.Spread(Tables.documents(s, d), col("doc_id"))
+        .withColumn("ws", Text.words(col("text")))
+        .select(col("doc_id"),
+          explode(Text.shinglesOnWords(col("ws"), 3)).as("g"))
+      val df = sh.groupBy("g").agg(count(lit(1)).as("df"))
+      sh.join(df, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("unique_grams"))
+        .select(col("doc_id"), col("n_grams"), col("unique_grams"),
+          expr("(unique_grams * 1000000) div n_grams").as("novelty_q"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH w AS (SELECT doc_id,
+                          string_split(${PipelineQueries.oCanon}, ' ') AS ws
+                        FROM documents),
+             t AS (SELECT doc_id, list_distinct(list_transform(
+                     generate_series(0, greatest(len(ws) - 3, 0)),
+                     i -> array_to_string(list_slice(ws, i + 1, i + 3),
+                       ' '))) AS sh
+                   FROM w),
+             e AS (SELECT doc_id, unnest(sh) AS g FROM t),
+             df AS (SELECT g, CAST(count(*) AS BIGINT) AS df
+                    FROM e GROUP BY 1)
+             SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                    CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS unique_grams,
+                    CAST((SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)
+                      * 1000000) // count(*) AS BIGINT) AS novelty_q
+             FROM e JOIN df ON e.g = df.g
+             GROUP BY 1 ORDER BY 1"""))
+
   def all: Seq[QueryDef] = Seq(textEntropyJsd, textTfidfKeywords,
-    textReadability)
+    textReadability, textNovelty)
 }

@@ -2504,5 +2504,6 @@ object PipelineQueries {
     annHardNegatives, textBpeTrain, textBpeEncode, textQualityClassifier,
     textCorpusProfile, mmAudioChunks, textChunkWindows, textPplBuckets,
     textDecontaminateBloom,
-    graft.similarity.Pca.qTopPc, graft.similarity.Kmeans.qKmeans)
+    graft.similarity.Pca.qTopPc, graft.similarity.Kmeans.qKmeans,
+    graft.similarity.EmbDrift.qEmbDrift)
 }

@@ -87,4 +87,26 @@ class CorpusStatsSpec extends SparkSpec {
         r.getAs[String]("word"), r.getAs[Long]("tfidf_q"))).toSeq
     assert(got === ref)
   }
+
+  test("D75: novelty replays the df==1 fraction and brackets correctly") {
+    val sh = Tables.documents(spark, sf)
+      .withColumn("ws", Text.words(col("text")))
+      .select(col("doc_id"),
+        explode(Text.shinglesOnWords(col("ws"), 3)).as("g"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val df = sh.groupBy(_._2).map { case (g, xs) => g -> xs.length.toLong }
+    val ref = sh.groupBy(_._1).map { case (doc, gs) =>
+      val n = gs.length.toLong
+      val u = gs.count(g => df(g._2) == 1L).toLong
+      doc -> (n, u, u * 1000000L / n)
+    }
+    val got = CorpusStats.textNovelty.fn(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("unique_grams"),
+          r.getAs[Long]("novelty_q"))).toMap
+    assert(got === ref)
+    assert(got.values.forall { case (n, u, q) =>
+      u <= n && q >= 0L && q <= 1000000L
+    })
+  }
 }
