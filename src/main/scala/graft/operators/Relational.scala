@@ -1586,7 +1586,89 @@ object Relational {
             FROM dv JOIN mad ON mad.g = dv.g
             GROUP BY dv.g ORDER BY g"""))
 
+  /** R83 — TPC-H Q7 shape (volume shipping): revenue flow between two
+    * nation PAIRS in both directions, per year — a 5-way join where
+    * the two nation roles come from the SAME dim read twice (supplier
+    * nation vs customer nation) and the pair predicate is symmetric.
+    * Nation dims broadcast; the fact shuffles once per join key chain.
+    * Revenue uses the exact-decimal rsum recipe. */
+  val q7NationVolume = QueryDef(
+    "q7_nation_volume",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val su = Tables.supplier(s, d)
+      val n1 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sk"))
+        .join(broadcast(n2), col("c_nationkey") === col("ck"))
+        .filter((col("supp_nation") === "NATION_1" &&
+          col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(rsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+    Some(s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                    CAST(year(l_shipdate) AS INT) AS l_year,
+                    ${oSum("l_extendedprice * (1 - l_discount)")} AS revenue
+             FROM lineitem
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+             GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
+  /** R84 — TPC-H Q10 shape (returned-item top customers): revenue
+    * lost to returns per customer over a quarter, top 20 — join +
+    * selective flag filter + agg + deterministic top-k, the
+    * "who do we call first" report. The returnflag filter reaches the
+    * lineitem scan (PushedFilters); top-k is a sort+limit, never a
+    * global window. */
+  val q10ReturnedTop = QueryDef(
+    "q10_returned_top",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= "1996-01-01" &&
+          col("o_orderdate") < "1996-07-01")
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(rsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(desc("revenue"), asc("c_custkey"))
+        .limit(20)
+    },
+    Some(s"""SELECT c_custkey, c_name, n_name,
+                    ${oSum("l_extendedprice * (1 - l_discount)")} AS revenue
+             FROM lineitem
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+             WHERE l_returnflag = 'R'
+               AND o_orderdate >= TIMESTAMP '1996-01-01'
+               AND o_orderdate < TIMESTAMP '1996-07-01'
+             GROUP BY 1, 2, 3
+             ORDER BY revenue DESC, c_custkey LIMIT 20"""))
+
   val all: Seq[QueryDef] = Seq(
+    q7NationVolume, q10ReturnedTop,
     qHistogram, qHistogramDepth, qMadOutliers,
     qScanPushdown, q1PricingSummary, q3ShippingPriority, q5LocalSupplier,
     qBroadcastJoin, qSemiJoin, qAntiJoin, qWindowRank, qWindowRunning,
