@@ -211,23 +211,43 @@ object CorpusStats {
     * against unique prose (novelty → 1) without any pairwise work:
     * one shingle explode, one document-frequency aggregation, one
     * join-back. The same gram→df table the decontaminators build,
-    * read for a per-doc score instead of a cross-corpus flag. */
+    * read for a per-doc score instead of a cross-corpus flag.
+    *
+    * The gram frame feeds TWO consumers (the df aggregate and the
+    * join-back); the explicit `repartition(g)` pins both to one
+    * identical exchange subtree that ReuseExchange collapses, so the
+    * expensive explode executes ONCE — the Decontaminate lesson
+    * (`Decontaminate.scala:73-79`), spec-asserted here the same way. */
+  def noveltyOn(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sh = docs
+      .withColumn("ws", Text.words(col("text")))
+      .select(col("doc_id"),
+        explode(Text.shinglesOnWords(col("ws"), 3)).as("g"))
+      .repartition(col("g"))
+    // the aggregate ALSO computes min(doc_id), and the uniqueness test
+    // downstream references it — a genuine doc_id dependency that
+    // column pruning cannot remove (count(doc_id) alone gets rewritten
+    // to count(1) and pruned), so BOTH exchange consumers keep the
+    // identical (doc_id, g) schema and ReuseExchange collapses them
+    // (the Decontaminate.scala:82-86 rule). For df==1 grams
+    // min_doc === doc_id is tautological, so semantics are unchanged.
+    val df = sh.groupBy("g").agg(count(lit(1)).as("df"),
+      min(col("doc_id")).as("min_doc"))
+    sh.join(df, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1 && col("min_doc") === col("doc_id"),
+          1L).otherwise(0L)).as("unique_grams"))
+      .select(col("doc_id"), col("n_grams"), col("unique_grams"),
+        expr("(unique_grams * 1000000) div n_grams").as("novelty_q"))
+      .orderBy("doc_id")
+  }
+
   val textNovelty = QueryDef(
     "text_novelty",
-    (s, d) => {
-      val sh = graft.functions.Spread(Tables.documents(s, d), col("doc_id"))
-        .withColumn("ws", Text.words(col("text")))
-        .select(col("doc_id"),
-          explode(Text.shinglesOnWords(col("ws"), 3)).as("g"))
-      val df = sh.groupBy("g").agg(count(lit(1)).as("df"))
-      sh.join(df, "g")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("df") === 1, 1L).otherwise(0L)).as("unique_grams"))
-        .select(col("doc_id"), col("n_grams"), col("unique_grams"),
-          expr("(unique_grams * 1000000) div n_grams").as("novelty_q"))
-        .orderBy("doc_id")
-    },
+    (s, d) => noveltyOn(
+      graft.functions.Spread(Tables.documents(s, d), col("doc_id"))),
     Some(s"""WITH w AS (SELECT doc_id,
                           string_split(${PipelineQueries.oCanon}, ' ') AS ws
                         FROM documents),

@@ -109,4 +109,22 @@ class CorpusStatsSpec extends SparkSpec {
       u <= n && q >= 0L && q <= 1000000L
     })
   }
+
+  test("D75: the gram explode executes once (pinned exchange is reused)") {
+    // synthetic corpus (not the documents table) so other suites'
+    // cached scans cannot substitute into this plan — the DedupSpec
+    // precaution
+    val corpus = spark.range(0, 300).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 10).map(j =>
+        concat(lit(s"w$j "), (col("id") + j) % 5)): _*).as("text"))
+    val df = CorpusStats.noveltyOn(corpus)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val generates = "Generate explode".r.findAllIn(finalPlan).size
+    assert(generates === 1,
+      s"gram explode must execute once, got $generates:\n$finalPlan")
+    assert(finalPlan.contains("ReusedExchange"),
+      s"join-back must reuse the gram exchange:\n$finalPlan")
+  }
 }
