@@ -1608,10 +1608,10 @@ object Relational {
         .join(su, col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n1), col("s_nationkey") === col("sk"))
         .join(broadcast(n2), col("c_nationkey") === col("ck"))
-        .filter((col("supp_nation") === "NATION_1" &&
-          col("cust_nation") === "NATION_2") ||
-          (col("supp_nation") === "NATION_2" &&
-            col("cust_nation") === "NATION_1"))
+        .filter((col("supp_nation") === "NATION_3" &&
+          col("cust_nation") === "NATION_4") ||
+          (col("supp_nation") === "NATION_4" &&
+            col("cust_nation") === "NATION_3"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).as("l_year"))
         .agg(rsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
@@ -1627,8 +1627,8 @@ object Relational {
              JOIN supplier ON l_suppkey = s_suppkey
              JOIN nation n1 ON s_nationkey = n1.n_nationkey
              JOIN nation n2 ON c_nationkey = n2.n_nationkey
-             WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+             WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_4')
+                OR (n1.n_name = 'NATION_4' AND n2.n_name = 'NATION_3')
              GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
 
   /** R84 — TPC-H Q10 shape (returned-item top customers): revenue

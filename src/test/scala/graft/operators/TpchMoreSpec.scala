@@ -8,8 +8,8 @@ import org.apache.spark.sql.functions._
 class TpchMoreSpec extends SparkSpec {
 
   test("R83: Q7 broadcasts both nation roles and emits both directions") {
-    // sf0.001's sample has no NATION_1↔NATION_2 trade rows at all, so
-    // the direction assertion needs the next size up
+    // sf0.001's sample carries only one of the two trade directions,
+    // so the both-directions assertion needs the next size up
     val df = Relational.q7NationVolume.fn(spark, "/root/testdata/sf0.01")
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
@@ -18,7 +18,7 @@ class TpchMoreSpec extends SparkSpec {
     assert(rows.nonEmpty)
     val dirs = rows.map(r => (r.getAs[String]("supp_nation"),
       r.getAs[String]("cust_nation"))).distinct.toSet
-    assert(dirs === Set(("NATION_1", "NATION_2"), ("NATION_2", "NATION_1")),
+    assert(dirs === Set(("NATION_3", "NATION_4"), ("NATION_4", "NATION_3")),
       "the symmetric pair predicate must keep exactly the two directions")
     assert(rows.forall(_.getAs[Double]("revenue") > 0))
   }
