@@ -26,11 +26,17 @@ object Kmv {
   val qKmvJaccard = QueryDef(
     "q_kmv_jaccard",
     (s, d) => {
+      // localCheckpoint: the (type, user) distinct frame feeds five
+      // consumers (sketch, sizes, types, both exact-intersection
+      // aliases) — without pinning each re-runs the events distinct
+      // from the scan. Cluster deployments swap a reliable checkpoint
+      // dir, as everywhere this pattern appears.
       val users = Tables.events(s, d)
         .select(col("event_type").as("t"), col("user_id")).distinct()
         .withColumn("h",
           substring(md5(col("user_id").cast("string").cast("binary")),
             1, 15))
+        .localCheckpoint()
       val sk = users.select("t", "h").distinct()
         .withColumn("rn",
           row_number().over(Window.partitionBy("t").orderBy("h")))
