@@ -81,6 +81,23 @@ object StreamJoin {
     * scale, exactly like the batch R5 dim join. The static side must be
     * dimension-sized (broadcastable); a corpus-scale static side
     * belongs in a shuffle join without the hint. */
+  /** S24 — LEFT SEMI stream-stream interval join: emit each
+    * impression AT MOST ONCE as soon as any in-window click exists —
+    * the "converted impressions" feed without click-side duplication
+    * (an inner join emits one row per matching click; dedup after the
+    * fact re-introduces a stateful operator the semi join avoids).
+    * Same two ingredients as S8: watermarks on both sides + a
+    * both-ends time bound, so state stays watermark-evictable. */
+  def impressionClickJoinSemi(impressions: DataFrame, clicks: DataFrame,
+      windowMinutes: Int = 10): DataFrame =
+    impressions.alias("i")
+      .join(clicks.alias("c"),
+        col("i.user_id") === col("c.user_id") &&
+          col("c.click_ts") >= col("i.imp_ts") &&
+          col("c.click_ts") <= col("i.imp_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+        "left_semi")
+      .select(col("i.user_id"), col("i.imp_id"), col("i.imp_ts"))
+
   def streamStaticEnrich(stream: DataFrame, dim: DataFrame,
       key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key))

@@ -75,4 +75,37 @@ class RetailSpec extends SparkSpec {
       assert(conf <= 1000000L)
     }
   }
+
+  test("R85: growth rates replay and are defined exactly when the lag period exists") {
+    val monthly = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf).select(col("c_custkey"),
+        col("c_mktsegment").as("segment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("segment"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .as("ym"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+        .as("rev"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    val out = Retail.qGrowthRates.fn(spark, sf).collect()
+    assert(out.length === monthly.size)
+    out.foreach { r =>
+      val seg = r.getAs[String]("segment")
+      val ym = r.getAs[Int]("year") * 12 + r.getAs[Int]("month") - 1
+      assert(r.getAs[Long]("rev_cents") === monthly((seg, ym)))
+      (monthly.get((seg, ym - 1)), r.isNullAt(r.fieldIndex("mom_q"))) match {
+        case (Some(p), isNull) =>
+          // both engines' integer division truncates toward zero,
+          // exactly like JVM Long division
+          assert(!isNull && r.getAs[Long]("mom_q") ===
+            (r.getAs[Long]("rev_cents") - p) * 1000000L / p)
+        case (None, isNull) => assert(isNull)
+      }
+      (monthly.get((seg, ym - 12)), r.isNullAt(r.fieldIndex("yoy_q"))) match {
+        case (Some(_), isNull) => assert(!isNull)
+        case (None, isNull) => assert(isNull)
+      }
+    }
+  }
 }

@@ -390,6 +390,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("S24: left-semi interval join emits a converted impression exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = Seq(
+      (1L, 100L, ts("2026-01-01 10:00:00")), // two in-window clicks → ONE row
+      (1L, 101L, ts("2026-01-01 12:00:00")), // no in-window click
+      (2L, 102L, ts("2026-01-01 10:00:00"))) // one in-window click
+    val clicks = Seq(
+      (1L, 900L, ts("2026-01-01 10:04:00")),
+      (1L, 901L, ts("2026-01-01 10:08:00")), // second match for imp 100
+      (2L, 902L, ts("2026-01-01 10:09:00")),
+      (3L, 903L, ts("2026-01-01 10:05:00")))
+    val impStream = MemoryStream[(Long, Long, Timestamp)]
+    val clickStream = MemoryStream[(Long, Long, Timestamp)]
+    val joined = StreamJoin.impressionClickJoinSemi(
+      impStream.toDF().toDF("user_id", "imp_id", "imp_ts")
+        .withWatermark("imp_ts", "1 hour"),
+      clickStream.toDF().toDF("user_id", "click_id", "click_ts")
+        .withWatermark("click_ts", "1 hour"))
+    val q = joined.writeStream.format("memory").queryName("s24_out")
+      .outputMode("append").start()
+    try {
+      impStream.addData(imps: _*)
+      clickStream.addData(clicks: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("s24_out")
+        .orderBy("imp_id").collect().map(_.toSeq).toSeq
+      // imp 100 exactly once despite two matching clicks; imp 101 absent
+      assert(streamed.map(_(1)) === Seq(100L, 102L))
+      val batch = StreamJoin.impressionClickJoinSemi(
+        imps.toDF("user_id", "imp_id", "imp_ts"),
+        clicks.toDF("user_id", "click_id", "click_ts"))
+        .orderBy("imp_id").collect().map(_.toSeq).toSeq
+      assert(streamed === batch, "streaming semi join must equal the batch semi join")
+    } finally q.stop()
+  }
+
   test("S14: streaming session_window merges sessions across micro-batches and finalizes on watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
