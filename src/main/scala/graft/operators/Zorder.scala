@@ -87,5 +87,131 @@ object Zorder {
              FROM lineitem
              ORDER BY zval, l_orderkey, l_linenumber"""))
 
-  val all: Seq[QueryDef] = Seq(qZorder)
+  // ---- R86: zone-map skipping readout over two stored layouts ----
+
+  private def scratch(dir: String): String =
+    "/tmp/graft_warehouse/zone_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + ProcessHandle.current().pid()
+
+  private val builtLayouts =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  @volatile private var lastDir: String = "/root/testdata/sf0.01"
+
+  val ZoneFiles = 16
+
+  /** Writes the SAME events projection twice (once per process per
+    * dataset): linearly clustered on user_id, and Z-ordered on
+    * (user_id, value-grid). Returns the two layout dirs. */
+  def zoneLayouts(s: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String) = {
+    val base = scratch(dir)
+    lastDir = dir
+    if (builtLayouts.add(base)) {
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        col("user_id"), floor(col("value")).cast("long").as("v"))
+      ev.repartitionByRange(ZoneFiles, col("user_id"))
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite").parquet(s"$base/linear")
+      writeZordered(ev, col("user_id"), col("v"), s"$base/zorder",
+        ZoneFiles)
+    }
+    (s"$base/linear", s"$base/zorder")
+  }
+
+  /** R86 — zone-map (file min/max) skipping effectiveness, measured:
+    * for each stored layout and each predicate shape, how many files
+    * could a min/max-pruning reader skip. The numbers BEHIND the R37
+    * claim, emitted as data: the linear layout skips on its sort
+    * dimension only (the value-only predicate prunes nothing), the
+    * Z-ordered layout prunes on either dimension. Zone maps are
+    * O(files) metadata — the whole entry aggregates per
+    * input_file_name, never per row, after the first count. */
+  val qZonemapSkipping = QueryDef(
+    "q_zonemap_skipping",
+    (s, d) => {
+      val (lin, zo) = zoneLayouts(s, d)
+      def zones(path: String, layout: String) =
+        s.read.parquet(path)
+          .groupBy(input_file_name().as("f"))
+          .agg(count(lit(1)).as("rows"),
+            min("user_id").as("mn_u"), max("user_id").as("mx_u"),
+            min("v").as("mn_v"), max("v").as("mx_v"))
+          .withColumn("layout", lit(layout))
+      // predicate bounds derived from the observed spans (quartile
+      // boxes as exact integer arithmetic) so the demonstration holds
+      // at every scale factor's id range — a 1-row stats broadcast
+      val st = s.read.parquet(lin).agg(
+        min("user_id").as("gu0"), max("user_id").as("gu1"),
+        min("v").as("gv0"), max("v").as("gv1"))
+      val z = zones(lin, "linear").union(zones(zo, "zorder"))
+        .crossJoin(broadcast(st))
+        .withColumn("u_lo", expr("gu0 + (gu1 - gu0) div 4"))
+        .withColumn("u_hi", expr("gu0 + (gu1 - gu0) div 2"))
+        .withColumn("v_lo", expr("gv0 + (gv1 - gv0) div 5"))
+        .withColumn("v_hi", expr("gv0 + ((gv1 - gv0) * 2) div 5"))
+      // predicate shapes: a box on both dims, and value-dim only
+      val skipBox = col("mn_u") > col("u_hi") ||
+        col("mx_u") < col("u_lo") ||
+        col("mn_v") > col("v_hi") || col("mx_v") < col("v_lo")
+      val skipVal = col("mn_v") > col("v_hi") ||
+        col("mx_v") < col("v_lo")
+      z.select(col("layout"), col("rows"),
+        when(skipBox, 1L).otherwise(0L).as("sb"),
+        when(skipVal, 1L).otherwise(0L).as("sv"))
+        .groupBy("layout")
+        .agg(count(lit(1)).as("n_files"),
+          sum("sb").as("skipped_box"),
+          sum("sv").as("skipped_value"),
+          sum("rows").as("n_rows"))
+        .select(col("layout"), col("n_files"), col("skipped_box"),
+          col("skipped_value"), col("n_rows"),
+          expr("(skipped_box * 1000000) div n_files").as("box_ratio_q"),
+          expr("(skipped_value * 1000000) div n_files")
+            .as("value_ratio_q"))
+        .orderBy("layout")
+    },
+    None)
+
+  private def oZoneSql(d: String): String = {
+    val base = scratch(d)
+    s"""WITH z AS (
+          SELECT 'linear' AS layout, filename AS f, user_id, v
+          FROM read_parquet('$base/linear/*.parquet', filename=true)
+          UNION ALL
+          SELECT 'zorder', filename, user_id, v
+          FROM read_parquet('$base/zorder/*.parquet', filename=true)),
+        pf AS (SELECT layout, f, CAST(count(*) AS BIGINT) AS rows,
+                 MIN(user_id) AS mn_u, MAX(user_id) AS mx_u,
+                 MIN(v) AS mn_v, MAX(v) AS mx_v
+               FROM z GROUP BY 1, 2),
+        st AS (SELECT MIN(user_id) AS gu0, MAX(user_id) AS gu1,
+                 MIN(v) AS gv0, MAX(v) AS gv1
+               FROM read_parquet('$base/linear/*.parquet')),
+        bx AS (SELECT gu0 + (gu1 - gu0) // 4 AS u_lo,
+                 gu0 + (gu1 - gu0) // 2 AS u_hi,
+                 gv0 + (gv1 - gv0) // 5 AS v_lo,
+                 gv0 + ((gv1 - gv0) * 2) // 5 AS v_hi
+               FROM st),
+        fl AS (SELECT layout, rows,
+                 CASE WHEN mn_u > u_hi OR mx_u < u_lo OR mn_v > v_hi
+                   OR mx_v < v_lo THEN 1 ELSE 0 END AS sb,
+                 CASE WHEN mn_v > v_hi OR mx_v < v_lo THEN 1 ELSE 0 END
+                   AS sv
+               FROM pf CROSS JOIN bx)
+        SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+               CAST(SUM(sb) AS BIGINT) AS skipped_box,
+               CAST(SUM(sv) AS BIGINT) AS skipped_value,
+               CAST(SUM(rows) AS BIGINT) AS n_rows,
+               CAST((SUM(sb) * 1000000) // count(*) AS BIGINT)
+                 AS box_ratio_q,
+               CAST((SUM(sv) * 1000000) // count(*) AS BIGINT)
+                 AS value_ratio_q
+        FROM fl GROUP BY layout ORDER BY layout"""
+  }
+
+  /** `all` is a def so Verify's oracle dump re-renders the pid-scoped
+    * fixture path (the Compaction convention). */
+  def all: Seq[QueryDef] = Seq(qZorder,
+    qZonemapSkipping.copy(oracle = Some(oZoneSql(lastDir))))
 }

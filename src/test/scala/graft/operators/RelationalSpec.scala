@@ -172,6 +172,8 @@ class RelationalSpec extends SparkSpec {
       "q_ab_test",
       // O(types)² pair frame from two bounded distinct-type aggregates
       "q_kmv_jaccard",
+      // 1-row global-span stats broadcast for the derived zone box
+      "q_zonemap_skipping",
       // 1-row corpus-size (N) stats broadcast for the idf term
       "text_index_retrieve",
       // 1-row token-total and bigram-total broadcasts for the PMI terms

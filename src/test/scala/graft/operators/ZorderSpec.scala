@@ -63,4 +63,20 @@ class ZorderSpec extends SparkSpec {
     assert(zRows < rRows / 2,
       s"z-layout must skip most row groups: scanned $zRows vs random-layout $rRows")
   }
+
+  test("R86: the zone-map readout shows z-order pruning where linear cannot") {
+    val rows = Zorder.qZonemapSkipping.fn(spark, sf).collect()
+      .map(r => r.getAs[String]("layout") ->
+        (r.getAs[Long]("n_files"), r.getAs[Long]("value_ratio_q"),
+          r.getAs[Long]("n_rows"))).toMap
+    assert(rows.keySet === Set("linear", "zorder"))
+    // both layouts hold the same data
+    assert(rows("linear")._3 === rows("zorder")._3)
+    // the value-dimension predicate prunes nothing on the user-sorted
+    // layout and most files on the z-ordered one — the R37 claim as data
+    assert(rows("linear")._2 === 0L,
+      "a single-dim sort cannot prune on the other dimension")
+    assert(rows("zorder")._2 >= 500000L,
+      "z-order must prune at least half the files on the value dim")
+  }
 }
