@@ -1667,8 +1667,61 @@ object Relational {
              GROUP BY 1, 2, 3
              ORDER BY revenue DESC, c_custkey LIMIT 20"""))
 
+  /** R87 — TPC-H Q21 shape (suppliers who kept orders waiting): for
+    * each supplier, count multi-supplier orders where it was the ONLY
+    * supplier shipping late (> 60 days after the order date). The
+    * classic form is a correlated EXISTS + NOT EXISTS pair; this
+    * decorrelates both into ONE order-keyed aggregate — distinct
+    * suppliers and distinct LATE suppliers per order — joined back to
+    * the per-(order, supplier) late flags, so the whole query costs
+    * two keyed aggregations instead of two correlated subquery scans.
+    * Late is exact integer day arithmetic; top-10 is sort+limit. */
+  val q21BlockedOrders = QueryDef(
+    "q21_blocked_orders",
+    (s, d) => {
+      val lines = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+          (datediff(to_date(col("l_shipdate")),
+            to_date(col("o_orderdate"))) > 60).as("late"))
+      val perOrderSupp = lines.groupBy("ok", "sk")
+        .agg(max(when(col("late"), 1L).otherwise(0L)).as("any_late"))
+      val perOrder = perOrderSupp.groupBy("ok")
+        .agg(count(lit(1)).as("n_supp"), sum("any_late").as("n_late"))
+      perOrderSupp.join(perOrder, "ok")
+        .filter(col("any_late") === 1 && col("n_supp") >= 2 &&
+          col("n_late") === 1)
+        .groupBy("sk")
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_name"))),
+          col("sk") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("numwait"))
+        .orderBy(desc("numwait"), asc("s_suppkey"))
+        .limit(10)
+    },
+    Some("""WITH lines AS (SELECT l_orderkey AS ok, l_suppkey AS sk,
+                             date_diff('day', CAST(o_orderdate AS DATE),
+                               CAST(l_shipdate AS DATE)) > 60 AS late
+                           FROM lineitem
+                           JOIN orders ON l_orderkey = o_orderkey),
+             pos AS (SELECT ok, sk,
+                       MAX(CASE WHEN late THEN 1 ELSE 0 END) AS any_late
+                     FROM lines GROUP BY 1, 2),
+             po AS (SELECT ok, CAST(count(*) AS BIGINT) AS n_supp,
+                      CAST(SUM(any_late) AS BIGINT) AS n_late
+                    FROM pos GROUP BY 1)
+             SELECT s.s_suppkey, s.s_name,
+                    CAST(count(*) AS BIGINT) AS numwait
+             FROM pos JOIN po ON pos.ok = po.ok
+             JOIN supplier s ON pos.sk = s.s_suppkey
+             WHERE pos.any_late = 1 AND po.n_supp >= 2 AND po.n_late = 1
+             GROUP BY 1, 2
+             ORDER BY numwait DESC, s.s_suppkey LIMIT 10"""))
+
   val all: Seq[QueryDef] = Seq(
-    q7NationVolume, q10ReturnedTop,
+    q7NationVolume, q10ReturnedTop, q21BlockedOrders,
     qHistogram, qHistogramDepth, qMadOutliers,
     qScanPushdown, q1PricingSummary, q3ShippingPriority, q5LocalSupplier,
     qBroadcastJoin, qSemiJoin, qAntiJoin, qWindowRank, qWindowRunning,

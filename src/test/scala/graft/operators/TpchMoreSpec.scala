@@ -35,4 +35,28 @@ class TpchMoreSpec extends SparkSpec {
     assert(revs.sameElements(revs.sortBy(-_)),
       "rows must arrive revenue-descending")
   }
+
+  test("R87: Q21's decorrelated aggregate equals the naive exists/not-exists") {
+    val lines = graft.Tables.lineitem(spark, sf)
+      .join(graft.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (datediff(to_date(col("l_shipdate")),
+          to_date(col("o_orderdate"))) > 60).as("late"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byOrder = lines.groupBy(_._1)
+    val ref = byOrder.values.toSeq.flatMap { ls =>
+      val supps = ls.map(_._2).distinct
+      val lateSupps = ls.filter(_._3).map(_._2).distinct
+      // naive form: supplier s blocks iff s is late, ANOTHER supplier
+      // EXISTS on the order, and NO OTHER late supplier exists
+      lateSupps.filter(s => supps.exists(_ != s) &&
+        !lateSupps.exists(_ != s))
+    }.groupBy(identity).map { case (s, xs) => s -> xs.size.toLong }
+    val topRef = ref.toSeq.sortBy(t => (-t._2, t._1)).take(10)
+    val got = Relational.q21BlockedOrders.fn(spark, sf).collect()
+      .map(r => r.getAs[Long]("s_suppkey") -> r.getAs[Long]("numwait"))
+      .toSeq
+    assert(got === topRef)
+  }
 }
