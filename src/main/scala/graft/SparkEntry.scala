@@ -14,7 +14,7 @@ object SparkEntry {
       operators.Evaluate.all ++ operators.Audit.all ++
       operators.Features.all ++ operators.Compaction.all ++
       operators.Retail.all ++ operators.Diagnose.all ++
-      operators.Kmv.all ++ etl.Ivm.all ++
+      operators.Kmv.all ++ etl.Ivm.all ++ etl.Profile.all ++
       dedup.CorpusStats.all ++
       etl.EtlQueries.all ++ etl.Quality.all ++ etl.Scd.all ++ etl.Cdc.all ++
       etl.Incremental.all ++ etl.Repair.all ++

@@ -1,0 +1,97 @@
+package graft.etl
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** E26 — generic one-pass table profiling: per column, the stats a
+  * data engineer reads before trusting a feed — row/null counts,
+  * distinct cardinality, lexicographic min/max, and the modal value
+  * with its share. The reference validates per-record shape at ingest
+  * (Net7-ETL-Bus CSV contract); profiling is the table-level
+  * generalization every warehouse "describe" implements.
+  *
+  * Shape: UNPIVOT the projected columns to (col_name, val) rows —
+  * ONE generic aggregation pipeline then serves any table and any
+  * column list (no per-column query fan-out), and the whole profile
+  * is two keyed aggregations + a WindowGroupLimit rank-1 for the
+  * mode. Cardinalities here are EXACT (the oracle demands it); at
+  * 100 TB the countDistinct swaps for the R19 HLL sketch and the
+  * mode for the D21 heavy-hitters sketch, both already in SURVEY. */
+object Profile {
+
+  /** (col_name, val-as-string) long form of `df`'s `cols`. */
+  def unpivoted(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val args = lit(cols.size) +:
+      cols.flatMap(c => Seq(lit(c), col(c).cast("string")))
+    df.select(stack(args: _*).as(Seq("col_name", "val")))
+  }
+
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    // EVERYTHING derives from one (col, val) count table — a separate
+    // countDistinct pass would re-shuffle the full long form a second
+    // time (it builds its own internal distinct), and the mode a
+    // third; measured 13.4 → ~5 s at sf0.1. The count table is
+    // localCheckpoint-pinned for its two consumers.
+    val g = unpivoted(df, cols)
+      .groupBy("col_name", "val").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val stats = g.groupBy("col_name").agg(
+      sum("cnt").as("n"),
+      sum(when(col("val").isNull, col("cnt")).otherwise(0L)).as("nulls"),
+      count(when(col("val").isNotNull, lit(1))).as("n_distinct"),
+      min("val").as("min_val"), max("val").as("max_val"))
+    val mode = g.filter(col("val").isNotNull)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("col_name")
+          .orderBy(col("cnt").desc, col("val"))))
+      .filter(col("rnk") === 1)
+      .select(col("col_name"), col("val").as("top_val"),
+        col("cnt").as("top_n"))
+    stats.join(mode, Seq("col_name"), "left")
+      .select(col("col_name"), col("n"),
+        expr("(nulls * 1000000) div n").as("null_ppm"),
+        col("n_distinct"), col("min_val"), col("max_val"),
+        col("top_val"), col("top_n"),
+        expr("(top_n * 1000000) div n").as("top_ppm"))
+      .orderBy("col_name")
+  }
+
+  private val LineitemCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+    "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+
+  val etlProfileTable = QueryDef(
+    "etl_profile_table",
+    (s, d) => profile(Tables.lineitem(s, d), LineitemCols),
+    Some {
+      val union = LineitemCols.map(c =>
+        s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS val FROM lineitem")
+        .mkString("\n               UNION ALL ")
+      s"""WITH long AS (
+               $union),
+             stats AS (SELECT col_name, CAST(count(*) AS BIGINT) AS n,
+                         CAST(SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END)
+                           AS BIGINT) AS nulls,
+                         CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
+                         MIN(val) AS min_val, MAX(val) AS max_val
+                       FROM long GROUP BY 1),
+             mode AS (SELECT col_name, val AS top_val,
+                        CAST(cnt AS BIGINT) AS top_n
+                      FROM (SELECT col_name, val, count(*) AS cnt,
+                              row_number() OVER (PARTITION BY col_name
+                                ORDER BY count(*) DESC, val) AS rnk
+                            FROM long WHERE val IS NOT NULL
+                            GROUP BY col_name, val)
+                      WHERE rnk = 1)
+             SELECT stats.col_name, n,
+                    CAST((nulls * 1000000) // n AS BIGINT) AS null_ppm,
+                    n_distinct, min_val, max_val, top_val, top_n,
+                    CAST((top_n * 1000000) // n AS BIGINT) AS top_ppm
+             FROM stats LEFT JOIN mode ON stats.col_name = mode.col_name
+             ORDER BY stats.col_name"""
+    })
+
+  def all: Seq[QueryDef] = Seq(etlProfileTable)
+}

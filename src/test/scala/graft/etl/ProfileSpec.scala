@@ -1,0 +1,39 @@
+package graft.etl
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** E26 — the generic table profiler vs driver-side replays. */
+class ProfileSpec extends SparkSpec {
+
+  test("E26: per-column stats replay exactly and obey profile laws") {
+    val out = Profile.profile(Tables.lineitem(spark, sf),
+      Seq("l_returnflag", "l_quantity", "l_orderkey")).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity").cast("string"),
+        col("l_orderkey").cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val n = rows.length.toLong
+    def check(name: String, vals: Seq[String]): Unit = {
+      val r = out(name)
+      assert(r.getAs[Long]("n") === n)
+      assert(r.getAs[Long]("null_ppm") === 0L)
+      assert(r.getAs[Long]("n_distinct") === vals.distinct.size.toLong)
+      assert(r.getAs[String]("min_val") === vals.min)
+      assert(r.getAs[String]("max_val") === vals.max)
+      val (topV, topN) = vals.groupBy(identity).view
+        .mapValues(_.size).toSeq
+        .sortBy { case (v, c) => (-c, v) }.head
+      assert(r.getAs[String]("top_val") === topV)
+      assert(r.getAs[Long]("top_n") === topN.toLong)
+      assert(r.getAs[Long]("top_ppm") === topN * 1000000L / n)
+      // profile laws
+      assert(r.getAs[Long]("n_distinct") <= n)
+      assert(r.getAs[Long]("top_n") <= n)
+    }
+    check("l_returnflag", rows.map(_._1))
+    check("l_quantity", rows.map(_._2))
+    check("l_orderkey", rows.map(_._3))
+  }
+}
