@@ -134,5 +134,48 @@ object Audit {
                       AS gini_q
              FROM a ORDER BY nation"""))
 
-  def all: Seq[QueryDef] = Seq(qBenford, qGini)
+  /** R88 — 2-D skyline (Pareto frontier): per return-flag group, the
+    * line items no other item dominates on (cheaper price, larger
+    * quantity) — the multi-objective "best tradeoffs" query. The
+    * naive form is a quadratic NOT EXISTS self-join; the sort trick
+    * makes it one window: dedupe exact (price, qty) points, order by
+    * (price asc, qty desc), and a point is on the frontier iff its
+    * quantity beats the running max over all STRICTLY EARLIER points
+    * (ties resolved by the dedup + sort order — see the spec's
+    * dominance replay). Exact cents integers throughout. The group
+    * window is the R14 partitioned family; a corpus-scale skyline
+    * range-partitions on price and merges per-partition frontiers. */
+  val qSkyline = QueryDef(
+    "q_skyline",
+    (s, d) => {
+      val pts = Tables.lineitem(s, d).select(
+        col("l_returnflag").as("g"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("price_c"),
+        floor(col("l_quantity") * 100 + 0.5).cast("long").as("qty_c"))
+        .distinct()
+      val w = Window.partitionBy("g")
+        .orderBy(col("price_c").asc, col("qty_c").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      pts
+        .withColumn("prev_max", max("qty_c").over(w))
+        .filter(col("prev_max").isNull || col("qty_c") > col("prev_max"))
+        .select(col("g"), col("price_c"), col("qty_c"))
+        .orderBy("g", "price_c")
+    },
+    Some("""WITH pts AS (SELECT DISTINCT l_returnflag AS g,
+                           CAST(floor(l_extendedprice * 100 + 0.5)
+                             AS BIGINT) AS price_c,
+                           CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+                             AS qty_c
+                         FROM lineitem),
+             r AS (SELECT *, MAX(qty_c) OVER (PARTITION BY g
+                     ORDER BY price_c ASC, qty_c DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS prev_max
+                   FROM pts)
+             SELECT g, price_c, qty_c FROM r
+             WHERE prev_max IS NULL OR qty_c > prev_max
+             ORDER BY g, price_c"""))
+
+  def all: Seq[QueryDef] = Seq(qBenford, qGini, qSkyline)
 }

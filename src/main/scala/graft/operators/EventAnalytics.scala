@@ -648,7 +648,70 @@ object EventAnalytics {
                       * 1e6) AS BIGINT) AS lift_q
              FROM w ORDER BY dow, hr"""))
 
+  /** R89 — additive time-series decomposition of the daily event
+    * rate: trend (centered 7-day moving average), day-of-week
+    * seasonal component (mean detrended value per dow), and residual
+    * — the classical decomposition behind "is this dip weekly
+    * rhythm or a real drop". Everything runs on the O(calendar)
+    * daily aggregate; every component is INTEGER ppm arithmetic
+    * (sums div counts), so no float accumulation exists anywhere:
+    * n·1e6 = trend_q + seasonal_q + resid_q holds as an exact
+    * integer identity wherever the trend is defined. Edge days
+    * (incomplete 7-day window) carry NULL trend/residual — honest
+    * undefinedness, not zero-padding. */
+  val qDecompose = QueryDef(
+    "q_decompose",
+    (s, d) => {
+      val daily = graft.Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+      val trended = daily
+        .withColumn("win_n", count(lit(1)).over(w7))
+        .withColumn("trend_q",
+          when(col("win_n") === 7,
+            expr("(sum(n) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING "
+              + "AND 3 FOLLOWING) * 1000000) div 7")))
+        .withColumn("dow", dayofweek(col("day")) - 1)
+      val wDow = Window.partitionBy("dow")
+      trended
+        .withColumn("seasonal_q",
+          expr("CASE WHEN count(trend_q) OVER (PARTITION BY dow) > 0 "
+            + "THEN sum(CASE WHEN trend_q IS NOT NULL THEN n * 1000000 - "
+            + "trend_q END) OVER (PARTITION BY dow) div "
+            + "count(trend_q) OVER (PARTITION BY dow) END"))
+        .select(col("day"), col("n"), col("trend_q"), col("seasonal_q"),
+          (col("n") * 1000000L - col("trend_q") - col("seasonal_q"))
+            .as("resid_q"))
+        .orderBy("day")
+    },
+    Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                             CAST(count(*) AS BIGINT) AS n
+                           FROM events GROUP BY 1),
+             t AS (SELECT day, n,
+                     CASE WHEN count(*) OVER w7 = 7 THEN
+                       CAST((SUM(n) OVER w7 * 1000000) // 7 AS BIGINT)
+                     END AS trend_q,
+                     dayofweek(day) AS dow
+                   FROM daily
+                   WINDOW w7 AS (ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+             ss AS (SELECT *,
+                      CASE WHEN count(trend_q) OVER (PARTITION BY dow) > 0
+                        THEN CAST(SUM(CASE WHEN trend_q IS NOT NULL THEN
+                            n * 1000000 - trend_q END)
+                          OVER (PARTITION BY dow)
+                          // count(trend_q) OVER (PARTITION BY dow)
+                          AS BIGINT)
+                      END AS seasonal_q
+                    FROM t)
+             SELECT day, n, trend_q, seasonal_q,
+                    CAST(n * 1000000 - trend_q - seasonal_q AS BIGINT)
+                      AS resid_q
+             FROM ss ORDER BY day"""))
+
   val all: Seq[QueryDef] = Seq(qFunnel, qFunnelWindowed, qCohortRetention,
     qEventTransitions, qRateAnomalies, qAttribution, qIntervalMerge, qEwma,
-    qRollingDistinct, qTwap, qCumulativeDistinct, qEventPaths, qSeasonality)
+    qRollingDistinct, qTwap, qCumulativeDistinct, qEventPaths, qSeasonality,
+    qDecompose)
 }

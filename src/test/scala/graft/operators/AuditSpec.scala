@@ -55,4 +55,30 @@ class AuditSpec extends SparkSpec {
       assert(g >= 0L && g < 1000000L)
     }
   }
+
+  test("R88: the windowed skyline equals the naive dominance filter") {
+    val pts = Tables.lineitem(spark, sf).select(
+      col("l_returnflag"),
+      floor(col("l_extendedprice") * 100 + 0.5).cast("long"),
+      floor(col("l_quantity") * 100 + 0.5).cast("long"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val ref = pts.groupBy(_._1).toSeq.flatMap { case (g, ps) =>
+      ps.filter { p =>
+        !ps.exists(q => q != p && q._2 <= p._2 && q._3 >= p._3 &&
+          (q._2 < p._2 || q._3 > p._3))
+      }.map(p => (g, p._2, p._3)).toSeq
+    }.toSet
+    val got = Audit.qSkyline.fn(spark, sf).collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("price_c"),
+        r.getAs[Long]("qty_c"))).toSet
+    assert(got === ref)
+    // frontier shape: maximizing qty while minimizing price means qty
+    // strictly INCREASES along the frontier as price increases
+    got.groupBy(_._1).values.foreach { ps =>
+      val qtys = ps.toSeq.sortBy(_._2).map(_._3)
+      assert(qtys === qtys.sorted && qtys.distinct === qtys,
+        "frontier qty must strictly increase with price")
+    }
+  }
 }

@@ -69,4 +69,28 @@ class DiagnoseSpec extends SparkSpec {
     // the reported top key really is the max-multiplicity key
     assert(got.head._2 === counts.values.max)
   }
+
+  test("R89: decomposition components obey the exact additive identity") {
+    val out = EventAnalytics.qDecompose.fn(spark, sf).collect()
+    assert(out.nonEmpty)
+    val days = out.map(_.getAs[java.sql.Date]("day").toLocalDate)
+    // trend defined exactly where a full centered window exists
+    out.zipWithIndex.foreach { case (r, i) =>
+      val hasTrend = !r.isNullAt(r.fieldIndex("trend_q"))
+      assert(hasTrend === (i >= 3 && i < out.length - 3),
+        s"day ${days(i)}: trend defined iff a full 7-day window exists")
+      if (hasTrend) {
+        assert(r.getAs[Long]("n") * 1000000L ===
+          r.getAs[Long]("trend_q") + r.getAs[Long]("seasonal_q") +
+            r.getAs[Long]("resid_q"),
+          "n*1e6 = trend + seasonal + resid must hold exactly")
+      }
+    }
+    // seasonal is constant per day-of-week
+    val byDow = out.filter(!_.isNullAt(2)).groupBy(r =>
+      r.getAs[java.sql.Date]("day").toLocalDate.getDayOfWeek)
+    byDow.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("seasonal_q")).distinct.length === 1)
+    }
+  }
 }
