@@ -710,8 +710,78 @@ object EventAnalytics {
                       AS resid_q
              FROM ss ORDER BY day"""))
 
+  /** R90 — CUSUM changepoint detection per event type: the sequential
+    * control-chart statistic S_t = max(0, S_{t−1} + (x_t − μ − slack))
+    * that accumulates evidence of a LEVEL SHIFT and alarms when it
+    * crosses a threshold — what R44's per-point z-scores cannot see
+    * (each day individually normal, the run jointly anomalous). The
+    * recurrence is genuinely sequential, so it runs as a RECURSIVE CTE
+    * over the O(types × calendar) daily frame — the R38 recursion
+    * surface applied to a real streaming-statistics algorithm, with
+    * every term exact integer ppm (μ and slack are integer-div
+    * columns, GREATEST keeps S in exact BIGINTs). Alarm threshold
+    * 2μ. Recursion depth = days, rows per step = types. */
+  val qCusum = QueryDef(
+    "q_cusum",
+    (s, d) => {
+      val w = Window.partitionBy("t").orderBy("day")
+      val wt = Window.partitionBy("t")
+      graft.Tables.events(s, d)
+        .groupBy(col("event_type").as("t"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("idx", row_number().over(w))
+        .withColumn("m",
+          expr("(sum(x) OVER (PARTITION BY t) * 1000000) div "
+            + "count(1) OVER (PARTITION BY t)"))
+        .withColumn("k", expr("m div 4"))
+        // localCheckpoint: the recursive step joins this view once PER
+        // ITERATION — unpinned, every iteration re-runs the daily
+        // aggregate from the raw events scan (measured 7.6 s at sf0.1;
+        // pinned, the recursion joins a materialized O(types×days)
+        // frame)
+        .localCheckpoint()
+        .createOrReplaceTempView("graft_cusum_v")
+      s.sql("""WITH RECURSIVE c(t, idx, day, x, m, s) AS (
+                 SELECT t, idx, day, x, m,
+                        GREATEST(0L, x * 1000000 - m - k)
+                 FROM graft_cusum_v WHERE idx = 1
+                 UNION ALL
+                 SELECT v.t, v.idx, v.day, v.x, v.m,
+                        GREATEST(0L, c.s + (v.x * 1000000 - v.m - v.k))
+                 FROM c JOIN graft_cusum_v v
+                   ON v.t = c.t AND v.idx = c.idx + 1
+               )
+               SELECT t AS event_type, day, x AS n, s AS s_q,
+                      s > 2 * m AS alarm
+               FROM c ORDER BY t, day""")
+    },
+    Some("""WITH RECURSIVE base AS (SELECT event_type AS t, CAST(ts AS DATE) AS day,
+                            CAST(count(*) AS BIGINT) AS x
+                          FROM events GROUP BY 1, 2),
+             v AS (SELECT t, day, x,
+                     CAST(row_number() OVER (PARTITION BY t ORDER BY day)
+                       AS BIGINT) AS idx,
+                     CAST((SUM(x) OVER (PARTITION BY t) * 1000000)
+                       // COUNT(*) OVER (PARTITION BY t) AS BIGINT) AS m,
+                     CAST((SUM(x) OVER (PARTITION BY t) * 1000000)
+                       // COUNT(*) OVER (PARTITION BY t) // 4 AS BIGINT)
+                       AS k
+                   FROM base),
+             c(t, idx, day, x, m, s) AS (
+                 SELECT t, idx, day, x, m,
+                        GREATEST(0, x * 1000000 - m - k)
+                 FROM v WHERE idx = 1
+                 UNION ALL
+                 SELECT v.t, v.idx, v.day, v.x, v.m,
+                        GREATEST(0, c.s + (v.x * 1000000 - v.m - v.k))
+                 FROM c JOIN v ON v.t = c.t AND v.idx = c.idx + 1
+             )
+             SELECT t AS event_type, day, x AS n,
+                    CAST(s AS BIGINT) AS s_q, s > 2 * m AS alarm
+             FROM c ORDER BY t, day"""))
+
   val all: Seq[QueryDef] = Seq(qFunnel, qFunnelWindowed, qCohortRetention,
     qEventTransitions, qRateAnomalies, qAttribution, qIntervalMerge, qEwma,
     qRollingDistinct, qTwap, qCumulativeDistinct, qEventPaths, qSeasonality,
-    qDecompose)
+    qDecompose, qCusum)
 }

@@ -93,4 +93,30 @@ class DiagnoseSpec extends SparkSpec {
       assert(rs.map(_.getAs[Long]("seasonal_q")).distinct.length === 1)
     }
   }
+
+  test("R90: CUSUM replays the sequential fold exactly") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getString(0),
+        r.getAs[java.sql.Date](1).toLocalDate, r.getLong(2)))
+    val ref = daily.groupBy(_._1).toSeq.flatMap { case (t, ds) =>
+      val sorted = ds.sortBy(_._2.toEpochDay).toSeq
+      val total = sorted.map(_._3).sum
+      val m = total * 1000000L / sorted.length
+      val k = m / 4
+      var s = 0L
+      sorted.map { case (_, day, x) =>
+        s = math.max(0L, s + (x * 1000000L - m - k))
+        (t, day) -> (x, s, s > 2 * m)
+      }
+    }.toMap
+    val got = EventAnalytics.qCusum.fn(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Date]("day").toLocalDate) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("s_q"),
+          r.getAs[Boolean]("alarm"))).toMap
+    assert(got === ref)
+    assert(got.values.forall(_._2 >= 0L))
+  }
 }
