@@ -83,6 +83,25 @@ object Compaction {
       .orderBy("file")
   }
 
+  /** Execute the plan: rewrite the fragmented layout with ONE file
+    * per bin. Each row joins its bin from the broadcast O(files)
+    * plan, `repartition(bin)` co-locates every bin in exactly one
+    * task, and the partitionBy write then emits exactly one file per
+    * bin directory — the OPTIMIZE/compact action the plan describes.
+    * The rewrite is the one data pass a compactor fundamentally pays;
+    * the planning stayed metadata-only. */
+  def execute(s: SparkSession, dir: String, outDir: String): Unit = {
+    val frag = fragmentedDir(s, dir)
+    val assignments = plan(s, dir).select("file", "bin")
+    s.read.parquet(frag)
+      .withColumn("file",
+        regexp_extract(input_file_name(), "([^/]+)$", 1))
+      .join(broadcast(assignments), "file")
+      .drop("file")
+      .repartition(col("bin"))
+      .write.partitionBy("bin").mode("overwrite").parquet(outDir)
+  }
+
   /** `all` is re-evaluated when Verify dumps the oracle map, so the
     * SQL below globs the pid-scoped fixture dir this process wrote. */
   def all: Seq[QueryDef] = Seq(

@@ -38,4 +38,32 @@ class CompactionSpec extends SparkSpec {
           "a non-final bin stopped short of the target")
       }
   }
+
+  test("R75: executing the plan rewrites to one file per bin, rows conserved") {
+    val out = java.nio.file.Files.createTempDirectory("graft_compact_out")
+      .toString
+    Compaction.execute(spark, sf, out)
+    val planned = Compaction.plan(spark, sf).collect()
+    val nBins = planned.map(_.getAs[Long]("bin")).distinct.length
+    val back = spark.read.parquet(out)
+    assert(back.count() === planned.map(_.getAs[Long]("rows")).sum)
+    // one physical file per bin directory (materialize the file name
+    // as a column first — nondeterministic exprs can't sit inside an
+    // aggregate)
+    import org.apache.spark.sql.functions.{col, input_file_name, countDistinct}
+    val files = back
+      .withColumn("f", input_file_name())
+      .groupBy(col("bin"))
+      .agg(countDistinct(col("f")).as("nf"))
+      .collect()
+    assert(files.length === nBins)
+    assert(files.forall(_.getAs[Long]("nf") === 1L),
+      "each compaction bin must land in exactly one output file")
+    // per-bin rows match the plan
+    val planBins = planned.groupBy(_.getAs[Long]("bin"))
+      .map { case (b, rs) => b -> rs.head.getAs[Long]("bin_rows") }
+    val gotBins = back.groupBy("bin").count().collect()
+      .map(r => r.getAs[Long]("bin") -> r.getAs[Long]("count")).toMap
+    assert(gotBins === planBins)
+  }
 }
