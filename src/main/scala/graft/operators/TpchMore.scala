@@ -1,0 +1,385 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The remaining TPC-H query-family shapes (SURVEY.md §2.2 R91–R100),
+  * adapted to the synthetic schema (no partsupp / comment / phone
+  * columns — each query keeps its FAMILY's plan shape: the join
+  * topology, subquery decorrelation, and aggregation structure that
+  * make the original interesting, re-keyed onto columns that exist).
+  *
+  * Scale notes: every dim side that is O(SF) joins via shuffle (AQE
+  * may broadcast at runtime); fixed-size dims (nation) broadcast
+  * explicitly. Scalar-subquery thresholds (Q17/Q22) are computed as
+  * 1-row aggregates and broadcast — never a driver collect. All money
+  * sums ride the exact DECIMAL(38,6) recipe so partial-aggregation
+  * order can't flip ROUND boundaries between engines.
+  */
+object TpchMore {
+
+  private def dsum(c: Column): Column = sum(c.cast("decimal(38,6)"))
+  private def rsum(c: Column): Column = round(dsum(c), 4).cast("double")
+  private def oSum(expr: String): String =
+    s"CAST(ROUND(SUM(CAST(($expr) AS DECIMAL(38,6))), 4) AS DOUBLE)"
+
+  /** R91 — TPC-H Q4 shape (order priority checking): count orders per
+    * priority that had at least one lineitem shipped > 90 days after
+    * the order date, within one quarter. The EXISTS decorrelates to a
+    * LEFT SEMI join whose extra predicate (the 90-day lag) is a
+    * residual on the equi join — one key shuffle, no correlated
+    * re-scans. The quarter filter reaches the orders parquet scan. */
+  val q4OrderPriority = QueryDef(
+    "q4_order_priority",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      val li = Tables.lineitem(s, d)
+      o.join(li,
+          col("o_orderkey") === col("l_orderkey") &&
+            datediff(to_date(col("l_shipdate")),
+              to_date(col("o_orderdate"))) > 60,
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1997-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND date_diff('day', CAST(o_orderdate AS DATE),
+                                  CAST(l_shipdate AS DATE)) > 60)
+            GROUP BY 1 ORDER BY 1"""))
+
+  /** R92 — TPC-H Q6 shape (forecasting revenue change): pure
+    * scan+filter+agg — the query that exists to prove predicates reach
+    * the scan. Every filter (year band, discount band, quantity cap)
+    * is parquet-pushable; the plan is one WholeStageCodegen span over
+    * the file scan with a partial+final agg, zero joins, one 1-row
+    * result. */
+  val q6RevenueChange = QueryDef(
+    "q6_revenue_change",
+    (s, d) => Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(rsum(col("l_extendedprice") * col("l_discount")).as("revenue")),
+    Some(s"""SELECT ${oSum("l_extendedprice * l_discount")} AS revenue
+             FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+               AND l_shipdate < TIMESTAMP '1998-01-01'
+               AND l_discount >= 0.03 AND l_discount <= 0.07
+               AND l_quantity < 24"""))
+
+  /** R93 — TPC-H Q8 shape (national market share): of all revenue
+    * flowing to customers in one REGION, the share supplied by one
+    * NATION, per order year. Two nation-role reads of the same dim
+    * (supplier side carries the flag, customer side restricts the
+    * market), region restriction via broadcast; the share is a
+    * conditional-over-total ratio of two exact decimal sums, divided
+    * once as doubles so both engines round the same value. */
+  val q8MarketShare = QueryDef(
+    "q8_market_share",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val su = Tables.supplier(s, d)
+      val n1 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("sk_n"),
+          (col("n_name") === "NATION_1").as("is_target"))
+      val n2 = Tables.nation(s, d)
+        .join(Tables.region(s, d),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "AMERICA")
+        .select(col("n_nationkey").as("ck_n"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sk_n"))
+        .join(broadcast(n2), col("c_nationkey") === col("ck_n"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          round(
+            dsum(when(col("is_target"),
+              col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .otherwise(lit(0.0))).cast("double") /
+              dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+                .cast("double"),
+            4).as("mkt_share"))
+        .orderBy("o_year")
+    },
+    Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                   ROUND(
+                     CAST(SUM(CAST(CASE WHEN n1.n_name = 'NATION_1'
+                         THEN l_extendedprice * (1 - l_discount)
+                         ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) /
+                     CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(38,6))) AS DOUBLE),
+                     4) AS mkt_share
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            JOIN region ON n2.n_regionkey = r_regionkey
+            WHERE r_name = 'AMERICA'
+            GROUP BY 1 ORDER BY 1"""))
+
+  /** R94 — TPC-H Q13 shape (customer order-count distribution): LEFT
+    * join so zero-order customers survive with count 0, then a second
+    * aggregation over the counts — the double-groupBy histogram whose
+    * first shuffle is keyed on the customer and whose second is on the
+    * (tiny) count domain. The priority filter lives in the JOIN
+    * condition, not a WHERE (a WHERE would silently turn the outer
+    * join inner — the classic Q13 trap). */
+  val q13OrderDistribution = QueryDef(
+    "q13_order_distribution",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+      val perCust = c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    },
+    Some("""WITH per_cust AS (
+              SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+              FROM customer
+              LEFT JOIN orders ON c_custkey = o_custkey
+                AND o_orderpriority <> '1-URGENT'
+              GROUP BY 1)
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM per_cust GROUP BY 1
+            ORDER BY custdist DESC, c_count DESC"""))
+
+  /** R95 — TPC-H Q14 shape (promotion effect): the share of one
+    * month's revenue carried by PROMO-type parts — join + conditional
+    * agg collapsing to one row. The part join shuffles (part is
+    * O(SF)); the month filter rides the lineitem scan. */
+  val q14PromoShare = QueryDef(
+    "q14_promo_share",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      li.join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .agg(round(
+          lit(100.0) *
+            dsum(when(col("p_type") === "PROMO",
+              col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .otherwise(lit(0.0))).cast("double") /
+            dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .cast("double"),
+          4).as("promo_revenue_pct"))
+    },
+    Some("""SELECT ROUND(100.0 *
+                     CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                         THEN l_extendedprice * (1 - l_discount)
+                         ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) /
+                     CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(38,6))) AS DOUBLE),
+                   4) AS promo_revenue_pct
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+              AND l_shipdate < TIMESTAMP '1997-04-01'"""))
+
+  /** R96 — TPC-H Q15 shape (top supplier): quarterly revenue per
+    * supplier, keep exactly the max-revenue supplier(s) — ties all
+    * surface, per spec. The "view" is the aggregated revenue table
+    * (O(#suppliers) rows); its max is a 1-row re-aggregation joined
+    * back by equality, so the whole query is two passes over the
+    * aggregate and never a global sort. Revenue is the 4dp-rounded
+    * exact decimal, making the equality join deterministic across
+    * engines (raw double revenue would make "== max" flaky). */
+  val q15TopSupplier = QueryDef(
+    "q15_top_supplier",
+    (s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(rsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("total_revenue"))
+      val top = rev.agg(max(col("total_revenue")).as("max_revenue"))
+      rev.join(broadcast(top), col("total_revenue") === col("max_revenue"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
+    },
+    Some(s"""WITH rev AS (
+               SELECT l_suppkey,
+                      ${oSum("l_extendedprice * (1 - l_discount)")}
+                        AS total_revenue
+               FROM lineitem
+               WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                 AND l_shipdate < TIMESTAMP '1997-04-01'
+               GROUP BY 1)
+             SELECT s_suppkey, s_name, total_revenue
+             FROM rev JOIN supplier ON l_suppkey = s_suppkey
+             WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+             ORDER BY s_suppkey"""))
+
+  /** R97 — TPC-H Q16 shape (parts/supplier relationship): how many
+    * DISTINCT suppliers ship each (brand, type, size-bucket), for a
+    * restricted attribute set, excluding blacklisted suppliers
+    * (negative balance here) — count-distinct after a join with an
+    * anti-join exclusion. The exclusion list is an aggregate-side
+    * broadcast anti join; the distinct rides the aggregation, not a
+    * self-join. */
+  val q16SupplierCount = QueryDef(
+    "q16_supplier_count",
+    (s, d) => {
+      val p = Tables.part(s, d)
+        .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+          col("p_size") <= 25)
+      val bad = Tables.supplier(s, d)
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey").as("bad_sk"))
+      Tables.lineitem(s, d)
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(broadcast(bad), col("l_suppkey") === col("bad_sk"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"),
+          (col("p_size") <= 10).as("small_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"),
+          asc("small_size"))
+    },
+    Some("""SELECT p_brand, p_type, p_size <= 10 AS small_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+              AND p_size <= 25
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, small_size"""))
+
+  /** R98 — TPC-H Q17 shape (small-quantity-order revenue): revenue
+    * from lineitems whose quantity sits under 20% of their part's
+    * average — the correlated AVG subquery decorrelated into a
+    * part-keyed aggregate joined back to the fact. The threshold is
+    * computed with the exact-decimal-mean recipe ON BOTH SIDES so the
+    * 0.2·avg comparison can't flip on a last ulp. Both the fact read
+    * and the avg read carry the same brand filter (pushed), so the
+    * join-back is small×small. */
+  val q17SmallQtyRevenue = QueryDef(
+    "q17_small_qty_revenue",
+    (s, d) => {
+      val pids = Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#5")
+        .select(col("p_partkey"))
+      val li = Tables.lineitem(s, d)
+        .join(pids, col("l_partkey") === col("p_partkey"))
+      val avgQty = li.groupBy(col("l_partkey").as("ak"))
+        .agg((dsum(col("l_quantity")).cast("double") /
+          count(lit(1))).as("avg_qty"))
+      li.join(avgQty, col("l_partkey") === col("ak"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(round(dsum(col("l_extendedprice")).cast("double") / 7.0, 4)
+          .as("avg_yearly"))
+    },
+    Some("""WITH li AS (
+              SELECT l_partkey, l_quantity, l_extendedprice
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#5'),
+            aq AS (
+              SELECT l_partkey AS ak,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                       / count(*) AS avg_qty
+              FROM li GROUP BY 1)
+            SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+                     AS DOUBLE) / 7.0, 4) AS avg_yearly
+            FROM li JOIN aq ON l_partkey = ak
+            WHERE l_quantity < 0.2 * avg_qty"""))
+
+  /** R99 — TPC-H Q19 shape (discounted revenue, disjunctive
+    * predicates): an OR of three (brand ∧ size-band ∧ quantity-band)
+    * conjuncts across the join — the shape that tests whether the
+    * optimizer splits the common `l_partkey = p_partkey` out of the
+    * disjunction and keeps per-branch residuals; grouped by brand so
+    * each branch's contribution is visible. */
+  val q19DisjunctivePred = QueryDef(
+    "q19_disjunctive_pred",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(1, 15)) ||
+            (col("p_brand") === "Brand#2" && col("p_size").between(11, 25) &&
+              col("l_quantity").between(10, 25)) ||
+            (col("p_brand") === "Brand#3" && col("p_size").between(26, 50) &&
+              col("l_quantity").between(20, 35)))
+        .groupBy(col("p_brand"))
+        .agg(rsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"), count(lit(1)).as("n_lines"))
+        .orderBy("p_brand")
+    },
+    Some(s"""SELECT p_brand,
+                    ${oSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+                    CAST(count(*) AS BIGINT) AS n_lines
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+             WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+                    AND l_quantity BETWEEN 1 AND 15)
+                OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 25
+                    AND l_quantity BETWEEN 10 AND 25)
+                OR (p_brand = 'Brand#3' AND p_size BETWEEN 26 AND 50
+                    AND l_quantity BETWEEN 20 AND 35)
+             GROUP BY 1 ORDER BY 1"""))
+
+  /** R100 — TPC-H Q22 shape (global sales opportunity): rich customers
+    * (balance above the positive-balance average — a broadcast scalar
+    * subquery) with NO orders in the last two years (anti join),
+    * counted per nation. The average is a 1-row aggregate broadcast
+    * into a crossJoin — the sanctioned 1-row stats-broadcast pattern —
+    * and the anti join is the only fact-sized shuffle. */
+  val q22DormantCustomers = QueryDef(
+    "q22_dormant_customers",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val avgBal = c.filter(col("c_acctbal") > 0)
+        .agg((dsum(col("c_acctbal")).cast("double") /
+          count(lit(1))).as("avg_bal"))
+      val recent = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      c.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("numcust"),
+          rsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy("n_name")
+    },
+    Some(s"""SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
+                    ${oSum("c_acctbal")} AS totacctbal
+             FROM customer
+             JOIN nation ON c_nationkey = n_nationkey
+             WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal
+                                    AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+                                FROM customer WHERE c_acctbal > 0)
+               AND NOT EXISTS (SELECT 1 FROM orders
+                               WHERE o_custkey = c_custkey
+                                 AND o_orderdate >= TIMESTAMP '2000-01-01')
+             GROUP BY 1 ORDER BY 1"""))
+
+  val all: Seq[QueryDef] = Seq(
+    q4OrderPriority, q6RevenueChange, q8MarketShare, q13OrderDistribution,
+    q14PromoShare, q15TopSupplier, q16SupplierCount, q17SmallQtyRevenue,
+    q19DisjunctivePred, q22DormantCustomers)
+}

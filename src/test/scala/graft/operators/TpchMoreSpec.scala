@@ -59,4 +59,76 @@ class TpchMoreSpec extends SparkSpec {
       .toSeq
     assert(got === topRef)
   }
+
+  test("R91: Q4's EXISTS runs as one LEFT SEMI join, no correlated re-scan") {
+    val df = TpchMore.q4OrderPriority.fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), "EXISTS must decorrelate to a semi join")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Long]("order_count") > 0))
+  }
+
+  test("R92: Q6 is a pure scan+agg — zero joins, filters pushed") {
+    val df = TpchMore.q6RevenueChange.fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "Q6 must not contain any join")
+    // the PushedFilters list is display-elided, so probe a prefix that
+    // survives truncation plus the untruncated IsNotNull entries
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("IsNotNull(l_shipdate)") &&
+      plan.contains("GreaterThanOrEqual(l_shipda"),
+      "the date band must reach the parquet scan")
+    assert(df.collect().head.getAs[Double]("revenue") > 0)
+  }
+
+  test("R94: Q13 keeps zero-order customers (the WHERE-vs-ON outer-join trap)") {
+    val df = TpchMore.q13OrderDistribution.fn(spark, sf)
+    val rows = df.collect()
+      .map(r => r.getAs[Long]("c_count") -> r.getAs[Long]("custdist")).toMap
+    // every customer appears in exactly one bucket
+    val nCust = graft.Tables.customer(spark, sf).count()
+    assert(rows.values.sum === nCust,
+      "distribution buckets must partition the customer set — dropping " +
+        "zero-order customers means the LEFT join collapsed to inner")
+  }
+
+  test("R96: Q15 surfaces ALL max-revenue suppliers (tie semantics)") {
+    val df = TpchMore.q15TopSupplier.fn(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val revs = rows.map(_.getAs[Double]("total_revenue")).distinct
+    assert(revs.length === 1, "every surviving row must carry the max revenue")
+  }
+
+  test("R98: Q17's threshold equals a naive per-part avg recompute") {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.lineitem(spark, sf)
+      .join(graft.Tables.part(spark, sf)
+          .filter(col("p_brand") === "Brand#5").select("p_partkey"),
+        col("l_partkey") === col("p_partkey"))
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val avg = li.groupBy(_._1).map { case (k, xs) =>
+      k -> xs.map(x => BigDecimal(x._2)).sum.toDouble / xs.size }
+    val expected = BigDecimal(li.filter { case (k, q, _) => q < 0.2 * avg(k) }
+      .map(x => BigDecimal(x._3)).sum.toDouble / 7.0)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TpchMore.q17SmallQtyRevenue.fn(spark, sf)
+      .collect().head.getAs[Double]("avg_yearly")
+    assert(got === expected)
+  }
+
+  test("R100: Q22's anti join excludes every recently-ordering customer") {
+    import org.apache.spark.sql.functions._
+    val recent = graft.Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select("o_custkey").distinct().count()
+    assert(recent > 0, "fixture must actually have recent orders")
+    val numcust = TpchMore.q22DormantCustomers.fn(spark, sf)
+      .agg(sum("numcust")).collect().head.getLong(0)
+    val nCust = graft.Tables.customer(spark, sf).count()
+    assert(numcust > 0 && numcust < nCust - recent + 1,
+      "dormant set must be non-empty and strictly exclude active customers")
+  }
 }
