@@ -314,6 +314,26 @@ object PipelineQueries {
     },
     None)
 
+  /** D77: binary sign-sketch ANN (Hamming pre-rank + float rerank) —
+    * SELF-VERIFYING like the other sublinear-index entries: recall@10
+    * + top-1 recall vs the D6 exact baseline over the planted eval
+    * corpus, in the entry output. A planted identical copy shares all
+    * sign bits with its query (Hamming 0), so it must lead the
+    * candidate list and survive the rerank — top-1 recall is the
+    * must-find signal; mean recall@10 carries the honest noise tail. */
+  val annBinaryHamming = QueryDef(
+    "ann_binary_hamming",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = boundedQueries(emb)
+      val corpus = annEvalCorpus(emb, q)
+      Ann.withRecallVsExact(
+        graft.similarity.BinarySketch.topK(corpus, q, 10, dim = 64),
+        Ann.bruteForceTopK(corpus, q, 10), 10)
+        .orderBy("q_id", "rnk")
+    },
+    None)
+
   /** D36: hard-negative mining for contrastive embedding training —
     * per anchor, the exact top-k most-similar vectors with a DIFFERENT
     * label. Same bounded-broadcast scan shape as D6 (the label
@@ -2491,7 +2511,7 @@ object PipelineQueries {
     dedupExact, dedupMinhashLsh, dedupSimhash, dedupNgramJaccard,
     dedupJaccardAllpairs, dedupSpanMask,
     dedupEmbeddingCosine, annBruteforceTopK, annLsh, annIvf, annPqAdc,
-    annIvfPq,
+    annIvfPq, annBinaryHamming,
     textLangId, textQualityScore, textTokenCount, textFingerprint,
     textWinnow, textWinnowGeometry, textVocab, textTokenize, vecCentroid,
     mmBinaryMeta, mmPhashNeardup, textDsirSelect,

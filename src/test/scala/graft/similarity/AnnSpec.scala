@@ -204,7 +204,8 @@ class AnnSpec extends SparkSpec {
     // the entries' own outputs must carry the evidence (VERDICT r4 #1):
     // per-row exact-set membership, per-query recall@10, corpus min/mean
     for ((entry, meanFloor) <- Seq(graft.dedup.PipelineQueries.annLsh -> 0.1,
-                                   graft.dedup.PipelineQueries.annIvf -> 0.4)) {
+                                   graft.dedup.PipelineQueries.annIvf -> 0.4,
+                                   graft.dedup.PipelineQueries.annBinaryHamming -> 0.1)) {
       val out = entry.fn(spark, sf).cache()
       val row = out.select("min_recall", "mean_recall", "top1_recall").head()
       val (mn, mean, top1) = (row.getDouble(0), row.getDouble(1), row.getDouble(2))
@@ -271,5 +272,49 @@ class AnnSpec extends SparkSpec {
     val violations = all.filter(col("rnk") > k && col("cos_sim") > col("kth_cos"))
     assert(violations.count() === 0)
     res.unpersist(); anchors.unpersist()
+  }
+
+  test("D77: sign-word packing and Hamming distance obey their laws") {
+    import spark.implicits._
+    // hand vectors, dim 64: all-positive, all-negative, one mixed
+    val pos = Array.fill(64)(1.0f)
+    val neg = Array.fill(64)(-1.0f)
+    val mixed = Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val df = Seq((1L, pos), (2L, neg), (3L, mixed))
+      .toDF("vec_id", "embedding")
+      .withColumn("words",
+        BinarySketch.signWords(col("embedding").cast("array<double>"), 64))
+    val words = df.select("vec_id", "words").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(words(1L) === Seq(-1L), "64 one-bits = all-ones word")
+    assert(words(2L) === Seq(0L), "all-negative packs to zero")
+    // Horner MSB-first: alternating +/- starting positive = 0xAAAA...
+    assert(words(3L) === Seq(java.lang.Long.parseUnsignedLong(
+      "aaaaaaaaaaaaaaaa", 16)))
+    val d = df.as("a").crossJoin(df.as("b"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        BinarySketch.hamming(col("a.words"), col("b.words")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(d((1L, 1L)) === 0L && d((2L, 2L)) === 0L, "identity")
+    assert(d((1L, 2L)) === 64L, "opposite signs differ in every bit")
+    assert(d((1L, 3L)) === 32L && d((2L, 3L)) === 32L)
+    assert(d((1L, 3L)) === d((3L, 1L)), "symmetry")
+  }
+
+  test("D77: Hamming window input carries codes/distances, never embeddings") {
+    val emb64 = Tables.embeddings(spark, sf)
+    val q = emb64.filter(col("vec_id") % 100 === 0)
+    val res = BinarySketch.topK(emb64, q, 10, dim = 64)
+    // the Hamming top-R window must sort (q_id, vec_id, ham) rows only
+    val windows = res.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    val hamWindow = windows.find(w =>
+      w.child.output.exists(_.name == "ham") &&
+        !w.child.output.exists(_.name == "cos_sim")).get
+    val inCols = hamWindow.child.output.map(_.name.toLowerCase)
+    assert(!inCols.exists(_.contains("emb")),
+      s"Hamming rank input must be distance-only, got: ${inCols.mkString(",")}")
   }
 }
