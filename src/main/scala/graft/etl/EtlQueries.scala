@@ -12,7 +12,7 @@ object EtlQueries {
 
   private val csv = ZipEtl.csvPath
 
-  private val oIngest =
+  private[etl] val oIngest =
     s"""ingest AS (
        |  SELECT * FROM read_csv('$csv', header=true, columns={
        |    'state_fips':'INTEGER','state':'VARCHAR','state_abbr':'VARCHAR',
@@ -20,7 +20,7 @@ object EtlQueries {
        |    'last_updated':'DATE'})
        |)""".stripMargin
 
-  private val oDedup =
+  private[etl] val oDedup =
     """dedup AS (
       |  SELECT state_fips, state, state_abbr, zipcode, county, city, last_updated
       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY zipcode, state_abbr
