@@ -389,6 +389,54 @@ object EventAnalytics {
             FROM islands GROUP BY user_id, island
             ORDER BY user_id, island"""))
 
+  /** R101 — interval×interval overlap join WITHOUT an equi key
+    * (purchase activity windows × error windows — "which transactions
+    * ran while an incident was open"): both sides are sf-proportional
+    * interval sets, so the naive plan is a cartesian with a range
+    * residual. [[RangeJoin.intervalOverlap]] buckets both sides at 1 h
+    * and keeps only each pair's FIRST shared bucket
+    * (greatest-of-start-buckets), so the join is a plain hash
+    * equi-join emitting every overlapping pair exactly once with NO
+    * dedup shuffle. Aggregated per start-day: pair count + exact
+    * BIGINT intersection time. */
+  def intervalOverlapDaily(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(
+      col("event_id"), col("event_type"),
+      unix_micros(col("ts")).as("s"),
+      (unix_micros(col("ts")) +
+        floor(col("value") * 6).cast("long") * 1000000L).as("e"))
+    def side(t: String, p: String) = ev.filter(col("event_type") === t)
+      .select(col("event_id").as(p + "id"), col("s").as(p + "s"),
+        col("e").as(p + "e"))
+    RangeJoin.intervalOverlap(
+        side("purchase", "a_"), side("error", "b_"), bucketSeconds = 3600L)
+      .groupBy(expr("a_s div 86400000000").as("a_day"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s")))
+          .cast("long").as("overlap_us"))
+      .orderBy("a_day")
+  }
+
+  val qIntervalOverlap = QueryDef(
+    "q_interval_overlap",
+    (s, d) => intervalOverlapDaily(s, d),
+    Some("""WITH ev AS (
+              SELECT event_id, event_type, epoch_us(ts) AS s,
+                     epoch_us(ts) + CAST(floor(value * 6) AS BIGINT) * 1000000
+                       AS e
+              FROM events),
+            a AS (SELECT event_id AS a_id, s AS a_s, e AS a_e FROM ev
+                  WHERE event_type = 'purchase' AND e > s),
+            b AS (SELECT event_id AS b_id, s AS b_s, e AS b_e FROM ev
+                  WHERE event_type = 'error' AND e > s),
+            p AS (SELECT a_s,
+                         least(a_e, b_e) - greatest(a_s, b_s) AS ov
+                  FROM a JOIN b ON a_s < b_e AND b_s < a_e)
+            SELECT a_s // 86400000000 AS a_day,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(ov) AS BIGINT) AS overlap_us
+            FROM p GROUP BY 1 ORDER BY 1"""))
+
   /** R51 — per-key EWMA over event history (the feature-store /
     * monitoring smoother): acc = α·x + (1−α)·acc folded over the
     * time-ordered value sequence, α = 0.25 (exactly representable, so
@@ -781,7 +829,8 @@ object EventAnalytics {
              FROM c ORDER BY t, day"""))
 
   val all: Seq[QueryDef] = Seq(qFunnel, qFunnelWindowed, qCohortRetention,
-    qEventTransitions, qRateAnomalies, qAttribution, qIntervalMerge, qEwma,
+    qEventTransitions, qRateAnomalies, qAttribution, qIntervalMerge,
+    qIntervalOverlap, qEwma,
     qRollingDistinct, qTwap, qCumulativeDistinct, qEventPaths, qSeasonality,
     qDecompose, qCusum)
 }

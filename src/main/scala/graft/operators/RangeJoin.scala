@@ -45,4 +45,39 @@ object RangeJoin {
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("__bucket")
   }
+
+  /** R101: interval×interval overlap join, bucketed AND dedup-free.
+    * Two overlapping intervals share every bucket their intersection
+    * covers, so a naive bucket equi-join emits the pair once per
+    * shared bucket — the dedup shuffle the Scaladoc above warns about.
+    * The fix costs nothing: a pair's intersection STARTS at
+    * max(a.start, b.start), so its first shared bucket is
+    * greatest(startBucket_a, startBucket_b) — keeping only the joined
+    * bucket that equals that expression emits each overlapping pair
+    * EXACTLY once, as a map-side filter on the equi-join output. Work
+    * stays linear in total interval spans; the join is a plain
+    * shuffle-partitionable hash join (AQE-skew-splittable), never a
+    * cartesian.
+    *
+    * Inputs carry half-open [s_us, e_us) BIGINT microsecond bounds
+    * (caller-named via `aPrefix`/`bPrefix`); empty intervals
+    * (e ≤ s) are dropped on both sides — ∅ overlaps nothing, and the
+    * strict predicate alone would wrongly match an empty interval
+    * sitting strictly inside a non-empty one. */
+  def intervalOverlap(a: DataFrame, b: DataFrame, bucketSeconds: Long,
+      aPrefix: String = "a_", bPrefix: String = "b_"): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val bUs = bucketSeconds * 1000000L
+    def prep(df: DataFrame, p: String) =
+      df.filter(col(p + "e") > col(p + "s"))
+        .withColumn(s"__${p}sb", expr(s"${p}s div $bUs"))
+        .withColumn("__bucket",
+          explode(expr(s"sequence(${p}s div $bUs, (${p}e - 1) div $bUs)")))
+    prep(a, aPrefix).join(prep(b, bPrefix), Seq("__bucket"))
+      .filter(col("__bucket") ===
+        greatest(col(s"__${aPrefix}sb"), col(s"__${bPrefix}sb")) &&
+        col(aPrefix + "s") < col(bPrefix + "e") &&
+        col(bPrefix + "s") < col(aPrefix + "e"))
+      .drop("__bucket", s"__${aPrefix}sb", s"__${bPrefix}sb")
+  }
 }

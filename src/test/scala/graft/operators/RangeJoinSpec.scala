@@ -49,4 +49,64 @@ class RangeJoinSpec extends SparkSpec {
       "range-only predicate must bucket into an equi-join")
     assert(!p.contains("CartesianProduct"))
   }
+
+  private def mkIntervals(rows: Seq[(Long, Long, Long)], p: String) = {
+    import spark.implicits._
+    rows.toDF(p + "id", p + "s", p + "e")
+  }
+
+  test("R101: interval overlap equals the naive theta join, each pair once") {
+    // spans from sub-bucket to many-bucket (bucket = 100 us here),
+    // including exact-touch (no overlap), containment, and identity
+    val a = mkIntervals(Seq((1L, 0L, 250L), (2L, 300L, 1300L),
+      (3L, 500L, 501L), (4L, 2000L, 2100L)), "a_")
+    val b = mkIntervals(Seq((10L, 240L, 300L), (11L, 250L, 400L),
+      (12L, 0L, 5000L), (13L, 1300L, 1400L), (14L, 501L, 600L)), "b_")
+    val got = RangeJoin
+      .intervalOverlap(a, b, bucketSeconds = 1L, aPrefix = "a_",
+        bPrefix = "b_")
+      .select("a_id", "b_id")
+    // bucketSeconds=1 → 1e6 us buckets; rerun with tiny us-scale data
+    // scaled up so buckets split the intervals (test the boundary math)
+    val aS = mkIntervals(Seq((1L, 0L, 250L), (2L, 300L, 1300L),
+      (3L, 500L, 501L), (4L, 2000L, 2100L))
+      .map { case (i, s, e) => (i, s * 1000000L, e * 1000000L) }, "a_")
+    val bS = mkIntervals(Seq((10L, 240L, 300L), (11L, 250L, 400L),
+      (12L, 0L, 5000L), (13L, 1300L, 1400L), (14L, 501L, 600L))
+      .map { case (i, s, e) => (i, s * 1000000L, e * 1000000L) }, "b_")
+    val gotSplit = RangeJoin
+      .intervalOverlap(aS, bS, bucketSeconds = 100L, aPrefix = "a_",
+        bPrefix = "b_")
+      .select("a_id", "b_id")
+    val naive = a.join(b,
+        col("a_s") < col("b_e") && col("b_s") < col("a_e") &&
+          col("a_e") > col("a_s") && col("b_e") > col("b_s"))
+      .select("a_id", "b_id")
+    val expect = naive.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact-touch [0,250)×[250,400) must NOT match; [0,250)×[240,300) must
+    assert(expect.contains((1L, 10L)) && !expect.contains((1L, 11L)))
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === expect)
+    val splitPairs = gotSplit.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(splitPairs.toSet === expect, "bucket-split run must agree")
+    assert(splitPairs.length === splitPairs.distinct.length,
+      "first-shared-bucket filter must emit each pair exactly once, " +
+        "with no dedup stage")
+  }
+
+  test("R101: the coverage entry joins on buckets — no cartesian, no dedup agg") {
+    val df = graft.SparkEntry.queries("q_interval_overlap")(spark, sf)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "interval-interval overlap must bucket into an equi-join")
+    // exactly ONE aggregate (the daily rollup): a distinct/dedup stage
+    // before it would betray the once-per-pair guarantee being patched
+    // up by a shuffle instead of the greatest-start-bucket filter
+    val aggs = df.queryExecution.optimizedPlan.collect {
+      case ag: org.apache.spark.sql.catalyst.plans.logical.Aggregate => ag
+    }
+    assert(aggs.length === 1,
+      s"expected only the daily rollup aggregate, found ${aggs.length}")
+  }
 }
