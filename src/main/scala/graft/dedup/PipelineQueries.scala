@@ -1381,6 +1381,38 @@ object PipelineQueries {
     * budget far above the corpus vocabulary the sketch counts are
     * exact, and the spec asserts every emitted item belongs to a true
     * top-k under ties. */
+  /** D78: count-min point-frequency sketch — the mergeable "how often
+    * did THIS key occur" structure (approx_top_k answers only "what
+    * are the top keys"; count-min answers any point query and sketches
+    * of shards union by addition, so a 100 TB corpus keeps one small
+    * stored sketch per partition/day and merges on demand). Built with
+    * Spark's NATIVE count_min_sketch aggregate; read back through the
+    * custom codegen'd graft_cm_estimate probe (Spark ships no SQL
+    * point-query — the same registry gap BloomMightContain closes for
+    * Bloom filters). SELF-VERIFYING rows-only entry (the hash family
+    * isn't SQL-mirrorable, the R19/HLL convention): per-word exact
+    * count + estimate + one-sided error in-output, spec-bounded. The
+    * collected sketch is a bounded driver materialization (O(w·d)
+    * bytes — ~112 KB at eps 1e-3, independent of corpus size). */
+  val textCmPointFreq = QueryDef(
+    "text_cm_point_freq",
+    (s, d) => {
+      val words = graft.functions.Spread(Tables.documents(s, d), col("doc_id"))
+        .select(explode(Text.words(col("text"))).as("word"))
+      val sketchBytes = words
+        .agg(expr("count_min_sketch(word, 0.001d, 0.99d, 42)").as("sk"))
+        .head().getAs[Array[Byte]](0)
+      val exact = words.groupBy("word").agg(count(lit(1)).as("exact_freq"))
+        .orderBy(desc("exact_freq"), asc("word")).limit(30)
+      exact
+        .withColumn("est_freq",
+          call_function("graft_cm_estimate", col("word"), lit(sketchBytes)))
+        .withColumn("one_sided_ok", col("est_freq") >= col("exact_freq"))
+        .withColumn("overcount", col("est_freq") - col("exact_freq"))
+        .orderBy(desc("exact_freq"), asc("word"))
+    },
+    None)
+
   val textHeavyHitters = QueryDef(
     "text_heavy_hitters",
     (s, d) => {
@@ -2518,6 +2550,7 @@ object PipelineQueries {
     hashSplit, stratifiedSample,
     dedupClusters, dedupClustersCc, dedupPipelineQ, packSequences, textScrub,
     textDecontaminate, textDecontaminateBcast, textHeavyHitters,
+    textCmPointFreq,
     dedupSkewStress, textRepetition, embQuantize, textBm25, dedupSemantic,
     dedupEditDistance, textLmScore, alphaSample, pipelineCurate,
     dedupIncremental, embTruncate, mmFrameSample, splitLeakage,

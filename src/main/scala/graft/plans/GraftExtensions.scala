@@ -58,5 +58,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "graft_might_contain"),
       (children: Seq[Expression]) => BloomMightContain(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cm_estimate"),
+      new ExpressionInfo(classOf[CmEstimate].getName, "graft_cm_estimate"),
+      (children: Seq[Expression]) => CmEstimate(children(0), children(1))))
   }
 }

@@ -127,4 +127,61 @@ class ExtensionsSpec extends SparkSpec {
     assert(d0.getAs[Long]("var_q") === expVar)
     assert(d0.getAs[Long]("n") === n)
   }
+
+  test("D78: graft_cm_estimate is one-sided, bounded, and exact on hand counts") {
+    import spark.implicits._
+    val df = (Seq.fill(100)("alpha") ++ Seq.fill(7)("beta") ++ Seq("gamma"))
+      .toDF("word")
+    val sk = df.agg(expr("count_min_sketch(word, 0.001d, 0.99d, 42)"))
+      .head().getAs[Array[Byte]](0)
+    val est = Seq("alpha", "beta", "gamma", "absent").toDF("w")
+      .select(col("w"),
+        call_function("graft_cm_estimate", col("w"), lit(sk)).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 108 items, eps 0.001 → the error budget is < 1, so estimates on
+    // this corpus must be EXACT (and the absent key must read 0)
+    assert(est === Map("alpha" -> 100L, "beta" -> 7L, "gamma" -> 1L,
+      "absent" -> 0L))
+  }
+
+  test("D78: shard sketches merged equal the one-pass sketch (mergeability law)") {
+    import org.apache.spark.util.sketch.CountMinSketch
+    import java.io.ByteArrayInputStream
+    val words = graft.functions
+      .Spread(Tables.documents(spark, sf), col("doc_id"))
+      .select(col("doc_id"), explode(graft.functions.Text.words(col("text")))
+        .as("word"))
+    def build(df: org.apache.spark.sql.DataFrame) =
+      CountMinSketch.readFrom(new ByteArrayInputStream(
+        df.agg(expr("count_min_sketch(word, 0.01d, 0.9d, 42)"))
+          .head().getAs[Array[Byte]](0)))
+    val full = build(words)
+    val even = build(words.filter(col("doc_id") % 2 === 0))
+    val odd = build(words.filter(col("doc_id") % 2 =!= 0))
+    even.mergeInPlace(odd)
+    val probes = words.groupBy("word").count()
+      .orderBy(desc("count"), asc("word")).limit(20)
+      .collect().map(_.getString(0))
+    probes.foreach { w =>
+      assert(even.estimateCount(org.apache.spark.unsafe.types.UTF8String
+          .fromString(w).getBytes) ===
+        full.estimateCount(org.apache.spark.unsafe.types.UTF8String
+          .fromString(w).getBytes),
+        s"merged shard estimate must equal the one-pass estimate for '$w'")
+    }
+  }
+
+  test("D78: the coverage entry's estimates dominate exact counts within the eps bound") {
+    val out = graft.SparkEntry.queries("text_cm_point_freq")(spark, sf)
+      .collect()
+    assert(out.length === 30)
+    assert(out.forall(_.getAs[Boolean]("one_sided_ok")),
+      "count-min can only overcount")
+    val n = graft.functions.Spread(Tables.documents(spark, sf), col("doc_id"))
+      .select(explode(graft.functions.Text.words(col("text"))).as("w"))
+      .count()
+    val bound = math.ceil(0.001 * n).toLong * 10 // generous slack on eps·N
+    assert(out.forall(_.getAs[Long]("overcount") <= bound),
+      s"overcounts must sit within the eps·N class (N=$n)")
+  }
 }
