@@ -145,5 +145,71 @@ object Graph {
             SELECT node, CAST(floor(pr * 1e9) AS BIGINT) AS pr_q
             FROM pr3 ORDER BY node"""))
 
-  val all: Seq[QueryDef] = Seq(qPagerank)
+  /** R103 — multi-source BFS shortest-path layers (hop distance from a
+    * seed set): the "blast radius" / reachability-depth query behind
+    * influence analysis, recall-set expansion, and supply-chain
+    * exposure ("every customer within 3 hops of these suppliers").
+    * Level-synchronous frontier expansion — per round ONE edge join
+    * shuffled on the node key, a distinct on the (small) next
+    * frontier, and an anti join against the reached set; the frontier
+    * SHRINKS as the reachable set saturates, and rounds are bounded by
+    * maxHops regardless of node count. Reached/frontier are
+    * localCheckpoint-pinned per round (the Clusters/PageRank lineage
+    * discipline). Everything is exact integer arithmetic, so the whole
+    * operator is oracle-mirrorable as a recursive CTE. */
+  def bfsLayers(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val e = edges.persist()
+    var reached = seeds.select(col("node"), lit(0L).as("dist"))
+      .distinct().localCheckpoint()
+    var frontier = reached.select("node")
+    var hop = 0
+    while (hop < maxHops) {
+      hop += 1
+      val next = e.join(frontier, e("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(reached.select("node"), Seq("node"), "left_anti")
+        .withColumn("dist", lit(hop.toLong))
+        .localCheckpoint()
+      reached = reached.unionByName(next).localCheckpoint()
+      frontier = next.select("node")
+    }
+    e.unpersist()
+    reached
+  }
+
+  /** Absolute seed bound (id-range, not corpus-proportional — the
+    * broadcast-contract discipline from the ANN query sets). */
+  private val SeedMaxSupplier = 10L
+  private val MaxHops = 4
+
+  val qBfsLayers = QueryDef(
+    "q_bfs_layers",
+    (s, d) => {
+      val seeds = Tables.supplier(s, d)
+        .filter(col("s_suppkey") <= SeedMaxSupplier)
+        .select((col("s_suppkey") * 2).as("node"))
+      bfsLayers(tradeEdgesStored(s, d), seeds, MaxHops)
+        .orderBy("node")
+    },
+    Some(s"""WITH RECURSIVE pairs AS (
+              SELECT DISTINCT l_suppkey * 2 AS src,
+                              o_custkey * 2 + 1 AS dst
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            edges AS (
+              SELECT src, dst FROM pairs
+              UNION ALL
+              SELECT dst AS src, src AS dst FROM pairs),
+            seeds AS (
+              SELECT DISTINCT s_suppkey * 2 AS node FROM supplier
+              WHERE s_suppkey <= $SeedMaxSupplier),
+            walk(node, dist) AS (
+              SELECT node, 0 FROM seeds
+              UNION
+              SELECT e.dst, w.dist + 1
+              FROM walk w JOIN edges e ON e.src = w.node
+              WHERE w.dist < $MaxHops)
+            SELECT node, CAST(min(dist) AS BIGINT) AS dist
+            FROM walk GROUP BY node ORDER BY node"""))
+
+  val all: Seq[QueryDef] = Seq(qPagerank, qBfsLayers)
 }

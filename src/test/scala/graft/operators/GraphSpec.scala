@@ -48,4 +48,37 @@ class GraphSpec extends SparkSpec {
     assert(e.filter(col("src") % 2 === col("dst") % 2).count() === 0)
     e.unpersist()
   }
+
+  test("R103: BFS layers are exact on a hand graph with cycle and unreachable node") {
+    import spark.implicits._
+    // 1→2→3→4 chain, 3→1 back-edge (cycle), 9↔10 disconnected island
+    val directed = Seq((1L, 2L), (2L, 3L), (3L, 4L), (3L, 1L), (9L, 10L))
+    val edges = directed.toDF("src", "dst")
+      .unionByName(directed.map(_.swap).toDF("src", "dst"))
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.bfsLayers(edges, seeds, maxHops = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L),
+      "cycle must not inflate distances; the island must stay unreached")
+  }
+
+  test("R103: every layer-k node has a neighbor at layer k-1 (frontier law)") {
+    val seeds = graft.Tables.supplier(spark, sf)
+      .filter(col("s_suppkey") <= 10)
+      .select((col("s_suppkey") * 2).as("node"))
+    val e = Graph.tradeEdges(spark, sf).cache()
+    val res = Graph.bfsLayers(e, seeds, maxHops = 4).cache()
+    assert(res.filter(col("dist") === 0).count() > 0)
+    // each non-seed reached node must be adjacent to a node one hop closer
+    val reachedNonSeed = res.filter(col("dist") > 0).count()
+    val withParent = res.filter(col("dist") > 0).as("r")
+      .join(e.select(col("dst").as("node"), col("src")), Seq("node"))
+      .join(res.select(col("node").as("pn"), col("dist").as("pd")),
+        col("src") === col("pn"))
+      .filter(col("pd") === col("dist") - 1)
+      .select("node").distinct().count()
+    assert(withParent === reachedNonSeed,
+      "every reached node needs a predecessor exactly one layer up")
+    res.unpersist(); e.unpersist()
+  }
 }
