@@ -437,6 +437,49 @@ object EventAnalytics {
                    CAST(SUM(ov) AS BIGINT) AS overlap_us
             FROM p GROUP BY 1 ORDER BY 1"""))
 
+  /** R104 — sequence-pattern matching over per-key event histories
+    * (the MATCH_RECOGNIZE / CEP class Spark SQL lacks, ClickHouse's
+    * windowFunnel / sequenceCount): each user's time-ordered event
+    * types collapse to one character string (one ordered listagg —
+    * per-key history is the bounded sessionize/pack valve class), and
+    * patterns become REGEXES over that string — here "clean funnel"
+    * = view…click…purchase with NO error anywhere inside, counted
+    * non-overlapping, plus "error-aborted view" = view reaching an
+    * error before any click. Lazy quantifiers keep Java (Spark) and
+    * RE2 (DuckDB) match spans identical — both leftmost-first with
+    * minimal expansion; a greedy form could legally pick different
+    * spans per engine. The per-user string is rebuilt per query; a
+    * deployment stores it as a maintained column (the D37 stored-
+    * artifact convention) and pattern queries become pure map-side
+    * regex scans over O(users) rows. */
+  def eventRegex(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        substring(col("event_type"), 1, 1).as("ch"))
+      .groupBy("user_id")
+      .agg(expr("listagg(ch) WITHIN GROUP (ORDER BY ts, event_id)")
+        .as("seq"))
+      .select(col("user_id"), length(col("seq")).as("seq_len"),
+        regexp_count(col("seq"), lit("v[^e]*?c[^e]*?p"))
+          .as("n_clean_funnels"),
+        regexp_count(col("seq"), lit("v[^ce]*?e")).as("n_aborted_views"))
+      .orderBy("user_id")
+
+  val qEventRegex = QueryDef(
+    "q_event_regex",
+    (s, d) => eventRegex(s, d),
+    Some("""WITH s AS (
+              SELECT user_id,
+                     string_agg(substr(event_type, 1, 1), ''
+                       ORDER BY ts, event_id) AS seq
+              FROM events GROUP BY user_id)
+            SELECT user_id, CAST(len(seq) AS INT) AS seq_len,
+                   CAST(len(regexp_extract_all(seq, 'v[^e]*?c[^e]*?p')) AS INT)
+                     AS n_clean_funnels,
+                   CAST(len(regexp_extract_all(seq, 'v[^ce]*?e')) AS INT)
+                     AS n_aborted_views
+            FROM s ORDER BY user_id"""))
+
   /** R51 — per-key EWMA over event history (the feature-store /
     * monitoring smoother): acc = α·x + (1−α)·acc folded over the
     * time-ordered value sequence, α = 0.25 (exactly representable, so
@@ -830,7 +873,7 @@ object EventAnalytics {
 
   val all: Seq[QueryDef] = Seq(qFunnel, qFunnelWindowed, qCohortRetention,
     qEventTransitions, qRateAnomalies, qAttribution, qIntervalMerge,
-    qIntervalOverlap, qEwma,
+    qIntervalOverlap, qEventRegex, qEwma,
     qRollingDistinct, qTwap, qCumulativeDistinct, qEventPaths, qSeasonality,
     qDecompose, qCusum)
 }

@@ -195,4 +195,36 @@ class EventAnalyticsSpec extends SparkSpec {
     }
     out.unpersist()
   }
+
+  test("R104: sequence-regex counts equal a driver-side Java regex replay") {
+    val out = EventAnalytics.eventRegex(spark, sf).cache()
+    // rebuild each user's sequence independently and re-count with
+    // java.util.regex directly — same patterns, same lazy quantifiers
+    val seqs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        substring(col("event_type"), 1, 1).as("ch"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).getTime * 1000, r.getString(3)))
+      .groupBy(_._1)
+      .map { case (u, xs) =>
+        u -> xs.sortBy(x => (x._3, x._2)).map(_._4).mkString }
+    def cnt(s: String, p: String) =
+      p.r.findAllMatchIn(s).length
+    val rows = out.collect()
+    assert(rows.length === seqs.size)
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val s = seqs(u)
+      assert(r.getAs[Int]("seq_len") === s.length)
+      assert(r.getAs[Int]("n_clean_funnels") === cnt(s, "v[^e]*?c[^e]*?p"),
+        s"user $u clean-funnel count, seq=$s")
+      assert(r.getAs[Int]("n_aborted_views") === cnt(s, "v[^ce]*?e"),
+        s"user $u aborted-view count, seq=$s")
+    }
+    // the patterns must actually discriminate on this fixture
+    assert(rows.exists(_.getAs[Int]("n_clean_funnels") > 0))
+    assert(rows.exists(_.getAs[Int]("n_aborted_views") > 0))
+    out.unpersist()
+  }
 }
