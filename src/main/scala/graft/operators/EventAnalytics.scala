@@ -480,6 +480,41 @@ object EventAnalytics {
                      AS n_aborted_views
             FROM s ORDER BY user_id"""))
 
+  /** R105 — forward fill / last-observation-carried-forward: sensor
+    * readings go missing (here: error events produce no reading) and
+    * downstream features need a dense series — each gap takes the most
+    * recent real observation, staying NULL before the first one. One
+    * keyed window pass (`last(..., ignoreNulls)` over an unbounded-
+    * preceding frame) on the same (user, time) partitioning every
+    * other per-key operator shares; values pass through untouched
+    * (no arithmetic), so raw doubles compare exactly cross-engine. */
+  def forwardFill(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        when(col("event_type") =!= "error", col("value")).as("reading"))
+      .withColumn("filled", last(col("reading"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("event_id"), col("reading"),
+        col("filled"), col("reading").isNull.as("was_gap"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val qForwardFill = QueryDef(
+    "q_forward_fill",
+    (s, d) => forwardFill(s, d),
+    Some("""WITH r AS (
+              SELECT user_id, event_id, ts, event_type,
+                     CASE WHEN event_type <> 'error' THEN value END AS reading
+              FROM events)
+            SELECT user_id, event_id, reading,
+                   last_value(reading IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS filled,
+                   reading IS NULL AS was_gap
+            FROM r ORDER BY user_id, event_id"""))
+
   /** R51 — per-key EWMA over event history (the feature-store /
     * monitoring smoother): acc = α·x + (1−α)·acc folded over the
     * time-ordered value sequence, α = 0.25 (exactly representable, so
@@ -873,7 +908,7 @@ object EventAnalytics {
 
   val all: Seq[QueryDef] = Seq(qFunnel, qFunnelWindowed, qCohortRetention,
     qEventTransitions, qRateAnomalies, qAttribution, qIntervalMerge,
-    qIntervalOverlap, qEventRegex, qEwma,
+    qIntervalOverlap, qEventRegex, qForwardFill, qEwma,
     qRollingDistinct, qTwap, qCumulativeDistinct, qEventPaths, qSeasonality,
     qDecompose, qCusum)
 }
