@@ -132,6 +132,12 @@ class RelationalSpec extends SparkSpec {
     // intentional broadcast of a single aggregated row
     val bnljAllowed = Set("ann_bruteforce_topk", "ann_hard_negatives",
       "ann_lsh", "ann_ivf", "ann_pq_adc", "ann_ivf_pq",
+      // Hamming pre-rank inherits the recall-evidence 1-row cross join
+      // of the other self-verifying ANN entries
+      "ann_binary_hamming",
+      // Q22's above-average-balance threshold is the sanctioned 1-row
+      // aggregate broadcast crossJoin
+      "q22_dormant_customers",
       "dedup_minhash_lsh", "dedup_simhash",
       "dedup_ngram_jaccard", "dedup_pipeline", "dedup_skew_stress",
       "text_bm25", "dedup_semantic", "text_lm_score",
@@ -177,7 +183,11 @@ class RelationalSpec extends SparkSpec {
       // 1-row corpus-size (N) stats broadcast for the idf term
       "text_index_retrieve",
       // 1-row token-total and bigram-total broadcasts for the PMI terms
-      "text_collocations")
+      "text_collocations",
+      // bounded center-dim broadcast scan (E27's documented shape —
+      // the per-point argmin needs every center, so the scan is the
+      // operator; centers are O(hundreds) at any corpus size)
+      "etl_geo_nearest")
     graft.SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
