@@ -515,6 +515,37 @@ object EventAnalytics {
                    reading IS NULL AS was_gap
             FROM r ORDER BY user_id, event_id"""))
 
+  /** R106 — local-timezone daily rollup: the "daily report in the
+    * business's OWN timezone" query — UTC instants shift into an IANA
+    * zone BEFORE the day truncation, so days split at local midnight
+    * (a UTC-day rollup misattributes the evening hours of every
+    * west-of-Greenwich business day). Pure map-side conversion riding
+    * the one aggregation shuffle; both engines resolve the same IANA
+    * tzdata, so the boundary assignment is identical — the oracle's
+    * double AT TIME ZONE hop mirrors from_utc_timestamp exactly. */
+  def localDayRollup(s: SparkSession, d: String,
+      tz: String = "America/New_York"): DataFrame =
+    Tables.events(s, d)
+      .groupBy(
+        to_date(from_utc_timestamp(col("ts"), tz)).as("local_day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(38,6)")), 4).cast("double")
+          .as("sum_value"))
+      .orderBy("local_day", "event_type")
+
+  val qLocalDayRollup = QueryDef(
+    "q_local_day_rollup",
+    (s, d) => localDayRollup(s, d),
+    Some("""SELECT CAST(((ts AT TIME ZONE 'UTC')
+                     AT TIME ZONE 'America/New_York') AS DATE) AS local_day,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE)
+                     AS sum_value
+            FROM events
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   /** R51 — per-key EWMA over event history (the feature-store /
     * monitoring smoother): acc = α·x + (1−α)·acc folded over the
     * time-ordered value sequence, α = 0.25 (exactly representable, so
@@ -908,7 +939,7 @@ object EventAnalytics {
 
   val all: Seq[QueryDef] = Seq(qFunnel, qFunnelWindowed, qCohortRetention,
     qEventTransitions, qRateAnomalies, qAttribution, qIntervalMerge,
-    qIntervalOverlap, qEventRegex, qForwardFill, qEwma,
+    qIntervalOverlap, qEventRegex, qForwardFill, qLocalDayRollup, qEwma,
     qRollingDistinct, qTwap, qCumulativeDistinct, qEventPaths, qSeasonality,
     qDecompose, qCusum)
 }
