@@ -867,6 +867,46 @@ object EventAnalytics {
                       AS resid_q
              FROM ss ORDER BY day"""))
 
+  /** R107 — rolling median smoother: centered 7-day MEDIAN of the
+    * per-type daily rate — the robust alternative to the moving mean
+    * (one outage spike drags a mean window for a week; the median
+    * shrugs it off). Exact selection, not a sketch: the window's
+    * values collect into a sorted array (frame width is a CONSTANT 7 —
+    * per-row state is O(window), the bounded-frame valve) and the
+    * median reads by index. Emitted as med2 = lower-middle +
+    * upper-middle (= 2× median, integer-exact for even and odd widths
+    * alike — no .5 float ever exists to diverge on). Edge windows
+    * compute over their honest smaller width, flagged by win_n. */
+  val qRollingMedian = QueryDef(
+    "q_rolling_median",
+    (s, d) => {
+      val daily = graft.Tables.events(s, d)
+        .groupBy(col("event_type").as("t"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w7 = Window.partitionBy("t").orderBy("day").rowsBetween(-3, 3)
+      daily
+        .withColumn("arr", array_sort(collect_list(col("n")).over(w7)))
+        .select(col("t"), col("day"), col("n"),
+          size(col("arr")).as("win_n"),
+          (element_at(col("arr"), expr("CAST((size(arr) + 1) div 2 AS INT)")) +
+            element_at(col("arr"), expr("CAST(size(arr) div 2 + 1 AS INT)")))
+            .as("med2"))
+        .orderBy("t", "day")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type AS t, CAST(ts AS DATE) AS day,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2),
+            w AS (SELECT t, day, n,
+                    list_sort(list(n) OVER w7) AS arr
+                  FROM daily
+                  WINDOW w7 AS (PARTITION BY t ORDER BY day
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+            SELECT t, day, n, CAST(len(arr) AS INT) AS win_n,
+                   CAST(arr[(len(arr) + 1) // 2]
+                      + arr[len(arr) // 2 + 1] AS BIGINT) AS med2
+            FROM w ORDER BY t, day"""))
+
   /** R90 — CUSUM changepoint detection per event type: the sequential
     * control-chart statistic S_t = max(0, S_{t−1} + (x_t − μ − slack))
     * that accumulates evidence of a LEVEL SHIFT and alarms when it
@@ -939,7 +979,8 @@ object EventAnalytics {
 
   val all: Seq[QueryDef] = Seq(qFunnel, qFunnelWindowed, qCohortRetention,
     qEventTransitions, qRateAnomalies, qAttribution, qIntervalMerge,
-    qIntervalOverlap, qEventRegex, qForwardFill, qLocalDayRollup, qEwma,
+    qIntervalOverlap, qEventRegex, qForwardFill, qLocalDayRollup,
+    qRollingMedian, qEwma,
     qRollingDistinct, qTwap, qCumulativeDistinct, qEventPaths, qSeasonality,
     qDecompose, qCusum)
 }
