@@ -11,7 +11,7 @@ object SparkEntry {
       operators.SpatialJoin.all ++ operators.Partitioned.all ++
       operators.Zorder.all ++ operators.EventAnalytics.all ++
       operators.Graph.all ++ operators.Triangles.all ++
-      operators.Bucketed.all ++ operators.Ranks.all ++
+      operators.Bucketed.all ++ operators.Ranks.all ++ operators.RowGroups.all ++
       operators.Evaluate.all ++ operators.Audit.all ++
       operators.Features.all ++ operators.Compaction.all ++
       operators.Retail.all ++ operators.Diagnose.all ++

@@ -1,0 +1,111 @@
+package graft.operators
+
+import scala.jdk.CollectionConverters._
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IO16 — parquet row-group statistics audit: the min/max footer
+  * stats every engine's data-skipping actually reads (R37/R86 showed
+  * FILE-level zone maps; predicate pushdown prunes at ROW-GROUP
+  * granularity inside each file). The entry surfaces each row group's
+  * key span straight from the footers — the tool for answering "will
+  * a key-range predicate skip within these files, or did an unsorted
+  * write smear every group across the whole key domain".
+  *
+  * The footer walk is DRIVER-SIDE by design: O(files × rowgroups)
+  * metadata rows, no data read at all — the same documented class as
+  * the Compaction file-metadata frame. The fixture is a sorted write
+  * with a small parquet block size so multiple row groups exist at
+  * every SF (process-memoized, the Ivf convention); the oracle reads
+  * THE SAME footers through DuckDB's parquet_metadata(), so the two
+  * engines independently parse identical physical metadata.
+  */
+object RowGroups {
+
+  val KeyCol = "l_orderkey"
+
+  private def scratch(dir: String): String =
+    "/tmp/graft_warehouse/rgstats_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + ProcessHandle.current().pid()
+
+  private val built =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Dataset dir of the most recent fixture build in this process —
+    * re-rendered into the oracle SQL at dump time (the Compaction
+    * convention: Verify runs queries first, then dumps oracleSql
+    * through the `allDefs` def). */
+  @volatile private var lastDir: String = "/root/testdata/sf0.01"
+
+  /** Sorted lineitem layout with ~128 KB row groups (several groups
+    * per file at every SF). */
+  def sortedDir(s: SparkSession, dir: String): String = {
+    val base = scratch(dir)
+    lastDir = dir
+    if (built.add(base)) {
+      Tables.lineitem(s, dir)
+        .sort(KeyCol, "l_linenumber")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.block.size", 128 * 1024)
+        .parquet(s"$base/sorted")
+    }
+    s"$base/sorted"
+  }
+
+  /** Footer stats for `col` over every parquet file in `path`:
+    * (file, row_group_id, min_key, max_key, n_values). */
+  def stats(s: SparkSession, path: String, col: String): DataFrame = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val files = new java.io.File(path).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
+    val rows = files.flatMap { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        reader.getFooter.getBlocks.asScala.zipWithIndex.map {
+          case (block, i) =>
+            val cc = block.getColumns.asScala
+              .find(_.getPath.toDotString == col)
+              .getOrElse(sys.error(s"column $col not in ${f.getName}"))
+            val st = cc.getStatistics
+            (f.getName, i.toLong,
+              st.genericGetMin.asInstanceOf[Number].longValue(),
+              st.genericGetMax.asInstanceOf[Number].longValue(),
+              cc.getValueCount)
+        }.toSeq
+      } finally reader.close()
+    }
+    import s.implicits._
+    rows.toSeq.toDF("file", "row_group_id", "min_key", "max_key", "n_values")
+  }
+
+  private def oracleSqlFor(d: String): String = {
+    val dir = scratch(d) + "/sorted"
+    s"""WITH m AS (
+          SELECT regexp_extract(file_name, '([^/]+)$$', 1) AS file,
+                 row_group_id,
+                 CAST(stats_min_value AS BIGINT) AS min_key,
+                 CAST(stats_max_value AS BIGINT) AS max_key,
+                 CAST(num_values AS BIGINT) AS n_values
+          FROM parquet_metadata('$dir/*.parquet')
+          WHERE path_in_schema = '$KeyCol')
+        SELECT file,
+               ROW_NUMBER() OVER (PARTITION BY file ORDER BY row_group_id)
+                 - 1 AS row_group_id,
+               min_key, max_key, n_values
+        FROM m ORDER BY file, row_group_id"""
+  }
+
+  /** `all` is a def (the Compaction convention): re-evaluated when
+    * Verify dumps the oracle map, so the SQL reads the pid-scoped
+    * fixture this process actually wrote. */
+  def all: Seq[QueryDef] = Seq(
+    QueryDef("io_rowgroup_stats",
+      (s, d) => stats(s, sortedDir(s, d), KeyCol)
+        .orderBy("file", "row_group_id"),
+      Some(oracleSqlFor(lastDir))))
+}

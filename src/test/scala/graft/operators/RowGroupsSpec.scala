@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** IO16 — row-group footer stats: span disjointness under a sorted
+  * write, the smear an unsorted write produces, and row conservation. */
+class RowGroupsSpec extends SparkSpec {
+
+  test("IO16: sorted write yields pairwise-disjoint row-group key spans") {
+    val dir = RowGroups.sortedDir(spark, sf)
+    val rows = RowGroups.stats(spark, dir, RowGroups.KeyCol)
+      .orderBy("file", "row_group_id").collect()
+    assert(rows.length >= 3, s"need several row groups, got ${rows.length}")
+    rows.groupBy(_.getString(0)).foreach { case (_, groups) =>
+      groups.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("max_key") <= b.getAs[Long]("min_key"),
+            "sorted write must produce non-overlapping, ordered spans")
+        case _ =>
+      }
+    }
+    val total = rows.map(_.getAs[Long]("n_values")).sum
+    assert(total === Tables.lineitem(spark, sf).count(),
+      "footer value counts must conserve the row count")
+  }
+
+  test("IO16: an unsorted write smears spans — the skipping contrast") {
+    val out = "/tmp/graft_warehouse/rgstats_unsorted_" +
+      ProcessHandle.current().pid()
+    Tables.lineitem(spark, sf)
+      // hash-scramble the key order, then the same small row groups
+      .repartition(1, pmod(xxhash64(col("l_orderkey")), lit(97)))
+      .sortWithinPartitions(pmod(xxhash64(col("l_orderkey")), lit(97)))
+      .write.mode("overwrite")
+      .option("parquet.block.size", 128 * 1024)
+      .parquet(out)
+    val rows = RowGroups.stats(spark, out, RowGroups.KeyCol).collect()
+    assert(rows.length >= 2)
+    val overlaps = rows.groupBy(_.getString(0)).exists { case (_, gs) =>
+      gs.sortBy(_.getAs[Long]("row_group_id")).sliding(2).exists {
+        case Array(a, b) => a.getAs[Long]("max_key") > b.getAs[Long]("min_key")
+        case _ => false
+      }
+    }
+    assert(overlaps,
+      "hash-ordered data must produce overlapping spans — else the " +
+        "sorted-write disjointness test proves nothing")
+  }
+}
