@@ -121,4 +121,53 @@ object RunningState {
       .transformWithState(new IdleCloseProcessor(gapMs),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  // ------------------------------------------------------------ LOCF
+
+  case class Reading(user_id: Long, event_id: Long, reading: Option[Double])
+  case class FilledReading(user_id: Long, event_id: Long,
+      reading: Option[Double], filled: Option[Double], was_gap: Boolean)
+
+  /** S25: STREAMING forward fill — R105's gap repair as continuous
+    * state: the last good reading per key lives in a ValueState cell
+    * and survives across micro-batches, so a gap arriving days after
+    * its last real observation still fills (the batch operator would
+    * need the whole history re-scanned). Within a batch, rows sort by
+    * event_id before folding — the per-key-per-batch slice is the
+    * bounded-history valve class — and keys with no observation yet
+    * emit honest nulls exactly like the batch form. TTL bounds state
+    * by ACTIVE keys. */
+  class ForwardFillProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[Long, Reading, FilledReading] {
+    @transient private var last: ValueState[Double] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[Double]("last_reading",
+        Encoders.scalaDouble, ttl)
+
+    override def handleInputRows(key: Long, rows: Iterator[Reading],
+        timerValues: TimerValues): Iterator[FilledReading] = {
+      val ordered = rows.toSeq.sortBy(_.event_id)
+      val out = ordered.map { r =>
+        r.reading match {
+          case Some(v) =>
+            last.update(v)
+            FilledReading(key, r.event_id, r.reading, Some(v), was_gap = false)
+          case None =>
+            val f = if (last.exists()) Some(last.get()) else None
+            FilledReading(key, r.event_id, None, f, was_gap = true)
+        }
+      }
+      out.iterator
+    }
+  }
+
+  def forwardFill(spark: SparkSession, readings: Dataset[Reading],
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[FilledReading] = {
+    import spark.implicits._
+    readings
+      .groupByKey(_.user_id)
+      .transformWithState(new ForwardFillProcessor(ttl),
+        TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -274,6 +274,45 @@ class RocksDbStateSpec extends SparkSpec {
     }
   }
 
+  test("S25: streaming forward fill carries the last reading across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import RunningState._
+    withRocksDb {
+      val stream = MemoryStream[Reading]
+      val q = RunningState.forwardFill(spark, stream.toDS())
+        .writeStream.format("memory").queryName("s25_locf")
+        .outputMode("update").start()
+      try {
+        stream.addData(
+          Reading(1L, 1L, Some(5.0)), Reading(1L, 2L, None),
+          Reading(2L, 1L, None))
+        q.processAllAvailable()
+        stream.addData(
+          Reading(1L, 3L, None), Reading(1L, 4L, Some(8.0)),
+          Reading(2L, 2L, Some(1.0)))
+        q.processAllAvailable()
+        stream.addData(Reading(2L, 3L, None))
+        q.processAllAvailable()
+        val out = spark.table("s25_locf").collect()
+          .map(r => (r.getLong(0), r.getLong(1)) ->
+            ((Option(r.get(2)).map(_.asInstanceOf[Double]),
+              Option(r.get(3)).map(_.asInstanceOf[Double]),
+              r.getBoolean(4)))).toMap
+        // in-batch fill after the first observation
+        assert(out((1L, 2L)) === ((None, Some(5.0), true)))
+        // CROSS-BATCH fill: batch 2's gap fills from batch 1's state
+        assert(out((1L, 3L)) === ((None, Some(5.0), true)))
+        // new observation replaces the carried value
+        assert(out((1L, 4L)) === ((Some(8.0), Some(8.0), false)))
+        // key with no observation yet: honest null, still emitted
+        assert(out((2L, 1L)) === ((None, None, true)))
+        // and fills once its first observation lands in a LATER batch
+        assert(out((2L, 3L)) === ((None, Some(1.0), true)))
+      } finally q.stop()
+    }
+  }
+
   private implicit class JavaSetOps[A](s: java.util.Set[A]) {
     def asScala: scala.collection.mutable.Set[A] =
       scala.jdk.CollectionConverters.SetHasAsScala(s).asScala
