@@ -93,5 +93,46 @@ object Profile {
              ORDER BY stats.col_name"""
     })
 
-  def all: Seq[QueryDef] = Seq(etlProfileTable)
+  /** E26b — the 100 TB profile the E26 Scaladoc promises: distinct
+    * cardinality via HLL (approx_count_distinct) and the mode via the
+    * approx_top_k heavy-hitter sketch, all fused into ONE aggregation
+    * over the long form — no count table, no second shuffle, no mode
+    * window. Exact row/null/min/max stats ride the same pass for
+    * free. SELF-VERIFYING (rows-only, the R19 convention): the entry
+    * joins the exact E26 profile and emits the distinct-count relative
+    * error and a mode-agreement flag in its own output, spec-bounded;
+    * a production run executes only the sketch side. */
+  def profileSketch(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val sk = unpivoted(df, cols)
+      .groupBy("col_name").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("val").isNull, 1L).otherwise(0L)).as("nulls"),
+        approx_count_distinct(col("val"), 0.02).as("approx_distinct"),
+        min("val").as("min_val"), max("val").as("max_val"),
+        expr("approx_top_k(val, 1, 256)").as("tk"))
+      .select(col("col_name"), col("n"), col("nulls"),
+        col("approx_distinct"), col("min_val"), col("max_val"),
+        expr("try_element_at(tk, 1).item").as("approx_top_val"))
+    sk
+  }
+
+  val etlProfileSketch = QueryDef(
+    "etl_profile_sketch",
+    (s, d) => {
+      // SV baseline: exact distinct only (one aggregation — the full
+      // E26 count-table profile in here would triple the entry's cost;
+      // the sketch MODE is exactness-verified in ProfileSpec instead)
+      val exact = unpivoted(Tables.lineitem(s, d), LineitemCols)
+        .groupBy("col_name")
+        .agg(countDistinct(col("val")).as("exact_distinct"))
+      profileSketch(Tables.lineitem(s, d), LineitemCols)
+        .join(exact, Seq("col_name"))
+        .withColumn("distinct_rel_err",
+          round(abs(col("approx_distinct") - col("exact_distinct"))
+            / col("exact_distinct"), 4))
+        .orderBy("col_name")
+    },
+    None)
+
+  def all: Seq[QueryDef] = Seq(etlProfileTable, etlProfileSketch)
 }

@@ -36,4 +36,28 @@ class ProfileSpec extends SparkSpec {
     check("l_quantity", rows.map(_._2))
     check("l_orderkey", rows.map(_._3))
   }
+
+  test("E26b: sketch profile — exact parts exact, sketch parts bounded, skewed modes right") {
+    val out = Profile.etlProfileSketch.fn(spark, sf).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    val exact = Profile.profile(Tables.lineitem(spark, sf),
+      Seq("l_orderkey", "l_quantity", "l_returnflag", "l_linestatus"))
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    exact.foreach { case (c, e) =>
+      val s0 = out(c)
+      // count/null/min/max ride the sketch pass exactly
+      assert(s0.getAs[Long]("n") === e.getAs[Long]("n"))
+      assert(s0.getAs[String]("min_val") === e.getAs[String]("min_val"))
+      assert(s0.getAs[String]("max_val") === e.getAs[String]("max_val"))
+      // HLL within its rsd class (0.02 build → 5% gate, R19 convention)
+      assert(s0.getAs[Double]("distinct_rel_err") <= 0.05,
+        s"$c distinct_rel_err=${s0.getAs[Double]("distinct_rel_err")}")
+    }
+    // the heavy-hitter mode must be EXACT on genuinely skewed columns
+    // (low-cardinality); on near-uniform ones "mode" carries no signal
+    // and Misra-Gries legitimately returns any survivor
+    for (c <- Seq("l_returnflag", "l_linestatus"))
+      assert(out(c).getAs[String]("approx_top_val") ===
+        exact(c).getAs[String]("top_val"), s"$c sketch mode")
+  }
 }
