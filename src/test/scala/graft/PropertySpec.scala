@@ -274,4 +274,100 @@ class PropertySpec extends SparkSpec {
     val eff = Dedup.lshThreshold(Dedup.Bands, Dedup.RowsPerBand)
     assert(eff > 0.4 && eff < 0.7, s"D2 default effective threshold $eff")
   }
+
+  test("R101: interval-overlap join equals the naive theta join on random intervals") {
+    import spark.implicits._
+    val ivGen = Gen.listOfN(25, for {
+      s0 <- Gen.choose(0L, 2000L)
+      w <- Gen.choose(0L, 700L) // includes empty intervals (w = 0)
+    } yield (s0, s0 + w))
+    samples(Gen.zip(ivGen, ivGen), 5).zipWithIndex.foreach {
+      case ((as, bs), i) =>
+        val a = as.zipWithIndex
+          .map { case ((s0, e0), j) => (j.toLong, s0, e0) }
+          .toDF("a_id", "a_s", "a_e")
+        val b = bs.zipWithIndex
+          .map { case ((s0, e0), j) => (j.toLong, s0, e0) }
+          .toDF("b_id", "b_s", "b_e")
+        // bucket "seconds" of 1 → 1e6 us buckets over raw values, so
+        // intervals span several buckets only after scaling; run both
+        // a coarse and a fine blocking and demand identical answers
+        for (scale <- Seq(1L, 1000000L); bucket <- Seq(1L, 7L)) {
+          val aS = a.select(col("a_id"), (col("a_s") * scale).as("a_s"),
+            (col("a_e") * scale).as("a_e"))
+          val bS = b.select(col("b_id"), (col("b_s") * scale).as("b_s"),
+            (col("b_e") * scale).as("b_e"))
+          val got = graft.operators.RangeJoin
+            .intervalOverlap(aS, bS, bucket).select("a_id", "b_id")
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+          val expect = for {
+            ((s1, e1), j1) <- as.zipWithIndex
+            ((s2, e2), j2) <- bs.zipWithIndex
+            if e1 > s1 && e2 > s2 &&
+              s1 * scale < e2 * scale && s2 * scale < e1 * scale
+          } yield (j1.toLong, j2.toLong)
+          assert(got.sorted.toSeq === expect.sorted.toSeq,
+            s"sample $i scale=$scale bucket=$bucket")
+          assert(got.length === got.distinct.length,
+            "each overlapping pair exactly once")
+        }
+    }
+  }
+
+  test("R102: grid radius join equals the naive scan on random point sets") {
+    import spark.implicits._
+    val ptGen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(0L, 500L), Gen.choose(0L, 500L)))
+    samples(Gen.zip(ptGen, ptGen), 5).zipWithIndex.foreach {
+      case ((ps, cs), i) =>
+        val r = 60L
+        val probes = ps.zipWithIndex
+          .map { case ((la, lo), j) => (j.toLong, la, lo) }
+          .toDF("key", "la", "lo")
+        val cands = cs.zipWithIndex
+          .map { case ((la, lo), j) => (j.toLong, la, lo) }
+          .toDF("ckey", "cla", "clo")
+        val got = graft.operators.SpatialJoin.nearestWithin(probes, cands, r)
+          .collect()
+          .map(x => x.getLong(0) ->
+            (if (x.isNullAt(1)) None else Some((x.getLong(2), x.getLong(1)))))
+          .toMap
+        val expect = ps.zipWithIndex.map { case ((la, lo), j) =>
+          val within = cs.zipWithIndex.flatMap { case ((cla, clo), k) =>
+            val d2 = (la - cla) * (la - cla) + (lo - clo) * (lo - clo)
+            if (d2 <= r * r) Some((d2, k.toLong)) else None
+          }
+          j.toLong -> (if (within.isEmpty) None else Some(within.min))
+        }.toMap
+        assert(got === expect, s"sample $i")
+    }
+  }
+
+  test("D77: Hamming distance tracks the cosine angle (Charikar bound) on random vectors") {
+    import spark.implicits._
+    val vecGen = Gen.listOfN(64, Gen.choose(-1000, 1000).map(_ / 1000.0f))
+    val vs = samples(vecGen, 24).map(_.toArray).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val df = vs.toDF("vec_id", "embedding")
+      .withColumn("words", graft.similarity.BinarySketch
+        .signWords(col("embedding").cast("array<double>"), 64))
+    val rows = df.as("a").crossJoin(df.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(
+        graft.similarity.BinarySketch
+          .hamming(col("a.words"), col("b.words")).as("h"),
+        graft.similarity.Ann
+          .cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // E[ham]/dim = θ/π for random hyperplanes; axis-aligned sign bits
+    // on isotropic vectors obey the same statistic — check the
+    // monotone association quartile-wise, not per-pair (it's a bound
+    // in expectation)
+    val byCos = rows.sortBy(_._2)
+    val lo = byCos.take(rows.length / 4).map(_._1.toDouble)
+    val hi = byCos.takeRight(rows.length / 4).map(_._1.toDouble)
+    assert(lo.sum / lo.length > hi.sum / hi.length,
+      "least-similar quartile must average MORE differing sign bits " +
+        "than the most-similar quartile")
+  }
 }
