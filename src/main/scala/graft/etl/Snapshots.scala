@@ -133,4 +133,49 @@ object Snapshots {
     writeManifest(root, cur.getOrElse(""), hist.filter(keepSet))
     doomed.sorted
   }
+
+  // -------------------------------------------- IO17: group commits
+
+  private val GroupManifestName = "_group_manifest.json"
+
+  /** IO17 — atomic MULTI-table commit: every table's fresh snapshot
+    * directory is fully written first, then ONE group manifest swaps
+    * atomically to reference them ALL. A reader that resolves the
+    * group sees every table at the SAME commit — never table A's new
+    * version joined against table B's old one, the torn read that
+    * per-table pointers (IO14, and per-table lakehouse transactions
+    * generally) cannot rule out when a job publishes related tables
+    * together (fact + its dims, train + its eval split). A crash
+    * before the swap leaves orphan dirs and the previous group intact.
+    * Returns the commit stamp shared by every table dir. */
+  def commitGroup(tables: Map[String, DataFrame], root: String): String = {
+    require(tables.nonEmpty, "empty group commit")
+    Files.createDirectories(Paths.get(root))
+    val stamp = java.util.UUID.randomUUID().toString.take(12)
+    val dirs = tables.map { case (name, df) =>
+      val dir = s"$root/$name/snap_$stamp"
+      df.write.parquet(dir) // fresh dir — existing data untouched
+      name -> dir
+    }
+    val json = dirs.map { case (n, d) => s""""$n":"$d"""" }
+      .mkString("{", ",", "}")
+    val tmp = Paths.get(root, s".$GroupManifestName.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(root, GroupManifestName),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    stamp
+  }
+
+  /** Resolve the whole group from ONE manifest read: the returned
+    * frames all scan immutable dirs of a single commit, so they stay
+    * mutually consistent regardless of later commits. */
+  def readGroup(spark: SparkSession,
+      root: String): Map[String, DataFrame] = {
+    val p = Paths.get(root, GroupManifestName)
+    require(Files.exists(p), s"no group commit at $root")
+    val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    "\"([^\"]+)\"\\s*:\\s*\"([^\"]+)\"".r.findAllMatchIn(s)
+      .map(m => m.group(1) -> spark.read.parquet(m.group(2)))
+      .toMap
+  }
 }

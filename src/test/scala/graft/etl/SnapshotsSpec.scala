@@ -97,4 +97,33 @@ class SnapshotsSpec extends SparkSpec {
     assert(Quality.snapshotDiff(spark, root, 2, 2, "k",
       Seq("price", "status")).isEmpty)
   }
+
+  test("IO17: group commits are cross-table atomic — no torn reads, crash-safe") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_group").toString
+    val s1 = Snapshots.commitGroup(Map(
+      "fact" -> Seq((1L, 10.0)).toDF("k", "v"),
+      "dim" -> Seq((1L, "a")).toDF("k", "name")), root)
+    // resolve the group ONCE; both frames pin commit s1
+    val g1 = Snapshots.readGroup(spark, root)
+    val s2 = Snapshots.commitGroup(Map(
+      "fact" -> Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"),
+      "dim" -> Seq((1L, "a"), (2L, "b")).toDF("k", "name")), root)
+    assert(s1 !== s2)
+    // the held group still reads BOTH tables at s1 — consistent join
+    assert(g1("fact").count() === 1 && g1("dim").count() === 1)
+    // a fresh resolve reads BOTH at s2, dirs share the commit stamp
+    val g2 = Snapshots.readGroup(spark, root)
+    assert(g2("fact").count() === 2 && g2("dim").count() === 2)
+    val stamps = g2.values.map(_.inputFiles.head
+      .replaceAll(".*/snap_([^/]+)/.*", "$1")).toSet
+    assert(stamps === Set(s2),
+      s"all tables of one resolve must carry one commit stamp, got $stamps")
+    // crash between data write and swap: orphan dirs, readers unharmed
+    Seq((9L, 9.9)).toDF("k", "v")
+      .write.parquet(s"$root/fact/snap_deadbeef")
+    val g3 = Snapshots.readGroup(spark, root)
+    assert(g3("fact").count() === 2,
+      "an unswapped snapshot dir must never be read")
+  }
 }
