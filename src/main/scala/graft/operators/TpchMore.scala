@@ -378,8 +378,48 @@ object TpchMore {
                                  AND o_orderdate >= TIMESTAMP '2000-01-01')
              GROUP BY 1 ORDER BY 1"""))
 
+  /** R108 — schema-drift union: a long-lived pipeline's old extracts
+    * lack columns its new extracts carry (and vice versa); the union
+    * must align BY NAME with honest nulls for the absent side — the
+    * positional union silently mis-maps columns the moment one side
+    * evolves. `unionByName(allowMissingColumns = true)` is the engine
+    * surface; the aggregation after it proves operators compose over
+    * the merged view (the IO10 mergeSchema story at the query level,
+    * no files involved). */
+  val qUnionEvolved = QueryDef(
+    "q_union_evolved",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val cut = lit("1998-01-01").cast("timestamp")
+      val legacy = o.filter(col("o_orderdate") < cut)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val modern = o.filter(col("o_orderdate") >= cut)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"), lit("web").as("channel"))
+      legacy.unionByName(modern, allowMissingColumns = true)
+        .groupBy(
+          coalesce(col("o_orderpriority"), lit("PRE-MIGRATION"))
+            .as("priority"),
+          coalesce(col("channel"), lit("legacy")).as("channel"))
+        .agg(count(lit(1)).as("n_orders"),
+          rsum(col("o_totalprice")).as("total"))
+        .orderBy("priority", "channel")
+    },
+    Some(s"""WITH u AS (
+               SELECT o_orderkey, o_totalprice FROM orders
+               WHERE o_orderdate < TIMESTAMP '1998-01-01'
+               UNION ALL BY NAME
+               SELECT o_orderkey, o_totalprice, o_orderpriority,
+                      'web' AS channel
+               FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+             SELECT COALESCE(o_orderpriority, 'PRE-MIGRATION') AS priority,
+                    COALESCE(channel, 'legacy') AS channel,
+                    CAST(count(*) AS BIGINT) AS n_orders,
+                    ${oSum("o_totalprice")} AS total
+             FROM u GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[QueryDef] = Seq(
     q4OrderPriority, q6RevenueChange, q8MarketShare, q13OrderDistribution,
     q14PromoShare, q15TopSupplier, q16SupplierCount, q17SmallQtyRevenue,
-    q19DisjunctivePred, q22DormantCustomers)
+    q19DisjunctivePred, q22DormantCustomers, qUnionEvolved)
 }
