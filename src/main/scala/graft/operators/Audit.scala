@@ -177,5 +177,49 @@ object Audit {
              WHERE prev_max IS NULL OR qty_c > prev_max
              ORDER BY g, price_c"""))
 
-  def all: Seq[QueryDef] = Seq(qBenford, qGini, qSkyline)
+  /** R109 — k-anonymity audit over the generalization lattice: a
+    * release is k-anonymous on its quasi-identifiers when every
+    * combination groups ≥ k rows; the privacy call is which
+    * GENERALIZATION level (drop/coarsen columns) reaches k with the
+    * least information loss. One GROUPING SETS pass computes every
+    * lattice level's group sizes in a single Expand + aggregation —
+    * no per-level re-scan — and a second O(groups) rollup scores each
+    * level: distinct groups, violating groups (size < k), and rows at
+    * risk. grouping_id names the level exactly as R21/R30 do. */
+  val K = 5L
+
+  val qKAnonymity = QueryDef(
+    "q_k_anonymity",
+    (s, d) => {
+      val c = graft.Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_mktsegment"))
+      // grouping-sets pass: (nation, segment), (nation), (segment)
+      val lattice = c
+        .groupingSets(
+          Seq(Seq(col("c_nationkey"), col("c_mktsegment")),
+            Seq(col("c_nationkey")), Seq(col("c_mktsegment"))),
+          col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+        .filter(col("gid") =!= 3) // the () set is not a lattice level
+      lattice.groupBy("gid")
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("n") < K, 1L).otherwise(0L)).as("n_violating"),
+          sum(when(col("n") < K, col("n")).otherwise(0L)).as("rows_at_risk"))
+        .orderBy("gid")
+    },
+    Some(s"""WITH l AS (
+               SELECT c_nationkey, c_mktsegment,
+                      GROUPING(c_nationkey, c_mktsegment) AS gid,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM customer
+               GROUP BY GROUPING SETS ((c_nationkey, c_mktsegment),
+                                       (c_nationkey), (c_mktsegment)))
+             SELECT gid, CAST(count(*) AS BIGINT) AS n_groups,
+                    CAST(SUM(CASE WHEN n < $K THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_violating,
+                    CAST(SUM(CASE WHEN n < $K THEN n ELSE 0 END) AS BIGINT)
+                      AS rows_at_risk
+             FROM l GROUP BY gid ORDER BY gid"""))
+
+  def all: Seq[QueryDef] = Seq(qBenford, qGini, qSkyline, qKAnonymity)
 }
