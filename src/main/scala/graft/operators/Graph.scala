@@ -211,5 +211,73 @@ object Graph {
             SELECT node, CAST(min(dist) AS BIGINT) AS dist
             FROM walk GROUP BY node ORDER BY node"""))
 
-  val all: Seq[QueryDef] = Seq(qPagerank, qBfsLayers)
+  /** R110 — k-core decomposition (fixed-round simultaneous peel): the
+    * k-core is the maximal subgraph where every node keeps ≥ k
+    * neighbors INSIDE the subgraph — the standard "dense engaged
+    * core vs periphery" cut (community seeding, spam/botnet cores,
+    * influence floors). Each round keeps nodes whose degree within
+    * the CURRENT survivor set is ≥ k; the survivor set shrinks
+    * monotonically, so per-round cost falls. Rounds are FIXED
+    * ([[KcoreRounds]]) so the entry is deterministic and the oracle
+    * unrolls the identical rounds as CTEs (the PageRank convention);
+    * the spec proves the fixpoint is actually reached on the real
+    * graph (round N+1 changes nothing), so the fixed unrolling IS the
+    * k-core there. Per round: one edge⋈survivors⋈survivors (both
+    * joins node-keyed) + a degree aggregation; localCheckpoint cuts
+    * lineage each round. */
+  def kcore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val e = edges.persist()
+    var surv = e.select(col("src").as("node")).distinct().localCheckpoint()
+    for (_ <- 1 to rounds) {
+      surv = e
+        .join(surv.select(col("node").as("sa")), col("src") === col("sa"))
+        .join(surv.select(col("node").as("sb")), col("dst") === col("sb"))
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("src").as("node"))
+        .localCheckpoint()
+    }
+    // in-core degree w.r.t. the FINAL survivor set
+    val out = e
+      .join(surv.select(col("node").as("sa")), col("src") === col("sa"))
+      .join(surv.select(col("node").as("sb")), col("dst") === col("sb"))
+      .groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("core_degree"))
+    e.unpersist()
+    out
+  }
+
+  private val KcoreK = 10
+  private val KcoreRounds = 6
+
+  val qKcore = QueryDef(
+    "q_kcore",
+    (s, d) => kcore(tradeEdgesStored(s, d), KcoreK, KcoreRounds)
+      .orderBy("node"),
+    Some {
+      def peel(prev: String): String =
+        s"""SELECT e.src AS node FROM edges e
+            JOIN $prev a ON e.src = a.node
+            JOIN $prev b ON e.dst = b.node
+            GROUP BY e.src HAVING count(*) >= $KcoreK"""
+      val its = (1 to KcoreRounds)
+        .map(i => s"it$i AS (${peel(s"it${i - 1}")})").mkString(",\n            ")
+      s"""WITH pairs AS (
+            SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          edges AS (
+            SELECT src, dst FROM pairs
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM pairs),
+          it0 AS (SELECT DISTINCT src AS node FROM edges),
+          $its
+          SELECT e.src AS node, CAST(count(*) AS BIGINT) AS core_degree
+          FROM edges e
+          JOIN it$KcoreRounds a ON e.src = a.node
+          JOIN it$KcoreRounds b ON e.dst = b.node
+          GROUP BY e.src ORDER BY node"""
+    })
+
+  val all: Seq[QueryDef] = Seq(qPagerank, qBfsLayers, qKcore)
 }

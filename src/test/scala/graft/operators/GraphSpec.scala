@@ -81,4 +81,37 @@ class GraphSpec extends SparkSpec {
       "every reached node needs a predecessor exactly one layer up")
     res.unpersist(); e.unpersist()
   }
+
+  test("R110: k-core cascades on a path and spares a cycle — the iterative semantics") {
+    import spark.implicits._
+    // undirected: path 1-2-3-4-5 plus cycle 10-11-12-10
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 10L))
+    val edges = und.toDF("src", "dst")
+      .unionByName(und.map(_.swap).toDF("src", "dst"))
+    val core = Graph.kcore(edges, k = 2, rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // path: endpoints have degree 1 -> peel; new endpoints peel next
+    // round; total dissolution REQUIRES multiple rounds (the cascade)
+    assert(core.keySet === Set(10L, 11L, 12L),
+      s"only the cycle is 2-core, got ${core.keySet}")
+    assert(core.values.forall(_ === 2L), "cycle nodes keep both neighbors")
+    // one round alone would NOT dissolve the path: prove the cascade
+    val oneRound = Graph.kcore(edges, k = 2, rounds = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(oneRound.intersect(Set(2L, 3L, 4L)).nonEmpty,
+      "a single peel must leave inner path nodes — iteration is real")
+  }
+
+  test("R110: the entry's fixed rounds reach the true fixpoint on the trade graph") {
+    val e = Graph.tradeEdges(spark, sf).cache()
+    val atRounds = Graph.kcore(e, k = 10, rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val onceMore = Graph.kcore(e, k = 10, rounds = 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(atRounds === onceMore,
+      "round 7 must change nothing — the unrolled oracle IS the k-core")
+    assert(atRounds.nonEmpty && atRounds.values.forall(_ >= 10L))
+    e.unpersist()
+  }
 }
