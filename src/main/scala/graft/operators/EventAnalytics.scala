@@ -546,6 +546,65 @@ object EventAnalytics {
             FROM events
             GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** R111 — anchor-reset windows: per event, "how many events / how
+    * much time since this user's last PURCHASE" — the recency features
+    * every churn/propensity model starts from. Gap-based sessions
+    * (R48) reset on silence; this resets on a SEMANTIC anchor: the
+    * running count of anchors partitions each user's history into
+    * islands, the island's first row is its anchor, and both features
+    * are window arithmetic within (user, island) — all frames share
+    * the one (user, time) hash exchange. Events before the first
+    * anchor carry honest NULLs. */
+  def sinceAnchor(s: SparkSession, d: String,
+      anchorType: String = "purchase"): DataFrame = {
+    val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val inIsland = Window.partitionBy("user_id", "island")
+      .orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        when(col("event_type") === anchorType, 1L).otherwise(0L).as("anchor"))
+      .withColumn("island", sum("anchor").over(
+        byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_since",
+        when(col("island") > 0, row_number().over(inIsland) - 1))
+      .withColumn("us_since",
+        when(col("island") > 0,
+          unix_micros(col("ts")) -
+            first(unix_micros(col("ts"))).over(
+              inIsland.rowsBetween(Window.unboundedPreceding,
+                Window.currentRow))))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("n_since"), col("us_since"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val qSinceAnchor = QueryDef(
+    "q_since_anchor",
+    (s, d) => sinceAnchor(s, d),
+    Some("""WITH x AS (
+              SELECT user_id, event_id, ts, event_type,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS anchor
+              FROM events),
+            i AS (SELECT *, SUM(anchor) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS island
+                  FROM x),
+            f AS (SELECT *,
+                    CASE WHEN island > 0 THEN
+                      CAST(row_number() OVER w - 1 AS BIGINT) END AS n_since,
+                    CASE WHEN island > 0 THEN
+                      epoch_us(ts) - first_value(epoch_us(ts)) OVER (
+                        PARTITION BY user_id, island ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    END AS us_since
+                  FROM i
+                  WINDOW w AS (PARTITION BY user_id, island
+                    ORDER BY ts, event_id))
+            SELECT user_id, event_id, event_type, n_since, us_since
+            FROM f ORDER BY user_id, event_id"""))
+
   /** R51 — per-key EWMA over event history (the feature-store /
     * monitoring smoother): acc = α·x + (1−α)·acc folded over the
     * time-ordered value sequence, α = 0.25 (exactly representable, so
@@ -980,7 +1039,7 @@ object EventAnalytics {
   val all: Seq[QueryDef] = Seq(qFunnel, qFunnelWindowed, qCohortRetention,
     qEventTransitions, qRateAnomalies, qAttribution, qIntervalMerge,
     qIntervalOverlap, qEventRegex, qForwardFill, qLocalDayRollup,
-    qRollingMedian, qEwma,
+    qRollingMedian, qSinceAnchor, qEwma,
     qRollingDistinct, qTwap, qCumulativeDistinct, qEventPaths, qSeasonality,
     qDecompose, qCusum)
 }
