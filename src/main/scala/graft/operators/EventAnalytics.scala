@@ -605,6 +605,50 @@ object EventAnalytics {
             SELECT user_id, event_id, event_type, n_since, us_since
             FROM f ORDER BY user_id, event_id"""))
 
+  /** R112 — seasonal-naive forecast backtest: forecast(day) =
+    * actual(day − 7), scored per event type with sMAPE — the baseline
+    * every real forecasting model must beat, and the backtest harness
+    * shape (lag-join forecast vs actual, integer-exact error
+    * aggregation) that any model's scores plug into. Runs on the
+    * O(types × calendar) daily frame; the lag is an integer-day
+    * self-join (gap-proof where lag(7) over sparse days silently
+    * misaligns — the R85 lesson). sMAPE terms are floor-quantized ppm
+    * BEFORE summing, so the mean is an exact integer both engines
+    * agree on; days without a 7-back actual are excluded (honest
+    * undefined, not zero-filled). */
+  def seasonalNaiveBacktest(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type").as("t"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val fc = daily.select(col("t").as("ft"), (col("day") + 7).as("fday"),
+      col("n").as("forecast"))
+    daily.join(fc, col("t") === col("ft") && col("day") === col("fday"))
+      .withColumn("smape_q",
+        expr("(abs(n - forecast) * 2000000) div (n + forecast)"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n_days"),
+        expr("sum(smape_q) div count(1)").as("mean_smape_q"),
+        sum(abs(col("n") - col("forecast"))).as("total_abs_err"))
+      .orderBy("t")
+  }
+
+  val qSeasonalBacktest = QueryDef(
+    "q_seasonal_backtest",
+    (s, d) => seasonalNaiveBacktest(s, d),
+    Some("""WITH daily AS (
+              SELECT event_type AS t, epoch_us(ts) // 86400000000 AS day,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2),
+            j AS (SELECT a.t, a.day, a.n, f.n AS forecast,
+                    (abs(a.n - f.n) * 2000000) // (a.n + f.n) AS smape_q
+                  FROM daily a JOIN daily f
+                    ON a.t = f.t AND a.day = f.day + 7)
+            SELECT t, CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(SUM(smape_q) // count(*) AS BIGINT) AS mean_smape_q,
+                   CAST(SUM(abs(n - forecast)) AS BIGINT) AS total_abs_err
+            FROM j GROUP BY t ORDER BY t"""))
+
   /** R51 — per-key EWMA over event history (the feature-store /
     * monitoring smoother): acc = α·x + (1−α)·acc folded over the
     * time-ordered value sequence, α = 0.25 (exactly representable, so
@@ -1039,7 +1083,7 @@ object EventAnalytics {
   val all: Seq[QueryDef] = Seq(qFunnel, qFunnelWindowed, qCohortRetention,
     qEventTransitions, qRateAnomalies, qAttribution, qIntervalMerge,
     qIntervalOverlap, qEventRegex, qForwardFill, qLocalDayRollup,
-    qRollingMedian, qSinceAnchor, qEwma,
+    qRollingMedian, qSinceAnchor, qSeasonalBacktest, qEwma,
     qRollingDistinct, qTwap, qCumulativeDistinct, qEventPaths, qSeasonality,
     qDecompose, qCusum)
 }
