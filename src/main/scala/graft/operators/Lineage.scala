@@ -37,6 +37,18 @@ object Lineage {
     plan.output.map(a => a.name -> m.getOrElse(a.exprId, Set.empty)).toMap
   }
 
+  /** Table-level dependencies: every relation the plan READS — the
+    * "which feeds does this report depend on" inventory and the edge
+    * set of a run-order DAG over a view registry. Deliberately WIDER
+    * than [[columns]]' value lineage: a table referenced only through
+    * join keys or filters contributes no output VALUES, but dropping
+    * it still breaks the query, so dependency analysis must count it. */
+  def tables(df: DataFrame): Set[String] =
+    df.queryExecution.analyzed.collect {
+      case l: LogicalRelation => relationName(l)
+      case _: LocalRelation => "local"
+    }.toSet
+
   private def relationName(l: LogicalRelation): String = {
     val name = l.relation match {
       case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>

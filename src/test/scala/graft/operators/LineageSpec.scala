@@ -61,6 +61,19 @@ class LineageSpec extends SparkSpec {
       Set("customer.c_name", "supplier.s_name"))
   }
 
+  test("L2: table-level dependencies name exactly the tables a query reads") {
+    assert(Lineage.tables(
+      graft.SparkEntry.queries("q1_pricing_summary")(spark, sf))
+      === Set("lineitem"))
+    assert(Lineage.tables(
+      graft.SparkEntry.queries("q5_local_supplier")(spark, sf))
+      === Set("lineitem", "orders", "customer", "supplier", "nation",
+        "region"))
+    assert(Lineage.tables(
+      graft.SparkEntry.queries("q_cohort_retention")(spark, sf))
+      === Set("orders"))
+  }
+
   test("L2: every coverage entry resolves with non-empty lineage on data columns") {
     // smoke the extractor across wildly different plan shapes: take a
     // sample of entries and demand at least one traced source column
