@@ -649,6 +649,94 @@ object EventAnalytics {
                    CAST(SUM(abs(n - forecast)) AS BIGINT) AS total_abs_err
             FROM j GROUP BY t ORDER BY t"""))
 
+  /** R113 — funnel time-to-convert: for users completing the full
+    * view→click→purchase funnel, the latency of each stage transition
+    * and end-to-end, summarized per transition with exact min / median
+    * (the R107 doubled-median so even counts stay integer) / max and
+    * the mean in exact integer µs. The stage times come from R38's
+    * earliest-completion definitions, so "latency" is well-defined
+    * (first qualifying event after the previous stage); the summary
+    * runs on O(converting users) rows. */
+  def funnelLatency(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+    val view = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("t_view"))
+    val click = ev.filter(col("event_type") === "click")
+      .join(view, "user_id")
+      .filter(unix_micros(col("ts")) > col("t_view"))
+      .groupBy("user_id")
+      .agg(min(unix_micros(col("ts"))).as("t_click"),
+        first(col("t_view")).as("t_view"))
+    val purchase = ev.filter(col("event_type") === "purchase")
+      .join(click, "user_id")
+      .filter(unix_micros(col("ts")) > col("t_click"))
+      .groupBy("user_id")
+      .agg(min(unix_micros(col("ts"))).as("t_buy"),
+        first(col("t_click")).as("t_click"),
+        first(col("t_view")).as("t_view"))
+    val lat = purchase.select(col("user_id"),
+      (col("t_click") - col("t_view")).as("view_to_click"),
+      (col("t_buy") - col("t_click")).as("click_to_buy"),
+      (col("t_buy") - col("t_view")).as("end_to_end"))
+    val long = lat.select(col("user_id"),
+      expr("stack(3, 'view_to_click', view_to_click, " +
+        "'click_to_buy', click_to_buy, 'end_to_end', end_to_end) " +
+        "AS (transition, us)"))
+    val w = Window.partitionBy("transition").orderBy("us", "user_id")
+    long
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("transition")))
+      .withColumn("mid_contrib",
+        expr("CASE WHEN rn = (n + 1) div 2 THEN us ELSE 0 END + " +
+          "CASE WHEN rn = n div 2 + 1 THEN us ELSE 0 END"))
+      .groupBy("transition")
+      .agg(first(col("n")).as("n_users"),
+        min("us").as("min_us"),
+        sum(col("mid_contrib")).as("med2_us"),
+        max("us").as("max_us"),
+        expr("sum(us) div count(1)").as("mean_us"))
+      .orderBy("transition")
+  }
+
+  val qFunnelLatency = QueryDef(
+    "q_funnel_latency",
+    (s, d) => funnelLatency(s, d),
+    Some("""WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t_view
+              FROM events WHERE event_type = 'view' GROUP BY 1),
+            c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_click,
+                    ANY_VALUE(v.t_view) AS t_view
+                  FROM events e JOIN v ON e.user_id = v.user_id
+                  WHERE e.event_type = 'click'
+                    AND epoch_us(e.ts) > v.t_view
+                  GROUP BY 1),
+            p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_buy,
+                    ANY_VALUE(c.t_click) AS t_click,
+                    ANY_VALUE(c.t_view) AS t_view
+                  FROM events e JOIN c ON e.user_id = c.user_id
+                  WHERE e.event_type = 'purchase'
+                    AND epoch_us(e.ts) > c.t_click
+                  GROUP BY 1),
+            long AS (
+              SELECT user_id, 'view_to_click' AS transition,
+                     t_click - t_view AS us FROM p
+              UNION ALL
+              SELECT user_id, 'click_to_buy', t_buy - t_click FROM p
+              UNION ALL
+              SELECT user_id, 'end_to_end', t_buy - t_view FROM p),
+            r AS (SELECT *,
+                    row_number() OVER (PARTITION BY transition
+                      ORDER BY us, user_id) AS rn,
+                    count(*) OVER (PARTITION BY transition) AS n
+                  FROM long)
+            SELECT transition, CAST(ANY_VALUE(n) AS BIGINT) AS n_users,
+                   min(us) AS min_us,
+                   CAST(SUM((CASE WHEN rn = (n + 1) // 2 THEN us ELSE 0 END)
+                     + (CASE WHEN rn = n // 2 + 1 THEN us ELSE 0 END))
+                     AS BIGINT) AS med2_us,
+                   max(us) AS max_us,
+                   CAST(SUM(us) // count(*) AS BIGINT) AS mean_us
+            FROM r GROUP BY transition ORDER BY transition"""))
+
   /** R51 — per-key EWMA over event history (the feature-store /
     * monitoring smoother): acc = α·x + (1−α)·acc folded over the
     * time-ordered value sequence, α = 0.25 (exactly representable, so
@@ -1083,7 +1171,7 @@ object EventAnalytics {
   val all: Seq[QueryDef] = Seq(qFunnel, qFunnelWindowed, qCohortRetention,
     qEventTransitions, qRateAnomalies, qAttribution, qIntervalMerge,
     qIntervalOverlap, qEventRegex, qForwardFill, qLocalDayRollup,
-    qRollingMedian, qSinceAnchor, qSeasonalBacktest, qEwma,
+    qRollingMedian, qSinceAnchor, qSeasonalBacktest, qFunnelLatency, qEwma,
     qRollingDistinct, qTwap, qCumulativeDistinct, qEventPaths, qSeasonality,
     qDecompose, qCusum)
 }
