@@ -134,5 +134,54 @@ object Profile {
     },
     None)
 
-  def all: Seq[QueryDef] = Seq(etlProfileTable, etlProfileSketch)
+  /** E31 — functional-dependency discovery: for each ordered column
+    * pair (A, B), does A → B hold (every A value maps to exactly one
+    * B)? The schema-knowledge miner behind key detection, denormalized
+    * join validation, and "can we safely collapse this dim" — the
+    * reference encodes its dependencies by hand in EF models; this
+    * reads them off the data. Per pair: ONE distinct over the (A, B)
+    * projection (the pair table is bounded by distinct combinations,
+    * not rows) then an O(distinct-A) aggregation; pair count is
+    * schema-quadratic, data-linear — the standard single-column-FD
+    * discovery cost. Violations are counted, not just flagged, so
+    * "almost-FDs" (data-quality bugs) surface with their magnitude. */
+  def functionalDeps(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val frames = for {
+      a <- cols; b <- cols if a != b
+    } yield df.select(col(a).cast("string").as("lhs_val"),
+        col(b).cast("string").as("rhs_val"))
+      .distinct()
+      .groupBy("lhs_val")
+      .agg(count(lit(1)).as("n_rhs"))
+      .agg(count(lit(1)).as("n_lhs"),
+        sum(when(col("n_rhs") > 1, 1L).otherwise(0L)).as("n_violating"))
+      .select(lit(a).as("lhs"), lit(b).as("rhs"), col("n_lhs"),
+        col("n_violating"), (col("n_violating") === 0).as("holds"))
+    frames.reduce(_.unionByName(_)).orderBy("lhs", "rhs")
+  }
+
+  private val FdCols =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+  val etlFdDiscovery = QueryDef(
+    "etl_fd_discovery",
+    (s, d) => functionalDeps(Tables.orders(s, d), FdCols),
+    Some {
+      val pairs = for {
+        a <- FdCols; b <- FdCols if a != b
+      } yield s"""SELECT '$a' AS lhs, '$b' AS rhs,
+                    CAST(count(*) AS BIGINT) AS n_lhs,
+                    CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_violating,
+                    SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0 AS holds
+                  FROM (SELECT lhs_val, count(*) AS n_rhs
+                        FROM (SELECT DISTINCT CAST($a AS VARCHAR) AS lhs_val,
+                                CAST($b AS VARCHAR) AS rhs_val FROM orders)
+                        GROUP BY 1)"""
+      pairs.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+        "\n) ORDER BY lhs, rhs")
+    })
+
+  def all: Seq[QueryDef] = Seq(etlProfileTable, etlProfileSketch,
+    etlFdDiscovery)
 }

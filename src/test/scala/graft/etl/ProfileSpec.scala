@@ -60,4 +60,24 @@ class ProfileSpec extends SparkSpec {
       assert(out(c).getAs[String]("approx_top_val") ===
         exact(c).getAs[String]("top_val"), s"$c sketch mode")
   }
+
+  test("E31: FD discovery finds the key, rejects non-keys, counts violations exactly") {
+    val out = Profile.etlFdDiscovery.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out.size === 12)
+    // the key determines every other column
+    out.filter(_._1._1 == "o_orderkey").foreach { case (k, (_, v, h)) =>
+      assert(h && v === 0L, s"$k must hold")
+    }
+    // low-cardinality columns cannot determine the key
+    assert(!out(("o_orderstatus", "o_orderkey"))._3)
+    assert(!out(("o_orderpriority", "o_orderkey"))._3)
+    // violation counts equal a driver-side recompute
+    val rows = Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderstatus").collect()
+      .map(r => (r.getLong(0).toString, r.getString(1)))
+    val expViol = rows.distinct.groupBy(_._1).count(_._2.size > 1).toLong
+    assert(out(("o_custkey", "o_orderstatus"))._2 === expViol)
+  }
 }
