@@ -418,7 +418,42 @@ object TpchMore {
                     ${oSum("o_totalprice")} AS total
              FROM u GROUP BY 1, 2 ORDER BY 1, 2"""))
 
-  val all: Seq[QueryDef] = Seq(
+  /** R114 — top-k WITH TIES: R12's sort+limit drops tied rows at the
+    * boundary arbitrarily; rank() ≤ k keeps every row tying the k-th
+    * value — the semantics reports need ("top 3 order sizes per
+    * priority" must not cut a tie in half). One partitioned rank
+    * window (WindowGroupLimit prunes map-side like R44); ties make
+    * output size data-dependent, which is the point — the spec-visible
+    * difference from LIMIT. Quantity is the tie-rich column. */
+  val qTopkTies = QueryDef(
+    "q_topk_ties",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderpriority").orderBy(desc("qty"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority", "o_orderkey")
+        .agg(sum(col("l_quantity").cast("decimal(38,6)")).cast("long")
+          .as("qty"))
+        .withColumn("rnk", rank().over(w))
+        .filter(col("rnk") <= 3)
+        .orderBy(col("o_orderpriority"), desc("qty"), asc("o_orderkey"))
+    },
+    Some("""WITH per_order AS (
+              SELECT o_orderpriority, o_orderkey,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS BIGINT)
+                       AS qty
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY 1, 2),
+            r AS (SELECT *, rank() OVER (PARTITION BY o_orderpriority
+                     ORDER BY qty DESC) AS rnk
+                  FROM per_order)
+            SELECT o_orderpriority, o_orderkey, qty, CAST(rnk AS BIGINT)
+                     AS rnk
+            FROM r WHERE rnk <= 3
+            ORDER BY o_orderpriority, qty DESC, o_orderkey"""))
+
+  val all: Seq[QueryDef] = Seq(qTopkTies,
     q4OrderPriority, q6RevenueChange, q8MarketShare, q13OrderDistribution,
     q14PromoShare, q15TopSupplier, q16SupplierCount, q17SmallQtyRevenue,
     q19DisjunctivePred, q22DormantCustomers, qUnionEvolved)
