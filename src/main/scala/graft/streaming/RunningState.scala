@@ -170,4 +170,51 @@ object RunningState {
       .transformWithState(new ForwardFillProcessor(ttl),
         TimeMode.None(), OutputMode.Update())
   }
+
+  // ------------------------------------------------------------- CEP
+
+  case class TypedEv(user_id: Long, event_id: Long, ch: String)
+  case class PatternCounts(user_id: Long, seq_len: Int,
+      n_clean_funnels: Int, n_aborted_views: Int)
+
+  /** S26: streaming CEP — R104's sequence-regex patterns evaluated
+    * CONTINUOUSLY: each key's event-type string accumulates in a
+    * ValueState cell (capped at `maxLen` characters, oldest dropped —
+    * bounded state; patterns older than the horizon age out, the
+    * explicit retention contract), and every batch re-emits the key's
+    * current pattern counts. The essential property the batch form
+    * cannot give: a pattern whose steps SPAN micro-batches (view in
+    * batch 1, purchase in batch 3) completes and counts the moment
+    * its last step arrives. */
+  class SequencePatternProcessor(maxLen: Int)
+      extends StatefulProcessor[Long, TypedEv, PatternCounts] {
+    @transient private var seqState: ValueState[String] = _
+    @transient private lazy val clean = "v[^e]*?c[^e]*?p".r
+    @transient private lazy val aborted = "v[^ce]*?e".r
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seqState = getHandle.getValueState[String]("seq",
+        Encoders.STRING, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TypedEv],
+        timerValues: TimerValues): Iterator[PatternCounts] = {
+      val prev = if (seqState.exists()) seqState.get() else ""
+      val appended = prev +
+        rows.toSeq.sortBy(_.event_id).map(_.ch).mkString
+      val seq = appended.takeRight(maxLen)
+      seqState.update(seq)
+      Iterator.single(PatternCounts(key, seq.length,
+        clean.findAllMatchIn(seq).length,
+        aborted.findAllMatchIn(seq).length))
+    }
+  }
+
+  def sequencePatterns(spark: SparkSession, events: Dataset[TypedEv],
+      maxLen: Int = 1024): Dataset[PatternCounts] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new SequencePatternProcessor(maxLen),
+        TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -313,6 +313,41 @@ class RocksDbStateSpec extends SparkSpec {
     }
   }
 
+  test("S26: streaming sequence patterns complete across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import RunningState._
+    withRocksDb {
+      val stream = MemoryStream[TypedEv]
+      val q = RunningState.sequencePatterns(spark, stream.toDS())
+        .writeStream.format("memory").queryName("s26_cep")
+        .outputMode("update").start()
+      try {
+        // batch 1: view + click — the funnel is OPEN, nothing counts
+        stream.addData(TypedEv(1L, 1L, "v"), TypedEv(1L, 2L, "c"))
+        q.processAllAvailable()
+        // batch 2: the purchase lands — the cross-batch pattern closes
+        stream.addData(TypedEv(1L, 3L, "p"),
+          TypedEv(2L, 4L, "v"), TypedEv(2L, 5L, "e"))
+        q.processAllAvailable()
+        val out = spark.table("s26_cep").collect()
+          .map(r => (r.getLong(0), r.getInt(1)) ->
+            ((r.getInt(2), r.getInt(3)))).toMap
+        assert(out((1L, 2)) === ((0, 0)), "open funnel must not count")
+        assert(out((1L, 3)) === ((1, 0)),
+          "the pattern spanning two batches must complete on arrival")
+        assert(out((2L, 2)) === ((0, 1)), "error-aborted view counts")
+        // an error BETWEEN the funnel steps blocks the pattern
+        stream.addData(TypedEv(3L, 6L, "v"), TypedEv(3L, 7L, "e"),
+          TypedEv(3L, 8L, "c"), TypedEv(3L, 9L, "p"))
+        q.processAllAvailable()
+        val r3 = spark.table("s26_cep").collect()
+          .filter(_.getLong(0) == 3L).maxBy(_.getInt(1))
+        assert(r3.getInt(2) === 0, "error inside the funnel must block it")
+      } finally q.stop()
+    }
+  }
+
   private implicit class JavaSetOps[A](s: java.util.Set[A]) {
     def asScala: scala.collection.mutable.Set[A] =
       scala.jdk.CollectionConverters.SetHasAsScala(s).asScala
