@@ -418,6 +418,47 @@ object TpchMore {
                     ${oSum("o_totalprice")} AS total
              FROM u GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** R115 — nested document shaping: each order nests its line items
+    * into an ORDERED array of structs (the ARRAY_AGG(STRUCT(...))
+    * export shape every document store / API feed needs), then
+    * aggregates INSIDE the nested form with higher-order functions —
+    * proving the nest is computable, not just serializable. One keyed
+    * collect per order (per-key lists are the bounded sessionize/pack
+    * valve class: an order has bounded lines); the in-array sum runs
+    * integer cents so the fold is exact cross-engine. sort_array on
+    * the (linenumber, qty) struct gives a deterministic nesting
+    * order. */
+  val qNestOrders = QueryDef(
+    "q_nest_orders",
+    (s, d) => {
+      val nested = Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          struct(col("l_linenumber").as("ln"),
+            floor(col("l_quantity") * 100 + 0.5).cast("long").as("qty_c"))
+            .as("line"))
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("line"))).as("lines"))
+      nested.select(col("l_orderkey"),
+        size(col("lines")).as("n_lines"),
+        element_at(col("lines"), 1).getField("ln").as("first_ln"),
+        aggregate(col("lines"), lit(0L),
+          (acc, x) => acc + x.getField("qty_c")).as("qty_total_c"))
+        .filter(col("l_orderkey") % 10 === 0)
+        .orderBy("l_orderkey")
+    },
+    Some("""WITH nested AS (
+              SELECT l_orderkey,
+                     list(struct_pack(ln := l_linenumber,
+                         qty_c := CAST(floor(l_quantity * 100 + 0.5)
+                           AS BIGINT)) ORDER BY l_linenumber) AS lines
+              FROM lineitem GROUP BY 1)
+            SELECT l_orderkey, CAST(len(lines) AS INT) AS n_lines,
+                   lines[1].ln AS first_ln,
+                   CAST(list_sum(list_transform(lines, x -> x.qty_c))
+                     AS BIGINT) AS qty_total_c
+            FROM nested WHERE l_orderkey % 10 = 0
+            ORDER BY l_orderkey"""))
+
   /** R114 — top-k WITH TIES: R12's sort+limit drops tied rows at the
     * boundary arbitrarily; rank() ≤ k keeps every row tying the k-th
     * value — the semantics reports need ("top 3 order sizes per
@@ -453,7 +494,7 @@ object TpchMore {
             FROM r WHERE rnk <= 3
             ORDER BY o_orderpriority, qty DESC, o_orderkey"""))
 
-  val all: Seq[QueryDef] = Seq(qTopkTies,
+  val all: Seq[QueryDef] = Seq(qTopkTies, qNestOrders,
     q4OrderPriority, q6RevenueChange, q8MarketShare, q13OrderDistribution,
     q14PromoShare, q15TopSupplier, q16SupplierCount, q17SmallQtyRevenue,
     q19DisjunctivePred, q22DormantCustomers, qUnionEvolved)
