@@ -131,4 +131,24 @@ class TpchMoreSpec extends SparkSpec {
     assert(numcust > 0 && numcust < nCust - recent + 1,
       "dormant set must be non-empty and strictly exclude active customers")
   }
+
+  test("R115: the nested shape is lossless — exploding back equals the source") {
+    import org.apache.spark.sql.functions._
+    val nested = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"),
+        struct(col("l_linenumber").as("ln"),
+          floor(col("l_quantity") * 100 + 0.5).cast("long").as("qty_c"))
+          .as("line"))
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(col("line"))).as("lines"))
+    val back = nested
+      .select(col("l_orderkey"), explode(col("lines")).as("line"))
+      .select(col("l_orderkey"), col("line.ln").as("ln"),
+        col("line.qty_c").as("qty_c"))
+    val src = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber").as("ln"),
+        floor(col("l_quantity") * 100 + 0.5).cast("long").as("qty_c"))
+    assert(back.exceptAll(src).count() === 0)
+    assert(src.exceptAll(back).count() === 0)
+  }
 }
