@@ -459,6 +459,94 @@ object TpchMore {
             FROM nested WHERE l_orderkey % 10 = 0
             ORDER BY l_orderkey"""))
 
+  /** R116 — DISCRETE percentiles (percentile_disc semantics): the
+    * p-quantile as an ACTUAL data value — the element at rank
+    * ⌈p·n⌉ — where R14 interpolates between neighbors
+    * (percentile_cont). The distinction matters whenever the value
+    * must exist (an order you can inspect, a latency with a trace id);
+    * interpolated "latencies" name no real request. Same partitioned
+    * rank pass as R14, no interpolation arithmetic — the emitted cents
+    * are exact integers. */
+  val qPercentileDisc = QueryDef(
+    "q_percentile_disc",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+      val ranked = Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        .withColumn("r", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("o_orderpriority")))
+      def pick(p: Double, name: String) =
+        max(when(col("r") === ceil(col("n") * p), col("cents"))).as(name)
+      ranked
+        .filter(col("r") === ceil(col("n") * 0.5) ||
+          col("r") === ceil(col("n") * 0.9) ||
+          col("r") === ceil(col("n") * 0.99))
+        .groupBy("o_orderpriority")
+        .agg(first(col("n")).as("n"), pick(0.5, "p50_c"),
+          pick(0.9, "p90_c"), pick(0.99, "p99_c"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH v AS (
+              SELECT o_orderpriority, o_orderkey,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+              FROM orders),
+            r AS (SELECT *,
+                    row_number() OVER (PARTITION BY o_orderpriority
+                      ORDER BY cents, o_orderkey) AS r,
+                    count(*) OVER (PARTITION BY o_orderpriority) AS n
+                  FROM v)
+            SELECT o_orderpriority, CAST(ANY_VALUE(n) AS BIGINT) AS n,
+                   MAX(CASE WHEN r = ceil(n * 0.5) THEN cents END) AS p50_c,
+                   MAX(CASE WHEN r = ceil(n * 0.9) THEN cents END) AS p90_c,
+                   MAX(CASE WHEN r = ceil(n * 0.99) THEN cents END) AS p99_c
+            FROM r
+            WHERE r = ceil(n * 0.5) OR r = ceil(n * 0.9)
+               OR r = ceil(n * 0.99)
+            GROUP BY 1 ORDER BY 1"""))
+
+  /** R117 — rolling volatility: 7-day windowed standard deviation of
+    * the daily event rate per type — the risk/stability band around
+    * R107's rolling median. Exact arithmetic: the window keeps integer
+    * Σx and Σx², variance = (n·Σx² − (Σx)²) / n² in BIGINT until the
+    * final floor-quantized division — no float accumulation exists at
+    * any window position, so hash-stable at any parallelism; emitted
+    * as variance·1e4 (vol² in quarter-units) to stay integer. */
+  val qRollingVol = QueryDef(
+    "q_rolling_vol",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type").as("t"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w7 = org.apache.spark.sql.expressions.Window
+        .partitionBy("t").orderBy("day").rowsBetween(-3, 3)
+      daily
+        .withColumn("wn", count(lit(1)).over(w7))
+        .withColumn("s1", sum("n").over(w7))
+        .withColumn("s2", sum(expr("n * n")).over(w7))
+        .select(col("t"), col("day"), col("n"), col("wn"),
+          expr("((wn * s2 - s1 * s1) * 10000) div (wn * wn)")
+            .as("var_q"))
+        .orderBy("t", "day")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type AS t, epoch_us(ts) // 86400000000 AS day,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2)
+            SELECT t, day, n, CAST(count(*) OVER w7 AS BIGINT) AS wn,
+                   CAST(((count(*) OVER w7 * SUM(n * n) OVER w7
+                      - SUM(n) OVER w7 * SUM(n) OVER w7) * 10000)
+                     // (count(*) OVER w7 * count(*) OVER w7) AS BIGINT)
+                     AS var_q
+            FROM daily
+            WINDOW w7 AS (PARTITION BY t ORDER BY day
+              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+            ORDER BY t, day"""))
+
   /** R114 — top-k WITH TIES: R12's sort+limit drops tied rows at the
     * boundary arbitrarily; rank() ≤ k keeps every row tying the k-th
     * value — the semantics reports need ("top 3 order sizes per
@@ -494,7 +582,8 @@ object TpchMore {
             FROM r WHERE rnk <= 3
             ORDER BY o_orderpriority, qty DESC, o_orderkey"""))
 
-  val all: Seq[QueryDef] = Seq(qTopkTies, qNestOrders,
+  val all: Seq[QueryDef] = Seq(qTopkTies, qNestOrders, qPercentileDisc,
+    qRollingVol,
     q4OrderPriority, q6RevenueChange, q8MarketShare, q13OrderDistribution,
     q14PromoShare, q15TopSupplier, q16SupplierCount, q17SmallQtyRevenue,
     q19DisjunctivePred, q22DormantCustomers, qUnionEvolved)
