@@ -94,6 +94,55 @@ object PipelineQueries {
     * jaccard) rows. The oracle entry runs string-shingle mode;
     * production defaults to 64-bit hashed shingles (AllPairsSpec
     * proves mode parity + that the prefix join prunes the pair space). */
+  /** D79: dedup threshold-tuning curve — the "how aggressive should
+    * τ be" decision as DATA: one D47 prefix-filtered pair pass at the
+    * LOOSEST threshold (0.5), then every tighter threshold's pair
+    * count and touched-doc count read off those pairs map-side (a
+    * per-τ re-pass would re-run the candidate join per point). The
+    * curve is what you review before committing a corpus-wide dedup:
+    * τ=0.9 touches the planted copies only, τ=0.5 starts eating
+    * organic text — visible as counts, not anecdotes. */
+  val dedupThresholdCurve = QueryDef(
+    "dedup_threshold_curve",
+    (s, d) => {
+      val pairs = AllPairs.similarPairs(
+        Dedup.withPlantedDups(Tables.documents(s, d)), k = 3, tau = 0.5,
+        hashed = false)
+      // ONE aggregation over the pair set computes every threshold's
+      // counts (three unioned filters would re-run the candidate join
+      // per point); the 1-row result unpivots to the curve
+      def cnt(t: Double) = count(when(col("jaccard") >= t, 1)).as(s"p$t")
+      def dd(t: Double) =
+        countDistinct(when(col("jaccard") >= t, col("doc_b"))).as(s"d$t")
+      pairs
+        .agg(cnt(0.5), dd(0.5), cnt(0.75), dd(0.75), cnt(0.9), dd(0.9))
+        .select(expr("stack(3, 0.5D, `p0.5`, `d0.5`, " +
+          "0.75D, `p0.75`, `d0.75`, 0.9D, `p0.9`, `d0.9`) " +
+          "AS (tau, n_pairs, n_docs_droppable)"))
+        .orderBy("tau")
+    },
+    Some(s"""WITH c AS (SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + 1000000, text || ' planted near duplicate suffix'
+               FROM documents WHERE doc_id % 50 = 0),
+             w AS (SELECT doc_id, string_split($oCanon, ' ') AS ws FROM c),
+             t AS (SELECT doc_id, list_distinct(list_transform(
+                     generate_series(0, greatest(len(ws) - 3, 0)),
+                     i -> array_to_string(list_slice(ws, i + 1, i + 3), ' '))) AS sh
+                   FROM w),
+             p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                       6) AS jaccard
+                   FROM t a JOIN t b ON a.doc_id < b.doc_id),
+             taus AS (SELECT unnest([0.5, 0.75, 0.9]) AS tau)
+             SELECT tau, CAST(count(*) FILTER (jaccard >= tau) AS BIGINT)
+                      AS n_pairs,
+                    CAST(count(DISTINCT CASE WHEN jaccard >= tau
+                      THEN doc_b END) AS BIGINT) AS n_docs_droppable
+             FROM taus LEFT JOIN p ON jaccard >= tau
+             GROUP BY tau ORDER BY tau"""))
+
   val dedupJaccardAllpairs = QueryDef(
     "dedup_jaccard_allpairs",
     (s, d) => AllPairs.similarPairs(
@@ -2540,7 +2589,8 @@ object PipelineQueries {
     embDecontaminate, embOutliers, textUrlCanonical, textCollocations,
     textLangidEval, qExactSplit, dedupBestKeeper, embDimStats,
     dedupContainment, qWeightedSample, embTriplets,
-    dedupExact, dedupMinhashLsh, dedupSimhash, dedupNgramJaccard,
+    dedupExact, dedupThresholdCurve, dedupMinhashLsh, dedupSimhash,
+    dedupNgramJaccard,
     dedupJaccardAllpairs, dedupSpanMask,
     dedupEmbeddingCosine, annBruteforceTopK, annLsh, annIvf, annPqAdc,
     annIvfPq, annBinaryHamming,
