@@ -17,7 +17,7 @@ object SparkEntry {
       operators.Retail.all ++ operators.Diagnose.all ++
       operators.Kmv.all ++ etl.Ivm.all ++ etl.Profile.all ++
       dedup.CorpusStats.all ++
-      etl.EtlQueries.all ++ etl.Geo.all ++ etl.Linkage.all ++ etl.Quality.all ++ etl.Scd.all ++ etl.Cdc.all ++
+      etl.EtlQueries.all ++ etl.Geo.all ++ etl.Linkage.all ++ etl.LateDim.all ++ etl.Quality.all ++ etl.Scd.all ++ etl.Cdc.all ++
       etl.Incremental.all ++ etl.Repair.all ++
       dedup.PipelineQueries.all ++ dedup.InvertedIndex.all ++
       dedup.SourceOverlap.all ++
