@@ -221,5 +221,95 @@ object Audit {
                       AS rows_at_risk
              FROM l GROUP BY gid ORDER BY gid"""))
 
-  def all: Seq[QueryDef] = Seq(qBenford, qGini, qSkyline, qKAnonymity)
+  /** R119 — header/detail reconciliation: does each order's header
+    * total equal the sum of its line amounts — the invoice-level
+    * VALUE-consistency audit referential checks can't see (the keys
+    * join fine; the MONEY disagrees). One key join + one keyed
+    * aggregation, drift in exact integer cents; the per-nation rollup
+    * reports how many headers disagree and by how much in each
+    * direction — on this synthetic data the columns are independent,
+    * so the audit correctly reports ~everything drifting, which is
+    * exactly what it exists to catch. */
+  val qInvoiceReconcile = QueryDef(
+    "q_invoice_reconcile",
+    (s, d) => {
+      val lineSums = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+          .as("detail_c"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("header_c"))
+        .join(lineSums, col("o_orderkey") === col("l_orderkey"), "left")
+        .na.fill(0L, Seq("detail_c"))
+        .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").cast("int").as("nation"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("header_c") =!= col("detail_c"), 1L).otherwise(0L))
+            .as("n_mismatched"),
+          sum(when(col("header_c") > col("detail_c"),
+            col("header_c") - col("detail_c")).otherwise(0L))
+            .as("over_c"),
+          sum(when(col("detail_c") > col("header_c"),
+            col("detail_c") - col("header_c")).otherwise(0L))
+            .as("under_c"))
+        .orderBy("nation")
+    },
+    Some("""WITH ls AS (SELECT l_orderkey,
+                   SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                     AS detail_c
+                 FROM lineitem GROUP BY 1),
+            j AS (SELECT o.o_orderkey, o.o_custkey,
+                    CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                      AS header_c,
+                    COALESCE(ls.detail_c, 0) AS detail_c
+                  FROM orders o LEFT JOIN ls ON o.o_orderkey = ls.l_orderkey)
+            SELECT CAST(c.c_nationkey AS INT) AS nation,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CASE WHEN header_c <> detail_c THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_mismatched,
+                   CAST(SUM(CASE WHEN header_c > detail_c
+                     THEN header_c - detail_c ELSE 0 END) AS BIGINT) AS over_c,
+                   CAST(SUM(CASE WHEN detail_c > header_c
+                     THEN detail_c - header_c ELSE 0 END) AS BIGINT) AS under_c
+            FROM j JOIN customer c ON j.o_custkey = c.c_custkey
+            GROUP BY 1 ORDER BY 1"""))
+
+  /** R120 — behavioral bitmask segmentation: each user's set of seen
+    * event types packs into ONE integer via bit_or of 1<<type-index
+    * (the set-as-bitmask encoding behind audience segments and
+    * feature-flag cohorts), then segment sizes read off the mask
+    * domain — two keyed aggregations, the second over ≤ 2^#types rows;
+    * set operations on segments become bitwise AND/OR on longs. */
+  val qBehaviorBitmask = QueryDef(
+    "q_behavior_bitmask",
+    (s, d) => {
+      val typeBit = expr("CASE event_type WHEN 'view' THEN 1 " +
+        "WHEN 'click' THEN 2 WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8 " +
+        "WHEN 'error' THEN 16 END")
+      Tables.events(s, d)
+        // a 2-day activity window leaves partial masks (the full month
+        // saturates every user to the all-types mask — no segments)
+        .filter(col("ts") < lit("2024-01-03").cast("timestamp"))
+        .select(col("user_id"), typeBit.as("bit"))
+        .groupBy("user_id")
+        .agg(expr("bit_or(bit)").as("mask"))
+        .groupBy("mask")
+        .agg(count(lit(1)).as("n_users"))
+        .withColumn("has_purchased", (col("mask").bitwiseAND(4) =!= 0))
+        .orderBy("mask")
+    },
+    Some("""WITH m AS (
+              SELECT user_id,
+                     bit_or(CASE event_type WHEN 'view' THEN 1
+                       WHEN 'click' THEN 2 WHEN 'purchase' THEN 4
+                       WHEN 'signup' THEN 8 WHEN 'error' THEN 16 END) AS mask
+              FROM events WHERE ts < TIMESTAMP '2024-01-03' GROUP BY 1)
+            SELECT mask, CAST(count(*) AS BIGINT) AS n_users,
+                   (mask & 4) <> 0 AS has_purchased
+            FROM m GROUP BY mask ORDER BY mask"""))
+
+  def all: Seq[QueryDef] = Seq(qBenford, qGini, qSkyline, qKAnonymity,
+    qInvoiceReconcile, qBehaviorBitmask)
 }
