@@ -267,6 +267,68 @@ object CorpusStats {
              FROM e JOIN df ON e.g = df.g
              GROUP BY 1 ORDER BY 1"""))
 
+  /** D80 — heavy-tail exponent of document lengths per source (Hill
+    * estimator over the top decile of order statistics): web corpora
+    * are length-power-laws, and the tail exponent α is the number
+    * behind truncation policy and packing efficiency — α near 1 means
+    * a few giant docs dominate token mass, α ≥ 2 means truncation is
+    * cosmetic. Hill: α = k / Σ_{i≤k} ln(x_i / x_{k+1}) over the k
+    * largest lengths; the rank window is source-partitioned (the R14
+    * family), every ln term is floor-quantized to 1e9 BEFORE the
+    * integer sum (the D46/JSD convention — no float accumulation can
+    * fork the hash), and the single division emits α·1e6. */
+  val textLengthTail = QueryDef(
+    "text_length_tail",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("n_tok").desc, col("doc_id"))
+      val lens = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(Text.words(col("text"))).cast("long").as("n_tok"))
+        .withColumn("r", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("source")))
+        .withColumn("k", expr("greatest(n div 10, 2L)"))
+      val kth = lens.filter(col("r") === col("k") + 1)
+        .select(col("source").as("ks"), col("n_tok").as("xk"))
+      lens.filter(col("r") <= col("k"))
+        .join(kth, col("source") === col("ks"))
+        .withColumn("lnq",
+          floor(log(col("n_tok").cast("double") / col("xk")) * 1e9)
+            .cast("long"))
+        .groupBy("source")
+        .agg(first(col("k")).as("k"), first(col("xk")).as("xk_tokens"),
+          sum(col("lnq")).as("ln_sum_q"))
+        .select(col("source"), col("k"), col("xk_tokens"),
+          expr("(k * 1000000000000000) div greatest(ln_sum_q, 1)")
+            .as("alpha_q"))
+        .orderBy("source")
+    },
+    Some(s"""WITH lens AS (
+               SELECT doc_id, source,
+                      CAST(len(string_split(${PipelineQueries.oCanon}, ' ')) AS BIGINT)
+                        AS n_tok
+               FROM documents),
+             r AS (SELECT *,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY n_tok DESC, doc_id) AS r,
+                     count(*) OVER (PARTITION BY source) AS n
+                   FROM lens),
+             kk AS (SELECT *, greatest(n // 10, 2) AS k FROM r),
+             kth AS (SELECT source AS ks, n_tok AS xk FROM kk
+                     WHERE r = k + 1),
+             terms AS (
+               SELECT kk.source, kk.k, kth.xk,
+                      CAST(floor(ln(CAST(kk.n_tok AS DOUBLE) / kth.xk) * 1e9)
+                        AS BIGINT) AS lnq
+               FROM kk JOIN kth ON kk.source = kth.ks
+               WHERE kk.r <= kk.k)
+             SELECT source, CAST(ANY_VALUE(k) AS BIGINT) AS k,
+                    CAST(ANY_VALUE(xk) AS BIGINT) AS xk_tokens,
+                    CAST((ANY_VALUE(k) * 1000000000000000)
+                      // greatest(SUM(lnq), 1) AS BIGINT) AS alpha_q
+             FROM terms GROUP BY source ORDER BY source"""))
+
   def all: Seq[QueryDef] = Seq(textEntropyJsd, textTfidfKeywords,
-    textReadability, textNovelty)
+    textReadability, textNovelty, textLengthTail)
 }
