@@ -17,11 +17,12 @@ object SparkEntry {
       operators.Retail.all ++ operators.Diagnose.all ++
       operators.Kmv.all ++ etl.Ivm.all ++ etl.Profile.all ++
       dedup.CorpusStats.all ++
-      etl.EtlQueries.all ++ etl.Geo.all ++ etl.Linkage.all ++ etl.LateDim.all ++ etl.Quality.all ++ etl.Scd.all ++ etl.Cdc.all ++
+      etl.EtlQueries.all ++ etl.Geo.all ++ etl.Linkage.all ++ etl.LateDim.all ++ etl.Pseudonymize.all ++ etl.Quality.all ++ etl.Scd.all ++ etl.Cdc.all ++
       etl.Incremental.all ++ etl.Repair.all ++
       dedup.PipelineQueries.all ++ dedup.InvertedIndex.all ++
+      dedup.Layout.all ++ similarity.Project.all ++
       dedup.SourceOverlap.all ++
-      streaming.StreamQueries.all
+      streaming.StreamQueries.all ++ streaming.WatermarkPlan.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

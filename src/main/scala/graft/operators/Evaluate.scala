@@ -398,5 +398,72 @@ object Evaluate {
                     abs(z) > 1.959963984540054 AS sig95
              FROM z"""))
 
-  def all: Seq[QueryDef] = Seq(qAuc, qCalibration, qPsi, qKsDrift, qAbTest)
+  /** R126 — chi-square test of independence: is event type independent
+    * of day-of-week? The contingency-table test behind "does behavior
+    * differ by segment" questions that the R80 two-proportion z can
+    * only ask pairwise. One (type, dow) count aggregation (O(types×7)
+    * cells), marginals via windows ON THE CELL TABLE, expected counts
+    * E = row_total·col_total/N as one IEEE division per cell, each
+    * cell's (O−E)²/E contribution floor-quantized to a long BEFORE the
+    * total — the χ² statistic is a sum of QUANTIZED integers (the PSI
+    * convention), never a float accumulation, so it is bit-identical
+    * across engines and partitionings. df = (r−1)(c−1) rides the same
+    * frame so the caller can look up the critical value; the spec
+    * checks the statistic against a hand-computed reference. */
+  val qChiSquare = QueryDef(
+    "q_chi_square",
+    (s, d) => {
+      val cells = Tables.events(s, d)
+        .groupBy(col("event_type").as("t"),
+          (dayofweek(col("ts")) - 1).as("dow"))
+        .agg(count(lit(1)).as("o"))
+      val wT = Window.partitionBy("t")
+      val wD = Window.partitionBy("dow")
+      val wAll = Window.partitionBy(lit(1))
+      cells
+        .withColumn("rt", sum("o").over(wT))
+        .withColumn("ct", sum("o").over(wD))
+        .withColumn("n", sum("o").over(wAll))
+        .withColumn("nr", size(collect_set("t").over(wAll)))
+        .withColumn("nc", size(collect_set("dow").over(wAll)))
+        .withColumn("e",
+          (col("rt") * col("ct")).cast("double") / col("n"))
+        .withColumn("term_q",
+          floor((col("o") - col("e")) * (col("o") - col("e")) / col("e")
+            * 1e6).cast("long"))
+        .withColumn("chi2_q", sum("term_q").over(wAll))
+        .withColumn("df",
+          ((col("nr") - 1) * (col("nc") - 1)).cast("long"))
+        .select(col("t"), col("dow"), col("o"),
+          floor(col("e") * 1e4).cast("long").as("e_q"),
+          col("term_q"), col("chi2_q"), col("df"))
+        .orderBy("t", "dow")
+    },
+    Some("""WITH cells AS (
+              SELECT event_type AS t, dayofweek(ts) AS dow,
+                     CAST(count(*) AS BIGINT) AS o
+              FROM events GROUP BY 1, 2),
+            m AS (SELECT *,
+                    CAST(SUM(o) OVER (PARTITION BY t) AS BIGINT) AS rt,
+                    CAST(SUM(o) OVER (PARTITION BY dow) AS BIGINT) AS ct,
+                    CAST(SUM(o) OVER () AS BIGINT) AS n,
+                    CAST(count(DISTINCT t) OVER () AS INT) AS nr,
+                    CAST(count(DISTINCT dow) OVER () AS INT) AS nc
+                  FROM cells),
+            e AS (SELECT *,
+                    CAST(rt * ct AS DOUBLE) / n AS e,
+                    CAST(floor((o - CAST(rt * ct AS DOUBLE) / n)
+                      * (o - CAST(rt * ct AS DOUBLE) / n)
+                      / (CAST(rt * ct AS DOUBLE) / n) * 1e6) AS BIGINT)
+                      AS term_q
+                  FROM m)
+            SELECT t, dow, o,
+                   CAST(floor(e * 1e4) AS BIGINT) AS e_q, term_q,
+                   CAST(SUM(term_q) OVER () AS BIGINT) AS chi2_q,
+                   CAST((nr - 1) * (nc - 1) AS BIGINT) AS df
+            FROM e
+            ORDER BY t, dow"""))
+
+  def all: Seq[QueryDef] = Seq(qAuc, qCalibration, qPsi, qKsDrift, qAbTest,
+    qChiSquare)
 }

@@ -582,8 +582,288 @@ object TpchMore {
             FROM r WHERE rnk <= 3
             ORDER BY o_orderpriority, qty DESC, o_orderkey"""))
 
+  /** R121 — TPC-H Q2 shape (minimum-cost supplier): for each part in an
+    * attribute band, the supplier offering the MINIMUM unit cost within
+    * one region — the original's correlated MIN(ps_supplycost) subquery
+    * decorrelated into a part-keyed min aggregate joined back by
+    * equality so ALL tied suppliers surface (the Q15 discipline). The
+    * part-supplier cost relation is derived from lineitem (no partsupp
+    * table in the synthetic schema): cost(part, supp) = the minimum
+    * observed line cents for the pair — exact integers, so "== min"
+    * can't flip on a ulp. Region restriction applies to both the
+    * candidate rows and the min computation, as in the original. Plan:
+    * one (part, supp) aggregate, one part-keyed min, broadcast dims;
+    * the final sort runs on the O(matches) result, never the fact. */
+  val q2MinCostSupplier = QueryDef(
+    "q2_min_cost_supplier",
+    (s, d) => {
+      val su = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "EUROPE")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+          col("n_name"))
+      val p = Tables.part(s, d)
+        .filter(col("p_type") === "STANDARD" &&
+          col("p_size").between(10, 20))
+        .select(col("p_partkey"), col("p_brand"))
+      val cost = Tables.lineitem(s, d)
+        .join(p.select("p_partkey"), col("l_partkey") === col("p_partkey"))
+        .join(su.select("s_suppkey"), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+          .as("cost_c"))
+      val minCost = cost.groupBy(col("l_partkey").as("mk"))
+        .agg(min(col("cost_c")).as("min_cost_c"))
+      cost.join(minCost,
+          col("l_partkey") === col("mk") &&
+            col("cost_c") === col("min_cost_c"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("s_acctbal"), col("s_suppkey"), col("s_name"),
+          col("n_name"), col("p_partkey"), col("p_brand"), col("cost_c"))
+        .orderBy(desc("s_acctbal"), asc("n_name"), asc("s_name"),
+          asc("p_partkey"))
+        .limit(100)
+    },
+    Some("""WITH su AS (
+              SELECT s_suppkey, s_name, s_acctbal, n_name
+              FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE'),
+            p AS (SELECT p_partkey, p_brand FROM part
+                  WHERE p_type = 'STANDARD' AND p_size BETWEEN 10 AND 20),
+            cost AS (
+              SELECT l_partkey, l_suppkey,
+                     MIN(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                       AS cost_c
+              FROM lineitem
+              JOIN p ON l_partkey = p_partkey
+              JOIN su ON l_suppkey = s_suppkey
+              GROUP BY 1, 2)
+            SELECT s_acctbal, s_suppkey, s_name, n_name, p_partkey, p_brand,
+                   cost_c
+            FROM cost
+            JOIN su ON l_suppkey = s_suppkey
+            JOIN p ON l_partkey = p_partkey
+            WHERE cost_c = (SELECT MIN(cost_c) FROM cost c2
+                            WHERE c2.l_partkey = cost.l_partkey)
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+            LIMIT 100"""))
+
+  /** R122 — TPC-H Q9 shape (product-type profit): profit per (nation,
+    * order year) for parts matching a name fragment — the widest join
+    * in the suite (lineitem ⋈ part ⋈ supplier ⋈ orders ⋈ nation) with
+    * a computed per-line margin. No ps_supplycost exists, so unit cost
+    * is derived deterministically from the part's retail price (60%):
+    * profit_c = cents(extprice·(1−disc)) − cents(0.6·retail)·qty, all
+    * BIGINT per row before the sum — the aggregation is exact-integer,
+    * hash-stable at any parallelism. The name filter prunes part
+    * before its join; nation broadcasts; the fact shuffles once per
+    * join chain. */
+  val q9ProductProfit = QueryDef(
+    "q9_product_profit",
+    (s, d) => {
+      val p = Tables.part(s, d)
+        .filter(col("p_name").contains("gear"))
+        .select(col("p_partkey"),
+          floor(col("p_retailprice") * 60 + 0.5).cast("long")
+            .as("unit_cost_c"))
+      Tables.lineitem(s, d)
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"),
+          (floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100
+            + 0.5).cast("long") -
+            col("unit_cost_c") * col("l_quantity").cast("long"))
+            .as("amount_c"))
+        .groupBy("nation", "o_year")
+        .agg(sum(col("amount_c")).as("profit_c"))
+        .orderBy(asc("nation"), desc("o_year"))
+    },
+    Some("""SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+                   CAST(SUM(
+                     CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                       + 0.5) AS BIGINT)
+                     - CAST(floor(p_retailprice * 60 + 0.5) AS BIGINT)
+                       * CAST(l_quantity AS BIGINT)) AS BIGINT) AS profit_c
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%gear%'
+            GROUP BY 1, 2
+            ORDER BY nation, o_year DESC"""))
+
+  /** R123 — TPC-H Q11 shape (important stock): parts whose value share
+    * within one nation's supply exceeds a threshold of the nation
+    * total — the group-vs-global scalar-subquery HAVING. Value per
+    * part = exact cents over the nation's lineitems; the global total
+    * and distinct-part count come from ONE 1-row aggregate broadcast
+    * into the sanctioned crossJoin, and the threshold test
+    * value_c · n_parts > 2 · total_c ("more than twice the mean
+    * share") is exact integer cross-multiplication — no float
+    * division anywhere, so the cut is bit-deterministic. */
+  val q11ImportantParts = QueryDef(
+    "q11_important_parts",
+    (s, d) => {
+      val natSupp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .filter(col("n_name") === "NATION_3")
+        .select(col("s_suppkey"))
+      val value = Tables.lineitem(s, d)
+        .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+          .as("value_c"))
+      val tot = value.agg(sum(col("value_c")).as("total_c"),
+        count(lit(1)).as("n_parts"))
+      value.crossJoin(broadcast(tot))
+        .filter(col("value_c") * col("n_parts") > col("total_c") * 2)
+        .select(col("l_partkey"), col("value_c"))
+        .orderBy(desc("value_c"), asc("l_partkey"))
+    },
+    Some("""WITH v AS (
+              SELECT l_partkey,
+                     CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS value_c
+              FROM lineitem
+              WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                                  JOIN nation ON s_nationkey = n_nationkey
+                                  WHERE n_name = 'NATION_3')
+              GROUP BY 1)
+            SELECT l_partkey, value_c
+            FROM v
+            WHERE value_c * (SELECT count(*) FROM v)
+                  > (SELECT SUM(value_c) FROM v) * 2
+            ORDER BY value_c DESC, l_partkey"""))
+
+  /** R124 — TPC-H Q12 shape (shipping modes / priority split): per
+    * ship mode, how many LATE lines carried urgent vs non-urgent
+    * orders — the conditional-count split after a lateness join
+    * predicate. The synthetic schema has no l_shipmode, so mode
+    * derives deterministically from the supplier key (pmod 3 → the
+    * three carriers) — pure map-side arithmetic both engines mirror.
+    * Late = shipped > 45 days after the order date, within one year;
+    * the year band rides the lineitem scan, the lateness predicate is
+    * a residual on the order join's equi key. */
+  val q12ShipModes = QueryDef(
+    "q12_ship_modes",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      li.join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey") &&
+            datediff(to_date(col("l_shipdate")),
+              to_date(col("o_orderdate"))) > 45)
+        .select(
+          element_at(array(lit("MAIL"), lit("SHIP"), lit("RAIL")),
+            (pmod(col("l_suppkey"), lit(3)) + 1).cast("int"))
+            .as("ship_mode"),
+          col("o_orderpriority"))
+        .groupBy("ship_mode")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
+        .orderBy("ship_mode")
+    },
+    Some("""SELECT ['MAIL', 'SHIP', 'RAIL'][CAST(l_suppkey % 3 AS INT) + 1]
+                     AS ship_mode,
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                       ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+                     AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority NOT IN
+                       ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+                     AS low_line_count
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND date_diff('day', CAST(o_orderdate AS DATE),
+                    CAST(l_shipdate AS DATE)) > 45
+            GROUP BY 1 ORDER BY 1"""))
+
+  /** R125 — TPC-H Q20 shape (potential part promotion): suppliers in
+    * one region holding EXCESS volume of name-filtered parts — the
+    * nested IN chain (supplier IN pairs-with-excess, part IN
+    * name-filter) with a correlated half-quantity threshold, all
+    * decorrelated to keyed aggregates + semi joins. Excess for a
+    * (supplier, part): lifetime quantity more than double what the
+    * pair shipped in the focus year (the original's
+    * availqty > ½·year-shipments test re-expressed on shipment
+    * history). Quantities are integral doubles → cast long per row,
+    * so both sums and the 2× comparison are exact integers. One
+    * (supp, part) aggregate carries BOTH sums via a conditional — a
+    * second scan for the year slice would double the fact I/O. */
+  val q20ExcessSuppliers = QueryDef(
+    "q20_excess_suppliers",
+    (s, d) => {
+      val redParts = Tables.part(s, d)
+        .filter(col("p_name").startsWith("red"))
+        .select(col("p_partkey"))
+      val pairQty = Tables.lineitem(s, d)
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(
+          sum(col("l_quantity").cast("long")).as("total_qty"),
+          sum(when(
+            col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1998-01-01").cast("timestamp"),
+            col("l_quantity").cast("long")).otherwise(0L)).as("yr_qty"))
+      val excess = pairQty
+        .filter(col("yr_qty") > 0 &&
+          col("total_qty") > col("yr_qty") * 2)
+        .select(col("l_suppkey")).distinct()
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d))
+            .join(broadcast(Tables.region(s, d)),
+              col("n_regionkey") === col("r_regionkey"))
+            .filter(col("r_name") === "ASIA")
+            .select(col("n_nationkey"), col("n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+        .orderBy("s_suppkey")
+    },
+    Some("""WITH pair AS (
+              SELECT l_suppkey, l_partkey,
+                     CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS total_qty,
+                     CAST(SUM(CASE WHEN
+                         l_shipdate >= TIMESTAMP '1997-01-01'
+                         AND l_shipdate < TIMESTAMP '1998-01-01'
+                       THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)
+                       AS yr_qty
+              FROM lineitem
+              WHERE l_partkey IN (SELECT p_partkey FROM part
+                                  WHERE p_name LIKE 'red%')
+              GROUP BY 1, 2)
+            SELECT s_suppkey, s_name, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND s_suppkey IN (SELECT l_suppkey FROM pair
+                                WHERE yr_qty > 0
+                                  AND total_qty > yr_qty * 2)
+            ORDER BY s_suppkey"""))
+
   val all: Seq[QueryDef] = Seq(qTopkTies, qNestOrders, qPercentileDisc,
     qRollingVol,
+    q2MinCostSupplier, q9ProductProfit, q11ImportantParts, q12ShipModes,
+    q20ExcessSuppliers,
     q4OrderPriority, q6RevenueChange, q8MarketShare, q13OrderDistribution,
     q14PromoShare, q15TopSupplier, q16SupplierCount, q17SmallQtyRevenue,
     q19DisjunctivePred, q22DormantCustomers, qUnionEvolved)

@@ -110,4 +110,28 @@ class EvaluateSpec extends SparkSpec {
         (r.getAs[Long]("ks_q"), r.getAs[Long]("v_at"))).toMap
     assert(got === ref)
   }
+
+  test("R126: chi-square statistic equals a driver-side contingency recompute") {
+    import org.apache.spark.sql.functions._
+    val obs = graft.Tables.events(spark, sf)
+      .select(col("event_type"), (dayofweek(col("ts")) - 1).as("dow"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    val cells = obs.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val rowT = cells.groupBy(_._1._1).map { case (t, m) => t -> m.values.sum }
+    val colT = cells.groupBy(_._1._2).map { case (c, m) => c -> m.values.sum }
+    val n = cells.values.sum
+    val chi2Ref = cells.map { case ((t, c), o) =>
+      val e = (rowT(t) * colT(c)).toDouble / n
+      math.floor((o - e) * (o - e) / e * 1e6).toLong
+    }.sum
+    val dfRef = (rowT.size - 1).toLong * (colT.size - 1)
+    val rows = Evaluate.qChiSquare.fn(spark, sf).collect()
+    assert(rows.length === cells.size)
+    assert(rows.map(_.getAs[Long]("chi2_q")).distinct === Seq(chi2Ref))
+    assert(rows.map(_.getAs[Long]("df")).distinct === Seq(dfRef))
+    // per-cell terms also match
+    val gotCells = rows.map(r => (r.getAs[String]("t"),
+      r.getAs[Int]("dow")) -> r.getAs[Long]("o")).toMap
+    assert(gotCells === cells)
+  }
 }

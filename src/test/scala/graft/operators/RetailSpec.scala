@@ -108,4 +108,26 @@ class RetailSpec extends SparkSpec {
       }
     }
   }
+
+  test("R128: shares tile their totals within flooring loss, ranks are dense") {
+    val rows = Retail.qShareOfTotal.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byRegion = rows.groupBy(_.getAs[String]("r_name"))
+    byRegion.foreach { case (_, rs) =>
+      val regionShare = rs.map(_.getAs[Long]("share_region_ppm")).sum
+      // n floors, each loses < 1 ppm
+      assert(regionShare <= 1000000L &&
+        regionShare > 1000000L - rs.length,
+        s"region shares must sum to 1e6 within flooring loss: $regionShare")
+      val ranks = rs.map(_.getAs[Long]("rank_in_region")).sorted.toSeq
+      assert(ranks === (1L to rs.length).toSeq,
+        "regional ranks must be dense 1..n (tie-broken total order)")
+      // rank 1 carries the region's max revenue
+      val top = rs.minBy(_.getAs[Long]("rank_in_region"))
+      assert(top.getAs[Long]("rev_c") ===
+        rs.map(_.getAs[Long]("rev_c")).max)
+    }
+    val worldShare = rows.map(_.getAs[Long]("share_world_ppm")).sum
+    assert(worldShare <= 1000000L && worldShare > 1000000L - rows.length)
+  }
 }

@@ -132,6 +132,115 @@ class TpchMoreSpec extends SparkSpec {
       "dormant set must be non-empty and strictly exclude active customers")
   }
 
+  test("R121: Q2 keeps exactly the min-cost (part, supplier) rows, ties included") {
+    import org.apache.spark.sql.functions._
+    // naive reference: recompute every pair cost and each part's min
+    val su = graft.Tables.supplier(spark, "/root/testdata/sf0.01")
+      .join(graft.Tables.nation(spark, "/root/testdata/sf0.01"),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(graft.Tables.region(spark, "/root/testdata/sf0.01"),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE").select("s_suppkey")
+      .collect().map(_.getLong(0)).toSet
+    val parts = graft.Tables.part(spark, "/root/testdata/sf0.01")
+      .filter(col("p_type") === "STANDARD" && col("p_size").between(10, 20))
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val pairCost = graft.Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select("l_partkey", "l_suppkey", "l_extendedprice").collect()
+      .filter(r => parts(r.getLong(0)) && su(r.getLong(1)))
+      .groupBy(r => (r.getLong(0), r.getLong(1)))
+      .map { case (k, rs) =>
+        k -> rs.map(r => math.floor(r.getDouble(2) * 100 + 0.5).toLong).min }
+    val minPerPart = pairCost.groupBy(_._1._1)
+      .map { case (p, m) => p -> m.values.min }
+    val expected = pairCost.filter { case ((p, _), c) => c == minPerPart(p) }
+      .keys.toSet
+    val got = TpchMore.q2MinCostSupplier.fn(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getAs[Long]("p_partkey"),
+        r.getAs[Long]("s_suppkey"))).toSet
+    // the entry LIMITs to 100; every emitted row must be a true min pair,
+    // and if fewer than 100 exist, the sets must be equal
+    assert(got.subsetOf(expected))
+    if (expected.size <= 100) assert(got === expected)
+  }
+
+  test("R123: Q11's integer threshold keeps exactly the >2x-mean-share parts") {
+    import org.apache.spark.sql.functions._
+    val rows = TpchMore.q11ImportantParts.fn(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.nonEmpty)
+    // recompute the nation-restricted per-part values naively
+    val natSupp = graft.Tables.supplier(spark, "/root/testdata/sf0.01")
+      .join(graft.Tables.nation(spark, "/root/testdata/sf0.01"),
+        col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === "NATION_3").select("s_suppkey")
+      .collect().map(_.getLong(0)).toSet
+    val values = graft.Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select("l_partkey", "l_suppkey", "l_extendedprice").collect()
+      .filter(r => natSupp(r.getLong(1)))
+      .groupBy(_.getLong(0))
+      .map { case (p, rs) =>
+        p -> rs.map(r => math.floor(r.getDouble(2) * 100 + 0.5).toLong).sum }
+    val total = values.values.sum
+    val n = values.size.toLong
+    val expected = values.filter { case (_, v) => v * n > total * 2 }
+    assert(rows.map(r => r.getAs[Long]("l_partkey") ->
+      r.getAs[Long]("value_c")).toMap === expected)
+  }
+
+  test("R124: Q12's high/low split partitions the late-line count per mode") {
+    import org.apache.spark.sql.functions._
+    val df = TpchMore.q12ShipModes.fn(spark, sf)
+    val rows = df.collect()
+    assert(rows.map(_.getAs[String]("ship_mode")).toSet
+      .subsetOf(Set("MAIL", "SHIP", "RAIL")))
+    val totalFromSplit = rows.map(r =>
+      r.getAs[Long]("high_line_count") + r.getAs[Long]("low_line_count")).sum
+    val lateTotal = graft.Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(graft.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey") &&
+          datediff(to_date(col("l_shipdate")),
+            to_date(col("o_orderdate"))) > 45)
+      .count()
+    assert(totalFromSplit === lateTotal,
+      "every late line must land in exactly one of high/low")
+  }
+
+  test("R125: Q20's excess test matches a naive per-pair recompute") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.01"
+    val red = graft.Tables.part(spark, d)
+      .filter(col("p_name").startsWith("red")).select("p_partkey")
+      .collect().map(_.getLong(0)).toSet
+    val pairs = graft.Tables.lineitem(spark, d)
+      .select(col("l_suppkey"), col("l_partkey"), col("l_quantity"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("sd"))
+      .collect().filter(r => red(r.getLong(1)))
+      .groupBy(r => (r.getLong(0), r.getLong(1)))
+    val excessSupps = pairs.filter { case (_, rs) =>
+      val tot = rs.map(_.getDouble(2).toLong).sum
+      val yr = rs.filter { r =>
+        val ts = r.getString(3)
+        ts >= "1997-01-01" && ts < "1998-01-01"
+      }.map(_.getDouble(2).toLong).sum
+      yr > 0 && tot > yr * 2
+    }.keys.map(_._1).toSet
+    val asiaSupps = graft.Tables.supplier(spark, d)
+      .join(graft.Tables.nation(spark, d),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(graft.Tables.region(spark, d),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA").select("s_suppkey")
+      .collect().map(_.getLong(0)).toSet
+    val expected = excessSupps.intersect(asiaSupps)
+    val got = TpchMore.q20ExcessSuppliers.fn(spark, d)
+      .collect().map(_.getAs[Long]("s_suppkey")).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture must exercise the excess predicate")
+  }
+
   test("R115: the nested shape is lossless — exploding back equals the source") {
     import org.apache.spark.sql.functions._
     val nested = graft.Tables.lineitem(spark, sf)
