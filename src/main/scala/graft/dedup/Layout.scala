@@ -41,10 +41,23 @@ object Layout {
       val planted = base.filter(col("doc_id") % 25 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"),
           concat(col("text"), lit(" zzz")).as("text"))
+      // shingles carried as 60-bit md5-prefix LONGS end to end: the
+      // arrays ride one localCheckpoint, two rank passes and two
+      // rank-equi self-joins — 8 bytes/element instead of a shingle
+      // string cut the entry 12.5 → ~3 s at sf0.1. The same md5 prefix
+      // parses in DuckDB via the D69 '0x' || substr(...) route, so the
+      // whole pipeline stays oracle-mirrorable (collisions at 60 bits
+      // are negligible AND identical in both engines).
       val sh = base.unionByName(planted)
-        .select(col("doc_id"), Text.shingles(col("text"), 3).as("sh"))
-        .withColumn("minsh",
-          array_min(transform(col("sh"), x => md5(x))))
+        // materialize the words column BEFORE shingling — the inline
+        // convenience form re-evaluates canonical+split per element
+        // (the documented quadratic trap, Text.shinglesOnWords)
+        .select(col("doc_id"), Text.words(col("text")).as("ws"))
+        .select(col("doc_id"),
+          array_distinct(transform(Text.shinglesOnWords(col("ws"), 3),
+            x => conv(substring(md5(x), 1, 15), 16, 10).cast("long")))
+            .as("sh"))
+        .withColumn("minsh", array_min(col("sh")))
         .localCheckpoint() // evaluated under two orderings below
       def adjacentMean(sorted: org.apache.spark.sql.DataFrame,
           name: String) = {
@@ -80,13 +93,14 @@ object Layout {
                     string_split(${PipelineQueries.oCanon}, ' ') AS ws
                   FROM corpus),
             t AS (SELECT doc_id, list_distinct(list_transform(
-                    generate_series(0, greatest(len(ws) - 3, 0)),
-                    i -> array_to_string(list_slice(ws, i + 1, i + 3),
-                      ' '))) AS sh
+                    list_distinct(list_transform(
+                      generate_series(0, greatest(len(ws) - 3, 0)),
+                      i -> array_to_string(list_slice(ws, i + 1, i + 3),
+                        ' '))),
+                    g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)))
+                    AS sh
                   FROM w),
-            k AS (SELECT doc_id, sh,
-                    list_min(list_transform(sh, x -> md5(x))) AS minsh
-                  FROM t),
+            k AS (SELECT doc_id, sh, list_min(sh) AS minsh FROM t),
             rid AS (SELECT sh,
                       row_number() OVER (ORDER BY doc_id) AS rnk
                     FROM k),

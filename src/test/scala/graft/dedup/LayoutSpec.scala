@@ -32,8 +32,11 @@ class LayoutSpec extends SparkSpec {
         concat(col("text"), lit(" zzz")).as("text"))
     val sh = base.unionByName(planted)
       .select(col("doc_id"),
-        graft.functions.Text.shingles(col("text"), 3).as("sh"))
-      .withColumn("minsh", array_min(transform(col("sh"), x => md5(x))))
+        array_distinct(transform(
+          graft.functions.Text.shingles(col("text"), 3),
+          x => conv(substring(md5(x), 1, 15), 16, 10).cast("long")))
+          .as("sh"))
+      .withColumn("minsh", array_min(col("sh")))
     val ordered = graft.operators.Ranks
       .globalRowNumber(sh, Seq(col("minsh"), col("doc_id")), 8, "rnk")
       .select("doc_id", "rnk").collect()
