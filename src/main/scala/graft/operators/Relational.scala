@@ -1203,6 +1203,56 @@ object Relational {
     },
     None)
 
+  /** R129: re-aggregatable QUANTILE sketch store — R40's mergeable-
+    * state architecture applied to percentiles via the native
+    * DataSketches KLL aggregates (`kll_sketch_agg_bigint` /
+    * `kll_merge_agg_bigint`): store one sketch per group/day/partition
+    * and ANY range's p50/p95 rolls up from sketch bytes, never
+    * rescanning the fact — the OLAP latency-dashboard architecture
+    * (R25's one-shot approx_percentile can't merge across stored
+    * state). SELF-VERIFYING rows-only entry (KLL bytes have no SQL
+    * mirror): per-group rows and the merged ALL row carry exact
+    * percentiles from the shared rank-arithmetic machinery beside the
+    * sketch estimates + rel errors; the exact side is eval
+    * instrumentation — a production rollup executes only the sketch
+    * reads. KLL's guarantee is ~1.7% normalized RANK error at the
+    * default k (value error is data-dependent); the spec recomputes
+    * the TRUE empirical rank of each sketch answer driver-side and
+    * gates on it — `kll_sketch_get_rank` can't compose in-plan (its
+    * quantile argument must be foldable). */
+  val qQuantileRollup = QueryDef(
+    "q_quantile_rollup",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("grp"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      val perGroup = o.groupBy("grp")
+        .agg(expr("kll_sketch_agg_bigint(cents)").as("sk"),
+          count(lit(1)).as("n"),
+          expr("percentile(cents, 0.5)").as("ex_p50"),
+          expr("percentile(cents, 0.95)").as("ex_p95"))
+      val groups = perGroup.select(col("grp"), col("n"),
+        col("ex_p50"), col("ex_p95"),
+        expr("kll_sketch_get_quantile_bigint(sk, 0.5)").as("ap_p50"),
+        expr("kll_sketch_get_quantile_bigint(sk, 0.95)").as("ap_p95"))
+      val total = perGroup
+        .agg(expr("kll_merge_agg_bigint(sk)").as("msk"))
+        .crossJoin(broadcast(o.agg(count(lit(1)).as("n"),
+          expr("percentile(cents, 0.5)").as("ex_p50"),
+          expr("percentile(cents, 0.95)").as("ex_p95"))))
+        .select(lit("ALL").as("grp"), col("n"), col("ex_p50"),
+          col("ex_p95"),
+          expr("kll_sketch_get_quantile_bigint(msk, 0.5)").as("ap_p50"),
+          expr("kll_sketch_get_quantile_bigint(msk, 0.95)").as("ap_p95"))
+      groups.unionByName(total)
+        .withColumn("relerr_p50",
+          round(abs(col("ap_p50") - col("ex_p50")) / col("ex_p50"), 4))
+        .withColumn("relerr_p95",
+          round(abs(col("ap_p95") - col("ex_p95")) / col("ex_p95"), 4))
+        .orderBy("grp")
+    },
+    None)
+
   /** R58 — sketch-based audience overlap: distinct-user counts of two
     * behavioral segments, their union (a NATIVE sketch merge) and
     * their intersection (inclusion–exclusion over the estimates —
@@ -1731,6 +1781,7 @@ object Relational {
     qPivot, qCubeGrouping, qWindowFuncs, qRangeJoin, qSaltedJoin,
     qApproxPercentile, qOuterJoin, qSlidingWindow, qSetOps, qSqlSurface,
     qGroupingSets, qBloomJoin, qArgmax, qUnpivot, q18LargeOrders,
-    qCorrStats, qRecursiveCte, qWindowDist, qSketchRollup, qSketchOverlap,
+    qCorrStats, qRecursiveCte, qWindowDist, qSketchRollup, qQuantileRollup,
+    qSketchOverlap,
     qTrendSlope, qListagg, qLateralTopn, qGapfill, qNullsafeJoin, qWinsorize)
 }

@@ -213,6 +213,38 @@ class RelationalSpec extends SparkSpec {
     assert(all.getAs[Long]("approx_distinct") >= (groupMax * 0.95).toLong)
   }
 
+  test("R129: KLL quantile store — true rank error bounded, merged row tracks exact") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.qQuantileRollup.fn(spark, sf).collect()
+    assert(rows.length >= 2, "group rows plus the merged ALL row")
+    // the honest KLL guarantee is on RANK against the TRUE distribution:
+    // recompute each sketch answer's empirical rank driver-side
+    val cents = graft.Tables.orders(spark, sf)
+      .select(col("o_orderpriority").as("grp"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    def trueRank(grp: String, v: Long): Double = {
+      val vs = if (grp == "ALL") cents.map(_._2)
+        else cents.filter(_._1 == grp).map(_._2)
+      vs.count(_ <= v).toDouble / vs.length
+    }
+    rows.foreach { r =>
+      val grp = r.getAs[String]("grp")
+      val r50 = trueRank(grp, r.getAs[Long]("ap_p50"))
+      val r95 = trueRank(grp, r.getAs[Long]("ap_p95"))
+      // ~1.7% normalized rank error at default k, 3 sigma headroom
+      assert(math.abs(r50 - 0.5) < 0.03, s"p50 true rank $r50 for $grp")
+      assert(math.abs(r95 - 0.95) < 0.03, s"p95 true rank $r95 for $grp")
+      // on this unimodal data, value error is also tight
+      assert(r.getAs[Double]("relerr_p50") < 0.05)
+      assert(r.getAs[Double]("relerr_p95") < 0.05)
+    }
+    val all = rows.find(_.getAs[String]("grp") == "ALL").get
+    val n = rows.filter(_.getAs[String]("grp") != "ALL")
+      .map(_.getAs[Long]("n")).sum
+    assert(all.getAs[Long]("n") === n, "merged row covers every group")
+  }
+
   test("R63: MAD flags exactly the planted extremes a stddev z-score would dilute") {
     val rows = Relational.qMadOutliers.fn(spark, sf).collect()
     assert(rows.length === 3)
