@@ -1302,6 +1302,65 @@ object Relational {
     },
     None)
 
+  /** R130: Theta-sketch set ALGEBRA — the architecture R58 documents
+    * itself wishing for: DataSketches Theta sketches intersect and
+    * difference DIRECTLY (`theta_intersection` / `theta_difference`),
+    * where HLL must go through inclusion–exclusion and a small
+    * intersection inherits the union's absolute error (R58 reports
+    * that blow-up; this entry removes it). Stored per-segment theta
+    * sketches answer |A∩B|, |A\B|, |B\A| — audience overlap, churn
+    * (last month \ this month), reactivation — from sketch bytes,
+    * never re-joining raw events. SELF-VERIFYING rows-only (sketch
+    * bytes have no SQL mirror): exact baselines + rel_err per metric
+    * in-output; one user_id shuffle for the flag table, one 1-row
+    * aggregation after, everything downstream O(1). */
+  val qThetaAlgebra = QueryDef(
+    "q_theta_algebra",
+    (s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(
+          max(when(col("event_type") === "view", 1).otherwise(0)).as("has_a"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("has_b"))
+      val row = perUser.agg(
+        expr("theta_sketch_agg(CASE WHEN has_a = 1 THEN user_id END)").as("sk_a"),
+        expr("theta_sketch_agg(CASE WHEN has_b = 1 THEN user_id END)").as("sk_b"),
+        sum(col("has_a")).as("ex_a"),
+        sum(col("has_b")).as("ex_b"),
+        sum(when(col("has_a") === 1 && col("has_b") === 1, 1L)
+          .otherwise(0L)).as("ex_inter"),
+        sum(when(col("has_a") === 1 && col("has_b") === 0, 1L)
+          .otherwise(0L)).as("ex_a_only"),
+        sum(when(col("has_a") === 1 || col("has_b") === 1, 1L)
+          .otherwise(0L)).as("ex_union"))
+        .select(
+          expr("theta_sketch_estimate(sk_a)").as("ap_a"),
+          expr("theta_sketch_estimate(sk_b)").as("ap_b"),
+          expr("theta_sketch_estimate(theta_union(sk_a, sk_b))")
+            .as("ap_union"),
+          expr("theta_sketch_estimate(theta_intersection(sk_a, sk_b))")
+            .as("ap_inter"),
+          expr("theta_sketch_estimate(theta_difference(sk_a, sk_b))")
+            .as("ap_a_only"),
+          col("ex_a"), col("ex_b"), col("ex_inter"), col("ex_a_only"),
+          col("ex_union"))
+      row.select(expr(
+        """stack(5,
+             'segment_a',    ex_a,      CAST(ap_a AS DOUBLE),
+             'segment_b',    ex_b,      CAST(ap_b AS DOUBLE),
+             'union',        ex_union,  CAST(ap_union AS DOUBLE),
+             'intersection', ex_inter,  CAST(ap_inter AS DOUBLE),
+             'a_minus_b',    ex_a_only, CAST(ap_a_only AS DOUBLE))
+           AS (metric, exact, approx)"""))
+        // a degenerate segment (empty difference/intersection) has no
+        // defined relative error — emit NULL, not a 0-divide
+        .withColumn("rel_err",
+          when(col("exact") > 0,
+            round(abs(col("approx") - col("exact")) / col("exact"), 4)))
+        .orderBy("metric")
+    },
+    None)
+
   /** R59 — per-group OLS trend line (the monitoring/forecast read:
     * "is order value drifting per priority class"): slope and
     * intercept of cents-quantized value over month index, from the
@@ -1782,6 +1841,6 @@ object Relational {
     qApproxPercentile, qOuterJoin, qSlidingWindow, qSetOps, qSqlSurface,
     qGroupingSets, qBloomJoin, qArgmax, qUnpivot, q18LargeOrders,
     qCorrStats, qRecursiveCte, qWindowDist, qSketchRollup, qQuantileRollup,
-    qSketchOverlap,
+    qSketchOverlap, qThetaAlgebra,
     qTrendSlope, qListagg, qLateralTopn, qGapfill, qNullsafeJoin, qWinsorize)
 }

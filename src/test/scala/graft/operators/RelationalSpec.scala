@@ -350,6 +350,25 @@ class RelationalSpec extends SparkSpec {
       rows("intersection")._1 === rows("union")._1)
   }
 
+  test("R130: theta set algebra — direct intersection/difference within bounds") {
+    val rows = Relational.qThetaAlgebra.fn(spark, sf).collect()
+      .map(r => r.getAs[String]("metric") ->
+        (r.getAs[Long]("exact"), r.getAs[Double]("approx"),
+          r.getAs[Double]("rel_err"))).toMap
+    assert(rows.keySet === Set("segment_a", "segment_b", "union",
+      "intersection", "a_minus_b"))
+    // every metric — INCLUDING the intersection and difference, which
+    // theta computes directly rather than deriving — stays tight; this
+    // is the structural edge over R58's inclusion-exclusion (its
+    // intersection bound is 15%)
+    rows.foreach { case (m, (exact, approx, err)) =>
+      if (exact > 0) assert(err < 0.05, s"$m rel_err $err")
+      else assert(approx === 0.0, s"empty $m must estimate 0") }
+    // exact-side partition law: a = (a minus b) + intersection
+    assert(rows("a_minus_b")._1 + rows("intersection")._1 ===
+      rows("segment_a")._1)
+  }
+
   test("R47: the LATERAL top-N decorrelates to a window rank, not a nested loop") {
     val plan = Relational.qLateralTopn.fn(spark, sf)
       .queryExecution.executedPlan.toString
