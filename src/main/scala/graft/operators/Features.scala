@@ -227,5 +227,73 @@ object Features {
              FROM r1 JOIN r7 ON r1.event_type = r7.event_type
              ORDER BY r1.event_type"""))
 
-  def all: Seq[QueryDef] = Seq(qTargetEncode, qFeatureScale, qAutocorr)
+  /** D83 — point-in-time-correct training-matrix assembly: one row per
+    * label event (a purchase), every feature computed from the user's
+    * history STRICTLY BEFORE that label — leakage-proof BY FRAME
+    * CONSTRUCTION: all features share one window whose frame ends at
+    * the preceding row (`rowsBetween(unboundedPreceding, -1)`), so no
+    * feature can see its own label's timestamp, let alone later data.
+    * This is the read every supervised pipeline needs and most get
+    * wrong with plain per-feature joins (a feature aggregated "per
+    * user" over the whole table trains on the future; E13b answers
+    * point-in-time for DIMENSIONS, this does it for BEHAVIORAL
+    * aggregates).
+    *
+    * Features: prior event count, prior view count, last observed
+    * value (cents-quantized), µs since the user's first event — all
+    * exact integers over one (user, time, event_id)-ordered window
+    * pass; the tie order is total, so "strictly before" is
+    * well-defined even for same-timestamp events. ONE user-keyed hash
+    * exchange for any number of features; per-user history is the
+    * bounded sessionize/pack frame class. */
+  val qFeatureMatrix = QueryDef(
+    "q_feature_asof_matrix",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("val_c"))
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev
+        .withColumn("n_prior", count(lit(1)).over(w))
+        // SUM over an empty frame is NULL per SQL; a count of prior
+        // views is semantically 0 — coalesce in BOTH engines
+        .withColumn("n_prior_views",
+          coalesce(sum(when(col("event_type") === "view", 1L)
+            .otherwise(0L)).over(w), lit(0L)))
+        .withColumn("last_val_c", last(col("val_c"), ignoreNulls = true)
+          .over(w))
+        .withColumn("first_ts_us", min(col("ts_us")).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("label_event_id"),
+          col("n_prior"), col("n_prior_views"),
+          col("last_val_c"),
+          (col("ts_us") - col("first_ts_us")).as("tenure_us"))
+        .orderBy("user_id", "label_event_id")
+    },
+    Some("""WITH ev AS (
+              SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS val_c
+              FROM events),
+            f AS (SELECT user_id, event_id, event_type, ts_us,
+                    CAST(count(*) OVER w AS BIGINT) AS n_prior,
+                    CAST(COALESCE(SUM(CASE WHEN event_type = 'view'
+                      THEN 1 ELSE 0 END) OVER w, 0) AS BIGINT)
+                      AS n_prior_views,
+                    LAST_VALUE(val_c IGNORE NULLS) OVER w AS last_val_c,
+                    MIN(ts_us) OVER w AS first_ts_us
+                  FROM ev
+                  WINDOW w AS (PARTITION BY user_id
+                    ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+            SELECT user_id, event_id AS label_event_id, n_prior,
+                   n_prior_views, last_val_c,
+                   ts_us - first_ts_us AS tenure_us
+            FROM f WHERE event_type = 'purchase'
+            ORDER BY user_id, label_event_id"""))
+
+  def all: Seq[QueryDef] = Seq(qTargetEncode, qFeatureScale, qAutocorr,
+    qFeatureMatrix)
 }

@@ -114,4 +114,38 @@ class FeaturesSpec extends SparkSpec {
       assert(math.abs(r.getAs[Long]("ac7_q")) <= 1000000L)
     }
   }
+
+  test("D83: every feature replays from STRICTLY-prior history — no leakage") {
+    import org.apache.spark.sql.functions._
+    val hist = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("val_c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .groupBy(_._1).view.mapValues(_.sortBy(e => (e._3, e._2))).toMap
+    val got = Features.qFeatureMatrix.fn(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val id = r.getAs[Long]("label_event_id")
+      val seq = hist(u)
+      val idx = seq.indexWhere(_._2 == id)
+      val prior = seq.take(idx) // strictly before in the total order
+      assert(r.getAs[Long]("n_prior") === prior.length)
+      assert(r.getAs[Long]("n_prior_views") ===
+        prior.count(_._4 == "view"))
+      val lastVal = prior.reverse.collectFirst {
+        case (_, _, _, _, Some(v)) => v }
+      if (lastVal.isEmpty) assert(r.isNullAt(r.fieldIndex("last_val_c")))
+      else assert(r.getAs[Long]("last_val_c") === lastVal.get)
+      if (prior.isEmpty) assert(r.isNullAt(r.fieldIndex("tenure_us")))
+      else assert(r.getAs[Long]("tenure_us") ===
+        seq(idx)._3 - prior.map(_._3).min)
+    }
+    // first-ever-event purchases really occur in the fixture (the
+    // null-feature path is exercised, not vacuous)
+    assert(got.exists(_.getAs[Long]("n_prior") === 0L))
+  }
 }
