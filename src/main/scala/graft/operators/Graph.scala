@@ -279,5 +279,74 @@ object Graph {
           GROUP BY e.src ORDER BY node"""
     })
 
-  val all: Seq[QueryDef] = Seq(qPagerank, qBfsLayers, qKcore)
+  /** R131 — label-propagation community detection (Raghavan et al.
+    * 2007, the near-linear community algorithm): each node adopts the
+    * label the PLURALITY of its neighbors carry (self-vote included —
+    * the standard damping against synchronous oscillation on
+    * bipartite structure), ties broken to the MINIMUM label so every
+    * round is deterministic. Communities are where the count
+    * mechanism beats pure min-propagation: a bridge node keeps its
+    * clique's label because its clique outvotes the single
+    * cross-edge, which is exactly what distinguishes LPA from
+    * connected components (D15 — one label per connected blob).
+    *
+    * Rounds are FIXED so the oracle unrolls them as CTEs (the
+    * PageRank/k-core convention). Per round: one node-keyed edge
+    * join + a (node, label) count + a plurality argmax via
+    * `max(struct(cnt, -lbl))` — all integers, no window over raw
+    * rows; localCheckpoint cuts lineage per round. */
+  def labelProp(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.persist()
+    var lab = e.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val nbrVotes = e
+        .join(lab.select(col("node").as("nb"), col("lbl")),
+          col("dst") === col("nb"))
+        .select(col("src").as("node"), col("lbl"))
+      lab = nbrVotes.unionByName(lab) // self-vote
+        .groupBy("node", "lbl").agg(count(lit(1)).as("cnt"))
+        .groupBy("node")
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("lbl"))
+        .localCheckpoint()
+    }
+    e.unpersist()
+    lab
+  }
+
+  private val LpaRounds = 4
+
+  val qLabelProp = QueryDef(
+    "q_label_prop",
+    (s, d) => labelProp(tradeEdgesStored(s, d), LpaRounds)
+      .orderBy("node"),
+    Some {
+      def round(prev: String): String =
+        s"""SELECT node, lbl FROM (
+              SELECT node, lbl,
+                     row_number() OVER (PARTITION BY node
+                       ORDER BY count(*) DESC, lbl) AS rn
+              FROM (SELECT e.src AS node, p.lbl
+                    FROM edges e JOIN $prev p ON e.dst = p.node
+                    UNION ALL
+                    SELECT node, lbl FROM $prev)
+              GROUP BY node, lbl)
+            WHERE rn = 1"""
+      val its = (1 to LpaRounds)
+        .map(i => s"it$i AS (${round(s"it${i - 1}")})")
+        .mkString(",\n          ")
+      s"""WITH pairs AS (
+            SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          edges AS (
+            SELECT src, dst FROM pairs
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM pairs),
+          it0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+          $its
+          SELECT node, lbl FROM it$LpaRounds ORDER BY node"""
+    })
+
+  val all: Seq[QueryDef] = Seq(qPagerank, qBfsLayers, qKcore, qLabelProp)
 }

@@ -114,4 +114,39 @@ class GraphSpec extends SparkSpec {
     assert(atRounds.nonEmpty && atRounds.values.forall(_ >= 10L))
     e.unpersist()
   }
+
+  test("R131: LPA resolves two bridged cliques into two communities") {
+    import spark.implicits._
+    // two K4s {0..3} and {10..13} joined by the single bridge 3-10:
+    // pure min-propagation would leak label 0 across the bridge; the
+    // plurality vote must hold the right clique together
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a != b) yield (a, b)
+    val edges = (clique(Seq(0L, 1L, 2L, 3L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) ++
+      Seq((3L, 10L), (10L, 3L))).toDF("src", "dst")
+    val lab = Graph.labelProp(edges, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab.keySet === Set(0L, 1L, 2L, 3L, 10L, 11L, 12L, 13L))
+    val left = Set(0L, 1L, 2L, 3L).map(lab)
+    val right = Set(10L, 11L, 12L, 13L).map(lab)
+    assert(left.size === 1, s"left clique must agree on one label: $lab")
+    assert(right.size === 1, s"right clique must agree on one label: $lab")
+    assert(left !== right,
+      s"the bridge must NOT merge the cliques (the count mechanism): $lab")
+  }
+
+  test("R131: on the trade graph LPA is deterministic and nontrivial") {
+    val e = Graph.tradeEdgesStored(spark, sf)
+    val a = Graph.qLabelProp.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.qLabelProp.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b, "synchronous LPA with a total tie order is deterministic")
+    val nNodes = a.size
+    val nLabels = a.values.toSet.size
+    assert(nLabels > 1 && nLabels < nNodes,
+      s"$nLabels labels over $nNodes nodes — communities must be nontrivial")
+    assert(e.count() > 0)
+  }
 }
