@@ -823,6 +823,39 @@ object EventAnalytics {
             GROUP BY d.day
             ORDER BY window_day"""))
 
+  /** R132 — rolling distinct users from STORED daily sketches: the
+    * 100 TB swap R55's Scaladoc promises, made real. One pass builds a
+    * per-day HLL sketch (the stored artifact — at scale these live
+    * beside the daily partition); every trailing 7-day WAU then
+    * computes by merging 7 SKETCHES per day (`hll_union_agg` as a
+    * window aggregate over the O(calendar) day frame) — raw events
+    * are never re-touched and the (user, day) fan-out R55 pays per
+    * query disappears. SELF-VERIFYING rows-only: R55's exact
+    * windowed recount rides beside the estimate with rel_err per day
+    * (the exact side is eval instrumentation; production reads only
+    * sketches). The window is global but its frame is the bounded
+    * O(calendar) day table — the sanctioned spine class. */
+  val qRollingDistinctSketch = QueryDef(
+    "q_rolling_distinct_sketch",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("window_day"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      val w = Window.orderBy("window_day").rowsBetween(-6, 0)
+      val approx = daily
+        .withColumn("usk", expr("hll_union_agg(sk)").over(w))
+        .select(col("window_day"),
+          expr("hll_sketch_estimate(usk)").as("wau_approx"))
+      val exact = rollingDistinct(s, d)
+        .select(col("window_day"), col("wau_7d").as("wau_exact"))
+      approx.join(exact, "window_day")
+        .withColumn("rel_err",
+          round(abs(col("wau_approx") - col("wau_exact")) /
+            col("wau_exact"), 4))
+        .orderBy("window_day")
+    },
+    None)
+
   /** R60 — time-weighted average value per key (TWAP — the metric/
     * pricing read where a plain mean over-weights bursts: each sample
     * holds until the NEXT sample, so it weighs by its holding
@@ -1172,6 +1205,7 @@ object EventAnalytics {
     qEventTransitions, qRateAnomalies, qAttribution, qIntervalMerge,
     qIntervalOverlap, qEventRegex, qForwardFill, qLocalDayRollup,
     qRollingMedian, qSinceAnchor, qSeasonalBacktest, qFunnelLatency, qEwma,
-    qRollingDistinct, qTwap, qCumulativeDistinct, qEventPaths, qSeasonality,
+    qRollingDistinct, qRollingDistinctSketch, qTwap, qCumulativeDistinct,
+    qEventPaths, qSeasonality,
     qDecompose, qCusum)
 }

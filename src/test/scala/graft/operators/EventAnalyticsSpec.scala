@@ -227,4 +227,20 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Int]("n_aborted_views") > 0))
     out.unpersist()
   }
+
+  test("R132: window-merged daily sketches track the exact rolling distinct") {
+    val rows = EventAnalytics.qRollingDistinctSketch.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("rel_err") < 0.05,
+        s"day ${r.getAs[java.sql.Date]("window_day")} rel_err " +
+          s"${r.getAs[Double]("rel_err")}")
+      // an HLL union can only see users the exact window saw
+      assert(r.getAs[Long]("wau_approx") > 0)
+    }
+    // every exact window day gets a sketch answer (same day coverage)
+    val exactDays = EventAnalytics.qRollingDistinct.fn(spark, sf)
+      .collect().map(_.getAs[java.sql.Date]("window_day")).toSet
+    assert(rows.map(_.getAs[java.sql.Date]("window_day")).toSet === exactDays)
+  }
 }
