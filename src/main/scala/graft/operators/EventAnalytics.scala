@@ -823,6 +823,56 @@ object EventAnalytics {
             GROUP BY d.day
             ORDER BY window_day"""))
 
+  /** R133 — run-length encoding of per-key event streams: collapse
+    * each user's consecutive repeats of the same event type into one
+    * (type, run_length, start, end) row — the lossless compression of
+    * bursty behavioral logs (a poll loop emitting 10,000 identical
+    * pings becomes one row) and the input shape for burst analytics
+    * ("longest uninterrupted view streak"). Classic gaps-and-islands:
+    * a lag-inequality flags run starts, a running sum numbers runs,
+    * one groupBy collapses — all three frames share the single
+    * (user, time, id) hash exchange (the R50 discipline). Everything
+    * integer/string-exact. */
+  val qRunLength = QueryDef(
+    "q_runlength",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"))
+        .withColumn("new_run",
+          when(lag(col("event_type"), 1).over(w).isNull ||
+            lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("run_id", sum("new_run").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      ev.groupBy(col("user_id"), col("run_id"))
+        .agg(first(col("event_type")).as("event_type"),
+          count(lit(1)).as("run_len"),
+          min(col("ts_us")).as("start_us"),
+          max(col("ts_us")).as("end_us"))
+        .orderBy("user_id", "run_id")
+    },
+    Some("""WITH ev AS (
+              SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+                     CASE WHEN lag(event_type, 1) OVER w IS NULL
+                            OR lag(event_type, 1) OVER w <> event_type
+                          THEN 1 ELSE 0 END AS new_run
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+            r AS (SELECT *,
+                    CAST(SUM(new_run) OVER (PARTITION BY user_id
+                      ORDER BY ts_us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS run_id
+                  FROM ev)
+            SELECT user_id, run_id, ANY_VALUE(event_type) AS event_type,
+                   CAST(count(*) AS BIGINT) AS run_len,
+                   CAST(MIN(ts_us) AS BIGINT) AS start_us,
+                   CAST(MAX(ts_us) AS BIGINT) AS end_us
+            FROM r GROUP BY 1, 2
+            ORDER BY user_id, run_id"""))
+
   /** R132 — rolling distinct users from STORED daily sketches: the
     * 100 TB swap R55's Scaladoc promises, made real. One pass builds a
     * per-day HLL sketch (the stored artifact — at scale these live
@@ -1205,7 +1255,7 @@ object EventAnalytics {
     qEventTransitions, qRateAnomalies, qAttribution, qIntervalMerge,
     qIntervalOverlap, qEventRegex, qForwardFill, qLocalDayRollup,
     qRollingMedian, qSinceAnchor, qSeasonalBacktest, qFunnelLatency, qEwma,
-    qRollingDistinct, qRollingDistinctSketch, qTwap, qCumulativeDistinct,
-    qEventPaths, qSeasonality,
+    qRollingDistinct, qRollingDistinctSketch, qRunLength, qTwap,
+    qCumulativeDistinct, qEventPaths, qSeasonality,
     qDecompose, qCusum)
 }

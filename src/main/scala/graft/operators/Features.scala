@@ -294,6 +294,58 @@ object Features {
             FROM f WHERE event_type = 'purchase'
             ORDER BY user_id, label_event_id"""))
 
+  /** R134 — mutual information between a categorical feature and a
+    * label (I(source; lang) over documents): the feature-selection
+    * read that ranks "which metadata column predicts the label" —
+    * R126's chi-square tests INDEPENDENCE (is there any association),
+    * MI measures its STRENGTH in nats and is comparable across
+    * features. One bounded (x, y) contingency aggregation; marginals
+    * via windows on the O(cells) frame; each cell's
+    * (n_xy/N)·ln(n_xy·N/(n_x·n_y)) contribution floor-quantized to a
+    * long at 1e9 BEFORE the total (the D72/JSD order-free-sum
+    * convention) — the statistic is an integer sum, hash-exact. */
+  val qMutualInfo = QueryDef(
+    "q_mutual_info",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = Tables.documents(s, d)
+        .groupBy(col("source").as("x"), col("lang").as("y"))
+        .agg(count(lit(1)).as("n_xy"))
+      val wX = Window.partitionBy("x")
+      val wY = Window.partitionBy("y")
+      val wAll = Window.partitionBy(lit(1))
+      cells
+        .withColumn("n_x", sum("n_xy").over(wX))
+        .withColumn("n_y", sum("n_xy").over(wY))
+        .withColumn("n", sum("n_xy").over(wAll))
+        .withColumn("contrib_q",
+          floor(col("n_xy").cast("double") / col("n") *
+            log(col("n_xy").cast("double") * col("n") /
+              (col("n_x").cast("double") * col("n_y"))) * 1e9)
+            .cast("long"))
+        .withColumn("mi_q", sum("contrib_q").over(wAll))
+        .select(col("x"), col("y"), col("n_xy"), col("contrib_q"),
+          col("mi_q"))
+        .orderBy("x", "y")
+    },
+    Some("""WITH cells AS (
+              SELECT source AS x, lang AS y, CAST(count(*) AS BIGINT) AS n_xy
+              FROM documents GROUP BY 1, 2),
+            m AS (SELECT *,
+                    CAST(SUM(n_xy) OVER (PARTITION BY x) AS BIGINT) AS n_x,
+                    CAST(SUM(n_xy) OVER (PARTITION BY y) AS BIGINT) AS n_y,
+                    CAST(SUM(n_xy) OVER () AS BIGINT) AS n
+                  FROM cells),
+            t AS (SELECT *,
+                    CAST(floor(CAST(n_xy AS DOUBLE) / n *
+                      ln(CAST(n_xy AS DOUBLE) * n /
+                        (CAST(n_x AS DOUBLE) * n_y)) * 1e9) AS BIGINT)
+                      AS contrib_q
+                  FROM m)
+            SELECT x, y, n_xy, contrib_q,
+                   CAST(SUM(contrib_q) OVER () AS BIGINT) AS mi_q
+            FROM t ORDER BY x, y"""))
+
   def all: Seq[QueryDef] = Seq(qTargetEncode, qFeatureScale, qAutocorr,
-    qFeatureMatrix)
+    qFeatureMatrix, qMutualInfo)
 }

@@ -228,6 +228,37 @@ class EventAnalyticsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("R133: RLE is lossless — runs tile each history and adjacent runs differ") {
+    import org.apache.spark.sql.functions._
+    val runs = EventAnalytics.qRunLength.fn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("run_id"),
+        r.getAs[String]("event_type"), r.getAs[Long]("run_len")))
+    val perUserRuns = runs.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2)).toMap
+    val counts = graft.Tables.events(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    perUserRuns.foreach { case (u, rs) =>
+      assert(rs.map(_._4).sum === counts(u), s"runs must tile user $u")
+      assert(rs.map(_._2).toSeq === (1L to rs.length).toSeq,
+        "run ids dense from 1")
+      rs.sliding(2).filter(_.length == 2).foreach { p =>
+        assert(p(0)._3 != p(1)._3,
+          s"adjacent runs for user $u must differ in type (else not maximal)")
+      }
+    }
+    // decode round-trip for one user with a genuinely multi-run history
+    val u = perUserRuns.collectFirst {
+      case (u, rs) if rs.length > 3 => u }.get
+    val decoded = perUserRuns(u).flatMap(r => Seq.fill(r._4.toInt)(r._3))
+    val src = graft.Tables.events(spark, sf)
+      .filter(col("user_id") === u)
+      .select(col("event_type"), unix_micros(col("ts")).as("t"),
+        col("event_id"))
+      .orderBy("t", "event_id").collect().map(_.getString(0)).toSeq
+    assert(decoded.toSeq === src)
+  }
+
   test("R132: window-merged daily sketches track the exact rolling distinct") {
     val rows = EventAnalytics.qRollingDistinctSketch.fn(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -115,6 +115,35 @@ class FeaturesSpec extends SparkSpec {
     }
   }
 
+  test("R134: MI replays exactly and detects a perfectly informative feature") {
+    import org.apache.spark.sql.functions._
+    val cells = graft.Tables.documents(spark, sf)
+      .groupBy("source", "lang").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val nx = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val ny = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val n = cells.values.sum
+    val ref = cells.map { case ((x, y), nxy) =>
+      math.floor(nxy.toDouble / n *
+        math.log(nxy.toDouble * n / (nx(x).toDouble * ny(y))) * 1e9).toLong
+    }.sum
+    val rows = Features.qMutualInfo.fn(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("mi_q")).distinct === Seq(ref))
+    // MI of a variable with ITSELF is its entropy (maximal dependence):
+    // recompute via the same operator shape driver-side on (lang, lang)
+    val langs = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val selfMi = langs.map { case (_, c) =>
+      math.floor(c.toDouble / n *
+        math.log(c.toDouble * n / (c.toDouble * c)) * 1e9).toLong }.sum
+    val entropy = langs.map { case (_, c) =>
+      -c.toDouble / n * math.log(c.toDouble / n) }.sum
+    assert(math.abs(selfMi / 1e9 - entropy) < 1e-6,
+      "self-MI must equal the label entropy")
+    // and the real feature's MI is bounded by that entropy
+    assert(ref <= selfMi + rows.length,
+      "I(X;Y) <= H(Y) within quantization slack")
+  }
+
   test("D83: every feature replays from STRICTLY-prior history — no leakage") {
     import org.apache.spark.sql.functions._
     val hist = graft.Tables.events(spark, sf)
