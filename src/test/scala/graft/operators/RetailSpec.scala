@@ -109,6 +109,23 @@ class RetailSpec extends SparkSpec {
     }
   }
 
+  test("R135: the price/volume bridge identity is exact on every row") {
+    val rows = Retail.qPriceVolumeBridge.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("residual") === 0L,
+        "scaled decomposition must be an exact integer identity")
+      assert(r.getAs[Long]("volume_effect_scaled") +
+        r.getAs[Long]("price_effect_scaled") ===
+        r.getAs[Long]("delta_scaled"))
+      // a pure-volume month (same unit value) would put the whole delta
+      // in the volume term; directionally, more units at fixed revenue
+      // per unit can't produce a negative volume effect
+      if (r.getAs[Long]("q") > r.getAs[Long]("q_prev"))
+        assert(r.getAs[Long]("volume_effect_scaled") >= 0L)
+    }
+  }
+
   test("R128: shares tile their totals within flooring loss, ranks are dense") {
     val rows = Retail.qShareOfTotal.fn(spark, sf).collect()
     assert(rows.nonEmpty)
