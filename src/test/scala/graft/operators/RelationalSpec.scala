@@ -138,6 +138,9 @@ class RelationalSpec extends SparkSpec {
       // Q22's above-average-balance threshold is the sanctioned 1-row
       // aggregate broadcast crossJoin
       "q22_dormant_customers",
+      // Q11's share-of-total threshold is the same class: the 1-row
+      // (total, n_parts) aggregate broadcasts into the HAVING compare
+      "q11_important_parts",
       "dedup_minhash_lsh", "dedup_simhash",
       "dedup_ngram_jaccard", "dedup_pipeline", "dedup_skew_stress",
       "text_bm25", "dedup_semantic", "text_lm_score",
@@ -148,6 +151,9 @@ class RelationalSpec extends SparkSpec {
       // count, planted-recall evidence rows, DSIR's corpus-constant row)
       "q_sketch_rollup", "etl_quality_checks", "dedup_incremental",
       "text_dsir_select",
+      // R129's merged-ALL row crossJoins its 1-row exact-percentile
+      // instrumentation — the q_sketch_rollup convention
+      "q_quantile_rollup",
       // bounded-broadcast eval-set scan, same class as ann_bruteforce
       "emb_decontaminate",
       // bounded-broadcast anchor-set corpus scan (D71's documented
