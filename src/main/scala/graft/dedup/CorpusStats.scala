@@ -244,6 +244,66 @@ object CorpusStats {
       .orderBy("doc_id")
   }
 
+  /** D84 — vocabulary coverage / OOV curve: for candidate vocabulary
+    * sizes V, what fraction of corpus TOKENS would an encoder limited
+    * to the top-V word types fail to cover? The sizing read behind
+    * every tokenizer budget ("does 32k buy us 99% coverage or 92%?"),
+    * answered from ONE word-frequency table: types rank by
+    * (count desc, word) via the R53 two-pass global row_number (the
+    * type table is corpus-vocabulary-sized — far smaller than the
+    * corpus, but NOT driver-bounded, so no single-partition window),
+    * then every candidate V is a conditional sum over the ranked
+    * types in ONE aggregation — a per-V re-scan would pay the corpus
+    * once per curve point. Exact integers; OOV rates in ppm. */
+  val textOovCurve = QueryDef(
+    "text_oov_curve",
+    (s, d) => {
+      val vocabSizes = Seq(100L, 1000L, 10000L)
+      val counts = graft.functions.Spread(Tables.documents(s, d),
+          col("doc_id"))
+        .select(explode(graft.functions.Text.words(col("text")))
+          .as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+      val ranked = graft.operators.Ranks.globalRowNumber(
+        counts, Seq(col("cnt").desc, col("w")), 8, "rnk")
+      val aggCols = Seq(count(lit(1)).as("n_types")) ++
+        vocabSizes.map(v =>
+          sum(when(col("rnk") <= v, col("cnt")).otherwise(0L))
+            .as(s"cov_$v"))
+      val one = ranked.agg(sum(col("cnt")).as("total"), aggCols: _*)
+      one.select(col("total"), col("n_types"),
+          expr(s"stack(${vocabSizes.size}, " +
+            vocabSizes.map(v => s"${v}L, cov_$v").mkString(", ") +
+            ") as (vocab_size, covered)"))
+        .select(col("vocab_size"), col("covered"), col("total"),
+          col("n_types"),
+          expr("(total - covered) * 1000000 div total").as("oov_ppm"))
+        .orderBy("vocab_size")
+    },
+    Some(s"""WITH w AS (
+              SELECT unnest(string_split(${PipelineQueries.oCanon}, ' '))
+                AS w
+              FROM documents),
+            c AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+                  FROM w WHERE w <> '' GROUP BY 1),
+            r AS (SELECT cnt,
+                    row_number() OVER (ORDER BY cnt DESC, w) AS rnk
+                  FROM c),
+            a AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+                    CAST(count(*) AS BIGINT) AS n_types,
+                    ${Seq(100, 1000, 10000).map(v =>
+                      s"""CAST(SUM(CASE WHEN rnk <= $v THEN cnt ELSE 0
+                         END) AS BIGINT) AS cov_$v""")
+                      .mkString(",\n                    ")}
+                  FROM r)
+            ${Seq(100, 1000, 10000).map(v =>
+              s"""SELECT CAST($v AS BIGINT) AS vocab_size,
+                     cov_$v AS covered, total, n_types,
+                     (total - cov_$v) * 1000000 // total AS oov_ppm
+              FROM a""").mkString("\n            UNION ALL\n            ")}
+            ORDER BY vocab_size"""))
+
   val textNovelty = QueryDef(
     "text_novelty",
     (s, d) => noveltyOn(
@@ -330,5 +390,5 @@ object CorpusStats {
              FROM terms GROUP BY source ORDER BY source"""))
 
   def all: Seq[QueryDef] = Seq(textEntropyJsd, textTfidfKeywords,
-    textReadability, textNovelty, textLengthTail)
+    textReadability, textNovelty, textLengthTail, textOovCurve)
 }

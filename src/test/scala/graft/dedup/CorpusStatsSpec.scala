@@ -127,4 +127,25 @@ class CorpusStatsSpec extends SparkSpec {
     assert(finalPlan.contains("ReusedExchange"),
       s"join-back must reuse the gram exchange:\n$finalPlan")
   }
+
+  test("D84: the OOV curve replays exactly and is monotone in vocab size") {
+    import org.apache.spark.sql.functions._
+    val words = graft.Tables.documents(spark, sf)
+      .select(explode(graft.functions.Text.words(col("text"))).as("w"))
+      .filter(col("w") =!= "").collect().map(_.getString(0))
+    val byType = words.groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy { case (w, c) => (-c, w) }
+    val total = words.length.toLong
+    val rows = CorpusStats.textOovCurve.fn(spark, sf).collect()
+      .map(r => r.getAs[Long]("vocab_size") ->
+        (r.getAs[Long]("covered"), r.getAs[Long]("oov_ppm"))).toMap
+    rows.foreach { case (v, (cov, ppm)) =>
+      val expectCov = byType.take(v.toInt).map(_._2).sum
+      assert(cov === expectCov, s"coverage at V=$v")
+      assert(ppm === (total - expectCov) * 1000000L / total)
+    }
+    val ppms = rows.toSeq.sortBy(_._1).map(_._2._2)
+    assert(ppms.zip(ppms.tail).forall { case (a, b) => a >= b },
+      "a bigger vocabulary cannot cover fewer tokens")
+  }
 }
