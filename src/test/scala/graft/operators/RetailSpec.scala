@@ -109,6 +109,32 @@ class RetailSpec extends SparkSpec {
     }
   }
 
+  test("R137: monthly ranks are dense and rank gains are zero-sum") {
+    val rows = Retail.qTrendingRank.fn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("ym"), r.getAs[String]("p_brand"),
+        r.getAs[Long]("rnk"),
+        if (r.isNullAt(r.fieldIndex("rank_gain"))) None
+        else Some(r.getAs[Long]("rank_gain"))))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (ym, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (1L to rs.length).toSeq,
+        s"month $ym ranks must be dense (tie-broken total order)")
+    }
+    // zero-sum: when consecutive months carry the SAME brand set,
+    // rank positions are a permutation — gains cancel exactly
+    val byYm = rows.groupBy(_._1)
+    val consecutive = byYm.keys.toSeq.sorted.sliding(2)
+      .filter(p => p.length == 2 && p(1) == p(0) + 1)
+      .filter { p =>
+        byYm(p(0)).map(_._2).toSet == byYm(p(1)).map(_._2).toSet }
+      .toSeq
+    assert(consecutive.nonEmpty, "fixture needs stable-brand-set months")
+    consecutive.foreach { p =>
+      val gains = byYm(p(1)).flatMap(_._4)
+      assert(gains.sum === 0L, s"months $p: rank gains must cancel")
+    }
+  }
+
   test("R135: the price/volume bridge identity is exact on every row") {
     val rows = Retail.qPriceVolumeBridge.fn(spark, sf).collect()
     assert(rows.nonEmpty)
