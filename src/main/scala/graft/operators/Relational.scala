@@ -1361,6 +1361,42 @@ object Relational {
     },
     None)
 
+  /** R138: re-aggregatable HEAVY-HITTERS store — the third leg of the
+    * mergeable-sketch trilogy (R40 distinct counts, R129 quantiles,
+    * this: frequent items). Per-source `approx_top_k_accumulate`
+    * sketches over document words are the stored artifact;
+    * `approx_top_k_combine` merges ANY set of stored sketches and
+    * `approx_top_k_estimate` reads the global top-k — corpus-wide
+    * vocabulary questions answered from sketch bytes without
+    * re-scanning documents (D21 estimates in one shot; this STORES
+    * and MERGES). SELF-VERIFYING rows-only: every estimated item
+    * carries its exact corpus frequency and the rel error in-output
+    * (exact side = eval instrumentation). */
+  val qTopkSketchRollup = QueryDef(
+    "q_topk_sketch_rollup",
+    (s, d) => {
+      val words = Tables.documents(s, d)
+        .select(col("source"),
+          explode(graft.functions.Text.words(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+      val perSource = words.groupBy("source")
+        .agg(expr("approx_top_k_accumulate(w, 2000)").as("sk"))
+      val estimated = perSource
+        .agg(expr("approx_top_k_estimate(approx_top_k_combine(sk), 20)")
+          .as("top"))
+        .select(posexplode(col("top")).as(Seq("pos", "t")))
+        .select((col("pos") + 1).cast("long").as("est_rank"),
+          col("t.item").as("w"), col("t.count").cast("long").as("est_n"))
+      val exact = words.groupBy("w").agg(count(lit(1)).as("exact_n"))
+      estimated.join(exact, "w")
+        .withColumn("rel_err",
+          round(abs(col("est_n") - col("exact_n")) / col("exact_n"), 4))
+        .select(col("est_rank"), col("w"), col("est_n"), col("exact_n"),
+          col("rel_err"))
+        .orderBy("est_rank", "w")
+    },
+    None)
+
   /** R59 — per-group OLS trend line (the monitoring/forecast read:
     * "is order value drifting per priority class"): slope and
     * intercept of cents-quantized value over month index, from the
@@ -1841,6 +1877,6 @@ object Relational {
     qApproxPercentile, qOuterJoin, qSlidingWindow, qSetOps, qSqlSurface,
     qGroupingSets, qBloomJoin, qArgmax, qUnpivot, q18LargeOrders,
     qCorrStats, qRecursiveCte, qWindowDist, qSketchRollup, qQuantileRollup,
-    qSketchOverlap, qThetaAlgebra,
+    qSketchOverlap, qThetaAlgebra, qTopkSketchRollup,
     qTrendSlope, qListagg, qLateralTopn, qGapfill, qNullsafeJoin, qWinsorize)
 }

@@ -356,6 +356,26 @@ class RelationalSpec extends SparkSpec {
       rows("intersection")._1 === rows("union")._1)
   }
 
+  test("R138: merged top-k sketches find the true heavy hitters with tight counts") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.qTopkSketchRollup.fn(spark, sf).collect()
+    assert(rows.length >= 10)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("rel_err") < 0.05,
+        s"${r.getAs[String]("w")} rel_err ${r.getAs[Double]("rel_err")}")
+    }
+    // the true top-5 words must all appear in the estimated top-20
+    val exactTop5 = graft.Tables.documents(spark, sf)
+      .select(explode(graft.functions.Text.words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("w")).limit(5)
+      .collect().map(_.getString(0)).toSet
+    val estimated = rows.map(_.getAs[String]("w")).toSet
+    assert(exactTop5.subsetOf(estimated),
+      s"missing true heavy hitters: ${exactTop5 -- estimated}")
+  }
+
   test("R130: theta set algebra — direct intersection/difference within bounds") {
     val rows = Relational.qThetaAlgebra.fn(spark, sf).collect()
       .map(r => r.getAs[String]("metric") ->
