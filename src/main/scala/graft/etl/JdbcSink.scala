@@ -94,7 +94,8 @@ object JdbcSink extends Serializable {
           val nn = if (keyCols.contains(f.name)) " NOT NULL" else ""
           s"${f.name} ${sqlType(f.dataType)}$nn"
         }.mkString(", ")
-        val pk = s", PRIMARY KEY (${keyCols.mkString(", ")})"
+        val pk = if (keyCols.isEmpty) ""
+          else s", PRIMARY KEY (${keyCols.mkString(", ")})"
         val st = conn.createStatement()
         try st.executeUpdate(s"CREATE TABLE $table ($cols$pk)")
         catch {
@@ -357,6 +358,70 @@ object JdbcSink extends Serializable {
             }
           }
       }
+    }
+  }
+
+  /** S29 — exactly-once APPEND for `foreachBatch` into JDBC: the data
+    * rows and a (batch_id, part_id) LEDGER row commit in ONE
+    * transaction per partition, so a replayed micro-batch (restart,
+    * task retry) finds its ledger row and skips — exactly-once
+    * EFFECTIVE for plain appends, where [[upsert]] needs key
+    * idempotence and E8c's recipe needs a merge key. A crash between
+    * the data insert and the commit leaves NOTHING (single
+    * transaction); a crash after commit is a recorded partition the
+    * replay provably skips. The ledger probe is an in-transaction
+    * SELECT (portable across engines — no reliance on
+    * constraint-violation exception taxonomy); Spark serializes a
+    * batch's re-execution, so probe-then-insert is race-free in the
+    * foreachBatch contract. */
+  def appendExactlyOnce(df: DataFrame, url: String, table: String,
+      ledgerTable: String, batchId: Long, batchSize: Int = 1000): Unit = {
+    val schema = df.schema
+    schema.fields.foreach(f => sqlType(f.dataType))
+    ensureTable(url, table, schema, keyCols = Seq.empty)
+    ensureTable(url, ledgerTable, StructType(Seq(
+      StructField("batch_id", LongType, nullable = false),
+      StructField("part_id", IntegerType, nullable = false),
+      StructField("n_rows", LongType))), Seq("batch_id", "part_id"))
+
+    val cols = schema.fieldNames.toSeq
+    val allIdx = cols.indices.toSeq
+    val codes = schema.fields.map(f => typeCode(f.dataType))
+    val insertSql = s"INSERT INTO $table (${cols.mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+
+    df.foreachPartition { rows: Iterator[Row] =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val conn: Connection = DriverManager.getConnection(url)
+      conn.setAutoCommit(false)
+      try {
+        val probe = conn.prepareStatement(
+          s"SELECT 1 FROM $ledgerTable WHERE batch_id = ? AND part_id = ?")
+        probe.setLong(1, batchId); probe.setInt(2, pid)
+        val rs = probe.executeQuery()
+        val committed = try rs.next() finally { rs.close(); probe.close() }
+        if (!committed) {
+          val ins = conn.prepareStatement(insertSql)
+          var n = 0L
+          try rows.grouped(batchSize).foreach { g =>
+            g.foreach { r => bind(ins, r, allIdx, codes); ins.addBatch(); n += 1 }
+            ins.executeBatch()
+          } finally ins.close()
+          val led = conn.prepareStatement(
+            s"INSERT INTO $ledgerTable (batch_id, part_id, n_rows) " +
+              "VALUES (?, ?, ?)")
+          try {
+            led.setLong(1, batchId); led.setInt(2, pid); led.setLong(3, n)
+            led.executeUpdate()
+          } finally led.close()
+          conn.commit()
+        } else {
+          // committed replica: the skip IS the guarantee — release the
+          // probe's read transaction (Derby refuses to close inside one)
+          conn.rollback()
+        }
+      } catch { case e: Throwable => conn.rollback(); throw e }
+      finally conn.close()
     }
   }
 }
