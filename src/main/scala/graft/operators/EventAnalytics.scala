@@ -329,6 +329,74 @@ object EventAnalytics {
             GROUP BY touch_type
             ORDER BY touch_type"""))
 
+  /** R139 — attribution-model comparison (first-touch vs last-touch):
+    * the SAME purchases credited under both models, per touch type,
+    * with the disagreement quantified — the report that tells a
+    * marketing team how much their channel story depends on the
+    * attribution policy rather than the data (if first and last agree,
+    * the argument is moot; where they diverge, the delta is the
+    * budget at stake). Both touches come from ONE (user, time, id)
+    * window pass (running first/last over the same frame R45 uses);
+    * the model comparison then runs on the O(purchases) frame with
+    * two bounded aggregations and a full outer join on the O(touch
+    * types) key. n_agree counts purchases where both models credit
+    * the SAME type — the per-type agreement mass. */
+  val qAttributionCompare = QueryDef(
+    "q_attribution_compare",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val touch = when(col("event_type").isin("view", "click"),
+        col("event_type"))
+      val purchases = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"))
+        .withColumn("lt", last(touch, ignoreNulls = true).over(byUser))
+        .withColumn("ft", first(touch, ignoreNulls = true).over(byUser))
+        .filter(col("event_type") === "purchase" && col("lt").isNotNull)
+      val a = purchases.groupBy(col("lt").as("touch_type"))
+        .agg(count(lit(1)).as("n_last"),
+          sum(when(col("ft") === col("lt"), 1L).otherwise(0L))
+            .as("n_agree"))
+      val b = purchases.groupBy(col("ft").as("tt2"))
+        .agg(count(lit(1)).as("n_first"))
+      a.join(b, col("touch_type") === col("tt2"), "full_outer")
+        .select(coalesce(col("touch_type"), col("tt2")).as("touch_type"),
+          coalesce(col("n_last"), lit(0L)).as("n_last"),
+          coalesce(col("n_first"), lit(0L)).as("n_first"),
+          coalesce(col("n_agree"), lit(0L)).as("n_agree"))
+        .withColumn("delta", col("n_first") - col("n_last"))
+        .orderBy("touch_type")
+    },
+    Some("""WITH t AS (
+              SELECT user_id, event_type, ts, event_id,
+                     last_value(CASE WHEN event_type IN ('view','click')
+                         THEN event_type END IGNORE NULLS)
+                       OVER w AS lt,
+                     first_value(CASE WHEN event_type IN ('view','click')
+                         THEN event_type END IGNORE NULLS)
+                       OVER w AS ft
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING)),
+            p AS (SELECT lt, ft FROM t
+                  WHERE event_type = 'purchase' AND lt IS NOT NULL),
+            a AS (SELECT lt AS touch_type,
+                    CAST(count(*) AS BIGINT) AS n_last,
+                    CAST(SUM(CASE WHEN ft = lt THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_agree
+                  FROM p GROUP BY 1),
+            b AS (SELECT ft AS tt2, CAST(count(*) AS BIGINT) AS n_first
+                  FROM p GROUP BY 1)
+            SELECT COALESCE(touch_type, tt2) AS touch_type,
+                   COALESCE(n_last, 0) AS n_last,
+                   COALESCE(n_first, 0) AS n_first,
+                   COALESCE(n_agree, 0) AS n_agree,
+                   COALESCE(n_first, 0) - COALESCE(n_last, 0) AS delta
+            FROM a FULL OUTER JOIN b ON touch_type = tt2
+            ORDER BY touch_type"""))
+
   /** R50 — merge overlapping per-user intervals (gaps-and-islands):
     * each event opens an interval [ts, ts + ⌊value·60⌋ seconds]; any
     * interval starting at or before the running max end of its
@@ -1255,7 +1323,8 @@ object EventAnalytics {
     qEventTransitions, qRateAnomalies, qAttribution, qIntervalMerge,
     qIntervalOverlap, qEventRegex, qForwardFill, qLocalDayRollup,
     qRollingMedian, qSinceAnchor, qSeasonalBacktest, qFunnelLatency, qEwma,
-    qRollingDistinct, qRollingDistinctSketch, qRunLength, qTwap,
+    qRollingDistinct, qRollingDistinctSketch, qRunLength,
+    qAttributionCompare, qTwap,
     qCumulativeDistinct, qEventPaths, qSeasonality,
     qDecompose, qCusum)
 }

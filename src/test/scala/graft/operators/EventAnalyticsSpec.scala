@@ -228,6 +228,47 @@ class EventAnalyticsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("R139: both attribution models credit every purchase; agreement bounded") {
+    import org.apache.spark.sql.functions._
+    val rows = EventAnalytics.qAttributionCompare.fn(spark, sf).collect()
+      .map(r => r.getAs[String]("touch_type") ->
+        (r.getAs[Long]("n_last"), r.getAs[Long]("n_first"),
+          r.getAs[Long]("n_agree"))).toMap
+    assert(rows.nonEmpty)
+    // both models partition the same credited-purchase set
+    val totLast = rows.values.map(_._1).sum
+    val totFirst = rows.values.map(_._2).sum
+    assert(totLast === totFirst,
+      "first- and last-touch credit the same purchases, differently")
+    rows.foreach { case (t, (l, f, a)) =>
+      assert(a <= math.min(l, f), s"$t agreement can't exceed either model")
+    }
+    // driver replay per user
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(e => (e._3, e._4))).toMap
+    var refLast = Map[String, Long]().withDefaultValue(0L)
+    var refFirst = Map[String, Long]().withDefaultValue(0L)
+    evs.values.foreach { seq =>
+      var first: Option[String] = None
+      var lastT: Option[String] = None
+      seq.foreach { e =>
+        if (e._2 == "view" || e._2 == "click") {
+          if (first.isEmpty) first = Some(e._2)
+          lastT = Some(e._2)
+        } else if (e._2 == "purchase" && lastT.nonEmpty) {
+          refLast += lastT.get -> (refLast(lastT.get) + 1)
+          refFirst += first.get -> (refFirst(first.get) + 1)
+        }
+      }
+    }
+    assert(rows.view.mapValues(_._1).toMap === refLast.toMap)
+    assert(rows.view.mapValues(_._2).toMap === refFirst.toMap)
+  }
+
   test("R133: RLE is lossless — runs tile each history and adjacent runs differ") {
     import org.apache.spark.sql.functions._
     val runs = EventAnalytics.qRunLength.fn(spark, sf).collect()
