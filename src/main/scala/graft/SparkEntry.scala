@@ -12,6 +12,7 @@ object SparkEntry {
       operators.Zorder.all ++ operators.EventAnalytics.all ++
       operators.Graph.all ++ operators.Triangles.all ++
       operators.Bucketed.all ++ operators.Ranks.all ++ operators.RowGroups.all ++
+      operators.CodecAudit.all ++
       operators.Evaluate.all ++ operators.Audit.all ++
       operators.Features.all ++ operators.Compaction.all ++
       operators.Retail.all ++ operators.Diagnose.all ++
