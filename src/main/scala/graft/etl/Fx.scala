@@ -36,11 +36,12 @@ object Fx {
       val months = Tables.orders(s, d)
         .select(trunc(col("o_orderdate"), "month").as("valid_from"))
         .distinct()
-      val cur = Currencies.zipWithIndex
-        .map { case (c, i) => (c, i.toLong) }
-      import s.implicits._
-      val rates = months.crossJoin(
-          broadcast(cur.toDF("currency", "cidx")))
+      // the months × currencies grid via a literal-array explode — a
+      // crossJoin with a 3-row frame plans a BroadcastNestedLoopJoin
+      // the plan lint rightly flags; the explode is join-free
+      val rates = months
+        .select(col("valid_from"),
+          posexplode(typedLit(Currencies)).as(Seq("cidx", "currency")))
         .select(col("currency"), col("valid_from"),
           (lit(1000000L) +
             ((year(col("valid_from")) * 12 + month(col("valid_from")) - 1)
