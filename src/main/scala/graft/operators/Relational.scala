@@ -1397,6 +1397,77 @@ object Relational {
     },
     None)
 
+  /** R140: Theil–Sen robust trend slope — the median of all pairwise
+    * slopes per group, the estimator a few corrupted months cannot
+    * drag (R59's OLS minimizes squared error, so one bad month owns
+    * the fit; this is R63's robustness argument applied to trends).
+    * The pair set is quadratic ONLY in the number of MONTHS — the
+    * fact reduces to the O(groups × months) frame first, so pairs are
+    * bounded by the calendar (84 months → ≤3.5k pairs/group), never
+    * by data volume. Slopes quantize exactly (integer cents · 1e6 div
+    * integer month gap) and the median is the R14 rank-arithmetic
+    * pass over the bounded pair frame — doubled-median convention
+    * keeps even widths integer. */
+  val qTheilSen = QueryDef(
+    "q_theilsen_slope",
+    (s, d) => {
+      val monthly = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("g"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+            .cast("long").as("x"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .as("y"))
+      val a = monthly.select(col("g"), col("x").as("x1"), col("y").as("y1"))
+      val b = monthly.select(col("g").as("g2"), col("x").as("x2"),
+        col("y").as("y2"))
+      val pairs = a.join(b, col("g") === col("g2") && col("x1") < col("x2"))
+        .select(col("g"),
+          expr("(y2 - y1) * 1000000 div (x2 - x1)").as("slope_q"))
+      val w = Window.partitionBy("g").orderBy("slope_q")
+      val ranked = pairs
+        .withColumn("r", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("g")))
+      ranked
+        // Column `/` is DOUBLE division — the rank picks must use
+        // integer div or even widths silently match nothing
+        .filter(expr("r = (n + 1) div 2 OR r = n div 2 + 1"))
+        .groupBy("g")
+        .agg(first(col("n")).as("n_pairs"),
+          sum(when(expr("r = (n + 1) div 2"), col("slope_q"))
+            .otherwise(0L)).as("lo"),
+          sum(when(expr("r = n div 2 + 1"), col("slope_q"))
+            .otherwise(0L)).as("hi"))
+        // doubled median: at odd widths both picks are the SAME row,
+        // so lo + hi = 2·median there too — one formula, no branch
+        .select(col("g"), col("n_pairs"),
+          (col("lo") + col("hi")).as("slope2_q"))
+        .orderBy("g")
+    },
+    Some("""WITH monthly AS (
+              SELECT o_orderpriority AS g,
+                     CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                       AS BIGINT) AS x,
+                     CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS y
+              FROM orders GROUP BY 1, 2),
+            pairs AS (
+              SELECT a.g, (b.y - a.y) * 1000000 // (b.x - a.x) AS slope_q
+              FROM monthly a JOIN monthly b
+                ON a.g = b.g AND a.x < b.x),
+            r AS (SELECT g, slope_q,
+                    row_number() OVER (PARTITION BY g ORDER BY slope_q)
+                      AS r,
+                    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+                  FROM pairs)
+            SELECT g, CAST(ANY_VALUE(n) AS BIGINT) AS n_pairs,
+                   CAST(SUM(CASE WHEN r = (n + 1) // 2
+                       THEN slope_q ELSE 0 END)
+                     + SUM(CASE WHEN r = n // 2 + 1
+                       THEN slope_q ELSE 0 END) AS BIGINT) AS slope2_q
+            FROM r
+            WHERE r = (n + 1) // 2 OR r = n // 2 + 1
+            GROUP BY g ORDER BY g"""))
+
   /** R59 — per-group OLS trend line (the monitoring/forecast read:
     * "is order value drifting per priority class"): slope and
     * intercept of cents-quantized value over month index, from the
@@ -1877,6 +1948,6 @@ object Relational {
     qApproxPercentile, qOuterJoin, qSlidingWindow, qSetOps, qSqlSurface,
     qGroupingSets, qBloomJoin, qArgmax, qUnpivot, q18LargeOrders,
     qCorrStats, qRecursiveCte, qWindowDist, qSketchRollup, qQuantileRollup,
-    qSketchOverlap, qThetaAlgebra, qTopkSketchRollup,
+    qSketchOverlap, qThetaAlgebra, qTopkSketchRollup, qTheilSen,
     qTrendSlope, qListagg, qLateralTopn, qGapfill, qNullsafeJoin, qWinsorize)
 }

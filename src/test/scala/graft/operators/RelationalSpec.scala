@@ -356,6 +356,51 @@ class RelationalSpec extends SparkSpec {
       rows("intersection")._1 === rows("union")._1)
   }
 
+  test("R140: Theil-Sen equals a driver-side pairwise-median replay and resists a planted outlier") {
+    import org.apache.spark.sql.functions._
+    val monthly = graft.Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority").as("g"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("x"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def doubledMedianSlope(pts: Seq[(Long, Long)]): Long = {
+      val slopes = (for {
+        a <- pts; b <- pts if a._1 < b._1
+        // JVM long division truncates toward zero — exactly what both
+        // Spark's `div` and DuckDB's `//` do (verified on negatives)
+      } yield (b._2 - a._2) * 1000000L / (b._1 - a._1)).sorted
+      val n = slopes.length
+      slopes((n + 1) / 2 - 1) + slopes(n / 2)
+    }
+    val ref = monthly.groupBy(_._1).map { case (g, pts) =>
+      g -> doubledMedianSlope(pts.map(p => (p._2, p._3)).toSeq) }
+    val got = Relational.qTheilSen.fn(spark, sf).collect()
+      .map(r => r.getAs[String]("g") -> r.getAs[Long]("slope2_q")).toMap
+    assert(got === ref)
+    // robustness: corrupt ONE month's total 100x for one group and
+    // recompute the reference — the median slope barely moves, while
+    // an OLS fit through the same points swings wildly
+    val g0 = monthly.head._1
+    val pts = monthly.filter(_._1 == g0).map(p => (p._2, p._3)).toSeq
+    val corrupted = pts.updated(pts.length / 2,
+      (pts(pts.length / 2)._1, pts(pts.length / 2)._2 * 100))
+    val cleanM = doubledMedianSlope(pts)
+    val corrM = doubledMedianSlope(corrupted)
+    def ols(ps: Seq[(Long, Long)]): Double = {
+      val n = ps.length.toDouble
+      val sx = ps.map(_._1).sum.toDouble; val sy = ps.map(_._2).sum.toDouble
+      val sxy = ps.map(p => p._1.toDouble * p._2).sum
+      val sxx = ps.map(p => p._1.toDouble * p._1).sum
+      (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    }
+    val olsShift = math.abs(ols(corrupted) - ols(pts))
+    // slope2_q is doubled AND ppm-quantized — convert to cents/month
+    val tsShift = math.abs(corrM - cleanM) / 2.0 / 1e6
+    assert(tsShift < olsShift / 10,
+      s"Theil-Sen shift $tsShift should be tiny vs OLS shift $olsShift")
+  }
+
   test("R138: merged top-k sketches find the true heavy hitters with tight counts") {
     import org.apache.spark.sql.functions._
     val rows = Relational.qTopkSketchRollup.fn(spark, sf).collect()
