@@ -329,6 +329,57 @@ object EventAnalytics {
             GROUP BY touch_type
             ORDER BY touch_type"""))
 
+  /** R141 — isolated-event detection (temporal loners): events with NO
+    * other event from the same user within ±15 minutes — the
+    * sensor-glitch / fat-finger / bot-probe signal (organic sessions
+    * cluster; a lone click an hour from anything else is a different
+    * phenomenon). One lag + one lead on the shared (user, time, id)
+    * ordering decide isolation map-side; the summary rolls up per
+    * event type with ppm rates. Exact integer µs gaps; first/last
+    * events of a history have NULL neighbors on that side — isolation
+    * requires the EXISTING neighbors to be far, absent ones count as
+    * far (a user's only event is maximally isolated). */
+  val qIsolatedEvents = QueryDef(
+    "q_isolated_events",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val gapUs = 15L * 60L * 1000000L
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .withColumn("next_us", lead(col("ts_us"), 1).over(w))
+        .withColumn("isolated",
+          (col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs) &&
+            (col("next_us").isNull || col("next_us") - col("ts_us") > gapUs))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("isolated"), 1L).otherwise(0L)).as("n_isolated"))
+        .withColumn("isolated_ppm",
+          expr("n_isolated * 1000000 div n"))
+        .orderBy("event_type")
+    },
+    Some("""WITH e AS (
+              SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+                     lag(epoch_us(ts), 1) OVER w AS prev_us,
+                     lead(epoch_us(ts), 1) OVER w AS next_us
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts),
+                event_id)),
+            f AS (SELECT event_type,
+                    (prev_us IS NULL OR ts_us - prev_us > 900000000)
+                    AND (next_us IS NULL OR next_us - ts_us > 900000000)
+                      AS isolated
+                  FROM e)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN isolated THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_isolated,
+                   CAST(SUM(CASE WHEN isolated THEN 1 ELSE 0 END)
+                     AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT)
+                     AS isolated_ppm
+            FROM f GROUP BY 1 ORDER BY 1"""))
+
   /** R139 — attribution-model comparison (first-touch vs last-touch):
     * the SAME purchases credited under both models, per touch type,
     * with the disagreement quantified — the report that tells a
@@ -1324,7 +1375,7 @@ object EventAnalytics {
     qIntervalOverlap, qEventRegex, qForwardFill, qLocalDayRollup,
     qRollingMedian, qSinceAnchor, qSeasonalBacktest, qFunnelLatency, qEwma,
     qRollingDistinct, qRollingDistinctSketch, qRunLength,
-    qAttributionCompare, qTwap,
+    qAttributionCompare, qIsolatedEvents, qTwap,
     qCumulativeDistinct, qEventPaths, qSeasonality,
     qDecompose, qCusum)
 }

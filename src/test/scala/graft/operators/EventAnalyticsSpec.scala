@@ -228,6 +228,34 @@ class EventAnalyticsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("R141: isolation equals a driver-side neighbor-gap replay") {
+    import org.apache.spark.sql.functions._
+    val gap = 15L * 60L * 1000000L
+    val hist = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(e => (e._4, e._2))).toMap
+    val ref = scala.collection.mutable.Map[String, (Long, Long)]()
+      .withDefaultValue((0L, 0L))
+    hist.values.foreach { seq =>
+      seq.zipWithIndex.foreach { case (e, i) =>
+        val prevFar = i == 0 || e._4 - seq(i - 1)._4 > gap
+        val nextFar = i == seq.length - 1 || seq(i + 1)._4 - e._4 > gap
+        val (n, ni) = ref(e._3)
+        ref(e._3) = (n + 1, ni + (if (prevFar && nextFar) 1 else 0))
+      }
+    }
+    val got = EventAnalytics.qIsolatedEvents.fn(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_isolated"))).toMap
+    assert(got === ref.toMap)
+    assert(got.values.exists(_._2 > 0), "fixture must contain loners")
+    assert(got.values.exists(v => v._2 < v._1),
+      "fixture must contain clustered events too")
+  }
+
   test("R139: both attribution models credit every purchase; agreement bounded") {
     import org.apache.spark.sql.functions._
     val rows = EventAnalytics.qAttributionCompare.fn(spark, sf).collect()
