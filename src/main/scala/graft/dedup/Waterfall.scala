@@ -88,5 +88,75 @@ object Waterfall {
                         ELSE 0 END AS drop_ppm
             FROM st ORDER BY stage"""))
 
-  val all: Seq[QueryDef] = Seq(pipelineWaterfall)
+  /** D88 — cross-source syndication matrix: which sources carry the
+    * SAME content — D47's exact near-dup pairs attributed to their
+    * (source, source) cell, the catalog read behind "these two feeds
+    * are mirrors; ingest one" (D56 compares sources' aggregate shingle
+    * SETS — overlap in vocabulary; this counts actual duplicated
+    * DOCUMENTS, the licensing/dedup-budget signal). A planted mirror
+    * feed (verbatim copies under a different source) makes the truth
+    * known: every planted pair must land in its (source, mirror)
+    * cell. Pair costs are D47's prefix-filtered join — never
+    * all-pairs; the matrix aggregation is O(pairs) → O(source²). */
+  val dedupSourceMatrix = QueryDef(
+    "dedup_source_matrix",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("source"))
+      val mirrored = base.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" via mirror")).as("text"),
+          lit("mirror_feed").as("source"))
+      val corpus = base.unionByName(mirrored)
+      val pairs = AllPairs.similarPairs(
+        corpus.select("doc_id", "text"), k = 3, tau = 0.75,
+        hashed = false)
+      val src = corpus.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("doc_a"),
+          col("source").as("sa")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"),
+          col("source").as("sb")), "doc_b")
+        .select(least(col("sa"), col("sb")).as("source_1"),
+          greatest(col("sa"), col("sb")).as("source_2"),
+          floor(col("jaccard") * 1e6 + 0.5).cast("long").as("j_ppm"))
+        .groupBy("source_1", "source_2")
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(j_ppm) div count(1)").as("mean_j_ppm"))
+        .orderBy("source_1", "source_2")
+    },
+    Some(s"""WITH c AS (SELECT doc_id, text, source FROM documents
+               UNION ALL
+               SELECT doc_id + 1000000, text || ' via mirror',
+                      'mirror_feed'
+               FROM documents WHERE doc_id % 25 = 0),
+             w AS (SELECT doc_id, string_split(${PipelineQueries.oCanon},
+                     ' ') AS ws
+                   FROM c),
+             t AS (SELECT doc_id, list_distinct(list_transform(
+                     generate_series(0, greatest(len(ws) - 3, 0)),
+                     i -> array_to_string(list_slice(ws, i + 1, i + 3),
+                       ' '))) AS sh
+                   FROM w),
+             p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / (len(a.sh) + len(b.sh)
+                          - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+                   FROM t a JOIN t b ON a.doc_id < b.doc_id),
+             f AS (SELECT doc_a, doc_b, jaccard FROM p
+                   WHERE jaccard >= 0.75),
+             m AS (SELECT least(ca.source, cb.source) AS source_1,
+                     greatest(ca.source, cb.source) AS source_2,
+                     CAST(floor(jaccard * 1e6 + 0.5) AS BIGINT) AS j_ppm
+                   FROM f
+                   JOIN c ca ON f.doc_a = ca.doc_id
+                   JOIN c cb ON f.doc_b = cb.doc_id)
+             SELECT source_1, source_2,
+                    CAST(count(*) AS BIGINT) AS n_pairs,
+                    CAST(SUM(j_ppm) AS BIGINT) // CAST(count(*) AS BIGINT)
+                      AS mean_j_ppm
+             FROM m GROUP BY 1, 2
+             ORDER BY 1, 2"""))
+
+  val all: Seq[QueryDef] = Seq(pipelineWaterfall, dedupSourceMatrix)
 }
