@@ -100,6 +100,65 @@ object RowGroups {
         FROM m ORDER BY file, row_group_id"""
   }
 
+  /** IO19 — physical-encoding audit: per column chunk, the page
+    * encodings, codec and compressed/uncompressed bytes straight from
+    * the footers — the "is this column actually dictionary-encoding"
+    * read behind storage-bill surprises (a high-cardinality string
+    * that falls out of dictionary encoding can triple a table
+    * silently; IO18 measures codecs, this shows WHERE the bytes go
+    * per column). Driver-side O(files × rowgroups × columns) metadata
+    * walk, zero data read; the oracle parses the SAME footers through
+    * DuckDB's parquet_metadata, so two parquet implementations must
+    * agree on encoding sets (order-normalized) and exact byte
+    * counts. */
+  def encodingAudit(s: SparkSession, path: String): DataFrame = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val files = new java.io.File(path).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
+    val rows = files.flatMap { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        reader.getFooter.getBlocks.asScala.zipWithIndex.flatMap {
+          case (block, i) =>
+            block.getColumns.asScala.map { cc =>
+              (f.getName, i.toLong, cc.getPath.toDotString,
+                cc.getEncodings.asScala.map(_.name).toSeq.sorted
+                  .mkString(","),
+                cc.getCodec.name, cc.getTotalSize,
+                cc.getTotalUncompressedSize, cc.getValueCount)
+            }
+        }.toSeq
+      } finally reader.close()
+    }
+    import s.implicits._
+    rows.toSeq.toDF("file", "row_group_id", "column", "encodings",
+      "codec", "compressed_bytes", "uncompressed_bytes", "n_values")
+  }
+
+  private def encodingOracleFor(d: String): String = {
+    val dir = scratch(d) + "/sorted"
+    s"""WITH m AS (
+          SELECT regexp_extract(file_name, '([^/]+)$$', 1) AS file,
+                 row_group_id, path_in_schema AS "column",
+                 array_to_string(list_sort(string_split(encodings, ', ')),
+                   ',') AS encodings,
+                 compression AS codec,
+                 CAST(total_compressed_size AS BIGINT)
+                   AS compressed_bytes,
+                 CAST(total_uncompressed_size AS BIGINT)
+                   AS uncompressed_bytes,
+                 CAST(num_values AS BIGINT) AS n_values
+          FROM parquet_metadata('$dir/*.parquet')),
+        r AS (SELECT file, DENSE_RANK() OVER (PARTITION BY file
+                ORDER BY row_group_id) - 1 AS row_group_id,
+                "column", encodings, codec, compressed_bytes,
+                uncompressed_bytes, n_values
+              FROM m)
+        SELECT * FROM r ORDER BY file, row_group_id, "column""""
+  }
+
   /** `all` is a def (the Compaction convention): re-evaluated when
     * Verify dumps the oracle map, so the SQL reads the pid-scoped
     * fixture this process actually wrote. */
@@ -107,5 +166,9 @@ object RowGroups {
     QueryDef("io_rowgroup_stats",
       (s, d) => stats(s, sortedDir(s, d), KeyCol)
         .orderBy("file", "row_group_id"),
-      Some(oracleSqlFor(lastDir))))
+      Some(oracleSqlFor(lastDir))),
+    QueryDef("io_encoding_audit",
+      (s, d) => encodingAudit(s, sortedDir(s, d))
+        .orderBy("file", "row_group_id", "column"),
+      Some(encodingOracleFor(lastDir))))
 }

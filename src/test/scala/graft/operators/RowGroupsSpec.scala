@@ -47,4 +47,24 @@ class RowGroupsSpec extends SparkSpec {
       "hash-ordered data must produce overlapping spans — else the " +
         "sorted-write disjointness test proves nothing")
   }
+
+  test("IO19: the encoding audit shows dictionaries where they belong") {
+    val rows = RowGroups.encodingAudit(spark,
+      RowGroups.sortedDir(spark, sf)).collect()
+    assert(rows.nonEmpty)
+    // low-cardinality columns must actually dictionary-encode
+    val flags = rows.filter(_.getAs[String]("column") == "l_returnflag")
+    assert(flags.nonEmpty &&
+      flags.forall(_.getAs[String]("encodings").contains("DICTIONARY")),
+      "a 3-value string column must dictionary-encode")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("compressed_bytes") > 0)
+      assert(r.getAs[Long]("n_values") > 0)
+    }
+    // per row group, every column chunk carries the same value count
+    rows.groupBy(r => (r.getAs[String]("file"),
+      r.getAs[Long]("row_group_id"))).foreach { case (_, cs) =>
+      assert(cs.map(_.getAs[Long]("n_values")).toSet.size === 1)
+    }
+  }
 }
