@@ -227,6 +227,66 @@ object Features {
              FROM r1 JOIN r7 ON r1.event_type = r7.event_type
              ORDER BY r1.event_type"""))
 
+  /** R142 — cross-correlation between two metric series at several
+    * leads: does VIEW volume today predict PURCHASE volume in k days?
+    * R74 correlates a series with its own past; this correlates two
+    * DIFFERENT series across leads — the cheap lead-indicator scan
+    * run before anyone builds a forecasting model. Both series are
+    * O(calendar) daily aggregates; each lead is an integer-day
+    * equi-join between them (gap-proof, the R85 rule) and Pearson r
+    * comes from the R74 exact-BIGINT co-moment recipe — one double
+    * conversion, one division, floor-quantized. The lead-0 row is the
+    * contemporaneous baseline the lagged rows are read against. */
+  val qCrossCorrelation = QueryDef(
+    "q_cross_correlation",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // one aggregation feeds all lead joins
+      val x = daily.filter(col("event_type") === "view")
+        .select(col("day"), col("c").as("x"))
+      val y = daily.filter(col("event_type") === "purchase")
+        .select(col("day").as("yday"), col("c").as("y"))
+      def lead(k: Int) =
+        x.join(y, date_add(col("day"), k) === col("yday"))
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(lit(k.toLong).as("lead_days"), col("n"),
+            floor((col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast("double")
+              / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")
+                * (col("n") * col("syy") - col("sy") * col("sy"))
+                  .cast("double")) * 1e6)
+              .cast("long").as("r_q"))
+      lead(0).unionByName(lead(1)).unionByName(lead(7))
+        .orderBy("lead_days")
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                             CAST(count(*) AS BIGINT) AS c
+                           FROM events GROUP BY 1, 2),
+            x AS (SELECT day, c AS x FROM daily
+                  WHERE event_type = 'view'),
+            y AS (SELECT day AS yday, c AS y FROM daily
+                  WHERE event_type = 'purchase'),
+            l AS (SELECT k.lead_days, CAST(count(*) AS BIGINT) AS n,
+                    SUM(x.x) AS sx, SUM(y.y) AS sy,
+                    SUM(x.x * y.y) AS sxy, SUM(x.x * x.x) AS sxx,
+                    SUM(y.y * y.y) AS syy
+                  FROM (SELECT unnest([0, 1, 7]) AS lead_days) k
+                  JOIN x ON true
+                  JOIN y ON x.day + CAST(k.lead_days AS INT) = y.yday
+                  GROUP BY 1)
+            SELECT CAST(lead_days AS BIGINT) AS lead_days, n,
+                   CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                       * CAST(n * syy - sy * sy AS DOUBLE)) * 1e6)
+                     AS BIGINT) AS r_q
+            FROM l ORDER BY lead_days"""))
+
   /** D83 — point-in-time-correct training-matrix assembly: one row per
     * label event (a purchase), every feature computed from the user's
     * history STRICTLY BEFORE that label — leakage-proof BY FRAME
@@ -347,5 +407,5 @@ object Features {
             FROM t ORDER BY x, y"""))
 
   def all: Seq[QueryDef] = Seq(qTargetEncode, qFeatureScale, qAutocorr,
-    qFeatureMatrix, qMutualInfo)
+    qFeatureMatrix, qMutualInfo, qCrossCorrelation)
 }

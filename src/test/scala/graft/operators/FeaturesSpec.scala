@@ -115,6 +115,36 @@ class FeaturesSpec extends SparkSpec {
     }
   }
 
+  test("R142: cross-correlation replays exactly from the daily series") {
+    import org.apache.spark.sql.functions._
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0),
+        r.getAs[java.sql.Date](1).toLocalDate, r.getLong(2)))
+    val x = daily.filter(_._1 == "view").map(d => d._2 -> d._3).toMap
+    val y = daily.filter(_._1 == "purchase").map(d => d._2 -> d._3).toMap
+    def refR(k: Int): (Long, Long) = {
+      val pairs = x.toSeq.flatMap { case (d, xv) =>
+        y.get(d.plusDays(k)).map(yv => (xv, yv)) }
+      val n = pairs.length.toLong
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val r = (n * sxy - sx * sy).toDouble /
+        math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy))
+      (n, math.floor(r * 1e6).toLong)
+    }
+    val got = Features.qCrossCorrelation.fn(spark, sf).collect()
+      .map(r => r.getAs[Long]("lead_days") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("r_q"))).toMap
+    Seq(0, 1, 7).foreach { k =>
+      assert(got(k.toLong) === refR(k), s"lead $k")
+      assert(math.abs(got(k.toLong)._2) <= 1000000L)
+    }
+  }
+
   test("R134: MI replays exactly and detects a perfectly informative feature") {
     import org.apache.spark.sql.functions._
     val cells = graft.Tables.documents(spark, sf)
