@@ -67,4 +67,35 @@ object Lint {
       throw new IllegalStateException(
         "plan lint: " + bad.map(f => s"${f.kind} at ${f.node}").mkString("; "))
   }
+
+  /** L3 — join-strategy advisor: for every join in the OPTIMIZED
+    * logical plan, both sides' size estimates from optimizer
+    * statistics, the broadcast threshold, and what the stats suggest —
+    * the "why didn't my join broadcast" debugging read as data
+    * instead of a plan-string safari. Each row carries the join type,
+    * per-side estimated bytes, whether either side clears the
+    * configured `autoBroadcastJoinThreshold`, and the advice
+    * (`broadcast-left`/`broadcast-right`/`shuffle-both`). The advisor
+    * reads LOGICAL stats — the same inputs the planner uses — so it
+    * predicts rather than post-hoc-describes; compare with the
+    * executed plan to find estimate drift. Driver-side metadata only:
+    * no job runs. */
+  final case class JoinAdvice(joinType: String, leftBytes: BigInt,
+      rightBytes: BigInt, thresholdBytes: Long, advice: String)
+
+  def adviseJoins(df: DataFrame): Seq[JoinAdvice] = {
+    val threshold = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val plan = df.queryExecution.optimizedPlan
+    plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        val lb = j.left.stats.sizeInBytes
+        val rb = j.right.stats.sizeInBytes
+        val advice =
+          if (threshold <= 0) "shuffle-both (broadcast disabled)"
+          else if (rb <= threshold) "broadcast-right"
+          else if (lb <= threshold) "broadcast-left"
+          else "shuffle-both"
+        JoinAdvice(j.joinType.toString, lb, rb, threshold, advice)
+    }
+  }
 }

@@ -52,4 +52,37 @@ class LintSpec extends SparkSpec {
       .contains("single-partition-exchange"),
       "final aggregation of partials must not flag")
   }
+
+  test("L3: the advisor's stats-based call matches what the planner does") {
+    import org.apache.spark.sql.functions._
+    // dim join: nation is tiny — advice must say broadcast, and the
+    // executed plan must agree
+    val dimJoin = Tables.customer(spark, sf)
+      .join(Tables.nation(spark, sf),
+        col("c_nationkey") === col("n_nationkey"))
+    val a1 = Lint.adviseJoins(dimJoin)
+    assert(a1.length === 1)
+    assert(a1.head.advice.startsWith("broadcast"),
+      s"a nation-dim join should broadcast: ${a1.head}")
+    assert(dimJoin.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      "the planner must agree with the advice")
+    // both sides over the threshold: advice says shuffle, plan uses
+    // a shuffle join (threshold shrunk so the fixture tables qualify)
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+      val big = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf),
+          col("l_orderkey") === col("o_orderkey"))
+      val a2 = Lint.adviseJoins(big)
+      assert(a2.length === 1 && a2.head.advice == "shuffle-both",
+        s"both sides exceed 1KB: ${a2.head}")
+      assert(a2.head.thresholdBytes === 1024L)
+      assert(a2.head.leftBytes > 1024 && a2.head.rightBytes > 1024)
+      assert(!big.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
 }
