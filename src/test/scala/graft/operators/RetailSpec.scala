@@ -109,6 +109,27 @@ class RetailSpec extends SparkSpec {
     }
   }
 
+  test("R143: drill-across conserves both facts and keeps single-fact months") {
+    import org.apache.spark.sql.functions._
+    val rows = Retail.qDrillAcross.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // measure conservation: summing the joined report reproduces each
+    // fact's own totals exactly — the no-fan-out guarantee that makes
+    // summarize-then-join the correct drill-across shape
+    def sumCol(c: String) = rows.map(r =>
+      if (r.isNullAt(r.fieldIndex(c))) 0L else r.getAs[Long](c)).sum
+    assert(sumCol("n_orders") === graft.Tables.orders(spark, sf).count())
+    assert(sumCol("n_events") === graft.Tables.events(spark, sf).count())
+    // the two facts cover different calendars: months with one side
+    // NULL must survive (the FULL-join clause doing real work)
+    assert(rows.exists(_.isNullAt(rows.head.fieldIndex("n_events"))) ||
+      rows.exists(_.isNullAt(rows.head.fieldIndex("n_orders"))),
+      "fixture must exercise a single-fact month")
+    // months are unique — one report row per conformed grain value
+    val months = rows.map(_.getAs[java.sql.Date]("month"))
+    assert(months.distinct.length === months.length)
+  }
+
   test("R137: monthly ranks are dense and rank gains are zero-sum") {
     val rows = Retail.qTrendingRank.fn(spark, sf).collect()
       .map(r => (r.getAs[Long]("ym"), r.getAs[String]("p_brand"),
