@@ -42,6 +42,31 @@ class SchemaCompatSpec extends SparkSpec {
       st(("xs", ArrayType(IntegerType, false), true))))
   }
 
+  test("E39 x IO15: schema drift audits across snapshot versions") {
+    import spark.implicits._
+    // a table's schema evolves across commits; the checker answers
+    // "can a reader built against version N still read version M"
+    // straight off the time-travel reads — no schema registry needed
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_compat_snap").toString
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "v"), root)
+    Snapshots.commit(Seq((2L, "b", 9L)).toDF("id", "v", "n"), root)
+    val s1 = Snapshots.readVersion(spark, root, 1).schema
+    val s2 = Snapshots.readVersion(spark, root, 2).schema
+    // forward: v1 data readable under the evolved v2 contract
+    assert(SchemaCompat.canRead(s1,
+      s2.copy(fields = s2.fields.map(_.copy(nullable = true)))))
+    // backward: v2 data is NOT readable by a reader that REQUIRES the
+    // v1-only world to have no extra columns... projection makes it
+    // fine — but a v1 reader requiring a non-null column absent in v1
+    // direction is the break the checker must catch:
+    val strictNewReader = org.apache.spark.sql.types.StructType(
+      s2.fields.map(f => f.copy(nullable = false)))
+    val vs = SchemaCompat.violations(s1, strictNewReader)
+    assert(vs.exists(_.path == "n"),
+      "a required new column must flag against the old snapshot")
+  }
+
   test("E39: the verdict matches the engine's real mergeSchema behavior") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
