@@ -348,5 +348,124 @@ object Graph {
           SELECT node, lbl FROM it$LpaRounds ORDER BY node"""
     })
 
-  val all: Seq[QueryDef] = Seq(qPagerank, qBfsLayers, qKcore, qLabelProp)
+  /** R144 — weighted single-source shortest paths (frontier
+    * Bellman-Ford): min-cost distance from a seed set over a weighted
+    * edge list — the weighted complement of R103's hop-count BFS
+    * (supply-chain "trust distance", routing cost, influence decay:
+    * a 2-hop path through strong ties can beat a direct weak tie,
+    * which hop counting cannot express).
+    *
+    * Frontier relaxation: per round only the nodes IMPROVED last
+    * round join the edge list (one node-keyed join + a min-agg +
+    * an improvement filter against the current dist table). After r
+    * rounds dist(v) is exactly the min-cost walk using ≤ r edges —
+    * the same table full Bellman-Ford relaxation produces, because
+    * any round-r improvement extends a round-(r−1) improvement — so
+    * the oracle can unroll FULL relaxation rounds as CTEs (the
+    * PageRank/k-core convention) while the Spark side ships the
+    * frontier form whose per-round cost SHRINKS as distances
+    * converge. All-integer weights (`1000000 div pair-order-count`:
+    * strong trading ties are cheap to cross), so both engines do
+    * exact arithmetic — no float tolerance anywhere. Rounds are fixed
+    * ([[RelaxRounds]]); the spec proves the fixpoint is reached on
+    * the real graph, so the unrolling IS the shortest-path table
+    * there. localCheckpoint cuts lineage per round as in every
+    * iterative module here. */
+  def sssp(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.persist() // (src, dst, w)
+    var dist = seeds.select(col("node"), lit(0L).as("dist"))
+      .distinct().localCheckpoint()
+    var frontier = dist
+    for (_ <- 1 to rounds) {
+      val cand = e.join(frontier.select(col("node").as("fn"), col("dist").as("fd")),
+          col("src") === col("fn"))
+        .select(col("dst").as("node"), (col("fd") + col("w")).as("dist"))
+        .groupBy("node").agg(min("dist").as("dist"))
+      val improved = cand
+        .join(dist.select(col("node").as("dn"), col("dist").as("old")),
+          cand("node") === col("dn"), "left")
+        .filter(col("old").isNull || col("dist") < col("old"))
+        .select("node", "dist")
+        .localCheckpoint()
+      dist = dist
+        .join(improved.select(col("node").as("imp")),
+          col("node") === col("imp"), "left_anti")
+        .select("node", "dist")
+        .unionByName(improved)
+        .localCheckpoint()
+      frontier = improved
+    }
+    e.unpersist()
+    dist
+  }
+
+  /** The trade graph with integer edge weights: cost to cross a
+    * (supplier, customer) tie = `1000000 div (#distinct orders on the
+    * pair)` — strong relationships are cheap, singleton ties cost the
+    * full 1e6. Integer `div` keeps the arithmetic exact and
+    * oracle-mirrorable (DuckDB `//`). Both edge directions carry the
+    * same weight. */
+  def tradeEdgesWeighted(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy((col("l_suppkey") * 2).as("src"),
+        (col("o_custkey") * 2 + 1).as("dst"))
+      .agg(countDistinct(col("l_orderkey")).as("cnt"))
+      .select(col("src"), col("dst"), expr("1000000 div cnt").as("w"))
+    pairs.unionByName(
+      pairs.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+  }
+
+  /** Stored-fixture form of [[tradeEdgesWeighted]] (same maintained-
+    * artifact rationale as [[tradeEdgesStored]]). */
+  def tradeEdgesWeightedStored(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_warehouse/trade_edges_w_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + ProcessHandle.current().pid()
+    if (builtEdges.add(path))
+      tradeEdgesWeighted(s, dir).write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
+  private val RelaxRounds = 4
+
+  val qShortestPaths = QueryDef(
+    "q_shortest_paths",
+    (s, d) => {
+      val seeds = Tables.supplier(s, d)
+        .filter(col("s_suppkey") <= SeedMaxSupplier)
+        .select((col("s_suppkey") * 2).as("node"))
+      sssp(tradeEdgesWeightedStored(s, d), seeds, RelaxRounds)
+        .orderBy("node")
+    },
+    Some {
+      def relax(prev: String): String =
+        s"""SELECT node, MIN(dist) AS dist FROM (
+              SELECT e.dst AS node, p.dist + e.w AS dist
+              FROM edges e JOIN $prev p ON e.src = p.node
+              UNION ALL
+              SELECT node, dist FROM $prev)
+            GROUP BY node"""
+      val its = (1 to RelaxRounds)
+        .map(i => s"it$i AS (${relax(s"it${i - 1}")})")
+        .mkString(",\n            ")
+      s"""WITH pairs AS (
+            SELECT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst,
+                   1000000 // count(DISTINCT l_orderkey) AS w
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2),
+          edges AS (
+            SELECT src, dst, w FROM pairs
+            UNION ALL
+            SELECT dst AS src, src AS dst, w FROM pairs),
+          it0 AS (SELECT DISTINCT s_suppkey * 2 AS node,
+                         CAST(0 AS BIGINT) AS dist
+                  FROM supplier WHERE s_suppkey <= $SeedMaxSupplier),
+          $its
+          SELECT node, CAST(dist AS BIGINT) AS dist
+          FROM it$RelaxRounds ORDER BY node"""
+    })
+
+  val all: Seq[QueryDef] =
+    Seq(qPagerank, qBfsLayers, qKcore, qLabelProp, qShortestPaths)
 }

@@ -136,6 +136,44 @@ class GraphSpec extends SparkSpec {
       s"the bridge must NOT merge the cliques (the count mechanism): $lab")
   }
 
+  test("R144: weighted SSSP prefers the cheap 2-hop path over the direct weak tie") {
+    import spark.implicits._
+    // 1→2 costs 10 directly, but 1→3→2 costs 2; node 4 hangs off 2;
+    // island 9 is unreachable
+    val directed = Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 2L, 1L),
+      (2L, 4L, 5L), (9L, 9L, 1L))
+    val edges = directed.toDF("src", "dst", "w")
+      .unionByName(directed.map { case (a, b, w) => (b, a, w) }
+        .toDF("src", "dst", "w"))
+    val got = Graph.sssp(edges, Seq(1L).toDF("node"), rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 2L, 3L -> 1L, 4L -> 7L),
+      s"weighted relaxation must beat the hop-shortest route: $got")
+  }
+
+  test("R144: the entry's fixed rounds reach the fixpoint; relaxation law holds") {
+    val e = Graph.tradeEdgesWeighted(spark, sf).cache()
+    val seeds = graft.Tables.supplier(spark, sf)
+      .filter(col("s_suppkey") <= 10)
+      .select((col("s_suppkey") * 2).as("node"))
+    val at4 = Graph.sssp(e, seeds, rounds = 4).cache()
+    val at5 = Graph.sssp(e, seeds, rounds = 5)
+    assert(at4.unionByName(at5).distinct().count() === at4.count(),
+      "round 5 must change nothing — the unrolled oracle IS the SSSP table")
+    // seeds sit at 0; every non-seed dist is witnessed by some neighbor:
+    // dist(v) == min over incoming edges (dist(u) + w) — Bellman's law
+    assert(at4.filter(col("dist") === 0).count() === 10)
+    val viaParent = at4.filter(col("dist") > 0).as("r")
+      .join(e.select(col("dst").as("node"), col("src"), col("w")), Seq("node"))
+      .join(at4.select(col("node").as("pn"), col("dist").as("pd")),
+        col("src") === col("pn"))
+      .filter(col("pd") + col("w") === col("dist"))
+      .select("node").distinct().count()
+    assert(viaParent === at4.filter(col("dist") > 0).count(),
+      "every reached node needs a tight predecessor edge")
+    at4.unpersist(); e.unpersist()
+  }
+
   test("R131: on the trade graph LPA is deterministic and nontrivial") {
     val e = Graph.tradeEdgesStored(spark, sf)
     val a = Graph.qLabelProp.fn(spark, sf).collect()
