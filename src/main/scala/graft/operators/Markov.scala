@@ -44,12 +44,13 @@ object Markov {
   private[operators] val Scale = 1000000000000L // 1e12
   private val Rounds = 8
 
-  /** Journey transition counts: (src, dst, n) over states
-    * {START, touch types..., CONV, NULL}. One window exchange on
-    * user_id; the lead computed before the first-purchase cut is
-    * valid for every kept non-CONV row because a kept row's successor
-    * is never cut (only post-purchase rows are). */
-  def transitionCounts(s: SparkSession, dir: String): DataFrame = {
+  /** Journey rows (user_id, rn, state, dst) cut at the FIRST purchase
+    * (the purchase row itself kept as the CONV terminal). One window
+    * exchange on user_id; the lead computed before the cut is valid
+    * for every kept non-CONV row because a kept row's successor is
+    * never cut (only post-purchase rows are). Shared by R145's
+    * transition graph and R146's coalition sets. */
+  def journeys(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val seq = Tables.events(s, dir)
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
@@ -61,8 +62,15 @@ object Markov {
         coalesce(lead(col("state"), 1).over(byUser), lit("NULL")))
     val fp = seq.filter(col("state") === "CONV")
       .groupBy("user_id").agg(min("rn").as("fp_rn"))
-    val jny = seq.join(fp, Seq("user_id"), "left")
+    seq.join(fp, Seq("user_id"), "left")
       .filter(col("fp_rn").isNull || col("rn") <= col("fp_rn"))
+      .select("user_id", "rn", "state", "dst")
+  }
+
+  /** Journey transition counts: (src, dst, n) over states
+    * {START, touch types..., CONV, NULL}. */
+  def transitionCounts(s: SparkSession, dir: String): DataFrame = {
+    val jny = journeys(s, dir)
     val steps = jny.filter(col("state") =!= "CONV")
       .select(col("state").as("src"), col("dst"))
     val starts = jny.filter(col("rn") === 1)
@@ -193,5 +201,130 @@ object Markov {
           ORDER BY channel"""
     })
 
-  val all: Seq[QueryDef] = Seq(qMarkovAttribution)
+  /** R146 — exact Shapley-value attribution: the game-theoretic
+    * counterpart to R145. Each user's journey contributes its SET of
+    * pre-purchase touch types (a bitmask over the alphabetically
+    * indexed channel vocabulary); the coalition value is the counting
+    * game v(S) = Σ_{T ⊆ S} conv(T) (conversions whose full touch set
+    * the coalition covers — monotone by construction, so every
+    * marginal is ≥ 0), and each channel's credit is its Shapley value
+    * — the ONLY allocation satisfying efficiency/symmetry/dummy, vs
+    * R145's structural-removal credit. Scaled by n! the value is an
+    * EXACT integer: φ_c·n! = Σ_{S ∌ c} |S|!·(n−1−|S|)!·(v(S∪c)−v(S)),
+    * and efficiency becomes the machine-checkable identity
+    * Σ_c φ_c·n! = n!·(v(full) − conv(∅)) (no-touch conversions cancel
+    * from every marginal).
+    *
+    * Scale shape: one user-keyed aggregation to (mask, conv) — at most
+    * 2^types rows no matter the event volume — then the 2^n subset
+    * enumeration runs driver-side (n = touch vocabulary, here 4; the
+    * bounded-collect class R145 documents). The oracle mirrors the
+    * subset domain with a recursive bitmask-closure CTE and a
+    * factorial lookup CTE. */
+  def shapley(exact: Seq[(Int, Long)], n: Int): Seq[(Int, Long)] = {
+    def fact(x: Int): Long = (1 to x).foldLeft(1L)(_ * _)
+    def v(sMask: Int): Long = exact.iterator
+      .filter { case (t, _) => (t & sMask) == t }.map(_._2).sum
+    (0 until n).map { c =>
+      val bit = 1 << c
+      val phi = (0 until (1 << n)).iterator
+        .filter(sMask => (sMask & bit) == 0)
+        .map { sMask =>
+          val p = Integer.bitCount(sMask)
+          fact(p) * fact(n - 1 - p) * (v(sMask | bit) - v(sMask))
+        }.sum
+      c -> phi
+    }
+  }
+
+  def shapleyAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val jny = journeys(s, dir)
+    // alphabetical bit index over the O(types) channel vocabulary —
+    // bounded driver list, mirrored by the oracle's row_number(ORDER BY)
+    val channels = jny.filter(col("state") =!= "CONV")
+      .select("state").distinct().collect().map(_.getString(0)).sorted
+    val idxCol = channels.zipWithIndex.foldLeft(lit(-1)) {
+      case (acc, (c, i)) => when(col("state") === c, lit(i)).otherwise(acc)
+    }
+    val exact = jny
+      .withColumn("idx", idxCol)
+      .groupBy("user_id")
+      .agg(
+        coalesce(bit_or(when(col("idx") >= 0, expr("shiftleft(1, idx)"))),
+          lit(0)).as("mask"),
+        max(when(col("state") === "CONV", 1).otherwise(0)).as("converted"))
+      .groupBy("mask").agg(sum("converted").as("conv"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val phis = shapley(exact, channels.length)
+    val tot = phis.map(_._2).sum
+    phis.map { case (c, p) =>
+      (channels(c), p,
+        if (tot > 0) Some(p * 1000000L / tot) else None)
+    }.toDF("channel", "phi_q", "share_ppm").orderBy("channel")
+  }
+
+  val qShapleyAttribution = QueryDef(
+    "q_shapley_attribution",
+    (s, d) => shapleyAttribution(s, d),
+    Some {
+      // popcount as 6 fixed shift-mask terms: engine-portable (no
+      // bit_count dependency), valid for any n ≤ 6 channels
+      def pc(x: String): String =
+        (0 until 6).map(i => s"(($x >> $i) & 1)").mkString(" + ")
+      s"""WITH RECURSIVE seq AS (
+            SELECT user_id, row_number() OVER w AS rn,
+                   CASE WHEN event_type = 'purchase' THEN 'CONV'
+                        ELSE event_type END AS state
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          fp AS (SELECT user_id, min(rn) AS fp_rn FROM seq
+                 WHERE state = 'CONV' GROUP BY user_id),
+          jny AS (SELECT seq.* FROM seq LEFT JOIN fp USING (user_id)
+                  WHERE fp.fp_rn IS NULL OR seq.rn <= fp.fp_rn),
+          chan AS (SELECT state AS channel,
+                          CAST(row_number() OVER (ORDER BY state) - 1 AS INT)
+                            AS idx
+                   FROM (SELECT DISTINCT state FROM jny
+                         WHERE state <> 'CONV')),
+          um AS (SELECT j.user_id,
+                        COALESCE(bit_or(CASE WHEN c.idx IS NOT NULL
+                                        THEN 1 << c.idx END), 0) AS mask,
+                        max(CASE WHEN j.state = 'CONV' THEN 1 ELSE 0 END)
+                          AS converted
+                 FROM jny j LEFT JOIN chan c ON c.channel = j.state
+                 GROUP BY j.user_id),
+          exact AS (SELECT mask, CAST(sum(converted) AS BIGINT) AS conv
+                    FROM um GROUP BY mask),
+          nch AS (SELECT CAST(count(*) AS INT) AS n FROM chan),
+          doms(s) AS (SELECT 0
+                      UNION
+                      SELECT d.s | (1 << c.idx) FROM doms d, chan c),
+          vs AS (SELECT d.s,
+                        CAST(COALESCE((SELECT SUM(e.conv) FROM exact e
+                                       WHERE (e.mask & d.s) = e.mask), 0)
+                             AS BIGINT) AS v
+                 FROM doms d),
+          fct(x, f) AS (VALUES (0, 1), (1, 1), (2, 2), (3, 6), (4, 24),
+                               (5, 120), (6, 720)),
+          phi AS (
+            SELECT c.channel,
+                   CAST(SUM(fa.f * fb.f * (v1.v - v0.v)) AS BIGINT) AS phi_q
+            FROM chan c
+            JOIN doms d ON (d.s & (1 << c.idx)) = 0
+            JOIN vs v0 ON v0.s = d.s
+            JOIN vs v1 ON v1.s = (d.s | (1 << c.idx))
+            CROSS JOIN nch
+            JOIN fct fa ON fa.x = ${pc("d.s")}
+            JOIN fct fb ON fb.x = nch.n - 1 - (${pc("d.s")})
+            GROUP BY c.channel)
+          SELECT channel, phi_q,
+                 CAST(CASE WHEN t.tot > 0
+                      THEN (phi_q * 1000000) // t.tot END AS BIGINT)
+                   AS share_ppm
+          FROM phi CROSS JOIN (SELECT SUM(phi_q) AS tot FROM phi) t
+          ORDER BY channel"""
+    })
+
+  val all: Seq[QueryDef] = Seq(qMarkovAttribution, qShapleyAttribution)
 }

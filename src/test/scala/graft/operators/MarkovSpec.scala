@@ -57,6 +57,45 @@ class MarkovSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("R146: hand game — Shapley values are exact") {
+    // channels A(bit 0), B(bit 1); conversions: {A} → 1, {A,B} → 1
+    // φ_A·2! = 0!1!·(v{A}−v∅) + 1!0!·(v{A,B}−v{B}) = (1−0) + (2−0) = 3
+    // φ_B·2! = (v{B}−v∅) + (v{A,B}−v{A}) = 0 + (2−1) = 1
+    val phis = Markov.shapley(Seq((1, 1L), (3, 1L)), n = 2).toMap
+    assert(phis === Map(0 -> 3L, 1 -> 1L))
+  }
+
+  test("R146: no-touch conversions cancel — a dummy channel gets zero") {
+    // conv(∅) = 5 must credit nobody; channel 1 never co-occurs with
+    // conversion beyond what channel 0 explains
+    val phis = Markov.shapley(Seq((0, 5L), (1, 2L)), n = 2).toMap
+    assert(phis(0) === 2L * 2L, "all marginal credit lands on channel 0")
+    assert(phis(1) === 0L, "the dummy channel earns exactly nothing")
+  }
+
+  test("R146: efficiency on the events table — Σφ·n! = n!·(v(full) − conv(∅))") {
+    val out = Markov.shapleyAttribution(spark, sf).cache()
+    val rows = out.collect()
+    assert(rows.length === 4)
+    rows.foreach(r => assert(r.getAs[Long]("phi_q") >= 0L,
+      "the counting game is monotone — no negative credit"))
+    val jny = Markov.journeys(spark, sf).cache()
+    val convUsers = jny.filter(col("state") === "CONV")
+      .select("user_id").distinct().count()
+    // conversions with NO pre-purchase touch: journey length 1
+    val noTouch = jny.groupBy("user_id")
+      .agg(count(lit(1)).as("len"),
+        max(when(col("state") === "CONV", 1).otherwise(0)).as("cv"))
+      .filter(col("cv") === 1 && col("len") === 1).count()
+    val fact4 = 24L
+    assert(rows.map(_.getAs[Long]("phi_q")).sum ===
+      fact4 * (convUsers - noTouch),
+      "Shapley efficiency must hold exactly at the n! scale")
+    val shares = rows.map(_.getAs[Long]("share_ppm"))
+    assert(shares.sum <= 1000000L && shares.sum > 1000000L - rows.length)
+    jny.unpersist(); out.unpersist()
+  }
+
   test("R145: journey construction — transitions stop at the first purchase") {
     val edges = Markov.transitionCounts(spark, sf).cache()
     // CONV is absorbing: nothing leaves it
