@@ -11,7 +11,7 @@ object SparkEntry {
       operators.SpatialJoin.all ++ operators.Partitioned.all ++
       operators.Zorder.all ++ operators.EventAnalytics.all ++
       operators.Graph.all ++ operators.Triangles.all ++
-      operators.Bucketed.all ++ operators.Ranks.all ++ operators.RowGroups.all ++
+      operators.Bucketed.all ++ operators.BloomFilters.all ++ operators.Ranks.all ++ operators.RowGroups.all ++
       operators.CodecAudit.all ++
       operators.Evaluate.all ++ operators.Audit.all ++ operators.Markov.all ++
       operators.Features.all ++ operators.Compaction.all ++
