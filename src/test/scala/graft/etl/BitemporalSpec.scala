@@ -58,4 +58,49 @@ class BitemporalSpec extends SparkSpec {
     assert(pitAt(asOf1, 1L, "2019-01-01") === None)
     assert(pitAt(asOf2, 1L, "2019-01-01") === None)
   }
+
+  test("E35 entry: knowledge is monotone — a covered probe never uncovers") {
+    val out = Bitemporal.asOf(spark, sf).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // later batches only ADD change points: the earliest version can
+    // only move earlier, so non-null beliefs never become null
+    rows.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("attr_tx0")))
+        assert(!r.isNullAt(r.fieldIndex("attr_tx1")),
+          s"tx1 dropped coverage for ${r.getLong(0)}")
+      if (!r.isNullAt(r.fieldIndex("attr_tx1")))
+        assert(!r.isNullAt(r.fieldIndex("attr_tx2")),
+          s"tx2 dropped coverage for ${r.getLong(0)}")
+    }
+    // the revised flag is exactly the cross-batch disagreement
+    rows.foreach { r =>
+      def a(c: String) = Option(r.getAs[String](c))
+      assert(r.getAs[Boolean]("revised") ===
+        (a("attr_tx0") != a("attr_tx1") || a("attr_tx1") != a("attr_tx2")))
+    }
+    out.unpersist()
+  }
+
+  test("E35 entry: the final batch's belief equals the plain E13b read") {
+    import spark.implicits._
+    val f = graft.Tables.orders(spark, sf).select(
+      col("o_custkey"), col("o_orderpriority").as("attr"),
+      col("o_orderdate").as("ts"), col("o_orderkey").as("seq"))
+    val dim = Scd.scd2(f, "o_custkey", "attr")
+    val probe = lit(java.sql.Date.valueOf("1995-06-01"))
+    val direct = graft.Tables.customer(spark, sf)
+      .filter(col("c_custkey") % 20 === 0).select(col("c_custkey"))
+      .join(dim,
+        col("c_custkey") === col("o_custkey") &&
+          col("valid_from") <= probe &&
+          (col("valid_to").isNull || probe < col("valid_to")), "left")
+      .select(col("c_custkey"), col("attr").as("attr_direct"))
+    val viaEntry = Bitemporal.asOf(spark, sf)
+      .select(col("c_custkey"), col("attr_tx2"))
+    val mismatches = viaEntry.join(direct, "c_custkey")
+      .filter(!(col("attr_tx2") <=> col("attr_direct"))).count()
+    assert(mismatches === 0,
+      "with all batches loaded the bitemporal read must collapse to E13b")
+  }
 }
