@@ -22,7 +22,7 @@ object SparkEntry {
       etl.Incremental.all ++ etl.Repair.all ++ etl.AggNavigator.all ++
       etl.Retention.all ++ etl.Fx.all ++
       dedup.PipelineQueries.all ++ dedup.InvertedIndex.all ++
-      dedup.Layout.all ++ dedup.Waterfall.all ++ similarity.Project.all ++
+      dedup.Layout.all ++ dedup.Waterfall.all ++ similarity.Project.all ++ similarity.IvfMaintain.all ++
       dedup.SourceOverlap.all ++
       streaming.StreamQueries.all ++ streaming.WatermarkPlan.all
 

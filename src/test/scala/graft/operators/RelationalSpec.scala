@@ -188,6 +188,9 @@ class RelationalSpec extends SparkSpec {
       "q_zonemap_skipping",
       // 1-row corpus-size (N) stats broadcast for the idf term
       "text_index_retrieve",
+      // 1-row broadcasts of the base chain's START value and the
+      // summed removal effects onto the O(channels) report frame
+      "q_markov_attribution",
       // 1-row token-total and bigram-total broadcasts for the PMI terms
       "text_collocations",
       // bounded center-dim broadcast scan (E27's documented shape —
