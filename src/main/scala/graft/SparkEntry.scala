@@ -13,7 +13,7 @@ object SparkEntry {
       operators.Graph.all ++ operators.Triangles.all ++
       operators.Bucketed.all ++ operators.BloomFilters.all ++ operators.Ranks.all ++ operators.RowGroups.all ++
       operators.CodecAudit.all ++
-      operators.Evaluate.all ++ operators.Audit.all ++ operators.Markov.all ++
+      operators.Evaluate.all ++ operators.Conformal.all ++ operators.Audit.all ++ operators.Markov.all ++
       operators.Features.all ++ operators.Compaction.all ++
       operators.Retail.all ++ operators.Diagnose.all ++
       operators.Kmv.all ++ etl.Ivm.all ++ etl.Profile.all ++
