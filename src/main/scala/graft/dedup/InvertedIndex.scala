@@ -188,5 +188,83 @@ object InvertedIndex {
              QUALIFY rank <= $TopK
              ORDER BY q_id, rank"""))
 
-  val all: Seq[QueryDef] = Seq(textInvertedIndex, textIndexRetrieve)
+  /** D90 — exact PHRASE search over positional postings: the query
+    * class D52's positional lists exist for — term lookups (D59) can't
+    * distinguish "batch table" from "table … batch". A phrase matches
+    * where the two terms' positions are ADJACENT (pos₂ = pos₁ + 1),
+    * which here is one doc-keyed `lead` window (the bigram stream) and
+    * a broadcast equi-join of the O(1) query set — at index scale the
+    * same adjacency join runs on the stored (doc, pos)-encoded
+    * postings of just the query's terms, never a corpus scan.
+    *
+    * The gate is deliberately CROSS-FORMULATION: the output carries
+    * both the positional-index doc count and `n_docs_scan`, the same
+    * phrase counted by raw substring containment over the canonical
+    * text (a bounded 4-query broadcast scan) — adjacency in token
+    * space must equal space-bounded substring presence in string
+    * space, in both engines, and the two columns must agree row by
+    * row. Queries are data-derived and deterministic: the 3 most and
+    * 1 least frequent bigrams (count, then lexicographic tiebreak). */
+  val textPhraseSearch = QueryDef(
+    "text_phrase_search",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val canon = Tables.documents(s, d)
+        .select(col("doc_id"), graft.functions.Text.canonical(col("text")).as("canon"))
+        .localCheckpoint() // feeds the bigram stream AND the scan side
+      val tok = canon.select(col("doc_id"),
+        posexplode(split(col("canon"), " ")).as(Seq("pos", "w1")))
+      val bg = tok
+        .withColumn("w2", lead(col("w1"), 1).over(
+          Window.partitionBy("doc_id").orderBy("pos")))
+        .filter(col("w2").isNotNull)
+      val bgc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      // bounded-vocab frame: two tiny sorts instead of a global window
+      val queries = bgc.orderBy(col("cnt").desc, col("w1"), col("w2"))
+        .limit(3).select("w1", "w2")
+        .unionByName(bgc.orderBy(col("cnt").asc, col("w1"), col("w2"))
+          .limit(1).select("w1", "w2"))
+        .distinct()
+      val idx = bg.join(broadcast(queries), Seq("w1", "w2"))
+        .groupBy("w1", "w2")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"))
+      val scan = canon.join(broadcast(queries),
+          expr("concat(' ', canon, ' ') LIKE concat('% ', w1, ' ', w2, ' %')"))
+        .groupBy("w1", "w2")
+        .agg(count(lit(1)).as("n_docs_scan"))
+      idx.join(scan, Seq("w1", "w2"))
+        .select(concat(col("w1"), lit(" "), col("w2")).as("phrase"),
+          col("n_docs"), col("n_occ"), col("n_docs_scan"))
+        .orderBy("phrase")
+    },
+    Some(s"""WITH c AS (SELECT doc_id, $oCanon AS canon FROM documents),
+             w AS (SELECT doc_id, string_split(canon, ' ') AS ws FROM c),
+             tok AS (SELECT doc_id, i AS pos, ws[i + 1] AS w1
+                     FROM w, UNNEST(generate_series(0, len(ws) - 1)) AS t(i)),
+             bg AS (SELECT doc_id, pos, w1,
+                      lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+                    FROM tok),
+             bgc AS (SELECT w1, w2, count(*) AS cnt FROM bg
+                     WHERE w2 IS NOT NULL GROUP BY w1, w2),
+             q AS (SELECT DISTINCT w1, w2 FROM (
+                     (SELECT w1, w2 FROM bgc
+                      ORDER BY cnt DESC, w1, w2 LIMIT 3)
+                     UNION ALL
+                     (SELECT w1, w2 FROM bgc
+                      ORDER BY cnt ASC, w1, w2 LIMIT 1))),
+             agg AS (SELECT q.w1, q.w2,
+                       CAST(count(DISTINCT bg.doc_id) AS BIGINT) AS n_docs,
+                       CAST(count(*) AS BIGINT) AS n_occ
+                     FROM bg JOIN q ON bg.w1 = q.w1 AND bg.w2 = q.w2
+                     GROUP BY q.w1, q.w2)
+             SELECT w1 || ' ' || w2 AS phrase, n_docs, n_occ,
+                    CAST((SELECT count(*) FROM c
+                          WHERE (' ' || c.canon || ' ')
+                            LIKE ('% ' || agg.w1 || ' ' || agg.w2 || ' %'))
+                      AS BIGINT) AS n_docs_scan
+             FROM agg ORDER BY phrase"""))
+
+  val all: Seq[QueryDef] =
+    Seq(textInvertedIndex, textIndexRetrieve, textPhraseSearch)
 }

@@ -191,6 +191,9 @@ class RelationalSpec extends SparkSpec {
       // 1-row broadcasts of the base chain's START value and the
       // summed removal effects onto the O(channels) report frame
       "q_markov_attribution",
+      // bounded 4-phrase broadcast containment scan — the deliberate
+      // cross-formulation check against the positional-index path
+      "text_phrase_search",
       // 1-row token-total and bigram-total broadcasts for the PMI terms
       "text_collocations",
       // bounded center-dim broadcast scan (E27's documented shape —
