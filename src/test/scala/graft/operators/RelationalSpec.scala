@@ -194,6 +194,9 @@ class RelationalSpec extends SparkSpec {
       // bounded 4-phrase broadcast containment scan — the deliberate
       // cross-formulation check against the positional-index path
       "text_phrase_search",
+      // 1-row per-table count aggregates crossed into the 3-row
+      // erasure-plan report
+      "etl_forget_cascade",
       // 1-row token-total and bigram-total broadcasts for the PMI terms
       "text_collocations",
       // bounded center-dim broadcast scan (E27's documented shape —
