@@ -688,6 +688,43 @@ object Relational {
              AND epoch_us(e.ts) < epoch_us(w.end_ts)
             ORDER BY event_id, window_id"""))
 
+  /** R148: the SAME point-in-interval query as R23, written in its
+    * NATURAL theta-join form and rewritten to the bucketed equi-join
+    * by the injected Catalyst optimizer rule
+    * ([[graft.plans.RangeJoinRewrite]]) instead of by hand — the
+    * tier-(c) extension path: users keep the declarative predicate,
+    * the rule supplies the 100 TB plan. The entry runs on a child
+    * session (`newSession` — same context and extensions, isolated
+    * conf) so the opt-in width knob never leaks into other entries;
+    * RangeJoinRewriteSpec proves plan shape, bit-identical results
+    * vs the naive nested loop, strict/non-strict/NULL exactness, and
+    * that equi-keyed joins are left untouched. */
+  val qRangeJoinRewrite = QueryDef(
+    "q_range_join_rewrite",
+    (s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.graft.rangeJoin.bucketWidth",
+        (21600L * 1000000L).toString)
+      val ev = Tables.events(s, d)
+      val windows = ev.filter(col("event_id") % 200 === 0)
+        .select(col("event_id").as("window_id"),
+          unix_micros(col("ts")).as("s_us"),
+          unix_micros(expr("ts + INTERVAL 6 HOUR")).as("e_us"))
+      val points = ev.select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      points.join(windows,
+          col("ts_us") >= col("s_us") && col("ts_us") < col("e_us"))
+        .select("event_id", "window_id", "ts_us")
+        .orderBy("event_id", "window_id")
+    },
+    Some("""WITH w AS (
+              SELECT event_id AS window_id, epoch_us(ts) AS s_us,
+                     epoch_us(ts + INTERVAL 6 HOUR) AS e_us
+              FROM events WHERE event_id % 200 = 0)
+            SELECT e.event_id, w.window_id, epoch_us(e.ts) AS ts_us
+            FROM events e JOIN w
+              ON epoch_us(e.ts) >= w.s_us AND epoch_us(e.ts) < w.e_us
+            ORDER BY event_id, window_id"""))
+
   /** R24: salted skew join in the correctness gate — the salted plan's
     * result must be EXACTLY the plain join's (the oracle is the plain
     * SQL join). Salting is the static fallback for keys too hot for
@@ -1944,7 +1981,7 @@ object Relational {
     qCountDistinct, qConditionalAgg, qTopK, qRollup, qPercentiles,
     qUnionDedup, qScalarFuncs, qAsofJoin, qAsofNearest, qVectorAgg,
     qApproxDistinct,
-    qPivot, qCubeGrouping, qWindowFuncs, qRangeJoin, qSaltedJoin,
+    qPivot, qCubeGrouping, qWindowFuncs, qRangeJoin, qRangeJoinRewrite, qSaltedJoin,
     qApproxPercentile, qOuterJoin, qSlidingWindow, qSetOps, qSqlSurface,
     qGroupingSets, qBloomJoin, qArgmax, qUnpivot, q18LargeOrders,
     qCorrStats, qRecursiveCte, qWindowDist, qSketchRollup, qQuantileRollup,

@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // opt-in logical rewrite: natural point-in-interval joins →
+    // bucketed equi-joins (see RangeJoinRewrite; fires only when
+    // spark.graft.rangeJoin.bucketWidth is a positive long)
+    ext.injectOptimizerRule(_ => new RangeJoinRewrite)
     ext.injectFunction((
       new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
