@@ -1067,6 +1067,55 @@ object PipelineQueries {
             WHERE n_chunks > 0
             ORDER BY doc_id, chunk_idx"""))
 
+  /** MM5: audio-visual alignment (see [[Multimodal.avAlign]]).
+    * Clocks are scaled to the synthetic payloads (1 byte/sample →
+    * clip durations of a few ms): 1 ms frames sampled every 2, 8 ms
+    * audio windows hopping 3 ms — so overlapping windows genuinely
+    * cover frames MULTIPLE times (the argmax-chunk selection
+    * exercises, n_covering up to 3) AND the video outlives the audio
+    * (the NULL mismatch tail is real, not the whole output). */
+  val mmAvAlign = QueryDef(
+    "mm_av_align",
+    (s, d) => Multimodal.avAlign(
+        Multimodal.syntheticAssets(Tables.documents(s, d)),
+        stride = 2, frameMs = 1L, winMs = 8L, hopMs = 3L)
+      .orderBy("video_id", "sample_idx"),
+    Some("""WITH v AS (SELECT doc_id AS video_id,
+                    CAST(1 + doc_id % 300 AS INTEGER) AS n_frames
+                  FROM documents WHERE doc_id % 3 = 2),
+            fr AS (SELECT video_id,
+                     CAST(frame_idx // 2 AS INTEGER) AS sample_idx,
+                     CAST(frame_idx AS INTEGER) AS frame_idx,
+                     CAST(frame_idx * 1 AS BIGINT) AS t_ms
+                   FROM v, UNNEST(generate_series(0, n_frames - 1, 2))
+                     AS t(frame_idx)),
+            a AS (SELECT doc_id,
+                    CAST(8000 + (doc_id % 5) * 8000 AS BIGINT) AS sr,
+                    CAST(strlen(text) AS BIGINT) AS n_samples
+                  FROM documents WHERE doc_id % 3 = 1),
+            du AS (SELECT doc_id, n_samples * 1000 // sr AS duration_ms FROM a),
+            nc AS (SELECT doc_id, duration_ms,
+                     CASE WHEN duration_ms <= 0 THEN 0
+                          WHEN duration_ms < 8 THEN 1
+                          ELSE (duration_ms - 8) // 3 + 1 END AS n_chunks
+                   FROM du),
+            ch AS (SELECT doc_id, i * 3 AS start_ms,
+                     least(i * 3 + 8, duration_ms) AS end_ms
+                   FROM nc, UNNEST(generate_series(0, n_chunks - 1)) AS t(i)
+                   WHERE n_chunks > 0),
+            j AS (SELECT f.video_id, f.sample_idx, f.frame_idx, f.t_ms,
+                         c.start_ms
+                  FROM fr f LEFT JOIN ch c
+                    ON c.doc_id = f.video_id - 1
+                   AND c.start_ms <= f.t_ms AND f.t_ms < c.end_ms)
+            SELECT video_id, video_id - 1 AS audio_id, sample_idx,
+                   frame_idx, t_ms,
+                   CAST(count(start_ms) AS BIGINT) AS n_covering,
+                   CAST(max(start_ms) // 3 AS INTEGER) AS chunk_idx,
+                   CAST(max(start_ms) AS BIGINT) AS chunk_start_ms
+            FROM j GROUP BY video_id, sample_idx, frame_idx, t_ms
+            ORDER BY video_id, sample_idx"""))
+
   /** D42: overlapping token-window chunking — the document→chunk step
     * every RAG / long-context training pipeline runs (fixed window,
     * fixed stride, short tail kept, content-hash chunk ids). Map-side
@@ -2605,7 +2654,7 @@ object PipelineQueries {
     dedupEditDistance, textLmScore, alphaSample, pipelineCurate,
     dedupIncremental, embTruncate, mmFrameSample, splitLeakage,
     annHardNegatives, textBpeTrain, textBpeEncode, textQualityClassifier,
-    textCorpusProfile, mmAudioChunks, textChunkWindows, textPplBuckets,
+    textCorpusProfile, mmAudioChunks, mmAvAlign, textChunkWindows, textPplBuckets,
     textDecontaminateBloom,
     graft.similarity.Pca.qTopPc, graft.similarity.Kmeans.qKmeans,
     graft.similarity.EmbDrift.qEmbDrift)

@@ -131,6 +131,43 @@ object Multimodal {
         (col("ci") * hopMs).as("start_ms"),
         least(col("ci") * hopMs + winMs, col("duration_ms")).as("end_ms"))
 
+  /** MM5: audio-visual ALIGNMENT — for every sampled video frame
+    * (the MM2 schedule), the audio chunk (the MM3 schedule of the
+    * PAIRED audio asset — synthetic pairing: audio id = video id − 1,
+    * the adjacent modality slot) whose window covers the frame's
+    * timestamp. The step that turns two per-modality schedules into
+    * training PAIRS; frames past the audio's end keep NULL chunk
+    * columns and n_covering = 0 — the honest modality-length-mismatch
+    * witness, not a dropped row. Overlapping windows (hop < win) cover
+    * a frame up to win/hop times; the LATEST-starting covering chunk
+    * is chosen, recovered exactly as max(start_ms) with
+    * chunk_idx = start div hop — no struct argmax needed. Shape: an
+    * equi join on the paired asset id with the interval test as a
+    * residual, then one keyed aggregation — all integer arithmetic,
+    * fully oracle-mirrorable. */
+  def avAlign(assets: DataFrame, stride: Int, frameMs: Long,
+      winMs: Long = 2000L, hopMs: Long = 500L): DataFrame = {
+    val frames = sampleFrames(assets, stride)
+      .select(col("doc_id").as("video_id"), col("sample_idx"),
+        col("frame_idx"),
+        (col("frame_idx").cast("long") * frameMs).as("t_ms"))
+    val chunks = audioChunks(assets, winMs, hopMs)
+      .select(col("doc_id").as("audio_id"), col("chunk_idx"),
+        col("start_ms"), col("end_ms"))
+    frames.join(chunks,
+        col("video_id") - 1 === col("audio_id") &&
+          col("start_ms") <= col("t_ms") && col("t_ms") < col("end_ms"),
+        "left")
+      .groupBy("video_id", "sample_idx", "frame_idx", "t_ms")
+      .agg(count(col("chunk_idx")).as("n_covering"),
+        max(col("start_ms")).as("chunk_start_ms"))
+      .select(col("video_id"), (col("video_id") - 1).as("audio_id"),
+        col("sample_idx"), col("frame_idx"), col("t_ms"),
+        col("n_covering"),
+        expr(s"chunk_start_ms div $hopMs").cast("int").as("chunk_idx"),
+        col("chunk_start_ms"))
+  }
+
   /** MM4: locality-sensitive perceptual-hash STUB over a binary
     * payload — the pHash role (near-identical payloads → near-equal
     * 64-bit codes, compared in hamming space) with the DCT replaced by

@@ -88,4 +88,37 @@ class MultimodalSpec extends SparkSpec {
     assert(out.filter(col("is_planted")).agg(max("hamming")).head().getInt(0) <= 4)
     out.unpersist()
   }
+
+  test("MM5: every chosen chunk really covers its frame; nulls mean zero cover") {
+    val rows = Multimodal.avAlign(
+      Multimodal.syntheticAssets(graft.Tables.documents(spark, sf)),
+      stride = 2, frameMs = 1L, winMs = 8L, hopMs = 3L).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val covered = r.getAs[Long]("n_covering") > 0
+      assert(covered === !r.isNullAt(r.fieldIndex("chunk_idx")),
+        "n_covering and the chunk columns must agree")
+      if (covered) {
+        val t = r.getAs[Long]("t_ms"); val s0 = r.getAs[Long]("chunk_start_ms")
+        assert(s0 <= t && t < s0 + 8, s"chosen chunk [$s0,+8) must cover t=$t")
+        assert(r.getAs[Int]("chunk_idx") === (s0 / 3).toInt)
+        assert(r.getAs[Long]("n_covering") <= 3,
+          "win/hop = 8/3 bounds coverage at ceil(8/3) = 3")
+      }
+    }
+    // the entry must exercise BOTH regimes: overlapping multi-cover and
+    // the modality-length-mismatch tail
+    assert(rows.exists(_.getAs[Long]("n_covering") >= 2))
+    assert(rows.exists(_.getAs[Long]("n_covering") === 0))
+  }
+
+  test("MM5: one output row per sampled frame — alignment never fans out") {
+    val assets = Multimodal.syntheticAssets(graft.Tables.documents(spark, sf))
+    val aligned = Multimodal.avAlign(assets, 2, 1L, 8L, 3L)
+    val frames = Multimodal.sampleFrames(assets, 2)
+    assert(aligned.count() === frames.count(),
+      "overlapping chunks must collapse to the argmax pick, not multiply rows")
+    assert(aligned.select("video_id", "frame_idx").distinct().count() ===
+      aligned.count())
+  }
 }
