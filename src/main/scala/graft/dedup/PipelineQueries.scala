@@ -246,7 +246,7 @@ object PipelineQueries {
     * (≤ [[Ann.MaxBroadcastQueries]] queries at any corpus size) while
     * staying deterministic and oracle-mirrorable, unlike limit(). */
   private val QueryIdBound = Ann.MaxBroadcastQueries * 100L
-  private def boundedQueries(emb: org.apache.spark.sql.DataFrame) =
+  private[dedup] def boundedQueries(emb: org.apache.spark.sql.DataFrame) =
     emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < QueryIdBound)
 
   /** D6: brute-force cosine top-k — a bounded query set broadcast
@@ -274,6 +274,71 @@ object PipelineQueries {
               FROM scored)
             SELECT q_id, vec_id, cos_sim, rnk FROM ranked
             WHERE rnk <= 10 ORDER BY q_id, rnk"""))
+
+  /** D91 — ranking-quality evaluation over retrieval lists: exact
+    * MRR and precision@k for the D6 brute-force top-10, with
+    * relevance = shared `label` (the judgment a retrieval deployment
+    * gets from its taxonomy or click feedback). The eval family
+    * (AUC/calibration/PSI) covers CLASSIFIER quality; this is the
+    * RANKING side every ANN/BM25 stack reports. Deliberately
+    * rational-only metrics — reciprocal rank at ppm scale and hit
+    * counts — so the whole construction is exact integer arithmetic
+    * on top of D6's proven rounded-cosine ordering (NDCG's log2 gains
+    * would hang cross-engine exactness on libm ulps; MRR/P@k carry
+    * the same signal without the transcendental). One label join onto
+    * the top-10 frame (O(queries × 10) rows) + one keyed aggregation. */
+  val qRankingEval = QueryDef(
+    "q_ranking_eval",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val ranked = Ann.bruteForceTopK(emb, boundedQueries(emb), 10)
+      val lbl = emb.select(col("vec_id"), col("label"))
+      ranked.join(lbl, "vec_id")
+        .join(lbl.select(col("vec_id").as("q_id"),
+          col("label").as("q_label")), "q_id")
+        .withColumn("rel",
+          (col("label") === col("q_label")).cast("long"))
+        .groupBy("q_id", "q_label")
+        .agg(
+          min(when(col("rel") === 1, col("rnk"))).cast("long")
+            .as("first_rel_rank"),
+          sum(when(col("rnk") <= 5, col("rel")).otherwise(0L)).as("rel_at_5"),
+          sum(col("rel")).as("rel_at_10"))
+        .withColumn("rr_ppm",
+          coalesce(expr("CAST(1000000 div first_rel_rank AS BIGINT)"),
+            lit(0L)))
+        .select("q_id", "q_label", "first_rel_rank", "rr_ppm",
+          "rel_at_5", "rel_at_10")
+        .orderBy("q_id")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, label,
+                    CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            q AS (SELECT vec_id AS q_id, label AS q_label, emb AS q_emb
+                  FROM e WHERE vec_id % 100 = 0
+                    AND vec_id < ${Ann.MaxBroadcastQueries * 100L}),
+            scored AS (
+              SELECT q.q_id, q.q_label, e.vec_id, e.label,
+                ROUND(
+                  list_sum(list_transform(list_zip(q.q_emb, e.emb), p -> p[1] * p[2]))
+                  / (sqrt(list_sum(list_transform(q.q_emb, x -> x * x)))
+                   * sqrt(list_sum(list_transform(e.emb, x -> x * x)))), 6) AS cos_sim
+              FROM q JOIN e ON e.vec_id <> q.q_id),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                          ORDER BY cos_sim DESC, vec_id) AS rnk
+              FROM scored),
+            top AS (SELECT * FROM ranked WHERE rnk <= 10)
+            SELECT q_id, q_label,
+                   CAST(min(CASE WHEN label = q_label THEN rnk END)
+                     AS BIGINT) AS first_rel_rank,
+                   CAST(COALESCE(1000000 //
+                     min(CASE WHEN label = q_label THEN rnk END), 0)
+                     AS BIGINT) AS rr_ppm,
+                   CAST(SUM(CASE WHEN rnk <= 5 AND label = q_label
+                            THEN 1 ELSE 0 END) AS BIGINT) AS rel_at_5,
+                   CAST(SUM(CASE WHEN label = q_label THEN 1 ELSE 0 END)
+                     AS BIGINT) AS rel_at_10
+            FROM top GROUP BY q_id, q_label ORDER BY q_id"""))
 
   /** ANN self-verification corpus: the embeddings table plus an
     * IDENTICAL planted copy of every query (id + 10M) — each query's
@@ -2645,7 +2710,7 @@ object PipelineQueries {
     annIvfPq, annBinaryHamming,
     textLangId, textQualityScore, textTokenCount, textFingerprint,
     textWinnow, textWinnowGeometry, textVocab, textTokenize, vecCentroid,
-    mmBinaryMeta, mmPhashNeardup, textDsirSelect,
+    mmBinaryMeta, mmPhashNeardup, textDsirSelect, qRankingEval,
     hashSplit, stratifiedSample,
     dedupClusters, dedupClustersCc, dedupPipelineQ, packSequences, textScrub,
     textDecontaminate, textDecontaminateBcast, textHeavyHitters,
