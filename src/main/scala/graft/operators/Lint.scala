@@ -98,4 +98,21 @@ object Lint {
         JoinAdvice(j.joinType.toString, lb, rb, threshold, advice)
     }
   }
+
+  /** L4 — optimized-plan FINGERPRINT: a stable hash of the query's
+    * canonicalized optimized logical plan. Two queries get the same
+    * fingerprint iff Catalyst considers them the same computation
+    * (expression ids and alias NAMES are normalized away; literals,
+    * operators and shapes are not) — so a stored fingerprint per
+    * production query turns "did the upgrade / refactor / stats change
+    * silently alter my plan" into a diffable regression check, the
+    * plan-level analogue of the oracle's result hashing. Uses Spark's
+    * own `canonicalized` normalization, so the equivalence notion is
+    * exactly the engine's `sameResult`. */
+  def planFingerprint(df: DataFrame): String = {
+    val canon = df.queryExecution.optimizedPlan.canonicalized.toString
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
 }

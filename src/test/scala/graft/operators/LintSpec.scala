@@ -85,4 +85,42 @@ class LintSpec extends SparkSpec {
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
+
+  test("L4: plan fingerprints are formulation-stable and change-sensitive") {
+    import org.apache.spark.sql.functions._
+    def q1 = graft.Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") > 10)
+      .groupBy("l_returnflag").agg(sum("l_extendedprice").as("rev"))
+    // identical computation, rebuilt → same fingerprint
+    assert(Lint.planFingerprint(q1) === Lint.planFingerprint(q1))
+    // alias renaming is cosmetic — Catalyst canonicalization erases it
+    val renamed = graft.Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") > 10)
+      .groupBy("l_returnflag").agg(sum("l_extendedprice").as("revenue_x"))
+    assert(Lint.planFingerprint(renamed) === Lint.planFingerprint(q1))
+    // a changed literal is a different computation
+    val shifted = graft.Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") > 11)
+      .groupBy("l_returnflag").agg(sum("l_extendedprice").as("rev"))
+    assert(Lint.planFingerprint(shifted) !== Lint.planFingerprint(q1))
+    // a dropped filter is a different plan shape
+    val noFilter = graft.Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag").agg(sum("l_extendedprice").as("rev"))
+    assert(Lint.planFingerprint(noFilter) !== Lint.planFingerprint(q1))
+  }
+
+  test("L4: fingerprints pin a representative slice of the coverage surface") {
+    // smoke: fingerprinting works across heterogeneous plan shapes
+    // (windows, joins, generators) without throwing, and is stable
+    // within a session
+    Seq("q1_pricing_summary", "q3_shipping_priority", "q_window_rank",
+      "q_sessionize", "text_token_count").foreach { name =>
+      val a = Lint.planFingerprint(
+        graft.SparkEntry.queries(name)(spark, sf))
+      val b = Lint.planFingerprint(
+        graft.SparkEntry.queries(name)(spark, sf))
+      assert(a === b, s"$name fingerprint unstable")
+      assert(a.length === 32)
+    }
+  }
 }
