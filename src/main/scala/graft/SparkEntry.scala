@@ -18,7 +18,7 @@ object SparkEntry {
       operators.Retail.all ++ operators.Diagnose.all ++
       operators.Kmv.all ++ etl.Ivm.all ++ etl.Profile.all ++
       dedup.CorpusStats.all ++
-      etl.EtlQueries.all ++ etl.Geo.all ++ etl.Linkage.all ++ etl.LateDim.all ++ etl.Pseudonymize.all ++ etl.Quality.all ++ etl.Scd.all ++ etl.Bitemporal.all ++ etl.Cdc.all ++
+      etl.EtlQueries.all ++ etl.Geo.all ++ etl.Linkage.all ++ etl.LateDim.all ++ etl.Pseudonymize.all ++ etl.Masking.all ++ etl.Quality.all ++ etl.Scd.all ++ etl.Bitemporal.all ++ etl.Cdc.all ++
       etl.Incremental.all ++ etl.Repair.all ++ etl.AggNavigator.all ++
       etl.Retention.all ++ etl.Erasure.all ++ etl.Fx.all ++
       dedup.PipelineQueries.all ++ dedup.InvertedIndex.all ++
