@@ -12,7 +12,7 @@ object SparkEntry {
       operators.Zorder.all ++ operators.EventAnalytics.all ++
       operators.Graph.all ++ operators.Triangles.all ++
       operators.Bucketed.all ++ operators.BloomFilters.all ++ operators.Ranks.all ++ operators.RowGroups.all ++
-      operators.CodecAudit.all ++
+      operators.CodecAudit.all ++ multimodal.BinaryIngest.all ++
       operators.Evaluate.all ++ operators.Conformal.all ++ operators.Audit.all ++ operators.Markov.all ++
       operators.Features.all ++ operators.Compaction.all ++
       operators.Retail.all ++ operators.Diagnose.all ++
