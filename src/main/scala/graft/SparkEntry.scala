@@ -8,7 +8,7 @@ object SparkEntry {
   /** All implemented coverage-checklist entries. */
   def allDefs: Seq[QueryDef] =
     operators.Relational.all ++ operators.TpchMore.all ++
-      operators.SpatialJoin.all ++ operators.Partitioned.all ++
+      operators.SpatialJoin.all ++ operators.SemiStructured.all ++ operators.Partitioned.all ++
       operators.Zorder.all ++ operators.EventAnalytics.all ++
       operators.Graph.all ++ operators.Triangles.all ++
       operators.Bucketed.all ++ operators.BloomFilters.all ++ operators.Ranks.all ++ operators.RowGroups.all ++
