@@ -197,6 +197,12 @@ class RelationalSpec extends SparkSpec {
       // 1-row per-table count aggregates crossed into the 3-row
       // erasure-plan report
       "etl_forget_cascade",
+      // 1-row merge-count stats broadcast onto the O(batch) report
+      // (the dedup_incremental convention)
+      "dedup_clusters_incremental",
+      // inherits D6's bounded-broadcast query scan (its ranked lists
+      // ARE the ann_bruteforce output)
+      "q_ranking_eval",
       // 1-row token-total and bigram-total broadcasts for the PMI terms
       "text_collocations",
       // bounded center-dim broadcast scan (E27's documented shape —
