@@ -159,6 +159,80 @@ object RowGroups {
         SELECT * FROM r ORDER BY file, row_group_id, "column""""
   }
 
+  /** Fixture for IO22: the sorted layout re-written with ~8 KB pages
+    * so every row group holds SEVERAL pages (the default 1 MB page
+    * would leave one page per 128 KB group and the page level would
+    * be vacuous). */
+  def pagedDir(s: SparkSession, dir: String): String = {
+    val base = scratch(dir)
+    lastDir = dir
+    if (built.add(base + "/paged")) {
+      Tables.lineitem(s, dir)
+        .sort(KeyCol, "l_linenumber")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.block.size", 256 * 1024)
+        .option("parquet.page.size", 8 * 1024)
+        .option("parquet.page.row.count.limit", 2500)
+        .parquet(s"$base/paged")
+    }
+    s"$base/paged"
+  }
+
+  /** IO22 — PAGE-level column-index audit: the min/max spans and row
+    * counts of every DATA PAGE, read from the parquet column index /
+    * offset index (PARQUET-1201) — the skipping granularity UNDER
+    * IO16's row groups (engines prune groups by footer stats, then
+    * pages by the column index; a sorted layout makes both levels
+    * tile). Per page: key span, row count, and the column index's own
+    * declared boundary order — on the sorted fixture it must say
+    * ASCENDING, which is the machine-readable witness that page-level
+    * range pruning will engage. Driver-side metadata walk (the IO16
+    * class), zero data pages read. No SQL oracle: DuckDB 1.0.0's
+    * parquet_metadata exposes row groups, not page indexes — rows-only
+    * SV + RowGroupsSpec (spans tile per group and never overlap; page
+    * row counts conserve the group count; several pages per group). */
+  def pageIndexAudit(s: SparkSession, path: String,
+      column: String): DataFrame = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val rows = files.flatMap { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        reader.getFooter.getBlocks.asScala.zipWithIndex.flatMap {
+          case (block, g) =>
+            val cc = block.getColumns.asScala
+              .find(_.getPath.toDotString == column)
+              .getOrElse(sys.error(s"column $column not in ${f.getName}"))
+            val ci = reader.readColumnIndex(cc)
+            val oi = reader.readOffsetIndex(cc)
+            if (ci == null || oi == null) Nil
+            else {
+              def long(b: java.nio.ByteBuffer): Long =
+                b.duplicate().order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+              val mins = ci.getMinValues.asScala.map(long)
+              val maxs = ci.getMaxValues.asScala.map(long)
+              val n = oi.getPageCount
+              (0 until n).map { p =>
+                val nextFirst =
+                  if (p + 1 < n) oi.getFirstRowIndex(p + 1)
+                  else block.getRowCount
+                (f.getName, g.toLong, p.toLong, mins(p), maxs(p),
+                  nextFirst - oi.getFirstRowIndex(p),
+                  ci.getBoundaryOrder.name)
+              }
+            }
+        }.toSeq
+      } finally reader.close()
+    }
+    import s.implicits._
+    rows.toSeq.toDF("file", "row_group_id", "page_id", "min_key",
+      "max_key", "n_rows", "boundary_order")
+  }
+
   /** `all` is a def (the Compaction convention): re-evaluated when
     * Verify dumps the oracle map, so the SQL reads the pid-scoped
     * fixture this process actually wrote. */
@@ -170,5 +244,8 @@ object RowGroups {
     QueryDef("io_encoding_audit",
       (s, d) => encodingAudit(s, sortedDir(s, d))
         .orderBy("file", "row_group_id", "column"),
-      Some(encodingOracleFor(lastDir))))
+      Some(encodingOracleFor(lastDir))),
+    QueryDef("io_page_index_audit",
+      (s, d) => pageIndexAudit(s, pagedDir(s, d), KeyCol)
+        .orderBy("file", "row_group_id", "page_id")))
 }

@@ -67,4 +67,32 @@ class RowGroupsSpec extends SparkSpec {
       assert(cs.map(_.getAs[Long]("n_values")).toSet.size === 1)
     }
   }
+
+  test("IO22: page spans tile ascending within every group and conserve rows") {
+    val rows = RowGroups.pageIndexAudit(spark,
+      RowGroups.pagedDir(spark, sf), RowGroups.KeyCol).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[String]("boundary_order") === "ASCENDING",
+      "the sorted layout must declare ascending page boundaries"))
+    val byGroup = rows.groupBy(r =>
+      (r.getAs[String]("file"), r.getAs[Long]("row_group_id")))
+    assert(byGroup.exists(_._2.length >= 2),
+      "the 8 KB page fixture must produce several pages per group")
+    byGroup.values.foreach { pages =>
+      val ordered = pages.sortBy(_.getAs[Long]("page_id"))
+      ordered.foreach { r =>
+        assert(r.getAs[Long]("min_key") <= r.getAs[Long]("max_key"))
+        assert(r.getAs[Long]("n_rows") > 0)
+      }
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("min_key") >= a.getAs[Long]("max_key"),
+            "sorted pages may touch at a shared key but never overlap")
+        case _ =>
+      }
+    }
+    val total = rows.map(_.getAs[Long]("n_rows")).sum
+    assert(total === graft.Tables.lineitem(spark, sf).count(),
+      "page row counts must conserve the table")
+  }
 }
