@@ -382,6 +382,51 @@ object Relational {
         .orderBy("l_returnflag")
   }
 
+  /** R150 — exact WEIGHTED quantiles: the volume-weighted median/p90
+    * of price with quantity as mass — "the price at which half the
+    * VOLUME trades" (VWAP's quantile sibling), which R14's row-rank
+    * arithmetic cannot express (a 50-unit line must count 50× a
+    * 1-unit line). Definition: lower weighted quantile — the smallest
+    * price whose cumulative weight reaches q·W. Both engines compute
+    * the cumulative weight with the DEFAULT RANGE frame of an ordered
+    * window, so price TIES share one cumulative value and the picked
+    * price is tie-free by construction; the threshold compares are
+    * pure integer (`cw·2 ≥ tot`, `cw·10 ≥ 9·tot`), and the picked
+    * doubles are parquet values passed through untouched — no float
+    * arithmetic anywhere. One window + one aggregation per group. */
+  val qWeightedMedian = QueryDef(
+    "q_weighted_median",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+      val wt = Window.partitionBy("l_returnflag")
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_quantity").cast("long").as("q"))
+        .withColumn("cw", sum("q").over(w))
+        .withColumn("tot", sum("q").over(wt))
+        .groupBy("l_returnflag")
+        .agg(
+          min(when(col("cw") * 2 >= col("tot"), col("l_extendedprice")))
+            .as("wmed_price"),
+          min(when(col("cw") * 10 >= col("tot") * 9, col("l_extendedprice")))
+            .as("wp90_price"),
+          max("tot").as("total_weight"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH b AS (SELECT l_returnflag AS f, l_extendedprice AS p,
+                    CAST(l_quantity AS BIGINT) AS q FROM lineitem),
+            c AS (SELECT f, p,
+                    SUM(q) OVER (PARTITION BY f ORDER BY p) AS cw,
+                    SUM(q) OVER (PARTITION BY f) AS tot
+                  FROM b)
+            SELECT f AS l_returnflag,
+                   MIN(CASE WHEN cw * 2 >= tot THEN p END) AS wmed_price,
+                   MIN(CASE WHEN cw * 10 >= tot * 9 THEN p END)
+                     AS wp90_price,
+                   CAST(MAX(tot) AS BIGINT) AS total_weight
+            FROM c GROUP BY f ORDER BY f"""))
+
   val qPercentiles = QueryDef(
     "q_percentiles",
     (s, d) => exactPercentiles(s, d),
@@ -1981,7 +2026,7 @@ object Relational {
     qCountDistinct, qConditionalAgg, qTopK, qRollup, qPercentiles,
     qUnionDedup, qScalarFuncs, qAsofJoin, qAsofNearest, qVectorAgg,
     qApproxDistinct,
-    qPivot, qCubeGrouping, qWindowFuncs, qRangeJoin, qRangeJoinRewrite, qSaltedJoin,
+    qPivot, qCubeGrouping, qWindowFuncs, qRangeJoin, qRangeJoinRewrite, qSaltedJoin, qWeightedMedian,
     qApproxPercentile, qOuterJoin, qSlidingWindow, qSetOps, qSqlSurface,
     qGroupingSets, qBloomJoin, qArgmax, qUnpivot, q18LargeOrders,
     qCorrStats, qRecursiveCte, qWindowDist, qSketchRollup, qQuantileRollup,

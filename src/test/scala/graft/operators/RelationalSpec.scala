@@ -482,4 +482,33 @@ class RelationalSpec extends SparkSpec {
         assert(n > 0, s"${q.name} returned no rows")
     }
   }
+
+  test("R150: the weighted median replays exactly and dominates by mass") {
+    val rows = Relational.qWeightedMedian.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val data = graft.Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_extendedprice", "l_quantity").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2).toLong))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val f = r.getString(0)
+      val sorted = data(f).sortBy(_._2)
+      val tot = sorted.map(_._3).sum
+      assert(r.getAs[Long]("total_weight") === tot)
+      // lower weighted quantile via sequential scan (RANGE-frame ties
+      // share cumulative mass, so a plain running sum agrees at the
+      // crossing price)
+      def pick(num: Long, den: Long): Double = {
+        var cw = 0L
+        sorted.find { case (_, _, q) => cw += q; cw * den >= tot * num }
+          .get._2
+      }
+      assert(r.getAs[Double]("wmed_price") === pick(1, 2), s"flag $f median")
+      assert(r.getAs[Double]("wp90_price") === pick(9, 10), s"flag $f p90")
+      // half the MASS sits at or below the weighted median
+      val below = sorted.filter(_._2 <= r.getAs[Double]("wmed_price"))
+        .map(_._3).sum
+      assert(below * 2 >= tot)
+    }
+  }
 }
