@@ -63,6 +63,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BloomMightContain].getName, "graft_might_contain"),
       (children: Seq[Expression]) => BloomMightContain(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
+      (children: Seq[Expression]) => JaroWinkler(children(0), children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_cm_estimate"),
       new ExpressionInfo(classOf[CmEstimate].getName, "graft_cm_estimate"),
       (children: Seq[Expression]) => CmEstimate(children(0), children(1))))
