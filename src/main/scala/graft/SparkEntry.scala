@@ -14,15 +14,17 @@ object SparkEntry {
       operators.Bucketed.all ++ operators.BloomFilters.all ++ operators.Ranks.all ++ operators.RowGroups.all ++
       operators.CodecAudit.all ++ multimodal.BinaryIngest.all ++
       operators.Evaluate.all ++ operators.Conformal.all ++ operators.Audit.all ++ operators.Markov.all ++
-      operators.Features.all ++ operators.Compaction.all ++
+      operators.Features.all ++ operators.Allocate.all ++ operators.Compaction.all ++
       operators.Retail.all ++ operators.Diagnose.all ++
       operators.Kmv.all ++ etl.Ivm.all ++ etl.Profile.all ++
       dedup.CorpusStats.all ++
-      etl.EtlQueries.all ++ etl.Geo.all ++ etl.Linkage.all ++ etl.LateDim.all ++ etl.Pseudonymize.all ++ etl.Masking.all ++ etl.Quality.all ++ etl.Scd.all ++ etl.Bitemporal.all ++ etl.Cdc.all ++
+      etl.EtlQueries.all ++ etl.Geo.all ++ etl.Linkage.all ++ etl.GoldenRecord.all ++ etl.LateDim.all ++ etl.Pseudonymize.all ++ etl.Masking.all ++ etl.Quality.all ++ etl.Scd.all ++ etl.Bitemporal.all ++ etl.Cdc.all ++
       etl.Incremental.all ++ etl.Repair.all ++ etl.AggNavigator.all ++
       etl.Retention.all ++ etl.Erasure.all ++ etl.DeltaAttribution.all ++ etl.Fx.all ++
       dedup.PipelineQueries.all ++ dedup.IncrementalClusters.all ++ dedup.InvertedIndex.all ++
+      dedup.ParagraphDedup.all ++
       dedup.Layout.all ++ dedup.Waterfall.all ++ similarity.Project.all ++ similarity.IvfMaintain.all ++
+      similarity.Kcenter.all ++
       dedup.SourceOverlap.all ++
       streaming.StreamQueries.all ++ streaming.WatermarkPlan.all
 

@@ -406,6 +406,74 @@ object Features {
                    CAST(SUM(contrib_q) OVER () AS BIGINT) AS mi_q
             FROM t ORDER BY x, y"""))
 
+  /** R152 — Weight-of-Evidence encoding + Information Value: the
+    * credit-scoring categorical transform (Siddiqi, "Credit Risk
+    * Scorecards") — per category WOE = ln(goodShare/badShare) with
+    * Laplace smoothing (so empty cells stay finite), and the
+    * feature's total IV = Σ (goodShare − badShare)·WOE, the standard
+    * "is this feature worth keeping" strength read (R134's mutual
+    * information in scorecard units). Complements R72: target
+    * encoding emits a per-row feature, WOE/IV emits the per-category
+    * codebook plus the feature-level selection statistic.
+    *
+    * Exactness: one fact aggregation to the O(#categories) frame;
+    * shares as exact ppm integers; the ln argument is ONE double
+    * ratio of exact BIGINT cross-products (all < 2^53, so the double
+    * is exact) and each IV term is floor-quantized BEFORE the integer
+    * total (the R68/PSI convention). */
+  val qWoeIv = QueryDef(
+    "q_woe_iv",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wAll = Window.partitionBy(lit(1))
+      Tables.lineitem(s, d)
+        .groupBy(month(col("l_shipdate")).as("category"))
+        .agg(
+          sum(when(col("l_returnflag") === "R", lit(1L)).otherwise(lit(0L))).as("n_bad"),
+          sum(when(col("l_returnflag") =!= "R", lit(1L)).otherwise(lit(0L))).as("n_good"))
+        // Laplace: +1 per cell, +#categories on each total
+        .withColumn("k", count(lit(1)).over(wAll))
+        .withColumn("gt", sum("n_good").over(wAll) + col("k"))
+        .withColumn("bt", sum("n_bad").over(wAll) + col("k"))
+        .withColumn("g1", col("n_good") + 1)
+        .withColumn("b1", col("n_bad") + 1)
+        .withColumn("gs_ppm", expr("(g1 * 1000000) div gt"))
+        .withColumn("bs_ppm", expr("(b1 * 1000000) div bt"))
+        .withColumn("woe_q6",
+          floor(log(col("g1").cast("double") * col("bt") /
+            (col("b1").cast("double") * col("gt"))) * 1e6).cast("long"))
+        .withColumn("iv_term_q", expr("((gs_ppm - bs_ppm) * woe_q6) div 1000000"))
+        .withColumn("iv_q6", sum("iv_term_q").over(wAll))
+        .select(col("category"), col("n_good"), col("n_bad"),
+          col("gs_ppm"), col("bs_ppm"), col("woe_q6"), col("iv_term_q"), col("iv_q6"))
+        .orderBy("category")
+    },
+    Some("""WITH cells AS (
+              SELECT CAST(month(l_shipdate) AS INTEGER) AS category,
+                     CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS n_bad,
+                     CAST(count(*) FILTER (WHERE l_returnflag <> 'R') AS BIGINT) AS n_good
+              FROM lineitem GROUP BY 1),
+            t AS (SELECT *,
+                    CAST(count(*) OVER () AS BIGINT) AS k,
+                    CAST(SUM(n_good) OVER () AS BIGINT) + CAST(count(*) OVER () AS BIGINT) AS gt,
+                    CAST(SUM(n_bad) OVER () AS BIGINT) + CAST(count(*) OVER () AS BIGINT) AS bt,
+                    n_good + 1 AS g1, n_bad + 1 AS b1
+                  FROM cells),
+            w AS (SELECT *,
+                    (g1 * 1000000) // gt AS gs_ppm,
+                    (b1 * 1000000) // bt AS bs_ppm,
+                    CAST(floor(ln(CAST(g1 AS DOUBLE) * bt /
+                      (CAST(b1 AS DOUBLE) * gt)) * 1e6) AS BIGINT) AS woe_q6
+                  FROM t),
+            v AS (SELECT *,
+                    ((gs_ppm - bs_ppm) * woe_q6) // 1000000 AS iv_term_q
+                  FROM w)
+            SELECT category, n_good, n_bad,
+                   CAST(gs_ppm AS BIGINT) AS gs_ppm, CAST(bs_ppm AS BIGINT) AS bs_ppm,
+                   woe_q6, CAST(iv_term_q AS BIGINT) AS iv_term_q,
+                   CAST(SUM(iv_term_q) OVER () AS BIGINT) AS iv_q6
+            FROM v ORDER BY category"""))
+
   def all: Seq[QueryDef] = Seq(qTargetEncode, qFeatureScale, qAutocorr,
-    qFeatureMatrix, qMutualInfo, qCrossCorrelation)
+    qFeatureMatrix, qMutualInfo, qCrossCorrelation, qWoeIv)
 }

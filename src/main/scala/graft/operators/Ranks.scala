@@ -359,7 +359,66 @@ object Ranks {
                       AS cum_gain_q
              FROM w ORDER BY decile"""))
 
+  /** R153 — quantile normalization across sources (the genomics
+    * batch-effect correction, applied to corpus mixing): each source's
+    * token-count distribution maps onto the POOLED distribution by
+    * fractional rank — source s's rank-rk value becomes the pooled
+    * value at the same quantile — so per-source length distributions
+    * align exactly while each document keeps its within-source order
+    * (the read behind "source B's docs are long only because B is
+    * measured differently"). Midpoint quantile q = (2·rk−1)/(2·n_s),
+    * pooled target rank = ceil(q·N) — all BIGINT
+    * (`((2rk−1)·N + 2n_s − 1) div (2n_s)`), so the mapping is
+    * hash-exact. The pooled order is the R53 two-pass global rank
+    * (range exchange + broadcast offsets — no SinglePartition funnel);
+    * the per-source ranks are ordinary partitioned windows. The DuckDB
+    * oracle computes the SAME mapping with a naive global row_number —
+    * the two-formulation equivalence is itself what the gate verifies
+    * (the R53/D65 discipline). */
+  val qQuantileNormalize = QueryDef(
+    "q_quantile_normalize",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        graft.functions.Text.whitespaceTokenCount(col("text")).cast("long").as("tok"))
+      val pooled = globalRowNumber(docs, Seq(col("tok"), col("doc_id")), 32, "grank")
+        .select(col("grank"), col("tok").as("norm_tok"))
+      val wSrc = Window.partitionBy("source")
+      val ranked = docs
+        .withColumn("rk",
+          row_number().over(wSrc.orderBy(col("tok"), col("doc_id"))).cast("long"))
+        .withColumn("n_s", count(lit(1)).over(wSrc))
+      val nAll = docs.agg(count(lit(1)).as("n_total"))
+      ranked.crossJoin(broadcast(nAll))
+        .withColumn("target_rank",
+          expr("((2*rk - 1) * n_total + 2*n_s - 1) div (2*n_s)"))
+        .join(pooled, col("target_rank") === pooled("grank"))
+        .select(col("doc_id"), col("source"), col("tok"), col("rk"),
+          col("target_rank"), col("norm_tok"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (
+               SELECT doc_id, source,
+                      CAST(len(string_split(${graft.dedup.PipelineQueries.oCanon}, ' ')) AS BIGINT) AS tok
+               FROM documents),
+             pooled AS (SELECT CAST(row_number() OVER (ORDER BY tok, doc_id) AS BIGINT) AS grank,
+                               tok AS norm_tok
+                        FROM t),
+             r AS (SELECT doc_id, source, tok,
+                     CAST(row_number() OVER (PARTITION BY source
+                                             ORDER BY tok, doc_id) AS BIGINT) AS rk,
+                     CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_s,
+                     CAST(count(*) OVER () AS BIGINT) AS n_total
+                   FROM t),
+             m AS (SELECT *,
+                     ((2*rk - 1) * n_total + 2*n_s - 1) // (2*n_s) AS target_rank
+                   FROM r)
+             SELECT m.doc_id, m.source, m.tok, m.rk,
+                    CAST(m.target_rank AS BIGINT) AS target_rank,
+                    pooled.norm_tok
+             FROM m JOIN pooled ON m.target_rank = pooled.grank
+             ORDER BY m.doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(qShardAssign, qGroupSample, qBudgetSelect, qLengthBatches,
-      qDecileLift)
+      qDecileLift, qQuantileNormalize)
 }

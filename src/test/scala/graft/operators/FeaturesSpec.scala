@@ -207,4 +207,40 @@ class FeaturesSpec extends SparkSpec {
     // null-feature path is exercised, not vacuous)
     assert(got.exists(_.getAs[Long]("n_prior") === 0L))
   }
+
+  test("R152: WOE/IV replays bit-for-bit from raw category counts") {
+    val li = Tables.lineitem(spark, sf)
+      .groupBy(month(col("l_shipdate")).as("category"))
+      .agg(
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("bad"),
+        sum(when(col("l_returnflag") =!= "R", 1L).otherwise(0L)).as("good"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val k = li.length.toLong
+    val gt = li.map(_._3).sum + k
+    val bt = li.map(_._2).sum + k
+    val expect = li.map { case (cat, bad, good) =>
+      val g1 = good + 1; val b1 = bad + 1
+      val gs = g1 * 1000000L / gt; val bs = b1 * 1000000L / bt
+      val woe = math.floor(math.log(g1.toDouble * bt / (b1.toDouble * gt)) * 1e6).toLong
+      val term = (gs - bs) * woe / 1000000L
+      (cat, good, bad, gs, bs, woe, term)
+    }
+    val ivExpect = expect.map(_._7).sum
+    val got = Features.qWoeIv.fn(spark, sf).collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7))).sortBy(_._1)
+    assert(got.length == expect.length)
+    got.zip(expect).foreach { case (g, e) =>
+      assert((g._1, g._2, g._3, g._4, g._5, g._6, g._7) == e, g._1)
+      assert(g._8 == ivExpect)
+    }
+    // the WOE orientation law: a category whose smoothed bad share
+    // exceeds its good share must carry a non-positive WOE and vice versa
+    got.foreach { g =>
+      if (g._4 > g._5) assert(g._6 >= 0, g._1)
+      else if (g._4 < g._5) assert(g._6 < 0, g._1)
+    }
+  }
 }

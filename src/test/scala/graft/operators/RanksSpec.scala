@@ -157,4 +157,35 @@ class RanksSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"),
       "rank assignment must not funnel through one task")
   }
+
+  test("R153: quantile normalization equals the naive global-window mapping") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("source"),
+      graft.functions.Text.whitespaceTokenCount(col("text")).cast("long").as("tok"))
+    val n = docs.count()
+    val pooledNaive = docs
+      .withColumn("grank",
+        row_number().over(Window.orderBy(col("tok"), col("doc_id"))).cast("long"))
+      .select(col("grank"), col("tok").as("norm_ref"))
+    val wSrc = Window.partitionBy("source")
+    val ref = docs
+      .withColumn("rk", row_number().over(wSrc.orderBy(col("tok"), col("doc_id"))).cast("long"))
+      .withColumn("n_s", count(lit(1)).over(wSrc))
+      .withColumn("target_rank",
+        expr(s"((2*rk - 1) * ${n}L + 2*n_s - 1) div (2*n_s)"))
+      .join(pooledNaive, col("target_rank") === pooledNaive("grank"))
+      .select(col("doc_id"), col("norm_ref"))
+    val got = Ranks.qQuantileNormalize.fn(spark, sf)
+      .select("doc_id", "norm_tok", "source", "rk")
+    assert(got.join(ref, "doc_id")
+      .filter(col("norm_tok") =!= col("norm_ref")).count() == 0)
+    // within a source, normalization preserves order (monotone in rank)
+    val bad = got.withColumn("prev",
+      lag("norm_tok", 1).over(Window.partitionBy("source").orderBy("rk")))
+      .filter(col("prev").isNotNull && col("prev") > col("norm_tok")).count()
+    assert(bad == 0)
+    // the pooled order comes from globalRowNumber, whose no-
+    // SinglePartition property is asserted directly above; the only
+    // single-task reduction in this entry is the sanctioned 1-row
+    // n_total aggregate
+  }
 }
