@@ -14,6 +14,7 @@ object SparkEntry {
       operators.Bucketed.all ++ operators.BloomFilters.all ++ operators.Ranks.all ++ operators.RowGroups.all ++
       operators.CodecAudit.all ++ multimodal.BinaryIngest.all ++
       operators.Evaluate.all ++ operators.Conformal.all ++ operators.Audit.all ++ operators.Markov.all ++
+      operators.Survival.all ++ etl.Contract.all ++
       operators.Features.all ++ operators.Allocate.all ++ operators.Compaction.all ++
       operators.Retail.all ++ operators.Diagnose.all ++
       operators.Kmv.all ++ etl.Ivm.all ++ etl.Profile.all ++

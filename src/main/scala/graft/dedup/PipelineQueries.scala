@@ -428,6 +428,49 @@ object PipelineQueries {
     },
     None)
 
+  /** D101: IVF nprobe recall/cost CURVE — the "tune your index" read:
+    * for each probe width, recall@10 and top-1 recall vs the D6 exact
+    * baseline beside the fraction of the corpus a probe reads
+    * (nprobe/cells — with a partitionBy(cell) index that fraction IS
+    * the scan bill). SELF-VERIFYING by two theorems visible in the
+    * output: recall@10 is NON-DECREASING in nprobe (probing more cells
+    * only grows the candidate set, and exact-top-k members present in
+    * a candidate set always rank into its top-k), and at nprobe =
+    * cells the index degenerates to brute force — recall must be
+    * EXACTLY 1.0. The exact baseline computes once and is cached; the
+    * codebook memoizes under the shared cacheKey, so the sweep costs
+    * four probe passes, not four index builds. Counts are exact
+    * integers; recalls are exact integer ratios (q4). */
+  val annNprobeCurve = QueryDef(
+    "ann_nprobe_curve",
+    (s, d) => {
+      val Cells = 16
+      val emb = Tables.embeddings(s, d)
+      val q = boundedQueries(emb)
+      val corpus = annEvalCorpus(emb, q)
+      val exact = Ann.bruteForceTopK(corpus, q, 10)
+        .select(col("q_id"), col("vec_id"), col("rnk")).cache()
+      val nq = q.count() // bounded by construction (boundedQueries)
+      val rows = Seq(1, 2, 4, 8, 16).map { np =>
+        val ann = graft.similarity.Ivf.topK(corpus, q, 10,
+          cells = Cells, nprobe = np, cacheKey = d + "#eval")
+          .select(col("q_id"), col("vec_id")).cache()
+        val hits = ann
+          .join(exact.select("q_id", "vec_id"), Seq("q_id", "vec_id"), "leftsemi")
+          .count()
+        val top1 = exact.filter(col("rnk") === 1)
+          .join(ann, Seq("q_id", "vec_id"), "leftsemi").count()
+        ann.unpersist()
+        (np, np.toLong * 1000000L / Cells,
+          hits * 10000L / (nq * 10L), top1 * 10000L / nq)
+      }
+      exact.unpersist()
+      import s.implicits._
+      rows.toDF("nprobe", "cells_fraction_ppm", "recall_at10_q4", "top1_recall_q4")
+        .orderBy("nprobe")
+    },
+    None)
+
   /** D77: binary sign-sketch ANN (Hamming pre-rank + float rerank) —
     * SELF-VERIFYING like the other sublinear-index entries: recall@10
     * + top-1 recall vs the D6 exact baseline over the planted eval
@@ -2707,7 +2750,7 @@ object PipelineQueries {
     dedupNgramJaccard,
     dedupJaccardAllpairs, dedupSpanMask,
     dedupEmbeddingCosine, annBruteforceTopK, annLsh, annIvf, annPqAdc,
-    annIvfPq, annBinaryHamming,
+    annIvfPq, annBinaryHamming, annNprobeCurve,
     textLangId, textQualityScore, textTokenCount, textFingerprint,
     textWinnow, textWinnowGeometry, textVocab, textTokenize, vecCentroid,
     mmBinaryMeta, mmPhashNeardup, textDsirSelect, qRankingEval,

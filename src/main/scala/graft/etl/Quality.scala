@@ -180,5 +180,98 @@ object Quality {
                   END IS NOT NULL
             ORDER BY k, change"""))
 
-  val all: Seq[QueryDef] = Seq(qualityChecks, tableDiff)
+  /** E48 — whole-star referential-integrity audit: every foreign-key
+    * edge of the schema (orders→customer, lineitem→orders,
+    * lineitem→part, lineitem→supplier, customer→nation,
+    * supplier→nation, nation→region) checked in ONE entry — per edge
+    * the child row count, orphan count (children whose parent key
+    * resolves to nothing) and distinct orphan keys. The pre-publish
+    * gate for a snapshot (IO17 makes multi-table commits atomic; this
+    * proves the committed group is internally CONSISTENT — atomicity
+    * and integrity are different promises). E11 checks one table's
+    * values; E41 walks one cascade; this sweeps every edge.
+    *
+    * Scale: each edge is one LEFT ANTI-style join on its key — the
+    * child table's single key shuffle (dims broadcast where small);
+    * counts are partial-aggregable. Edges are independent, so Spark
+    * schedules them concurrently inside the one union plan.
+    */
+  val starIntegrity = QueryDef(
+    "etl_star_integrity",
+    (s, d) => {
+      def edge(name: String, child: org.apache.spark.sql.DataFrame,
+          childKey: String, parent: org.apache.spark.sql.DataFrame,
+          parentKey: String) = {
+        val p = parent.select(col(parentKey).as("_pk")).distinct()
+          .withColumn("_found", lit(true))
+        child.select(col(childKey).as("_ck"))
+          .join(p, col("_ck") === col("_pk"), "left")
+          .agg(
+            lit(name).as("edge"),
+            count(lit(1)).as("n_children"),
+            sum(when(col("_found").isNull, lit(1L)).otherwise(lit(0L)))
+              .as("n_orphans"),
+            count_distinct(when(col("_found").isNull, col("_ck")))
+              .as("n_orphan_keys"))
+      }
+      val o = Tables.orders(s, d); val li = Tables.lineitem(s, d)
+      val c = Tables.customer(s, d); val su = Tables.supplier(s, d)
+      val p = Tables.part(s, d); val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      Seq(
+        edge("orders->customer", o, "o_custkey", c, "c_custkey"),
+        edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+        edge("lineitem->part", li, "l_partkey", p, "p_partkey"),
+        edge("lineitem->supplier", li, "l_suppkey", su, "s_suppkey"),
+        edge("customer->nation", c, "c_nationkey", n, "n_nationkey"),
+        edge("supplier->nation", su, "s_nationkey", n, "n_nationkey"),
+        edge("nation->region", n, "n_regionkey", r, "r_regionkey"))
+        .reduce(_ unionAll _)
+        .orderBy("edge")
+    },
+    Some("""WITH e AS (
+              SELECT 'orders->customer' AS edge,
+                     CAST(count(*) AS BIGINT) AS n_children,
+                     CAST(count(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT) AS n_orphans,
+                     CAST(count(DISTINCT o.o_custkey) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT) AS n_orphan_keys
+              FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+              UNION ALL
+              SELECT 'lineitem->orders',
+                     CAST(count(*) AS BIGINT),
+                     CAST(count(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT),
+                     CAST(count(DISTINCT l.l_orderkey) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT)
+              FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+              UNION ALL
+              SELECT 'lineitem->part',
+                     CAST(count(*) AS BIGINT),
+                     CAST(count(*) FILTER (WHERE p.p_partkey IS NULL) AS BIGINT),
+                     CAST(count(DISTINCT l.l_partkey) FILTER (WHERE p.p_partkey IS NULL) AS BIGINT)
+              FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+              UNION ALL
+              SELECT 'lineitem->supplier',
+                     CAST(count(*) AS BIGINT),
+                     CAST(count(*) FILTER (WHERE s.s_suppkey IS NULL) AS BIGINT),
+                     CAST(count(DISTINCT l.l_suppkey) FILTER (WHERE s.s_suppkey IS NULL) AS BIGINT)
+              FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              UNION ALL
+              SELECT 'customer->nation',
+                     CAST(count(*) AS BIGINT),
+                     CAST(count(*) FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT),
+                     CAST(count(DISTINCT c.c_nationkey) FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT)
+              FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+              UNION ALL
+              SELECT 'supplier->nation',
+                     CAST(count(*) AS BIGINT),
+                     CAST(count(*) FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT),
+                     CAST(count(DISTINCT s.s_nationkey) FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT)
+              FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+              UNION ALL
+              SELECT 'nation->region',
+                     CAST(count(*) AS BIGINT),
+                     CAST(count(*) FILTER (WHERE r.r_regionkey IS NULL) AS BIGINT),
+                     CAST(count(DISTINCT n.n_regionkey) FILTER (WHERE r.r_regionkey IS NULL) AS BIGINT)
+              FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey)
+            SELECT * FROM e ORDER BY edge"""))
+
+  val all: Seq[QueryDef] = Seq(qualityChecks, tableDiff, starIntegrity)
 }

@@ -208,7 +208,12 @@ class RelationalSpec extends SparkSpec {
       // bounded center-dim broadcast scan (E27's documented shape —
       // the per-point argmin needs every center, so the scan is the
       // operator; centers are O(hundreds) at any corpus size)
-      "etl_geo_nearest")
+      "etl_geo_nearest",
+      // 1-row n_total broadcast for the rank→pooled-rank mapping
+      "q_quantile_normalize",
+      // inherits the D6/ann family's bounded-broadcast eval scan: the
+      // exact baseline + per-nprobe probe passes all run in-entry
+      "ann_nprobe_curve")
     graft.SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")

@@ -317,4 +317,22 @@ class AnnSpec extends SparkSpec {
     assert(!inCols.exists(_.contains("emb")),
       s"Hamming rank input must be distance-only, got: ${inCols.mkString(",")}")
   }
+
+  test("D101: nprobe curve — recall monotone in probe width, exact at full probe") {
+    val rows = graft.dedup.PipelineQueries.annNprobeCurve.fn(spark, sf)
+      .collect().sortBy(_.getAs[Int]("nprobe"))
+    assert(rows.map(_.getAs[Int]("nprobe")).toSeq == Seq(1, 2, 4, 8, 16))
+    val recalls = rows.map(_.getAs[Long]("recall_at10_q4"))
+    recalls.sliding(2).foreach { w =>
+      assert(w(1) >= w(0), "recall@10 must be non-decreasing in nprobe")
+    }
+    // probing every cell degenerates to brute force: recall exactly 1
+    assert(recalls.last == 10000L)
+    assert(rows.last.getAs[Long]("top1_recall_q4") == 10000L)
+    // cost accounting: the fraction column is exactly nprobe/cells
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cells_fraction_ppm") ==
+        r.getAs[Int]("nprobe").toLong * 1000000L / 16)
+    }
+  }
 }
