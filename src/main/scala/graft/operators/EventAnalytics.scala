@@ -1361,7 +1361,96 @@ object EventAnalytics {
                     CAST(s AS BIGINT) AS s_q, s > 2 * m AS alarm
              FROM c ORDER BY t, day"""))
 
-  val all: Seq[QueryDef] = Seq(qFunnel, qFunnelWindowed, qCohortRetention,
+  /** R155 — session entry/exit + bounce-rate report (the classic web-
+    * analytics landing-page read): sessions are S2's gap definition
+    * (same 30-min [[graft.streaming.EventOps.SessionGapMinutes]]
+    * boundary, same lag/cumsum construction, so "session" means ONE
+    * thing across the whole engine); per session the ENTRY event type
+    * (first by the total (ts, event_id) order), the EXIT type (last),
+    * the event count and the exact integer-µs duration; rolled up per
+    * entry type: sessions, bounces (single-event sessions),
+    * bounce-rate ppm, mean duration µs — "which entry points lose
+    * users immediately".
+    *
+    * Scale: the session construction and BOTH first/last lookups ride
+    * the single (user, time, id) hash exchange (two frames over one
+    * window ordering + a min/max struct pair in the session
+    * aggregation — never a per-session re-scan); the report aggregates
+    * the O(sessions) frame down to O(event types). All integers, fully
+    * oracle-mirrorable. */
+  val qBounceRate = QueryDef(
+    "q_bounce_rate",
+    (s, d) => {
+      val gapUs = graft.streaming.EventOps.SessionGapMinutes * 60L * 1000000L
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("event_id"))
+      val flagged = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("prev_us", lag("us", 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq",
+          sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      val sessions = flagged.groupBy("user_id", "session_seq").agg(
+        count(lit(1)).as("n_events"),
+        min(struct(col("us"), col("event_id"), col("event_type"))).as("first"),
+        max(struct(col("us"), col("event_id"), col("event_type"))).as("last"))
+        .select(col("first.event_type").as("entry_type"),
+          col("last.event_type").as("exit_type"),
+          col("n_events"),
+          (col("last.us") - col("first.us")).as("dur_us"))
+      sessions.groupBy("entry_type").agg(
+        count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, lit(1L)).otherwise(lit(0L))).as("n_bounce"),
+        sum(when(col("entry_type") === col("exit_type"), lit(1L)).otherwise(lit(0L)))
+          .as("n_same_exit"),
+        sum("dur_us").as("sum_dur_us"))
+        .withColumn("bounce_ppm", expr("(n_bounce * 1000000) div n_sessions"))
+        .withColumn("mean_dur_us", expr("sum_dur_us div n_sessions"))
+        .select(col("entry_type"), col("n_sessions"), col("n_bounce"),
+          col("bounce_ppm"), col("n_same_exit"), col("mean_dur_us"))
+        .orderBy("entry_type")
+    },
+    Some(s"""WITH x AS (
+               SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+                      lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                        ORDER BY epoch_us(ts), event_id) AS prev_us
+               FROM events),
+             y AS (SELECT *, CASE WHEN prev_us IS NULL
+                       OR us - prev_us > ${graft.streaming.EventOps.SessionGapMinutes * 60L * 1000000L}
+                     THEN 1 ELSE 0 END AS new_session
+                   FROM x),
+             z AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                     ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS session_seq
+                   FROM y),
+             sess AS (
+               SELECT user_id, session_seq,
+                      CAST(count(*) AS BIGINT) AS n_events,
+                      min(struct_pack(us := us, event_id := event_id,
+                                      event_type := event_type)) AS f,
+                      max(struct_pack(us := us, event_id := event_id,
+                                      event_type := event_type)) AS l
+               FROM z GROUP BY 1, 2),
+             flat AS (
+               SELECT f.event_type AS entry_type, l.event_type AS exit_type,
+                      n_events, l.us - f.us AS dur_us
+               FROM sess)
+             SELECT entry_type,
+                    CAST(count(*) AS BIGINT) AS n_sessions,
+                    CAST(count(*) FILTER (WHERE n_events = 1) AS BIGINT) AS n_bounce,
+                    (CAST(count(*) FILTER (WHERE n_events = 1) AS BIGINT) * 1000000)
+                      // CAST(count(*) AS BIGINT) AS bounce_ppm,
+                    CAST(count(*) FILTER (WHERE entry_type = exit_type) AS BIGINT)
+                      AS n_same_exit,
+                    CAST(SUM(dur_us) AS BIGINT) // CAST(count(*) AS BIGINT)
+                      AS mean_dur_us
+             FROM flat GROUP BY 1 ORDER BY 1"""))
+
+  val all: Seq[QueryDef] = Seq(qBounceRate, qFunnel, qFunnelWindowed, qCohortRetention,
     qEventTransitions, qRateAnomalies, qAttribution, qIntervalMerge,
     qIntervalOverlap, qEventRegex, qForwardFill, qLocalDayRollup,
     qRollingMedian, qSinceAnchor, qSeasonalBacktest, qFunnelLatency, qEwma,

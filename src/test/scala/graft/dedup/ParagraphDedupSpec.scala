@@ -69,6 +69,15 @@ class ParagraphDedupSpec extends SparkSpec {
     assert(d93(0)._2 == 2L) // D93's first-wins contrast: doc 1 keeps the banner
   }
 
+  test("the keeper decision is a partial-aggregable min, never a window (skew algebra)") {
+    val plan = ParagraphDedup.textParagraphDedup.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec"),
+      "a hot boilerplate segment must reduce map-side, not funnel a window task")
+    assert(plan.contains("partial_min") || plan.contains("ObjectHashAggregate"),
+      s"expected a two-phase min aggregate in:\n$plan")
+  }
+
   test("kept segments are globally distinct and conservation holds") {
     val agg = out.agg(
       sum("n_segs").as("segs"), sum("n_kept").as("kept")).collect()(0)
