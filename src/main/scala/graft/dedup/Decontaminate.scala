@@ -132,6 +132,66 @@ object Decontaminate {
       .distinct()
   }
 
+  /** D107 — contaminated-span EXCISION: instead of dropping a flagged
+    * document (D20 family), cut out exactly the tokens covered by a
+    * bench k-gram and keep the rest — the surgical option real
+    * pipelines prefer when contamination is a quoted benchmark item
+    * inside an otherwise-good document (Lee et al.'s span semantics
+    * from D50, with the bad-gram set being the BENCHMARK's grams
+    * instead of corpus-repeated grams). Returns per train doc: token
+    * count, excised count, md5 of the rebuilt text, changed flag.
+    *
+    * Shape: positional k-grams explode map-side over TRAIN docs only;
+    * the bench gram set is an eval-set-sized broadcast (the D20b
+    * contract); covered positions expand k-fold and collapse in one
+    * (doc, tok) distinct; reassembly is one doc-keyed aggregation over
+    * the surviving tokens (the D93 rebuild). Nothing shuffles
+    * corpus-wide except the final per-doc aggregation.
+    */
+  def excised(docs: DataFrame, isBench: Column => Column,
+      k: Int = 5): DataFrame = {
+    val withWs = graft.functions.Spread(docs, col("doc_id"))
+      .select(col("doc_id"), graft.functions.Text.words(col("text")).as("ws"))
+      .withColumn("n_tokens", size(col("ws")))
+    val train = withWs.filter(!isBench(col("doc_id")))
+    val grams = train.filter(col("n_tokens") >= k)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("ws")) - k),
+          i => array_join(slice(col("ws"), i + lit(1), lit(k)), " ")))
+          .as(Seq("pos", "gram")))
+    val benchGrams = withWs.filter(isBench(col("doc_id")))
+      .filter(col("n_tokens") >= k)
+      .select(explode(transform(
+        sequence(lit(0), size(col("ws")) - k),
+        i => array_join(slice(col("ws"), i + lit(1), lit(k)), " ")))
+        .as("gram"))
+      .distinct()
+    val covered = grams.join(broadcast(benchGrams), Seq("gram"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("tok"))
+      .distinct()
+      .withColumn("cut", lit(true))
+    val tokens = train
+      .select(col("doc_id"), col("n_tokens"),
+        posexplode(col("ws")).as(Seq("tok", "word")))
+    tokens.join(covered, Seq("doc_id", "tok"), "left")
+      .groupBy("doc_id")
+      .agg(
+        min(col("n_tokens")).as("n_tokens"), // constant per group; min is the deterministic pick
+        sum(when(col("cut"), lit(1L)).otherwise(lit(0L))).as("n_excised"),
+        md5(coalesce(
+          array_join(
+            transform(
+              array_sort(collect_list(when(col("cut").isNull,
+                struct(col("tok"), col("word"))))),
+              x => x("word")),
+            " "),
+          lit("")).cast("binary")).as("rebuilt_hash"))
+      .withColumn("changed", col("n_excised") > 0)
+      .orderBy("doc_id")
+  }
+
   /** D45: [[flaggedBroadcastBench]] with the R31 runtime-filter
     * primitive as the cut: corpus grams probe a BLOOM of the bench
     * gram set map-side (`graft_might_contain`, codegen'd below any

@@ -1857,6 +1857,84 @@ object PipelineQueries {
     * The oracle gates STRING mode (what DuckDB can mirror, valve
     * semantics included); `hashKeys = true` is the production default,
     * with both modes spec-asserted identical (TextSpec). */
+  /** D107: contaminated-span excision — see
+    * [[graft.dedup.Decontaminate.excised]]. Same planted corpus and
+    * bench predicate as D20, so the planted copies of bench docs are
+    * guaranteed near-total excisions while clean docs pass through
+    * bit-identical (rebuilt hash = canonical hash, spec-gated). */
+  val textDecontaminateExcise = QueryDef(
+    "text_decontaminate_excise",
+    // bench = ORIGINAL id%100 docs only (id < 1e6), so each bench doc's
+    // planted copy (id + 1e6) is a TRAIN doc whose every within-original
+    // 5-gram is a bench gram — the guaranteed near-total excision: its
+    // n_excised is exactly n_tokens − 4 (only the 4 suffix tokens, whose
+    // covering grams all cross into non-bench vocabulary, survive)
+    (s, d) => Decontaminate.excised(
+      Dedup.withPlantedDups(Tables.documents(s, d)),
+      id => id < 1000000L && id % 100 === 0),
+    Some(s"""WITH planted AS (
+               SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + 1000000, text || ' planted near duplicate suffix'
+               FROM documents WHERE doc_id % 50 = 0),
+             w AS (SELECT doc_id, string_split($oCanon, ' ') AS ws FROM planted),
+             train AS (SELECT * FROM w
+                       WHERE NOT (doc_id < 1000000 AND doc_id % 100 = 0)),
+             grams AS (SELECT doc_id, g - 1 AS pos,
+                         array_to_string(ws[g : g + 4], ' ') AS gram
+                       FROM train, UNNEST(generate_series(1, greatest(len(ws) - 4, 0))) AS t(g)),
+             bench AS (SELECT DISTINCT array_to_string(ws[g : g + 4], ' ') AS gram
+                       FROM w, UNNEST(generate_series(1, greatest(len(ws) - 4, 0))) AS t(g)
+                       WHERE doc_id < 1000000 AND doc_id % 100 = 0),
+             covered AS (SELECT DISTINCT doc_id, pos + off AS tok
+                         FROM grams JOIN bench USING (gram),
+                              UNNEST(generate_series(0, 4)) AS o(off)),
+             toks AS (SELECT doc_id, g - 1 AS tok, ws[g] AS word,
+                        CAST(len(ws) AS INTEGER) AS n_tokens
+                      FROM train, UNNEST(generate_series(1, len(ws))) AS t(g)),
+             j AS (SELECT t.doc_id, t.tok, t.word, t.n_tokens,
+                     c.tok IS NOT NULL AS cut
+                   FROM toks t LEFT JOIN covered c
+                     ON t.doc_id = c.doc_id AND t.tok = c.tok)
+             SELECT doc_id,
+                    min(n_tokens) AS n_tokens,
+                    CAST(count(*) FILTER (WHERE cut) AS BIGINT) AS n_excised,
+                    md5(COALESCE(string_agg(word, ' ' ORDER BY tok)
+                                   FILTER (WHERE NOT cut), '')) AS rebuilt_hash,
+                    count(*) FILTER (WHERE cut) > 0 AS changed
+             FROM j GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** D105: interpolated Kneser-Ney bigram scoring — see
+    * [[graft.functions.LmScore.scoreKn]]. String-key mode for the
+    * oracle (the D28 convention); production default hashes keys. */
+  val textLmKn = QueryDef(
+    "text_lm_kn",
+    (s, d) => graft.functions.LmScore.scoreKn(
+      Tables.documents(s, d), hashKeys = false),
+    Some(s"""WITH w AS (SELECT doc_id, string_split($oCanon, ' ') AS ws FROM documents),
+             bi AS (SELECT doc_id, ws[g] AS w1, ws[g + 1] AS w2,
+                      ws[g] || ' ' || ws[g + 1] AS g2
+                    FROM w, UNNEST(generate_series(1, greatest(len(ws) - 1, 0))) AS t(g)),
+             types AS (SELECT g2, CAST(count(*) AS BIGINT) AS c2,
+                         min(w1) AS tw1, min(w2) AS tw2
+                       FROM bi GROUP BY 1),
+             c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bi GROUP BY 1),
+             n1f AS (SELECT tw1 AS w1, CAST(count(*) AS BIGINT) AS n1f
+                     FROM types GROUP BY 1),
+             n1b AS (SELECT tw2 AS w2, CAST(count(*) AS BIGINT) AS n1b
+                     FROM types GROUP BY 1),
+             tt AS (SELECT CAST(count(*) AS BIGINT) AS t_types FROM types),
+             scored AS (SELECT b.doc_id,
+                 ln((CAST(t.c2 AS DOUBLE) - 0.75) / c1.c1
+                    + 0.75 * n1f.n1f / c1.c1
+                      * (CAST(n1b.n1b AS DOUBLE) / tt.t_types)) AS lp
+               FROM bi b JOIN types t USING (g2) JOIN c1 USING (w1)
+               JOIN n1f USING (w1) JOIN n1b USING (w2) CROSS JOIN tt)
+             SELECT doc_id, COUNT(*) AS n_bigrams,
+               ROUND(CAST(-SUM(CAST(lp AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 4)
+                 AS nll_kn
+             FROM scored GROUP BY doc_id ORDER BY doc_id"""))
+
   val textLmScore = QueryDef(
     "text_lm_score",
     (s, d) => graft.functions.LmScore.score(
@@ -2756,10 +2834,11 @@ object PipelineQueries {
     mmBinaryMeta, mmPhashNeardup, textDsirSelect, qRankingEval,
     hashSplit, stratifiedSample,
     dedupClusters, dedupClustersCc, dedupPipelineQ, packSequences, textScrub,
-    textDecontaminate, textDecontaminateBcast, textHeavyHitters,
+    textDecontaminate, textDecontaminateBcast, textDecontaminateExcise,
+    textHeavyHitters,
     textCmPointFreq,
     dedupSkewStress, textRepetition, embQuantize, textBm25, dedupSemantic,
-    dedupEditDistance, textLmScore, alphaSample, pipelineCurate,
+    dedupEditDistance, textLmScore, textLmKn, alphaSample, pipelineCurate,
     dedupIncremental, embTruncate, mmFrameSample, splitLeakage,
     annHardNegatives, textBpeTrain, textBpeEncode, textQualityClassifier,
     textCorpusProfile, mmAudioChunks, mmAvAlign, textChunkWindows, textPplBuckets,

@@ -75,4 +75,75 @@ object LmScore {
           count(lit(1)), 4).as("nll"))
       .orderBy("doc_id")
   }
+
+  /** D105: interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995;
+    * Chen & Goodman 1999 §3) — the smoothing real n-gram filters used
+    * where D28's Laplace is the teaching baseline. KN's insight is
+    * COUNT-OF-CONTEXTS: the backoff weight of a word is how many
+    * DISTINCT left contexts it follows ("francisco" is frequent but
+    * only ever follows "san" — KN backs it off to near zero; Laplace
+    * can't tell). P(w2|w1) = (c(w1w2) − δ)/c(w1) +
+    * δ·N1+(w1,·)/c(w1) · N1+(·,w2)/N1+(·,·), δ = 0.75.
+    *
+    * Scale shape = D28's plus one table: the bigram TYPE table
+    * (O(types), derived from the c2 aggregate at no extra shuffle over
+    * the corpus) yields the three continuation counts as bounded
+    * aggregations; every join-back keys on w1/w2/g2 (`hashKeys = true`
+    * → 8-byte keys, the D28 production trade). Self-scoring means
+    * every scored bigram was seen (c ≥ 1 > δ), so both interpolation
+    * terms are positive and the ln argument never degenerates.
+    *
+    * Determinism: all counts exact; the per-token probability is ONE
+    * fixed double expression (identical parenthesization in the SQL
+    * mirror), each ln term DECIMAL(38,6)-quantized before the per-doc
+    * sum (the D28 convention). */
+  def scoreKn(docs: DataFrame, hashKeys: Boolean = true): DataFrame = {
+    val withWs = Spread(docs, col("doc_id"))
+      .withColumn("ws", Text.words(col("text")))
+    val bigramExpr =
+      if (hashKeys)
+        """CASE WHEN size(ws) >= 2 THEN
+             transform(sequence(1, size(ws) - 1),
+               i -> struct(xxhash64(element_at(ws, i)) AS w1,
+                           xxhash64(element_at(ws, i + 1)) AS w2,
+                           xxhash64(element_at(ws, i), element_at(ws, i + 1)) AS g2))
+           ELSE CAST(array() AS array<struct<w1:bigint,w2:bigint,g2:bigint>>) END"""
+      else
+        """CASE WHEN size(ws) >= 2 THEN
+             transform(sequence(1, size(ws) - 1),
+               i -> struct(element_at(ws, i) AS w1,
+                           element_at(ws, i + 1) AS w2,
+                           concat(element_at(ws, i), ' ', element_at(ws, i + 1)) AS g2))
+           ELSE CAST(array() AS array<struct<w1:string,w2:string,g2:string>>) END"""
+    val bi = withWs
+      .select(col("doc_id"), explode(expr(bigramExpr)).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"),
+        col("b.g2").as("g2"))
+    // bigram types with occurrence counts; min() over the constant
+    // per-group w1/w2 is deterministic (first() is not)
+    val types = bi.groupBy("g2").agg(
+      count(lit(1)).as("c2"), min("w1").as("tw1"), min("w2").as("tw2"))
+    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // continuation counts read off the O(types) table — no second
+    // corpus shuffle, no countDistinct Expand
+    val n1f = types.groupBy("tw1").agg(count(lit(1)).as("n1f"))
+    val n1b = types.groupBy("tw2").agg(count(lit(1)).as("n1b"))
+    val tTot = types.agg(count(lit(1)).as("t_types"))
+    val lp = log(
+      (col("c2").cast("double") - lit(0.75)) / col("c1") +
+        lit(0.75) * col("n1f") / col("c1") *
+          (col("n1b").cast("double") / col("t_types")))
+    bi.join(types.select(col("g2"), col("c2")), "g2")
+      .join(c1, "w1")
+      .join(n1f.withColumnRenamed("tw1", "w1"), "w1")
+      .join(n1b.withColumnRenamed("tw2", "w2"), "w2")
+      .crossJoin(broadcast(tTot))
+      .select(col("doc_id"), lp.as("lp"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round((-sum(col("lp").cast("decimal(38,6)"))).cast("double") /
+          count(lit(1)), 4).as("nll_kn"))
+      .orderBy("doc_id")
+  }
 }
