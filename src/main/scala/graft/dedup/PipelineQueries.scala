@@ -1857,6 +1857,51 @@ object PipelineQueries {
     * The oracle gates STRING mode (what DuckDB can mirror, valve
     * semantics included); `hashKeys = true` is the production default,
     * with both modes spec-asserted identical (TextSpec). */
+  /** D108: dedup-method candidate-stage EVALUATION — precision/recall
+    * of each approximate candidate generator (MinHash-LSH bands,
+    * SimHash hamming buckets) against the EXACT τ-pair truth set
+    * (D47's prefix-filtered all-pairs join, which is provably lossless
+    * — its own gate equates it to the quadratic brute force). The SV
+    * ANN/dedup entries bound recall on PLANTED pairs; this measures it
+    * on the WHOLE pair distribution, and adds the number the planted
+    * checks can't see: candidate PRECISION — how much of the verify
+    * stage's work the band join wastes on sub-τ pairs. The
+    * "tune bands/rows before a 100 TB run" read (pairs with D2b's
+    * analytic S-curve tuner: this is its empirical check).
+    *
+    * All counts exact integers; precision/recall exact ppm ratios.
+    * Rows-only (the LSH/SimHash hash families are not SQL-expressible)
+    * but SELF-VERIFYING: tp ≤ min(n_candidates, n_truth) and the
+    * verified-output identity tp = |candidates ∩ truth| are checkable
+    * from the counts, and the spec recomputes every number from the
+    * constituent operators (each of which carries its own gate). */
+  val dedupMethodEval = QueryDef(
+    "dedup_method_eval",
+    (s, d) => {
+      import s.implicits._
+      val Tau = 0.5
+      val corpus = Dedup.withPlantedDups(Tables.documents(s, d))
+      val truth = graft.dedup.AllPairs.similarPairs(corpus, k = 3, tau = Tau)
+        .select(col("doc_a"), col("doc_b")).cache()
+      val nTruth = truth.count()
+      def evalMethod(name: String, cand: org.apache.spark.sql.DataFrame) = {
+        val c = cand.select(col("doc_a"), col("doc_b")).distinct().cache()
+        val nCand = c.count()
+        val tp = c.join(truth, Seq("doc_a", "doc_b"), "leftsemi").count()
+        c.unpersist()
+        (name, nCand, nTruth, tp,
+          if (nCand > 0) tp * 1000000L / nCand else 0L,
+          if (nTruth > 0) tp * 1000000L / nTruth else 0L)
+      }
+      val rows = Seq(
+        evalMethod("minhash_lsh", Dedup.minhashLshCandidates(corpus)),
+        evalMethod("simhash_h3", Dedup.simhashCandidates(corpus)))
+      truth.unpersist()
+      rows.toDF("method", "n_candidates", "n_truth", "tp",
+        "precision_ppm", "recall_ppm").orderBy("method")
+    },
+    None)
+
   /** D107: contaminated-span excision — see
     * [[graft.dedup.Decontaminate.excised]]. Same planted corpus and
     * bench predicate as D20, so the planted copies of bench docs are
@@ -2826,7 +2871,7 @@ object PipelineQueries {
     dedupContainment, qWeightedSample, embTriplets,
     dedupExact, dedupThresholdCurve, dedupMinhashLsh, dedupSimhash,
     dedupNgramJaccard,
-    dedupJaccardAllpairs, dedupSpanMask,
+    dedupJaccardAllpairs, dedupSpanMask, dedupMethodEval,
     dedupEmbeddingCosine, annBruteforceTopK, annLsh, annIvf, annPqAdc,
     annIvfPq, annBinaryHamming, annNprobeCurve,
     textLangId, textQualityScore, textTokenCount, textFingerprint,
