@@ -52,9 +52,21 @@ object ParagraphDedup {
           array_join(slice(col("ws"), (col("si") * Seg + 1).cast("int"), lit(Seg)), " ")
             .as("seg"))
         .withColumn("h", md5(col("seg").cast("binary")))
-      // skew-safe first-occurrence: partial-aggregable min, not a window
+        // both consumers (keeper agg + join-back) need hash partitioning
+        // on h; an explicit repartition makes the two subtrees
+        // sameResult so ReuseExchange computes the explode+md5 ONCE
+        // (the Decontaminate.flagged pattern)
+        .repartition(col("h"))
+      // skew-safe first-occurrence: partial-aggregable min, not a window.
+      // `seg` rides INSIDE the min-struct: (doc_id, seg_idx) is unique so
+      // the extra field never changes the argmin, but Catalyst cannot
+      // decompose a struct ordering, so `seg` stays in this branch's
+      // pruned schema — both exchange consumers now read IDENTICAL
+      // columns and ReuseExchange collapses them to one
+      // scan+explode+md5 execution (the Decontaminate.flagged
+      // same-schema discipline)
       val firsts = segRows.groupBy("h")
-        .agg(min(struct(col("doc_id"), col("seg_idx"))).as("first"))
+        .agg(min(struct(col("doc_id"), col("seg_idx"), col("seg"))).as("first"))
       val flagged = segRows.join(firsts, "h")
         .withColumn("keep",
           col("first.doc_id") === col("doc_id") &&
@@ -120,6 +132,7 @@ object ParagraphDedup {
           array_join(slice(col("ws"), (col("si") * Seg + 1).cast("int"), lit(Seg)), " ")
             .as("seg"))
         .withColumn("h", md5(col("seg").cast("binary")))
+        .repartition(col("h")) // shared exchange for df + join-back (D93 note)
       // document frequency per segment: distinct (h, doc) first, then a
       // plain count — both reduce map-side (no countDistinct expand)
       val df = segRows.select("h", "doc_id").distinct()

@@ -78,6 +78,19 @@ class ParagraphDedupSpec extends SparkSpec {
       s"expected a two-phase min aggregate in:\n$plan")
   }
 
+  test("the segment subtree executes ONCE: AQE reuses the shared h-exchange at runtime") {
+    // both keeper-agg and join-back consume the same repartition(h)
+    // subtree with identical pruned schemas (seg rides inside the
+    // min-struct precisely so the schemas match); after execution the
+    // final adaptive plan must show the reuse
+    val df = ParagraphDedup.textParagraphDedup.fn(spark, sf)
+    df.count() // materialize so AQE finalizes stages
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("ReusedExchange") ||
+      finalPlan.contains("ReusedQueryStage"),
+      s"expected runtime exchange reuse in:\n$finalPlan")
+  }
+
   test("kept segments are globally distinct and conservation holds") {
     val agg = out.agg(
       sum("n_segs").as("segs"), sum("n_kept").as("kept")).collect()(0)
