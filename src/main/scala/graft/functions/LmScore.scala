@@ -56,8 +56,13 @@ object LmScore {
     val bi = withWs
       .select(col("doc_id"), explode(expr(bigramExpr)).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.g2").as("g2"))
-    val c2 = bi.groupBy("g2").agg(count(lit(1)).as("c2"))
-    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // the type table carries its context word so c(w1) can DERIVE from
+    // it (Σ c(w1·) over types) — an O(types) aggregation instead of a
+    // second full corpus shuffle keyed on w1
+    val c2t = bi.groupBy("g2").agg(count(lit(1)).as("c2"), min("w1").as("tw1"))
+    val c2 = c2t.select(col("g2"), col("c2"))
+    val c1 = c2t.groupBy("tw1").agg(sum("c2").as("c1"))
+      .withColumnRenamed("tw1", "w1")
     // |V| over hashes equals |V| over words modulo the same negligible
     // collision bound, and the distinct then shuffles longs, not words
     val wordCol =
@@ -123,7 +128,11 @@ object LmScore {
     // per-group w1/w2 is deterministic (first() is not)
     val types = bi.groupBy("g2").agg(
       count(lit(1)).as("c2"), min("w1").as("tw1"), min("w2").as("tw2"))
-    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // context totals DERIVE from the type table: c(w1) = Σ c(w1·) over
+    // types — an O(types) aggregation instead of re-shuffling every
+    // bigram occurrence by w1 (one full corpus exchange saved)
+    val c1 = types.groupBy("tw1").agg(sum("c2").as("c1"))
+      .withColumnRenamed("tw1", "w1")
     // continuation counts read off the O(types) table — no second
     // corpus shuffle, no countDistinct Expand
     val n1f = types.groupBy("tw1").agg(count(lit(1)).as("n1f"))
