@@ -21,7 +21,7 @@ object SparkEntry {
       dedup.CorpusStats.all ++
       etl.EtlQueries.all ++ etl.Geo.all ++ etl.Linkage.all ++ etl.GoldenRecord.all ++ etl.LateDim.all ++ etl.Pseudonymize.all ++ etl.Masking.all ++ etl.Quality.all ++ etl.Scd.all ++ etl.Bitemporal.all ++ etl.Cdc.all ++
       etl.Incremental.all ++ etl.Repair.all ++ etl.AggNavigator.all ++
-      etl.Retention.all ++ etl.Erasure.all ++ etl.DeltaAttribution.all ++ etl.Fx.all ++
+      etl.Retention.all ++ etl.Erasure.all ++ etl.SubjectExport.all ++ etl.DeltaAttribution.all ++ etl.Fx.all ++
       dedup.PipelineQueries.all ++ dedup.IncrementalClusters.all ++ dedup.InvertedIndex.all ++
       dedup.ParagraphDedup.all ++
       dedup.Layout.all ++ dedup.Waterfall.all ++ similarity.Project.all ++ similarity.IvfMaintain.all ++
