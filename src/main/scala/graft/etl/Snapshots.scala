@@ -81,6 +81,39 @@ object Snapshots {
     next
   }
 
+  /** IO23 — optimistic-concurrency commit (the table-format
+    * conditional write): the caller states which snapshot its write
+    * was DERIVED FROM (`expectedCurrent`, None = expects an empty
+    * table); if another writer committed in between, this commit
+    * REFUSES with a loud conflict error instead of silently publishing
+    * a lost update — two read-modify-write maintainers (S20's SCD2
+    * fold, E18's incremental refresh) racing the same table would
+    * otherwise each base on the same parent and the second would erase
+    * the first's work. The base check runs under the commit lock
+    * BEFORE any data write, so a refused commit writes nothing at all
+    * — no torn state, not even a vacuum-class orphan.
+    *
+    * Single-driver scope: the check-and-commit is atomic within one
+    * JVM (all conditional writers must use commitIf — a plain
+    * [[commit]] bypasses the check by design, it IS the
+    * last-writer-wins mode); cross-driver deployments put the same CAS
+    * on the catalog/locking service — the CONTRACT (stated parent,
+    * loud refusal, nothing torn) is what this pins. */
+  def commitIf(df: DataFrame, root: String,
+      expectedCurrent: Option[String]): String = this.synchronized {
+    val (cur, _) = readManifest(root)
+    if (cur != expectedCurrent)
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot conflict under $root: expected base " +
+          s"${expectedCurrent.getOrElse("<empty>")} but current is " +
+          s"${cur.getOrElse("<empty>")} — rebase and retry")
+    commit(df, root)
+  }
+
+  /** The current snapshot id (None = never committed) — what a
+    * read-modify-write maintainer records as its base for [[commitIf]]. */
+  def currentId(root: String): Option[String] = readManifest(root)._1
+
   /** True once the table has a committed current snapshot — the
     * bootstrap probe for incremental maintainers (S20). */
   def hasCurrent(root: String): Boolean = readManifest(root)._1.isDefined

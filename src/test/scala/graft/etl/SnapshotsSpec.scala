@@ -126,4 +126,36 @@ class SnapshotsSpec extends SparkSpec {
     assert(g3("fact").count() === 2,
       "an unswapped snapshot dir must never be read")
   }
+
+  test("IO23: a stale-based conditional commit refuses loudly and writes nothing") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_occ").toString
+    // bootstrap: both writers expect the empty table; the first wins
+    val v1 = Snapshots.commitIf(Seq((1L, "a")).toDF("id", "tag"), root, None)
+    val boot = intercept[java.util.ConcurrentModificationException] {
+      Snapshots.commitIf(Seq((1L, "b")).toDF("id", "tag"), root, None)
+    }
+    assert(boot.getMessage.contains("conflict"))
+    // read-modify-write race: both maintainers base on v1; writer A
+    // commits, writer B's conditional commit must refuse
+    val base = Snapshots.currentId(root)
+    assert(base.contains(v1))
+    val v2 = Snapshots.commitIf(Seq((2L, "a2")).toDF("id", "tag"), root, base)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      Snapshots.commitIf(Seq((2L, "b2")).toDF("id", "tag"), root, base)
+    }
+    assert(e.getMessage.contains(v1) && e.getMessage.contains(v2))
+    // nothing torn: current is writer A's commit, history has no
+    // refused dirs (a refused commitIf writes no data at all)
+    assert(Snapshots.currentId(root).contains(v2))
+    assert(Snapshots.read(spark, root).collect().map(_.getString(1)).toSet
+      == Set("a2"))
+    val dirs = Files.list(Paths.get(root)).toArray.map(_.toString)
+      .count(_.contains("snap-"))
+    assert(dirs == 2, "exactly the two successful commits on disk")
+    // rebase-and-retry converges: B re-reads, re-derives, commits on v2
+    val v3 = Snapshots.commitIf(Seq((3L, "b3")).toDF("id", "tag"), root,
+      Snapshots.currentId(root))
+    assert(Snapshots.currentId(root).contains(v3))
+  }
 }
