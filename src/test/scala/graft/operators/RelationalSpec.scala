@@ -144,6 +144,9 @@ class RelationalSpec extends SparkSpec {
       "dedup_minhash_lsh", "dedup_simhash",
       "dedup_ngram_jaccard", "dedup_pipeline", "dedup_skew_stress",
       "text_bm25", "dedup_semantic", "text_lm_score",
+      // KN scoring inherits D28's 1-row broadcast class (the bigram-
+      // type total t_types crossJoins the scored stream)
+      "text_lm_kn",
       // re-runs the D28 LM-scoring shape, so it inherits text_lm_score's
       // 1-row vocab-size broadcast
       "text_ppl_buckets",
