@@ -418,7 +418,57 @@ object Ranks {
              FROM m JOIN pooled ON m.target_rank = pooled.grank
              ORDER BY m.doc_id"""))
 
+  /** D110 — mixture-uniform curriculum interleaving: a deterministic
+    * total training order in which EVERY PREFIX carries (within ±1 per
+    * stratum) the corpus's stratum mixture — the data-ordering
+    * guarantee behind "the model never sees a 10M-doc run of one
+    * source" (a plain hash shuffle only gives the mixture in
+    * expectation; a sorted-by-source layout maximally violates it).
+    * Each stratum's documents first get a deterministic within-stratum
+    * shuffle order (md5 hash rank — the D54 convention), then map to
+    * the global slot key ((2r−1)·N) div (2n_s) — stratum s's docs form
+    * an arithmetic progression of stride N/n_s through the schedule,
+    * which is exactly what makes prefix counts track shares with
+    * bounded error. The final total order is the R53 two-pass rank on
+    * (slot, stratum, doc) — no SinglePartition funnel.
+    *
+    * All integer arithmetic; the oracle mirrors both windows and the
+    * slot mapping (the R153 midpoint-rank algebra, repurposed from
+    * value mapping to schedule construction). */
+  val qCurriculumInterleave = QueryDef(
+    "q_curriculum_interleave",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      val wStr = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      val nAll = docs.agg(count(lit(1)).as("n_total"))
+      val slotted = docs
+        .withColumn("r_s", row_number().over(wStr).cast("long"))
+        .withColumn("n_s", count(lit(1)).over(Window.partitionBy("lang")))
+        .crossJoin(broadcast(nAll))
+        .withColumn("slot", expr("((2*r_s - 1) * n_total) div (2*n_s)"))
+      globalRowNumber(slotted, Seq(col("slot"), col("lang"), col("doc_id")),
+        32, "train_pos")
+        .select(col("doc_id"), col("lang"), col("r_s"), col("slot"),
+          col("train_pos"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH docs AS (SELECT doc_id, lang FROM documents),
+            r AS (SELECT doc_id, lang,
+                    CAST(row_number() OVER (PARTITION BY lang
+                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                      AS BIGINT) AS r_s,
+                    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_s,
+                    CAST(count(*) OVER () AS BIGINT) AS n_total
+                  FROM docs),
+            sl AS (SELECT *, ((2*r_s - 1) * n_total) // (2*n_s) AS slot
+                   FROM r)
+            SELECT doc_id, lang, r_s, CAST(slot AS BIGINT) AS slot,
+                   CAST(row_number() OVER (ORDER BY slot, lang, doc_id)
+                     AS BIGINT) AS train_pos
+            FROM sl ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(qShardAssign, qGroupSample, qBudgetSelect, qLengthBatches,
-      qDecileLift, qQuantileNormalize)
+      qDecileLift, qQuantileNormalize, qCurriculumInterleave)
 }

@@ -188,4 +188,34 @@ class RanksSpec extends SparkSpec {
     // single-task reduction in this entry is the sanctioned 1-row
     // n_total aggregate
   }
+
+  test("D110: every training prefix carries the corpus mixture within the slot bound") {
+    val rows = Ranks.qCurriculumInterleave.fn(spark, sf)
+      .select("train_pos", "lang").collect()
+      .map(r => (r.getAs[Long]("train_pos"), r.getAs[String]("lang")))
+      .sortBy(_._1)
+    val n = rows.length
+    val shares = rows.groupBy(_._2).map { case (l, xs) => l -> xs.length }
+    val strata = shares.size
+    assert(strata > 1, "mixture law is vacuous with one stratum")
+    // the schedule is a total order 1..n
+    assert(rows.map(_._1).toSeq == (1L to n.toLong))
+    for (p <- Seq(n / 10, n / 4, n / 2, 3 * n / 4); if p > 0) {
+      val prefix = rows.take(p).groupBy(_._2).map { case (l, xs) => l -> xs.length }
+      shares.foreach { case (l, ns) =>
+        val expect = p.toLong * ns / n
+        val got = prefix.getOrElse(l, 0).toLong
+        assert(math.abs(got - expect) <= 1L + strata,
+          s"lang $l at prefix $p: $got vs $expect")
+      }
+    }
+    // contrast: a sorted-by-stratum layout violates the mixture law by
+    // construction — the largest stratum's deviation at n/2 is massive
+    val sortedLayout = rows.map(_._2).sorted
+    val worstAtHalf = shares.map { case (l, ns) =>
+      math.abs(sortedLayout.take(n / 2).count(_ == l).toLong - (n / 2).toLong * ns / n)
+    }.max
+    assert(worstAtHalf > (1L + strata) * 10,
+      "the contrast layout must violate the bound by an order of magnitude")
+  }
 }

@@ -214,6 +214,8 @@ class RelationalSpec extends SparkSpec {
       "etl_geo_nearest",
       // 1-row n_total broadcast for the rank→pooled-rank mapping
       "q_quantile_normalize",
+      // 1-row n_total broadcast for the rank→slot schedule arithmetic
+      "q_curriculum_interleave",
       // inherits the D6/ann family's bounded-broadcast eval scan: the
       // exact baseline + per-nprobe probe passes all run in-entry
       "ann_nprobe_curve")
