@@ -1450,7 +1450,48 @@ object EventAnalytics {
                       AS mean_dur_us
              FROM flat GROUP BY 1 ORDER BY 1"""))
 
-  val all: Seq[QueryDef] = Seq(qBounceRate, qFunnel, qFunnelWindowed, qCohortRetention,
+  /** R156 — exponentially time-decayed leaderboard (freshness
+    * ranking): each user's activity score is Σ 2^(−age/half-life)
+    * over their events — the trending/engagement read where a plain
+    * count ranks a long-dead heavy user above a currently-active one;
+    * 7-day half-life, ages against the corpus's max event time (a
+    * 1-row broadcast). Exactness: each event's decay factor is ONE
+    * double expression from exact integer µs (same parenthesization
+    * both engines) floor-quantized to 1e-9 units BEFORE the integer
+    * sum — the total is order-free, so the ranking is deterministic
+    * at any parallelism (ties then break on user_id). One user-keyed
+    * aggregation + a sort-limit top-k, never a global window. */
+  val qDecayedTopk = QueryDef(
+    "q_decayed_topk",
+    (s, d) => {
+      // ln(2) / 7 days in 1/µs — written as one literal so both
+      // engines evaluate the identical constant
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      val tMax = ev.agg(max("us").as("t_max"))
+      ev.crossJoin(broadcast(tMax))
+        .withColumn("w_q9",
+          floor(exp((col("us") - col("t_max")).cast("double") *
+            lit(math.log(2.0) / (7.0 * 86400.0 * 1000000.0))) * 1e9)
+            .cast("long"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum("w_q9").as("score_q9"))
+        .orderBy(desc("score_q9"), asc("user_id"))
+        .limit(20)
+    },
+    Some(s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+             t AS (SELECT CAST(max(us) AS BIGINT) AS t_max FROM ev),
+             w AS (SELECT user_id,
+                     CAST(floor(exp(CAST(us - t_max AS DOUBLE) *
+                       ${math.log(2.0) / (7.0 * 86400.0 * 1000000.0)}) * 1e9)
+                       AS BIGINT) AS w_q9
+                   FROM ev CROSS JOIN t)
+             SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                    CAST(SUM(w_q9) AS BIGINT) AS score_q9
+             FROM w GROUP BY 1
+             ORDER BY score_q9 DESC, user_id ASC LIMIT 20"""))
+
+  val all: Seq[QueryDef] = Seq(qBounceRate, qDecayedTopk, qFunnel, qFunnelWindowed, qCohortRetention,
     qEventTransitions, qRateAnomalies, qAttribution, qIntervalMerge,
     qIntervalOverlap, qEventRegex, qForwardFill, qLocalDayRollup,
     qRollingMedian, qSinceAnchor, qSeasonalBacktest, qFunnelLatency, qEwma,

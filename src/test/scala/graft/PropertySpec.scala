@@ -370,4 +370,43 @@ class PropertySpec extends SparkSpec {
       "least-similar quartile must average MORE differing sign bits " +
         "than the most-similar quartile")
   }
+
+  test("D93 paragraph dedup: tiling, first-wins and idempotence over random corpora") {
+    import spark.implicits._
+    // small vocab forces genuine cross-doc segment collisions
+    val segWord = Gen.oneOf("aa", "bb", "cc")
+    val docGen = Gen.choose(1, 4).flatMap(k =>
+      Gen.listOfN(k * 10, segWord).map(_.mkString(" ")))
+    for (round <- 0 until 3) {
+      val texts = samples(docGen, 12)
+      val corpus = texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong + 1, t, "en", "s", 1L)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val dir = java.nio.file.Files.createTempDirectory(s"pp$round").toString
+      corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = graft.dedup.ParagraphDedup.textParagraphDedup.fn(spark, dir)
+        .collect()
+      // conservation: Σ n_segs equals the direct segment count
+      val totalSegs = texts.map(t => (t.split(" ").length + 9) / 10).sum
+      assert(out.map(_.getAs[Long]("n_segs")).sum == totalSegs.toLong)
+      // kept = globally distinct segments (first-wins keeps exactly one
+      // copy of each distinct segment)
+      val distinctSegs = texts.zipWithIndex.flatMap { case (t, _) =>
+        t.split(" ").grouped(10).map(_.mkString(" "))
+      }.distinct.size
+      assert(out.map(_.getAs[Long]("n_kept")).sum == distinctSegs.toLong)
+      // idempotence: a corpus of already-deduped docs (each distinct
+      // segment once, as its own doc) dedups to itself
+      val dedupedDocs = texts.flatMap(_.split(" ").grouped(10).map(_.mkString(" ")))
+        .distinct.zipWithIndex
+        .map { case (t, i) => (i.toLong + 1, t, "en", "s", 1L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val dir2 = java.nio.file.Files.createTempDirectory(s"pp2_$round").toString
+      dedupedDocs.write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+      val out2 = graft.dedup.ParagraphDedup.textParagraphDedup.fn(spark, dir2)
+        .collect()
+      assert(out2.forall(!_.getAs[Boolean]("changed")),
+        "re-deduping distinct segments must change nothing")
+    }
+  }
 }

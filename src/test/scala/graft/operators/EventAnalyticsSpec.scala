@@ -343,4 +343,26 @@ class EventAnalyticsSpec extends SparkSpec {
       .collect().map(_.getAs[java.sql.Date]("window_day")).toSet
     assert(rows.map(_.getAs[java.sql.Date]("window_day")).toSet === exactDays)
   }
+
+  test("R156: decayed leaderboard replays exactly and outranks stale heavy users") {
+    val raw = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val tMax = raw.map(_._2).max
+    val lambda = math.log(2.0) / (7.0 * 86400.0 * 1000000.0)
+    val scores = raw.groupBy(_._1).map { case (u, evs) =>
+      (u, evs.length.toLong,
+        evs.map(e => math.floor(math.exp((e._2 - tMax).toDouble * lambda) * 1e9).toLong).sum)
+    }
+    val expect = scores.toSeq.sortBy(s => (-s._3, s._1)).take(20)
+    val got = EventAnalytics.qDecayedTopk.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == expect)
+    // decay really reorders: the top-20 by decayed score differs from
+    // the top-20 by raw count (else the operator is a plain count)
+    val byCount = scores.toSeq.sortBy(s => (-s._2, s._1)).take(20).map(_._1)
+    assert(got.map(_._1).toSeq != byCount)
+    // bound: a score never exceeds n_events (each factor ≤ 1)
+    got.foreach { g => assert(g._3 <= g._2 * 1000000000L) }
+  }
 }

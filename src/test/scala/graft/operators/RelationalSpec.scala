@@ -216,6 +216,8 @@ class RelationalSpec extends SparkSpec {
       "q_quantile_normalize",
       // 1-row n_total broadcast for the rank→slot schedule arithmetic
       "q_curriculum_interleave",
+      // 1-row max-event-time broadcast for the decay ages
+      "q_decayed_topk",
       // inherits the D6/ann family's bounded-broadcast eval scan: the
       // exact baseline + per-nprobe probe passes all run in-entry
       "ann_nprobe_curve")
