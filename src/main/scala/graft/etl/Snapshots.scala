@@ -114,6 +114,24 @@ object Snapshots {
     * read-modify-write maintainer records as its base for [[commitIf]]. */
   def currentId(root: String): Option[String] = readManifest(root)._1
 
+  /** E50 — the table's own CHANGE FEED between two retained versions:
+    * IO15 time travel composed with E24's snapshot-diff-to-CDC
+    * extractor, so any snapshot table emits the minimal I/U/D feed
+    * that transforms version `fromV` into version `toV` — downstream
+    * consumers (an E17 apply, a search-index refresher, a cache
+    * invalidator) subscribe to committed versions without the writer
+    * producing a feed. Inherits E24's round-trip law (apply(old, feed)
+    * ≡ new) and E17's idempotent-apply contract; both ends resolve at
+    * plan time against immutable dirs, so the feed is stable no matter
+    * when it is computed. Versions vacuumed away fail loudly (the
+    * IO15 retention edge — a change feed over reclaimed history would
+    * be silently partial). */
+  def changes(spark: SparkSession, root: String, fromV: Int, toV: Int,
+      key: String, valueCols: Seq[String]): DataFrame =
+    Cdc.extractChanges(
+      readVersion(spark, root, fromV),
+      readVersion(spark, root, toV), key, valueCols)
+
   /** True once the table has a committed current snapshot — the
     * bootstrap probe for incremental maintainers (S20). */
   def hasCurrent(root: String): Boolean = readManifest(root)._1.isDefined

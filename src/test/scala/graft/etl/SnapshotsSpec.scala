@@ -158,4 +158,32 @@ class SnapshotsSpec extends SparkSpec {
       Snapshots.currentId(root))
     assert(Snapshots.currentId(root).contains(v3))
   }
+
+  test("E50: the table emits its own change feed, and applying it reproduces the target version") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_feed").toString
+    Snapshots.commit(Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "tag", "v"), root)
+    // v2: key 2 updated, key 3 deleted, key 4 inserted
+    Snapshots.commit(Seq((1L, "a", 10L), (2L, "b2", 25L), (4L, "d", 40L))
+      .toDF("k", "tag", "v"), root)
+    val feed = Snapshots.changes(spark, root, 1, 2, "k", Seq("tag", "v"))
+    val ops = feed.collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("op")).toMap
+    assert(ops == Map(2L -> "U", 3L -> "D", 4L -> "I"), s"got $ops")
+    // round trip: applying the feed to v1 reproduces v2 exactly
+    val rebuilt = Cdc.applyExtracted(
+      Snapshots.readVersion(spark, root, 1), feed, "k", Seq("tag", "v"))
+    val v2 = Snapshots.readVersion(spark, root, 2)
+    assert(rebuilt.exceptAll(v2).isEmpty && v2.exceptAll(rebuilt).isEmpty)
+    // identical versions emit an empty feed
+    assert(Snapshots.changes(spark, root, 2, 2, "k", Seq("tag", "v")).isEmpty)
+    // a vacuumed end fails loudly — no silently partial feeds
+    Snapshots.commit(Seq((1L, "a", 10L)).toDF("k", "tag", "v"), root)
+    Snapshots.vacuum(root, keep = 2)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.changes(spark, root, 1, 3, "k", Seq("tag", "v"))
+    }
+    assert(e.getMessage.contains("not readable"))
+  }
 }
