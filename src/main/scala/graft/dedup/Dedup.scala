@@ -164,11 +164,22 @@ object Dedup {
   // ---------------------------------------------------------------- D3
 
   /** SimHash (Charikar, STOC'02): 64-bit sketch where bit j is the
-    * sign of Σ over shingle hashes of ±1 on that hash's bit j. Shaped
-    * like minhash: explode shingle hashes, 64 parallel SUM aggregates
-    * (codegen'd, map-side partial), then pack the sign bits with static
-    * bit arithmetic. */
-  def simhashSignatures(docs: DataFrame, shingleK: Int = 2): DataFrame = {
+    * sign of Σ over shingle hashes of ±1 on that hash's bit j —
+    * computed by the native fused vote aggregate
+    * ([[graft.plans.SimhashAgg]], `graft_simhash64`): one imperative
+    * 64-vote loop with a compact long[64] partial through the shuffle,
+    * instead of 64 separate SUM aggregate expressions + a 64-term
+    * bit-pack projection. Bit-identical to the composed formulation
+    * ([[simhashSignaturesComposed]], spec-asserted). */
+  def simhashSignatures(docs: DataFrame, shingleK: Int = 2): DataFrame =
+    explodedShingles(docs, shingleK)
+      .groupBy("doc_id")
+      .agg(call_function("graft_simhash64", col("h")).as("simhash"))
+
+  /** The 64-column reference formulation of [[simhashSignatures]] —
+    * kept as the parity oracle for the fused aggregate. */
+  private[graft] def simhashSignaturesComposed(docs: DataFrame,
+      shingleK: Int = 2): DataFrame = {
     val exploded = explodedShingles(docs, shingleK)
     val sums = (0 until 64).map(j =>
       sum(shiftright(col("h"), j).bitwiseAND(1L) * 2L - 1L).as(s"b$j"))

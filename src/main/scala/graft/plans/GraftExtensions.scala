@@ -55,6 +55,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecSumLong].getName, "graft_vec_sum_long"),
       (children: Seq[Expression]) => VecSumLong(children.head).toAggregateExpression()))
     ext.injectFunction((
+      new FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimhashAgg].getName, "graft_simhash64"),
+      (children: Seq[Expression]) => SimhashAgg(children.head).toAggregateExpression()))
+    ext.injectFunction((
       new FunctionIdentifier("graft_cell_scores"),
       new ExpressionInfo(classOf[CellScores].getName, "graft_cell_scores"),
       (children: Seq[Expression]) => CellScores(children(0), children(1))))

@@ -184,4 +184,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("overcount") <= bound),
       s"overcounts must sit within the eps·N class (N=$n)")
   }
+
+  test("graft_simhash64 is bit-identical to the 64-column composed formulation") {
+    val docs = graft.Tables.documents(spark, sf)
+    val fused = graft.dedup.Dedup.simhashSignatures(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val composed = graft.dedup.Dedup.simhashSignaturesComposed(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused.nonEmpty && fused == composed)
+    // hand check: a single-hash group's simhash IS that hash's bits
+    // (each bit's lone vote carries its own sign)
+    import spark.implicits._
+    val one = Seq((1L, 0x0123456789abcdefL), (2L, -1L), (3L, 0L))
+      .toDF("doc_id", "h")
+      .groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions
+        .call_function("graft_simhash64", org.apache.spark.sql.functions.col("h"))
+        .as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one(1L) == 0x0123456789abcdefL)
+    assert(one(2L) == -1L)
+    assert(one(3L) == 0L)
+  }
 }
