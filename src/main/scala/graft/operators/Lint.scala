@@ -115,4 +115,40 @@ object Lint {
       .digest(canon.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
   }
+
+  /** L5 — the SHUFFLE BILL: every exchange in the physical plan with
+    * its partitioning and the optimizer's size estimate for the data
+    * that will cross the wire — "what does this query cost the
+    * network" BEFORE running it, the per-query complement of L3's
+    * join advice (a join that should have broadcast shows up here as
+    * an avoidable fact-sized exchange; a reused exchange shows up
+    * once). Broadcast exchanges are listed separately — they ship
+    * whole-relation copies to every executor, a different bill.
+    * Driver-side metadata only: no job runs; estimates come from the
+    * same optimizer statistics the planner itself used. */
+  final case class ExchangeCost(kind: String, partitioning: String,
+      estBytes: BigInt)
+
+  def shuffleBill(df: DataFrame): Seq[ExchangeCost] = {
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    // under AQE the executed plan is an adaptive wrapper; its
+    // executedPlan member is the current physical plan — before any
+    // action runs, that is the INITIAL plan with exchanges inserted
+    // (pre-runtime-reoptimization, exactly what a pre-flight cost
+    // review wants); after an action it shows the final stages, where
+    // reused exchanges appear once
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    plan.collect {
+      case s: ShuffleExchangeExec =>
+        ExchangeCost("shuffle", s.outputPartitioning.toString,
+          s.child.logicalLink.map(_.stats.sizeInBytes).getOrElse(BigInt(-1)))
+      case b: BroadcastExchangeExec =>
+        ExchangeCost("broadcast", b.outputPartitioning.toString,
+          b.child.logicalLink.map(_.stats.sizeInBytes).getOrElse(BigInt(-1)))
+    }
+  }
 }

@@ -123,4 +123,33 @@ class LintSpec extends SparkSpec {
       assert(a.length === 32)
     }
   }
+
+  test("L5: the shuffle bill prices a fact join, sees broadcasts, and shrinks under reuse") {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.lineitem(spark, sf)
+    val o = graft.Tables.orders(spark, sf)
+    // a fact-fact join on the order key: two fact-sized shuffles (or
+    // one + broadcast at tiny sf) — the bill must be non-empty and its
+    // estimates positive
+    val joined = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderpriority").count()
+    val bill = Lint.shuffleBill(joined)
+    assert(bill.nonEmpty)
+    assert(bill.forall(_.estBytes > 0), s"estimates must be positive: $bill")
+    // a broadcast dim join is billed as a broadcast, not a shuffle of
+    // the fact
+    val dim = graft.Tables.nation(spark, sf)
+    val bc = li.join(graft.Tables.supplier(spark, sf), li("l_suppkey") === col("s_suppkey"))
+      .join(dim, col("s_nationkey") === dim("n_nationkey"))
+      .groupBy("n_name").count()
+    val bcBill = Lint.shuffleBill(bc)
+    assert(bcBill.exists(_.kind == "broadcast"), s"dim join must broadcast: $bcBill")
+    // exchange reuse makes the paragraph-dedup bill show the shared
+    // h-exchange ONCE per distinct subtree (the D93 reuse property in
+    // bill form): the same-schema branches collapse, so shuffle count
+    // stays small
+    val pd = graft.dedup.ParagraphDedup.textParagraphDedup.fn(spark, sf)
+    val pdBill = Lint.shuffleBill(pd).filter(_.kind == "shuffle")
+    assert(pdBill.nonEmpty && pdBill.size <= 6, s"bill: $pdBill")
+  }
 }
