@@ -27,6 +27,21 @@ object Retention {
     table.filter(expired)
       .groupBy(col(part)).agg(count(lit(1)).as("n_expired"))
 
+  /** The directory name Spark's file writer produces for a partition
+    * value: special chars URL-escaped, null as the Hive default
+    * partition token. Building the delete path any other way misses
+    * the real directory for non-alphanumeric or null values — the
+    * silent-retention compliance failure the sweep exists to prevent
+    * (and a value containing '/' would escape into an unintended
+    * path). */
+  private def partDirName(part: String, v: Any): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val s =
+      if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+      else ExternalCatalogUtils.escapePathName(v.toString)
+    ExternalCatalogUtils.escapePathName(part) + "=" + s
+  }
+
   /** Execute the sweep at `path`: rewrite exactly the flagged
     * partitions with their surviving rows; drop fully-expired
     * partition directories. Returns the number of (rewritten,
@@ -38,7 +53,10 @@ object Retention {
     val flagged = sweepPlan(t, part, expired).select(part).collect()
       .map(_.get(0)).toSeq
     if (flagged.isEmpty) return (0L, 0L)
-    val survivors = t.filter(col(part).isin(flagged: _*) && !expired)
+    // null-safe membership: isin() never matches a null partition
+    // value, which would exempt the null partition from the rewrite
+    val inFlagged = flagged.map(v => col(part) <=> lit(v)).reduce(_ || _)
+    val survivors = t.filter(inFlagged && !expired)
     val survivedParts = survivors.select(part).distinct().collect()
       .map(_.get(0)).toSet
     if (survivedParts.nonEmpty)
@@ -51,7 +69,8 @@ object Retention {
       spark.sparkContext.hadoopConfiguration)
     val dead = flagged.filterNot(survivedParts)
     dead.foreach { v =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$part=$v"), true)
+      fs.delete(
+        new org.apache.hadoop.fs.Path(path, partDirName(part, v)), true)
     }
     (survivedParts.size.toLong, dead.size.toLong)
   }

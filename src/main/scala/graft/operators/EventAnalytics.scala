@@ -1455,25 +1455,34 @@ object EventAnalytics {
     * over their events — the trending/engagement read where a plain
     * count ranks a long-dead heavy user above a currently-active one;
     * 7-day half-life, ages against the corpus's max event time (a
-    * 1-row broadcast). Exactness: each event's decay factor is ONE
-    * double expression from exact integer µs (same parenthesization
-    * both engines) floor-quantized to 1e-9 units BEFORE the integer
-    * sum — the total is order-free, so the ranking is deterministic
-    * at any parallelism (ties then break on user_id). One user-keyed
-    * aggregation + a sort-limit top-k, never a global window. */
+    * 1-row broadcast). Exactness: ages quantize to whole DAYS and the
+    * per-day decay constants floor(2^(−d/7)·1e9) are precomputed ONCE
+    * here and injected as the SAME integer array literal into both
+    * engines — no transcendental is ever evaluated independently by
+    * two libms (JVM Math.exp vs DuckDB's libm can diverge by an ulp,
+    * and at a floor() boundary one ulp flips the quantized weight —
+    * the exact cross-engine flake the repo's integer-exact convention
+    * exists to exclude). From day 210 on the quantized weight
+    * is 0 (floor(2^(-210/7)*1e9) = 0), so the table is bounded at
+    * 211 entries and older events contribute exactly nothing. The integer sum is
+    * order-free → ranking deterministic at any parallelism (ties
+    * break on user_id). One user-keyed aggregation + a sort-limit
+    * top-k, never a global window. */
+  val DecayDays: IndexedSeq[Long] = (0 to 210).map(d =>
+    math.floor(math.pow(2.0, -d / 7.0) * 1e9).toLong)
+
   val qDecayedTopk = QueryDef(
     "q_decayed_topk",
     (s, d) => {
-      // ln(2) / 7 days in 1/µs — written as one literal so both
-      // engines evaluate the identical constant
       val ev = Tables.events(s, d)
         .select(col("user_id"), unix_micros(col("ts")).as("us"))
       val tMax = ev.agg(max("us").as("t_max"))
+      val dayUs = 86400L * 1000000L
       ev.crossJoin(broadcast(tMax))
+        .withColumn("age_d",
+          least(expr(s"(t_max - us) div $dayUs"), lit(210L)).cast("int"))
         .withColumn("w_q9",
-          floor(exp((col("us") - col("t_max")).cast("double") *
-            lit(math.log(2.0) / (7.0 * 86400.0 * 1000000.0))) * 1e9)
-            .cast("long"))
+          element_at(lit(DecayDays.toArray), col("age_d") + 1))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"), sum("w_q9").as("score_q9"))
         .orderBy(desc("score_q9"), asc("user_id"))
@@ -1482,9 +1491,9 @@ object EventAnalytics {
     Some(s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
              t AS (SELECT CAST(max(us) AS BIGINT) AS t_max FROM ev),
              w AS (SELECT user_id,
-                     CAST(floor(exp(CAST(us - t_max AS DOUBLE) *
-                       ${math.log(2.0) / (7.0 * 86400.0 * 1000000.0)}) * 1e9)
-                       AS BIGINT) AS w_q9
+                     ([${DecayDays.mkString(",")}])
+                       [LEAST((t_max - us) // ${86400L * 1000000L}, 210) + 1]
+                       AS w_q9
                    FROM ev CROSS JOIN t)
              SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
                     CAST(SUM(w_q9) AS BIGINT) AS score_q9

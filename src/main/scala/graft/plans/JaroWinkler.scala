@@ -46,10 +46,14 @@ case class JaroWinkler(left: Expression, right: Expression)
 object JaroWinkler {
 
   /** Exact mirror of DuckDB's jaro_winkler_similarity (see the
-    * Scaladoc above for the pinned edge semantics). */
+    * Scaladoc above for the pinned edge semantics). DuckDB compares
+    * raw UTF-8 BYTES, not code points — 'héllo' vs 'hello' is 0.84
+    * there, and a UTF-16 char loop scores it 0.88 — so this loop runs
+    * over the UTF8String's bytes for parity on non-ASCII input too
+    * (UTF8String is already UTF-8: no copy beyond the array fetch). */
   def score(ua: UTF8String, ub: UTF8String): Double = {
-    val s = ua.toString
-    val t = ub.toString
+    val s = ua.getBytes
+    val t = ub.getBytes
     val ls = s.length
     val lt = t.length
     if (ls == 0 || lt == 0) return 0.0
@@ -64,7 +68,7 @@ object JaroWinkler {
       var j = lo
       var found = false
       while (j <= hi && !found) {
-        if (!tM(j) && s.charAt(i) == t.charAt(j)) {
+        if (!tM(j) && s(i) == t(j)) {
           sM(i) = true; tM(j) = true; m += 1; found = true
         }
         j += 1
@@ -78,7 +82,7 @@ object JaroWinkler {
     while (i < ls) {
       if (sM(i)) {
         while (!tM(k)) k += 1
-        if (s.charAt(i) != t.charAt(k)) trans += 1
+        if (s(i) != t(k)) trans += 1
         k += 1
       }
       i += 1
@@ -89,7 +93,7 @@ object JaroWinkler {
     if (jaro <= 0.7) return jaro
     var p = 0
     val pMax = math.min(4, math.min(ls, lt))
-    while (p < pMax && s.charAt(p) == t.charAt(p)) p += 1
+    while (p < pMax && s(p) == t(p)) p += 1
     jaro + p * 0.1 * (1.0 - jaro)
   }
 }

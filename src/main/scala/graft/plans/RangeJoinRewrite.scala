@@ -104,8 +104,17 @@ class RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       val pAlias = Alias(IntegralDivide(p, wLit), "__gbucket_p")()
       // Sequence is TimeZoneAwareExpression: without a zone it reports
       // unresolved even for long bounds — pin the session zone
-      val seqE = new Sequence(IntegralDivide(lo, wLit),
+      val rawSeq = new Sequence(IntegralDivide(lo, wLit),
         IntegralDivide(hi, wLit), None, Some(conf.sessionLocalTimeZone))
+      // An inverted interval (lo > hi, dirty data) must contribute ZERO
+      // buckets: Sequence with no step defaults to step -1 when
+      // start > stop, so unguarded it explodes into a descending bucket
+      // array — wasted fan-out, and pathological bounds can exceed
+      // Sequence's max array length where the naive plan simply
+      // returned no rows. A null bound short-circuits to the empty
+      // branch too, matching Explode-of-null's emit-nothing.
+      val seqE = If(LessThanOrEqual(lo, hi), rawSeq,
+        Literal.create(Array.empty[Long], rawSeq.dataType))
       val elemT = seqE.dataType.asInstanceOf[ArrayType]
       val gAttr = AttributeReference("__gbucket_i", elemT.elementType,
         elemT.containsNull)()

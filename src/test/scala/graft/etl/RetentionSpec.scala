@@ -52,6 +52,41 @@ class RetentionSpec extends SparkSpec {
     assert(survivors.count() === expect)
   }
 
+  test("E36: escaped and NULL partition values sweep correctly (the " +
+      "raw-interpolation trap: 'a/b' dirs are URL-escaped on disk, " +
+      "null is __HIVE_DEFAULT_PARTITION__, isin() skips nulls)") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_retention_esc").toString + "/t"
+    // part values: one untouched, one fully-expired with '/' and ':'
+    // (URL-escaped on disk), one fully-expired NULL, one partial
+    Seq(
+      ("keep", 10, false), ("keep", 11, false),
+      ("a/b:c", 1, true), ("a/b:c", 2, true),
+      (null.asInstanceOf[String], 3, true),
+      ("mixed", 4, true), ("mixed", 5, false)
+    ).toDF("p", "id", "expired")
+      .write.partitionBy("p").parquet(path)
+    val dirsBefore = new java.io.File(path).listFiles()
+      .map(_.getName).filter(_.startsWith("p=")).toSet
+    assert(dirsBefore.contains("p=a%2Fb%3Ac"),
+      s"fixture must produce an escaped dir, got $dirsBefore")
+    assert(dirsBefore.contains("p=__HIVE_DEFAULT_PARTITION__"))
+    val (rw, del) =
+      Retention.sweep(spark, path, "p", col("expired") === true)
+    assert(rw === 1L && del === 2L)
+    val dirsAfter = new java.io.File(path).listFiles()
+      .map(_.getName).filter(_.startsWith("p=")).toSet
+    assert(!dirsAfter.contains("p=a%2Fb%3Ac"),
+      "escaped fully-expired dir must be deleted on disk")
+    assert(!dirsAfter.contains("p=__HIVE_DEFAULT_PARTITION__"),
+      "null fully-expired partition must be deleted")
+    val left = spark.read.parquet(path)
+    assert(left.filter(col("expired")).count() === 0)
+    assert(left.select("id").as[Int].collect().sorted
+      === Array(5, 10, 11))
+  }
+
   test("E36: a sweep with nothing expired touches nothing") {
     val path = build()
     val before = files(path)

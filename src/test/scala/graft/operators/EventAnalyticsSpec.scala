@@ -349,10 +349,15 @@ class EventAnalyticsSpec extends SparkSpec {
       .select(col("user_id"), unix_micros(col("ts")).as("us")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val tMax = raw.map(_._2).max
-    val lambda = math.log(2.0) / (7.0 * 86400.0 * 1000000.0)
+    // the decay table itself obeys the half-life law it tabulates
+    val dd = EventAnalytics.DecayDays
+    assert(dd(0) === 1000000000L && dd(7) === 500000000L &&
+      dd(14) === 250000000L && dd.last === 0L)
+    assert(dd.sliding(2).forall(p => p(0) >= p(1)), "monotone decay")
+    val dayUs = 86400L * 1000000L
     val scores = raw.groupBy(_._1).map { case (u, evs) =>
       (u, evs.length.toLong,
-        evs.map(e => math.floor(math.exp((e._2 - tMax).toDouble * lambda) * 1e9).toLong).sum)
+        evs.map(e => dd(math.min((tMax - e._2) / dayUs, 210L).toInt)).sum)
     }
     val expect = scores.toSeq.sortBy(s => (-s._3, s._1)).take(20)
     val got = EventAnalytics.qDecayedTopk.fn(spark, sf).collect()

@@ -23,6 +23,15 @@ class JaroWinklerSpec extends SparkSpec {
     assert(jw("abc", "xyz") === 0.0)
   }
 
+  test("non-ASCII parity: DuckDB compares UTF-8 BYTES, so must we " +
+      "(a UTF-16 char loop scores héllo/hello 0.88, DuckDB says 0.84)") {
+    assert(jw("héllo", "hello") === 0.8400000000000001)
+    assert(jw("für", "fur") === 0.75)
+    assert(jw("crate", "trace") === 0.7333333333333334)
+    // CJK: every code point is 3 UTF-8 bytes — byte-level windows
+    assert(jw("日本語テキスト", "日本語のテキスト") === 0.9369047619047619)
+  }
+
   test("the SQL surface and codegen path agree with the direct score") {
     import spark.implicits._
     val one = spark.sql(

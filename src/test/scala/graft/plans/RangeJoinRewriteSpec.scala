@@ -82,6 +82,25 @@ class RangeJoinRewriteSpec extends SparkSpec {
       .queryExecution.executedPlan.toString.contains("gbucket"))
   }
 
+  test("R148: inverted intervals (lo > hi, dirty data) contribute ZERO " +
+      "buckets — no descending-sequence fan-out, no Sequence length blowup") {
+    val on = freshSession(Some(8L)); val off = freshSession(None)
+    def run(s: org.apache.spark.sql.SparkSession) = {
+      import s.implicits._
+      val points = Seq((1L, 5L), (2L, 50L)).toDF("pid", "p")
+      // iid 11 is inverted; iid 12 is PATHOLOGICALLY inverted — an
+      // unguarded sequence(hi div 8, lo div 8) of ~2.5e17 elements
+      // would abort the query where the naive plan returns no rows
+      val ivs = Seq((10L, 0L, 10L), (11L, 10L, 0L),
+        (12L, 2000000000000000000L, 0L)).toDF("iid", "lo", "hi")
+      points.join(ivs, col("p") >= col("lo") && col("p") < col("hi"))
+        .select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(run(on) === run(off))
+    assert(run(off) === Set((1L, 10L)))
+  }
+
   test("R148: null bounds and null points match nothing, as in the naive plan") {
     val on = freshSession(Some(8L)); val off = freshSession(None)
     def run(s: org.apache.spark.sql.SparkSession) = {
