@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** L6 — the committed plan-regression ledger: every entry's optimized-
+  * plan fingerprint (L4) and shuffle bill (L5) must match
+  * `ledger/plan_fingerprints.tsv` / `ledger/shuffle_bill.tsv`.
+  *
+  * A failure here means a CODE OR ENGINE CHANGE altered a query plan —
+  * read the failure, decide whether the new plan is intended, and if
+  * so regenerate with:
+  *
+  *   GRAFT_UPDATE_LEDGER=1 sbt "testOnly graft.operators.LedgerSpec"
+  *
+  * then commit the ledger diff IN THE SAME COMMIT as the change that
+  * caused it. The update path runs in the identical session/conf as
+  * the assertion path, so regenerated values are exactly what the next
+  * run will compare against.
+  */
+class LedgerSpec extends SparkSpec {
+
+  private val FpFile = "ledger/plan_fingerprints.tsv"
+  private val BillFile = "ledger/shuffle_bill.tsv"
+  private val update = sys.env.get("GRAFT_UPDATE_LEDGER").contains("1")
+
+  private lazy val current: (Map[String, String], Map[String, String]) = {
+    val entries = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+    val vals = entries.map { case (name, fn) =>
+      val (fp, bill) = PlanLedger.entryValues(() => fn(spark, sf))
+      (name -> fp, name -> bill)
+    }
+    (vals.map(_._1).toMap, vals.map(_._2).toMap)
+  }
+
+  test("L6: every entry's plan fingerprint matches the committed ledger") {
+    val (fps, bills) = current
+    if (update) {
+      PlanLedger.write(FpFile, fps)
+      PlanLedger.write(BillFile, bills)
+      info(s"ledger regenerated: ${fps.size} entries " +
+        s"(${fps.values.count(_ == PlanLedger.Unstable)} unstable)")
+    }
+    val stored = PlanLedger.read(FpFile)
+    assert(stored.nonEmpty, s"$FpFile missing — regenerate with " +
+      "GRAFT_UPDATE_LEDGER=1 and commit it")
+    assert(stored.keySet === fps.keySet,
+      "entry set drifted: new entries need a regenerated ledger, " +
+        s"only-in-ledger=${(stored.keySet -- fps.keySet).toSeq.sorted}, " +
+        s"only-current=${(fps.keySet -- stored.keySet).toSeq.sorted}")
+    val diffs = fps.collect {
+      case (n, fp) if stored(n) != PlanLedger.Unstable &&
+        fp != PlanLedger.Unstable && stored(n) != fp => n
+    }.toSeq.sorted
+    assert(diffs.isEmpty,
+      s"optimized plan CHANGED for: $diffs — if intended, regenerate " +
+        "the ledger (GRAFT_UPDATE_LEDGER=1) and commit the diff")
+    // an entry may not silently become unstable either
+    val destabilized = fps.collect {
+      case (n, fp) if fp == PlanLedger.Unstable &&
+        stored(n) != PlanLedger.Unstable => n
+    }.toSeq.sorted
+    assert(destabilized.isEmpty,
+      s"entries became plan-unstable: $destabilized")
+  }
+
+  test("L6: every entry's shuffle bill matches the committed ledger " +
+      "(exchange counts and partitionings never grow unadjudicated)") {
+    val (_, bills) = current
+    val stored = PlanLedger.read(BillFile)
+    assert(stored.nonEmpty, s"$BillFile missing — regenerate with " +
+      "GRAFT_UPDATE_LEDGER=1 and commit it")
+    assert(stored.keySet === bills.keySet, "entry set drifted")
+    val diffs = bills.collect {
+      case (n, b) if stored(n) != PlanLedger.Unstable &&
+        b != PlanLedger.Unstable && stored(n) != b =>
+        s"$n: stored='${stored(n).take(120)}' now='${b.take(120)}'"
+    }.toSeq.sorted
+    assert(diffs.isEmpty,
+      s"shuffle bill CHANGED (first 120 chars shown):\n${diffs.mkString("\n")}")
+  }
+
+  test("L6: the fingerprint moves on real plan changes (sensitivity) " +
+      "and not on sameResult-equivalent operand permutations (stability)") {
+    import org.apache.spark.sql.functions._
+    val t = graft.Tables.lineitem(spark, sf)
+    val base = t.filter(col("l_quantity") > 10)
+      .groupBy("l_returnflag").agg(sum("l_extendedprice").as("s"))
+    // literal change moves it
+    val lit2 = t.filter(col("l_quantity") > 11)
+      .groupBy("l_returnflag").agg(sum("l_extendedprice").as("s"))
+    assert(PlanLedger.fingerprint(base) !== PlanLedger.fingerprint(lit2))
+    // structural change (extra aggregate) moves it
+    val extra = t.filter(col("l_quantity") > 10)
+      .groupBy("l_returnflag")
+      .agg(sum("l_extendedprice").as("s"), count(lit(1)).as("n"))
+    assert(PlanLedger.fingerprint(base) !== PlanLedger.fingerprint(extra))
+    // commutative operand order does NOT move it (the flake class the
+    // token-multiset form exists to absorb)
+    val swapA = t.filter(col("l_quantity") > 10 && col("l_discount") < 0.05)
+    val swapB = t.filter(col("l_discount") < 0.05 && col("l_quantity") > 10)
+    assert(PlanLedger.fingerprint(swapA) === PlanLedger.fingerprint(swapB))
+    // bill arg-sort: nested calls survive the depth-0 split intact
+    assert(PlanLedger.sortArgs("hashpartitioning(b#x, a#x, f(c#x, d#x), 4)")
+      === "hashpartitioning(4, a#x, b#x, f(c#x, d#x))")
+  }
+
+  test("L6: the ledger is mostly stable fingerprints — UNSTABLE is the " +
+      "exception class, not an escape hatch") {
+    val stored = PlanLedger.read(FpFile)
+    val unstable = stored.count(_._2 == PlanLedger.Unstable)
+    assert(unstable.toDouble / stored.size <= 0.15,
+      s"$unstable/${stored.size} entries UNSTABLE — normalization has " +
+        "regressed (transient paths or ids leaking into fingerprints)")
+  }
+}
