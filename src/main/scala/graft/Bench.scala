@@ -25,6 +25,9 @@ object Bench {
     // bench contract is local[32] unless the driver overrides
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("WARN")
+    // time production paths, not in-entry exact SV baselines (the
+    // correctness gate and specs run with the default, baselines on)
+    spark.conf.set("spark.graft.svBaselines", "false")
 
     def runOnce(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
@@ -68,7 +71,15 @@ object Bench {
     val qs = timings.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+    println(line)
+    // the driver's committed artifact truncates long lines; when
+    // SPARK_GRAFT_BENCH_OUT is set, keep the FULL per-query record as a
+    // repo file so round-over-round drift analysis never needs /tmp
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      val w = new java.io.PrintWriter(p); try w.println(line) finally w.close()
+    }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

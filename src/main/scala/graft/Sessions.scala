@@ -30,4 +30,14 @@ object Sessions {
       // keep bucketed-table metadata out of the repo working dir
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .getOrCreate()
+
+  /** Whether self-verifying entries should compute their in-entry
+    * EXACT baselines (default on: the correctness gate and the specs
+    * rely on the evidence columns). The bench turns it off so sweep
+    * timings measure the production path, not the instrumentation —
+    * the two baseline-heavy entries (etl_profile_sketch,
+    * dedup_method_eval) would otherwise spend 3-6× their production
+    * cost re-deriving exact truth in-entry. */
+  def svBaselines(s: SparkSession): Boolean =
+    s.conf.getOption("spark.graft.svBaselines").forall(_.toBoolean)
 }

@@ -119,18 +119,23 @@ object Profile {
   val etlProfileSketch = QueryDef(
     "etl_profile_sketch",
     (s, d) => {
-      // SV baseline: exact distinct only (one aggregation — the full
-      // E26 count-table profile in here would triple the entry's cost;
-      // the sketch MODE is exactness-verified in ProfileSpec instead)
-      val exact = unpivoted(Tables.lineitem(s, d), LineitemCols)
-        .groupBy("col_name")
-        .agg(countDistinct(col("val")).as("exact_distinct"))
-      profileSketch(Tables.lineitem(s, d), LineitemCols)
-        .join(exact, Seq("col_name"))
-        .withColumn("distinct_rel_err",
-          round(abs(col("approx_distinct") - col("exact_distinct"))
-            / col("exact_distinct"), 4))
-        .orderBy("col_name")
+      val sketch = profileSketch(Tables.lineitem(s, d), LineitemCols)
+      if (!graft.Sessions.svBaselines(s)) sketch.orderBy("col_name")
+      else {
+        // SV baseline: exact distinct only (one aggregation — the full
+        // E26 count-table profile in here would triple the entry's
+        // cost; the sketch MODE is exactness-verified in ProfileSpec).
+        // The bench disables it (spark.graft.svBaselines=false) so the
+        // sweep times the production sketch pass alone.
+        val exact = unpivoted(Tables.lineitem(s, d), LineitemCols)
+          .groupBy("col_name")
+          .agg(countDistinct(col("val")).as("exact_distinct"))
+        sketch.join(exact, Seq("col_name"))
+          .withColumn("distinct_rel_err",
+            round(abs(col("approx_distinct") - col("exact_distinct"))
+              / col("exact_distinct"), 4))
+          .orderBy("col_name")
+      }
     },
     None)
 

@@ -129,7 +129,12 @@ object Lint {
   final case class ExchangeCost(kind: String, partitioning: String,
       estBytes: BigInt)
 
-  def shuffleBill(df: DataFrame): Seq[ExchangeCost] = {
+  def shuffleBill(df: DataFrame): Seq[ExchangeCost] =
+    shuffleBill(df.queryExecution.executedPlan)
+
+  /** Overload for a physical plan obtained elsewhere (e.g. the
+    * cache-free planning path in [[PlanLedger]]). */
+  def shuffleBill(executedPlan: SparkPlan): Seq[ExchangeCost] = {
     import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
     // under AQE the executed plan is an adaptive wrapper; its
     // executedPlan member is the current physical plan — before any
@@ -137,7 +142,7 @@ object Lint {
     // (pre-runtime-reoptimization, exactly what a pre-flight cost
     // review wants); after an action it shows the final stages, where
     // reused exchanges appear once
-    val plan = df.queryExecution.executedPlan match {
+    val plan = executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         a.executedPlan
       case p => p

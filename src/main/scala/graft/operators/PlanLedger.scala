@@ -1,6 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.SparkPlan
 
 /** L6 — the plan-regression LEDGER: L4's fingerprint and L5's shuffle
   * bill for every production query, stored as committed data and
@@ -55,8 +57,39 @@ object PlanLedger {
     * moves whenever a node appears/disappears, a function or literal
     * changes, a column enters or leaves, or the tree restructures —
     * the regressions the ledger exists to catch. */
+  /** The optimized plan WITHOUT cache substitution.
+    * `df.queryExecution.optimizedPlan` runs through withCachedData,
+    * which swaps any subtree matching a currently-cached frame for an
+    * InMemoryRelation — so plan identity would depend on which OTHER
+    * suites/queries happen to hold caches at the moment of
+    * construction (parallel ScalaTest suites share one session).
+    * Running the session's optimizer directly on the analyzed plan is
+    * exactly QueryExecution's pipeline minus that lookup. */
+  private def cacheFreeOptimized(df: DataFrame): LogicalPlan =
+    df.sparkSession.sessionState.optimizer.execute(df.queryExecution.analyzed)
+
+  /** Physical plan from the cache-free optimized plan —
+    * QueryExecution.createSparkPlan + prepareExecutedPlan, invoked
+    * reflectively (they are private[sql] but public in bytecode); the
+    * physical pipeline has no cache lookup, so the resulting exchange
+    * bill is cache-state-independent too. */
+  private def cacheFreeExecutedPlan(df: DataFrame): SparkPlan = {
+    val spark = df.sparkSession
+    val opt = cacheFreeOptimized(df)
+    val qeClass = Class.forName("org.apache.spark.sql.execution.QueryExecution")
+    val sessClass = Class.forName("org.apache.spark.sql.classic.SparkSession")
+    val create = qeClass.getMethod("createSparkPlan",
+      Class.forName("org.apache.spark.sql.execution.SparkPlanner"),
+      classOf[LogicalPlan])
+    val prepare = qeClass.getMethod("prepareExecutedPlan", sessClass,
+      classOf[SparkPlan])
+    val sparkPlan =
+      create.invoke(null, spark.sessionState.planner, opt)
+    prepare.invoke(null, spark, sparkPlan).asInstanceOf[SparkPlan]
+  }
+
   def fingerprint(df: DataFrame): String = {
-    val lines = df.queryExecution.optimizedPlan.canonicalized.collect {
+    val lines = cacheFreeOptimized(df).canonicalized.collect {
       case n =>
         val toks = n.expressions
           .map(e => normalize(e.canonicalized.toString)).mkString(" ")
@@ -95,7 +128,7 @@ object PlanLedger {
     * `<nShuffle>s/<nBroadcast>b <kind>:<partitioning>|...` with
     * partitionings normalized (ids, paths, arg order) and sorted. */
   def billSummary(df: DataFrame): String = {
-    val bill = Lint.shuffleBill(df)
+    val bill = Lint.shuffleBill(cacheFreeExecutedPlan(df))
     val n = bill.count(_.kind == "shuffle")
     val b = bill.count(_.kind == "broadcast")
     val parts = bill.map(c => c.kind + ":" + sortArgs(normalize(c.partitioning)))
@@ -115,7 +148,7 @@ object PlanLedger {
   def read(path: String): Map[String, String] = {
     val f = new java.io.File(path)
     if (!f.exists()) Map.empty
-    else scala.io.Source.fromFile(f).getLines()
+    else scala.io.Source.fromFile(f, "UTF-8").getLines()
       .filter(_.nonEmpty).map { l =>
         val i = l.indexOf('\t'); l.substring(0, i) -> l.substring(i + 1)
       }.toMap

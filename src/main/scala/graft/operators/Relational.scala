@@ -1464,6 +1464,13 @@ object Relational {
       val perSource = words.groupBy("source")
         .agg(expr("approx_top_k_accumulate(w, 2000)").as("sk"))
       val estimated = perSource
+        // coalesce(1) before the GLOBAL combine: Spark 4.1.2's
+        // ApproxTopKCombine.serialize MatchErrors on the null-typed
+        // buffer an EMPTY partition's partial aggregation produces
+        // (found by the ConfRobustnessSpec 200-partition sweep — any
+        // real cluster has empty partials). The frame is O(#sources)
+        // sketch rows, so one partition is the right size anyway.
+        .coalesce(1)
         .agg(expr("approx_top_k_estimate(approx_top_k_combine(sk), 20)")
           .as("top"))
         .select(posexplode(col("top")).as(Seq("pos", "t")))

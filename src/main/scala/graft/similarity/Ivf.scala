@@ -91,6 +91,29 @@ object Ivf {
   def codebookFor(corpus: DataFrame, cells: Int, cacheKey: String): Seq[Seq[Double]] =
     codebookCache.computeIfAbsent((cacheKey, cells), _ => trainCodebook(corpus, cells))
 
+  /** The √N design point, made executable: `cells = 0` callers get
+    * max(16, ⌈√N⌉) capped at 4096 — per-cell populations stay ~√N, so
+    * within-cell work (SemDeDup's pairs) and per-probe scan fractions
+    * shrink as the corpus grows instead of degrading quadratically /
+    * linearly. The r8 scale sweep measured the fixed-16-cell default
+    * at 5× rows costing 14–16× (per-cell population ∝ N); auto-cells
+    * restores the paper shape. Counts memoize beside the codebook so
+    * the extra job runs once per corpus. */
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  def autoCells(corpus: DataFrame, cacheKey: String): Int = {
+    val n =
+      if (cacheKey.nonEmpty)
+        countCache.computeIfAbsent(cacheKey, _ => corpus.count()).toLong
+      else corpus.count()
+    math.min(4096, math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
+  }
+
+  private[similarity] def resolveCells(corpus: DataFrame, cells: Int,
+      cacheKey: String): Int =
+    if (cells > 0) cells else autoCells(corpus, cacheKey)
+
   /** IVF top-k: corpus rows in the query's probed cells, re-ranked by
     * exact cosine. Recall vs brute force is asserted in the spec.
     *
@@ -144,11 +167,12 @@ object Ivf {
   }
 
   def topK(corpus: DataFrame, queries: DataFrame, k: Int,
-      cells: Int = 16, nprobe: Int = 4, cacheKey: String = "",
+      cells: Int = 0, nprobe: Int = 4, cacheKey: String = "",
       broadcastQueries: Boolean = true): DataFrame = {
+    val nCells = resolveCells(corpus, cells, cacheKey)
     val codebook =
-      if (cacheKey.nonEmpty) codebookFor(corpus, cells, cacheKey)
-      else trainCodebook(corpus, cells)
+      if (cacheKey.nonEmpty) codebookFor(corpus, nCells, cacheKey)
+      else trainCodebook(corpus, nCells)
     val corpusCells = assignCells(corpus, codebook)
       .select(col("vec_id"), col("embedding"), col("cell"))
     val queryCells = queries

@@ -50,10 +50,11 @@ object IvfPq {
     * from the collected probed-cell set (≤ queries × nprobe ints —
     * the documented bounded-collect class), ADC scoring, rank top-k. */
   def topK(corpus: DataFrame, queries: DataFrame, k: Int,
-      cells: Int = 16, nprobe: Int = 4, cacheKey: String = ""): DataFrame = {
+      cells: Int = 0, nprobe: Int = 4, cacheKey: String = ""): DataFrame = {
+    val nCells = Ivf.resolveCells(corpus, cells, cacheKey)
     val cbIvf =
-      if (cacheKey.nonEmpty) Ivf.codebookFor(corpus, cells, cacheKey)
-      else Ivf.trainCodebook(corpus, cells)
+      if (cacheKey.nonEmpty) Ivf.codebookFor(corpus, nCells, cacheKey)
+      else Ivf.trainCodebook(corpus, nCells)
     val cbPq = Pq.codebooks(corpus, cacheKey)
     val index = indexStored(corpus, cbIvf, cbPq, cacheKey)
 

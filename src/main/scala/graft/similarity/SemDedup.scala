@@ -53,11 +53,16 @@ object SemDedup {
     * BOUNDED by the number of vectors appearing in ≥1 duplicate pair
     * (≈ duplicates, not corpus), and it feeds both the output join and
     * any caller-side evidence stats. */
-  def dedup(emb: DataFrame, threshold: Double, cells: Int = 16,
+  def dedup(emb: DataFrame, threshold: Double, cells: Int = 0,
       maxCell: Int = MaxCell, cacheKey: String = ""): DataFrame = {
+    // cells = 0 → the √N auto shape (see Ivf.autoCells): per-cell
+    // populations stay ~√N, so the within-cell quadratic is bounded by
+    // the corpus SQRT, not the corpus — the r8 scale sweep measured
+    // fixed-16-cells at 14× cost for 5× rows before this
+    val nCells = Ivf.resolveCells(emb, cells, cacheKey)
     val codebook =
-      if (cacheKey.nonEmpty) Ivf.codebookFor(emb, cells, cacheKey)
-      else Ivf.trainCodebook(emb, cells)
+      if (cacheKey.nonEmpty) Ivf.codebookFor(emb, nCells, cacheKey)
+      else Ivf.trainCodebook(emb, nCells)
     val celled = Ivf.assignCells(emb, codebook)
       .select(col("vec_id"), col("cell"),
         col("embedding").cast("array<double>").as("emb"))

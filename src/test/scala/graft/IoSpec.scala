@@ -64,7 +64,9 @@ class IoSpec extends SparkSpec {
     assert(read > 0 && read < 16,
       s"probe must prune partitions: read $read of 16 cells")
     // parity with the in-memory IVF path on the same (memoized) codebook
-    val direct = Ivf.topK(emb, queries, 10, cacheKey = sf)
+    // — cells pinned to the written index's (topK's cells=0 default is
+    // the √N auto shape, 23 cells at this corpus ≠ the 16 on disk)
+    val direct = Ivf.topK(emb, queries, 10, cells = 16, cacheKey = sf)
     assert(fromIndex.exceptAll(direct).count() === 0)
     assert(direct.exceptAll(fromIndex).count() === 0)
   }

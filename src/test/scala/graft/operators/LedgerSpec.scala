@@ -23,10 +23,22 @@ class LedgerSpec extends SparkSpec {
   private val BillFile = "ledger/shuffle_bill.tsv"
   private val update = sys.env.get("GRAFT_UPDATE_LEDGER").contains("1")
 
+  /** Entries whose plans are genuinely per-run-variant in ways the
+    * double-construction detector cannot see (a fixture memoized per
+    * JVM whose measured file sizes sit near the broadcast threshold,
+    * so the join strategy flips run-to-run). The one designed escape
+    * hatch — keep this list justified and short. */
+  private val PinnedUnstable = Set(
+    // D82 measures its own written layouts; their byte sizes decide
+    // borderline broadcast-vs-shuffle at planning time
+    "text_sim_layout")
+
   private lazy val current: (Map[String, String], Map[String, String]) = {
     val entries = graft.SparkEntry.queries.toSeq.sortBy(_._1)
     val vals = entries.map { case (name, fn) =>
-      val (fp, bill) = PlanLedger.entryValues(() => fn(spark, sf))
+      val (fp, bill) =
+        if (PinnedUnstable(name)) (PlanLedger.Unstable, PlanLedger.Unstable)
+        else PlanLedger.entryValues(() => fn(spark, sf))
       (name -> fp, name -> bill)
     }
     (vals.map(_._1).toMap, vals.map(_._2).toMap)
