@@ -103,17 +103,46 @@ object Profile {
     * error and a mode-agreement flag in its own output, spec-bounded;
     * a production run executes only the sketch side. */
   def profileSketch(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val sk = unpivoted(df, cols)
-      .groupBy("col_name").agg(
-        count(lit(1)).as("n"),
-        sum(when(col("val").isNull, 1L).otherwise(0L)).as("nulls"),
-        approx_count_distinct(col("val"), 0.02).as("approx_distinct"),
-        min("val").as("min_val"), max("val").as("max_val"),
-        expr("approx_top_k(val, 1, 256)").as("tk"))
+    // ONE WIDE GLOBAL AGGREGATION (cols × 5 expressions) over the
+    // TYPED columns instead of unpivot-to-string + groupBy(col_name).
+    // The r8 bench bisection showed the long form's cost is the
+    // per-VALUE string casts (9.6M double/timestamp toString calls at
+    // sf0.1 — 4.4 s of the entry's 5.6 s), not the sketches; typed
+    // aggregation pays zero casts on the data path and renders only
+    // the #cols aggregated results to string at the end. min/max are
+    // therefore TYPE-ordered — the profiler-correct reading (the
+    // string form ranks "10.0" < "9.0"); on string columns the two
+    // orders coincide and the E26-parity spec pins that. At 100 TB
+    // this is also the shape that never shuffles more than
+    // cols × sketch-size bytes and never explodes rows.
+    // sketch updates are CPU-bound per row (the README text-stage
+    // rule): when a SMALL input's byte-driven scan parallelism
+    // undershoots the cores (one parquet file → one partition → one
+    // core doing 16 HLL updates per row), spread it first; at scale
+    // the input has far more partitions than cores and this branch
+    // never fires — no 100 TB table ever repartitions here
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val src =
+      if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+    val aggs = count(lit(1)).as("n") +: cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls__$c"),
+        approx_count_distinct(col(c), 0.02).as(s"ad__$c"),
+        min(col(c)).cast("string").as(s"min__$c"),
+        max(col(c)).cast("string").as(s"max__$c"),
+        expr(s"CAST(try_element_at(approx_top_k($c, 1, 256), 1).item AS STRING)")
+          .as(s"top__$c"))
+    }
+    val wide = src.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = lit(cols.size) +: cols.flatMap(c => Seq(
+      lit(c), col(s"nulls__$c"), col(s"ad__$c"),
+      col(s"min__$c"), col(s"max__$c"), col(s"top__$c")))
+    wide.select(col("n"), stack(stackArgs: _*)
+        .as(Seq("col_name", "nulls", "approx_distinct", "min_val",
+          "max_val", "approx_top_val")))
       .select(col("col_name"), col("n"), col("nulls"),
         col("approx_distinct"), col("min_val"), col("max_val"),
-        expr("try_element_at(tk, 1).item").as("approx_top_val"))
-    sk
+        col("approx_top_val"))
   }
 
   val etlProfileSketch = QueryDef(

@@ -45,13 +45,28 @@ class ProfileSpec extends SparkSpec {
       .collect().map(r => r.getAs[String]("col_name") -> r).toMap
     exact.foreach { case (c, e) =>
       val s0 = out(c)
-      // count/null/min/max ride the sketch pass exactly
+      // counts ride the sketch pass exactly
       assert(s0.getAs[Long]("n") === e.getAs[Long]("n"))
-      assert(s0.getAs[String]("min_val") === e.getAs[String]("min_val"))
-      assert(s0.getAs[String]("max_val") === e.getAs[String]("max_val"))
       // HLL within its rsd class (0.02 build → 5% gate, R19 convention)
       assert(s0.getAs[Double]("distinct_rel_err") <= 0.05,
         s"$c distinct_rel_err=${s0.getAs[Double]("distinct_rel_err")}")
+    }
+    // the sketch profile's min/max are TYPE-ordered (the profiler-
+    // correct reading — the lexicographic form ranks "10.0" < "9.0");
+    // on STRING columns the orders coincide, so E26 parity pins those,
+    // and numeric columns check against a direct typed recompute
+    for (c <- Seq("l_returnflag", "l_linestatus")) {
+      assert(out(c).getAs[String]("min_val") ===
+        exact(c).getAs[String]("min_val"), s"$c min")
+      assert(out(c).getAs[String]("max_val") ===
+        exact(c).getAs[String]("max_val"), s"$c max")
+    }
+    for (c <- Seq("l_orderkey", "l_quantity")) {
+      val typed = Tables.lineitem(spark, sf)
+        .agg(min(col(c)).cast("string"), max(col(c)).cast("string"))
+        .head()
+      assert(out(c).getAs[String]("min_val") === typed.getString(0), s"$c min")
+      assert(out(c).getAs[String]("max_val") === typed.getString(1), s"$c max")
     }
     // the heavy-hitter mode must be EXACT on genuinely skewed columns
     // (low-cardinality); on near-uniform ones "mode" carries no signal
