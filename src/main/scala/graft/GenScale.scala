@@ -19,8 +19,10 @@ import org.apache.spark.sql.functions._
   * RE-DERIVING the order's date hash from `l_orderkey` instead of
   * joining.
   *
-  * Usage: `runMain graft.GenScale <outDir> <sf>` (sf relative to the
-  * driver's convention: sf1 ≡ 6M lineitem rows ≈ 170 MB).
+  * Usage: `runMain graft.GenScale <outDir> <sf> [skewExp]` (sf
+  * relative to the driver's convention: sf1 ≡ 6M lineitem rows ≈
+  * 170 MB; skewExp > 0 makes the events user distribution power-law —
+  * see the events block).
   */
 object GenScale {
 
@@ -50,7 +52,8 @@ object GenScale {
   private def orderDate(key: Column): Column =
     timestamp_seconds(lit(788918400L) + (h(key, 40) % 2400) * 86400L)
 
-  def gen(spark: SparkSession, out: String, sf: Double): Unit = {
+  def gen(spark: SparkSession, out: String, sf: Double,
+      skewExp: Double = 0.0): Unit = {
     val nCust = (150000 * sf).toLong max 100
     val nSupp = (10000 * sf).toLong max 50
     val nPart = (200000 * sf).toLong max 100
@@ -130,12 +133,22 @@ object GenScale {
           ((h(col("id"), 59) % 120) + 1) * 86400L).as("l_shipdate")),
       "lineitem")
 
+    // skewExp = 0 → uniform users (the driver-testdata shape);
+    // skewExp = s > 0 → power-law-ish concentration via the inverse-
+    // CDF trick u^s (still a pure hash expression): at s = 3 and sf1
+    // the heaviest user carries ~4% of ALL events — the real-world
+    // hot-key shape that stresses per-user windows, sessionization
+    // state, and join salting under load
+    val u = (h(col("id"), 61) % 1000000L).cast("double") / 1e6
+    val userExpr =
+      if (skewExp > 0) floor(pow(u, skewExp) * nUsers).cast("long")
+      else (h(col("id"), 61) % nUsers)
     write(spark.range(nEv).select(
       col("id").as("event_id"),
       // 30 days of 2024-01, microsecond jitter
       timestamp_micros(lit(1704067200000000L) +
         (h(col("id"), 60) % (30L * 86400000000L))).as("ts"),
-      (h(col("id"), 61) % nUsers).as("user_id"),
+      userExpr.as("user_id"),
       pick(col("id"), 62, Seq("view", "click", "purchase", "signup",
         "error")).as("event_type"),
       money(col("id"), 63, 561).as("value"),
@@ -172,10 +185,11 @@ object GenScale {
   def main(args: Array[String]): Unit = {
     val out = args(0)
     val sf = args(1).toDouble
+    val skewExp = if (args.length > 2) args(2).toDouble else 0.0
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
     spark.sparkContext.setLogLevel("WARN")
-    gen(spark, out, sf)
-    println(s"generated sf=$sf at $out")
+    gen(spark, out, sf, skewExp)
+    println(s"generated sf=$sf skew=$skewExp at $out")
     spark.stop()
   }
 }
