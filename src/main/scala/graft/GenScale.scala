@@ -26,8 +26,17 @@ import org.apache.spark.sql.functions._
   */
 object GenScale {
 
-  private def h(c: Column, salt: Int): Column =
-    abs(xxhash64(c, lit(salt)))
+  private def h(c: Column, salt: Int): Column = {
+    // abs(Long.MinValue) stays negative (2^-64 per hash draw), which
+    // would make the downstream `% n` negative and element_at pick
+    // from the array END — clamp that one value to 0. Deliberately
+    // NOT pmod: pmod(x,n) != abs(x)%n for every negative hash, which
+    // would silently regenerate a different corpus and break r8→r9
+    // scale-measurement comparability; this form is bit-identical to
+    // the committed r8 corpus for every non-MinValue hash.
+    val a = abs(xxhash64(c, lit(salt)))
+    when(a < 0, lit(0L)).otherwise(a)
+  }
 
   private def pick(c: Column, salt: Int, vals: Seq[String]): Column = {
     val arr = array(vals.map(lit): _*)

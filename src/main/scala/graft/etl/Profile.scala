@@ -122,8 +122,25 @@ object Profile {
     // the input has far more partitions than cores and this branch
     // never fires — no 100 TB table ever repartitions here
     val cores = df.sparkSession.sparkContext.defaultParallelism
+    // The valve reads df.rdd.getNumPartitions, and under AQE converting
+    // a MULTI-STAGE frame to an RDD materializes its upstream shuffle
+    // stages — the public API would silently execute the input once
+    // just to read a partition count. Gate on the optimized plan being
+    // shuffle-free (scan/filter/project only): there .rdd plans without
+    // running any job, and that is exactly the raw-file-scan case the
+    // valve exists for. Multi-stage inputs skip the valve — their
+    // shuffle already set parallelism.
+    import org.apache.spark.sql.catalyst.plans.{logical => lp}
+    val shuffleFree = !df.queryExecution.optimizedPlan.exists {
+      case _: lp.Join | _: lp.Aggregate | _: lp.Window | _: lp.Sort |
+          _: lp.Distinct | _: lp.RepartitionOperation |
+          _: lp.GlobalLimit => true
+      case _ => false
+    }
     val src =
-      if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+      if (shuffleFree && df.rdd.getNumPartitions < cores)
+        df.repartition(cores)
+      else df
     val aggs = count(lit(1)).as("n") +: cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls__$c"),

@@ -76,13 +76,29 @@ object PlanLedger {
   private def cacheFreeExecutedPlan(df: DataFrame): SparkPlan = {
     val spark = df.sparkSession
     val opt = cacheFreeOptimized(df)
-    val qeClass = Class.forName("org.apache.spark.sql.execution.QueryExecution")
-    val sessClass = Class.forName("org.apache.spark.sql.classic.SparkSession")
-    val create = qeClass.getMethod("createSparkPlan",
-      Class.forName("org.apache.spark.sql.execution.SparkPlanner"),
-      classOf[LogicalPlan])
-    val prepare = qeClass.getMethod("prepareExecutedPlan", sessClass,
-      classOf[SparkPlan])
+    // The reflective contract is pinned to the Spark 4.1 line; a
+    // patch/minor bump that renames either hook must fail with THIS
+    // message, not a bare NoSuchMethodException in every LedgerSpec run.
+    def resolve[T](what: String)(body: => T): T =
+      try body catch {
+        case e @ (_: ClassNotFoundException | _: NoSuchMethodException) =>
+          throw new IllegalStateException(
+            s"PlanLedger's cache-free physical-plan accessor expects $what " +
+              s"(contract verified against Spark 4.1.2, running " +
+              s"${org.apache.spark.SPARK_VERSION}); the Spark upgrade " +
+              "changed this private[sql] surface — update " +
+              "PlanLedger.cacheFreeExecutedPlan.", e)
+      }
+    val qeClass = resolve("class o.a.s.sql.execution.QueryExecution")(
+      Class.forName("org.apache.spark.sql.execution.QueryExecution"))
+    val sessClass = resolve("class o.a.s.sql.classic.SparkSession")(
+      Class.forName("org.apache.spark.sql.classic.SparkSession"))
+    val create = resolve("QueryExecution.createSparkPlan(SparkPlanner, LogicalPlan)")(
+      qeClass.getMethod("createSparkPlan",
+        Class.forName("org.apache.spark.sql.execution.SparkPlanner"),
+        classOf[LogicalPlan]))
+    val prepare = resolve("QueryExecution.prepareExecutedPlan(SparkSession, SparkPlan)")(
+      qeClass.getMethod("prepareExecutedPlan", sessClass, classOf[SparkPlan]))
     val sparkPlan =
       create.invoke(null, spark.sessionState.planner, opt)
     prepare.invoke(null, spark, sparkPlan).asInstanceOf[SparkPlan]
@@ -149,8 +165,11 @@ object PlanLedger {
     val f = new java.io.File(path)
     if (!f.exists()) Map.empty
     else scala.io.Source.fromFile(f, "UTF-8").getLines()
-      .filter(_.nonEmpty).map { l =>
-        val i = l.indexOf('\t'); l.substring(0, i) -> l.substring(i + 1)
+      .filter(_.nonEmpty).zipWithIndex.map { case (l, ln) =>
+        val i = l.indexOf('\t')
+        require(i >= 0, s"$path:${ln + 1}: ledger line has no tab " +
+          s"separator (hand-edit or merge conflict?): '${l.take(120)}'")
+        l.substring(0, i) -> l.substring(i + 1)
       }.toMap
   }
 

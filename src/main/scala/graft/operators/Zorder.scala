@@ -115,6 +115,13 @@ object Zorder {
         .write.mode("overwrite").parquet(s"$base/linear")
       writeZordered(ev, col("user_id"), col("v"), s"$base/zorder",
         ZoneFiles)
+      // settle the freshly written fixtures: one read-through per
+      // layout so footer parsing + OS page-cache population happen
+      // HERE (the once-per-process build, i.e. the bench's untimed
+      // warm-up) and never inside a timed rep — r8 saw this entry
+      // move 0.32→0.44 s purely from fresh-write cache state
+      s.read.parquet(s"$base/linear").count()
+      s.read.parquet(s"$base/zorder").count()
     }
     (s"$base/linear", s"$base/zorder")
   }

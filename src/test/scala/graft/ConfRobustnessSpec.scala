@@ -59,7 +59,11 @@ class ConfRobustnessSpec extends SparkSpec {
         val s = v match {
           case a: Array[_] => a.mkString("[", ",", "]")
           case w: scala.collection.Seq[_] => w.mkString("[", ",", "]")
-          case b: Array[Byte] @unchecked => b.mkString("[", ",", "]")
+          case m: scala.collection.Map[_, _] =>
+            // hash-order-dependent rendering would read as phantom
+            // partition sensitivity — compare by sorted keys
+            m.toSeq.map { case (k, mv) => s"$k->$mv" }.sorted
+              .mkString("{", ",", "}")
           case other => String.valueOf(other)
         }
         c + "=" + s
