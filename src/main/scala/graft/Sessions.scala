@@ -9,10 +9,27 @@ object Sessions {
   /** Local session sized by SPARK_GRAFT_CPUS (driver default 4; bench
     * runs local[32]). Shuffle partitions match the core count — the
     * 200 default is wrong for a single-JVM local run.
+    *
+    * SPARK_GRAFT_MASTER overrides the master URL; the supported
+    * override is `local-cluster[W,C,M]` (standalone workers in the
+    * driver JVM, each EXECUTOR a separate JVM with real Netty
+    * shuffle/broadcast transport and task-retry semantics) — the
+    * multi-executor regime a single local[n] JVM can never exercise.
+    * Every main (Verify, Bench, ScaleBench) and the oracle gate gain
+    * cluster mode through this one switch, so the multi-JVM sweep runs
+    * the IDENTICAL code paths the driver grades. Executor JVMs on this
+    * machine see graft classes via extraClassPath = our own classpath
+    * (same host, same files); memory fits the worker grant W×M.
     */
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession =
-    SparkSession.builder()
-      .master(s"local[$cpus]")
+    withMaster(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"), cpus)
+
+  /** Session against an explicit master URL — [[ClusterCheck]] runs a
+    * local[] baseline and a local-cluster[] sweep sequentially in ONE
+    * JVM, which an env-var switch can't express. */
+  def withMaster(master: String, cpus: String): SparkSession = {
+    val b = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -29,7 +46,26 @@ object Sessions {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // keep bucketed-table metadata out of the repo working dir
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
-      .getOrCreate()
+    val withCluster =
+      if (!master.startsWith("local-cluster")) b
+      else {
+        // worker grant is the M in local-cluster[W,C,M] (MiB); size the
+        // executor just under it so exactly one executor fits per worker
+        val memMb = master.replaceAll("[^0-9,]", "").split(",")
+          .lift(2).map(_.toInt).getOrElse(1024)
+        b.config("spark.executor.extraClassPath", sys.props("java.class.path"))
+          .config("spark.executor.memory", s"${math.max(512, memMb - 256)}m")
+          // the worker's executor launcher always resolves the Scala
+          // version; under sbt (no bin/load-spark-env.sh) the env var
+          // is absent and AbstractCommandBuilder.getScalaVersion dies
+          // with "Cannot find any build directories"
+          .config("spark.executorEnv.SPARK_SCALA_VERSION", "2.13")
+          // a killed executor must not fail the app before the fault
+          // drill's retry assertion can see the recovery
+          .config("spark.task.maxFailures", "4")
+      }
+    withCluster.getOrCreate()
+  }
 
   /** Whether self-verifying entries should compute their in-entry
     * EXACT baselines (default on: the correctness gate and the specs

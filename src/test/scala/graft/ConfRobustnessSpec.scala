@@ -27,19 +27,7 @@ class ConfRobustnessSpec extends SparkSpec {
     * at merge-time thresholds, so the ESTIMATE can move a few counts
     * with partition layout (q_sketch_rollup measured 1075 vs 1073 at
     * 4 vs 200 partitions). */
-  private val sketchValueExempt: Set[String] = Set(
-    "q_approx_percentile",      // QuantileSummaries merge-order drift
-    "q_quantile_rollup",        // KLL compaction randomized on merge
-    "q_theta_algebra",          // theta-sketch sampling under union
-    "q_sketch_overlap",         // theta intersection estimates
-    "q_topk_sketch_rollup",     // approx_top_k sketch merge order
-    "text_heavy_hitters",       // approx_top_k sketch merge order
-    "etl_profile_sketch",       // per-column HLL/top-k profile
-    "q_watermark_plan",         // QuantileSummaries over arrival lag
-    "q_approx_distinct",        // HLL++ sparse/dense merge threshold
-    "q_sketch_rollup",          // HLL++ sparse/dense merge threshold
-    "q_rolling_distinct_sketch" // HLL++ sparse/dense merge threshold
-  )
+  private val sketchValueExempt: Set[String] = RowsRender.sketchValueExempt
 
   private def hostileSession(): org.apache.spark.sql.SparkSession = {
     val s = spark.newSession()
@@ -51,25 +39,9 @@ class ConfRobustnessSpec extends SparkSpec {
     s
   }
 
-  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] = {
-    val names = df.columns.sorted
-    df.collect().map { r =>
-      names.map { c =>
-        val v = r.get(r.fieldIndex(c))
-        val s = v match {
-          case a: Array[_] => a.mkString("[", ",", "]")
-          case w: scala.collection.Seq[_] => w.mkString("[", ",", "]")
-          case m: scala.collection.Map[_, _] =>
-            // hash-order-dependent rendering would read as phantom
-            // partition sensitivity — compare by sorted keys
-            m.toSeq.map { case (k, mv) => s"$k->$mv" }.sorted
-              .mkString("{", ",", "}")
-          case other => String.valueOf(other)
-        }
-        c + "=" + s
-      }.mkString("|")
-    }.sorted.toSeq
-  }
+  // one canonical renderer shared with the multi-JVM parity sweep
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    RowsRender.rows(df)
 
   test("every entry's output is identical under shuffle.partitions=200 " +
       "+ AQE off (partition-invariance, engine-wide)") {
