@@ -87,11 +87,17 @@ object ClusterCheck {
     }
 
     // ---- phase 3: fault drills (executor JVMs killed mid-flight)
+    // a drill crash must never discard the parity sweep's results
+    def guardedDrill(run: => (Boolean, String)): (Boolean, String) =
+      try run catch {
+        case e: Throwable =>
+          (false, s"""{"pass":false,"error":"${msg(e).replaceAll("[\"\\\\]", " ")}"}""")
+      }
     val (drillOk, drill) =
       if (skipDrill) (true, """"skipped"""")
       else {
-        val (bOk, b) = batchDrill(spark, drillRows)
-        val (sOk, s) = streamDrill(spark)
+        val (bOk, b) = guardedDrill(batchDrill(spark, drillRows))
+        val (sOk, s) = guardedDrill(streamDrill(spark))
         (bOk && sOk, s"""{"batch":${b},"stream":${s}}""")
       }
 
@@ -179,13 +185,19 @@ object ClusterCheck {
 
   /** Deterministic heavy two-stage aggregation: xxhash64 keys →
     * groupBy → global checksum. Result is a pure function of nRows, so
-    * the no-kill and kill runs must agree exactly. */
-  private def drillFrame(s: SparkSession, nRows: Long): DataFrame =
+    * the no-kill and kill runs must agree exactly. The checksum is
+    * MODULAR (key-sensitive but bounded): sid*n at the default 2e8
+    * rows exceeds Long and ANSI mode would abort the job — exactly
+    * the overflow that killed the first full-sweep run in main. */
+  private def drillFrame(s: SparkSession, nRows: Long): DataFrame = {
+    val M = 1000000007L
     s.range(0, nRows, 1, 96)
       .select(pmod(xxhash64(col("id")), lit(100000L)).as("k"), col("id"))
       .groupBy("k").agg(sum("id").as("sid"), count(lit(1)).as("n"))
-      .agg(sum(col("sid") * col("n")).as("chk"), sum("n").as("total"),
-        count(lit(1)).as("groups"))
+      .agg(sum(pmod(pmod(col("sid"), lit(M)) * pmod(col("n"), lit(M)), lit(M)))
+          .as("chk"),
+        sum("n").as("total"), count(lit(1)).as("groups"))
+  }
 
   private def batchDrill(s: SparkSession, nRows: Long): (Boolean, String) = {
     val expect = drillFrame(s, nRows).collect()(0).toSeq

@@ -387,6 +387,26 @@ object PipelineQueries {
     },
     None)
 
+  /** D111: two-level IMI coarse quantizer ANN — the [[graft.similarity.Imi]]
+    * factorized index that removes the single-level 4096-cell cap
+    * (√N total cells from two N^(1/4) half-codebooks). SELF-VERIFYING
+    * like ann_ivf: recall@10 + top-1 recall vs the D6 exact baseline
+    * over the planted eval corpus, in the entry output, spec-bounded
+    * in ImiSpec (including the structural planted-copy law: the
+    * identical copy shares BOTH half-argmax cells with its query). */
+  val annIvfImi = QueryDef(
+    "ann_ivf_imi",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = boundedQueries(emb)
+      val corpus = annEvalCorpus(emb, q)
+      Ann.withRecallVsExact(
+        graft.similarity.Imi.topK(corpus, q, 10, cacheKey = d + "#eval"),
+        Ann.bruteForceTopK(corpus, q, 10), 10)
+        .orderBy("q_id", "rnk")
+    },
+    None)
+
   /** D49: product-quantization ANN — SELF-VERIFYING like ann_lsh/
     * ann_ivf (recall@10 + top-1 recall vs the D6 exact baseline over
     * the planted eval corpus, in the entry output). The index is the
@@ -2881,8 +2901,8 @@ object PipelineQueries {
     dedupExact, dedupThresholdCurve, dedupMinhashLsh, dedupSimhash,
     dedupNgramJaccard,
     dedupJaccardAllpairs, dedupSpanMask, dedupMethodEval,
-    dedupEmbeddingCosine, annBruteforceTopK, annLsh, annIvf, annPqAdc,
-    annIvfPq, annBinaryHamming, annNprobeCurve,
+    dedupEmbeddingCosine, annBruteforceTopK, annLsh, annIvf, annIvfImi,
+    annPqAdc, annIvfPq, annBinaryHamming, annNprobeCurve,
     textLangId, textQualityScore, textTokenCount, textFingerprint,
     textWinnow, textWinnowGeometry, textVocab, textTokenize, vecCentroid,
     mmBinaryMeta, mmPhashNeardup, textDsirSelect, qRankingEval,

@@ -60,7 +60,7 @@ object Ivf {
     * deduplication incorrectly.) Per-cell arithmetic is bit-identical
     * to graft_cosine, so memoized codebooks and oracle values carry
     * over. */
-  private def cellScores(emb: Column, codebook: Seq[Seq[Double]]): Column =
+  private[similarity] def cellScores(emb: Column, codebook: Seq[Seq[Double]]): Column =
     call_function("graft_cell_scores", emb.cast("array<double>"),
       typedlit(codebook.map(_.toSeq)))
 
@@ -102,11 +102,13 @@ object Ivf {
   private val countCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  private[similarity] def countFor(corpus: DataFrame, cacheKey: String): Long =
+    if (cacheKey.nonEmpty)
+      countCache.computeIfAbsent(cacheKey, _ => corpus.count()).toLong
+    else corpus.count()
+
   def autoCells(corpus: DataFrame, cacheKey: String): Int = {
-    val n =
-      if (cacheKey.nonEmpty)
-        countCache.computeIfAbsent(cacheKey, _ => corpus.count()).toLong
-      else corpus.count()
+    val n = countFor(corpus, cacheKey)
     math.min(4096, math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
   }
 

@@ -41,11 +41,18 @@ object Scd2Stream {
       .trigger(SSTrigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
-        val state =
-          if (Snapshots.hasCurrent(tableRoot)) Snapshots.read(s, tableRoot)
-          else Scd.scd2(batch.limit(0), key, attr) // empty, right schema
-        Snapshots.commit(Scd.scd2Apply(state, batch, key, attr), tableRoot)
-        ()
+        // persist valve: scd2Apply references the batch more than once
+        // (latest-change dedup + interval overlay) — without it each
+        // reference re-executes the micro-batch's source scan (the
+        // sf0.01 stream-scale sweep measured ~2x input rows read)
+        val b = batch.persist()
+        try {
+          val state =
+            if (Snapshots.hasCurrent(tableRoot)) Snapshots.read(s, tableRoot)
+            else Scd.scd2(b.limit(0), key, attr) // empty, right schema
+          Snapshots.commit(Scd.scd2Apply(state, b, key, attr), tableRoot)
+          ()
+        } finally { b.unpersist(); () }
       }
       .start()
 

@@ -131,7 +131,7 @@ class RelationalSpec extends SparkSpec {
     // self-verifying entries whose 1-row corpus-stats cross join is an
     // intentional broadcast of a single aggregated row
     val bnljAllowed = Set("ann_bruteforce_topk", "ann_hard_negatives",
-      "ann_lsh", "ann_ivf", "ann_pq_adc", "ann_ivf_pq",
+      "ann_lsh", "ann_ivf", "ann_ivf_imi", "ann_pq_adc", "ann_ivf_pq",
       // Hamming pre-rank inherits the recall-evidence 1-row cross join
       // of the other self-verifying ANN entries
       "ann_binary_hamming",
