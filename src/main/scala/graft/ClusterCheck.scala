@@ -55,6 +55,11 @@ object ClusterCheck {
     // ---- phase 1: baseline digests under a single-JVM local master
     val localS = Sessions.withMaster(s"local[$cpus]", cpus)
     localS.sparkContext.setLogLevel("WARN")
+    // BOTH phases compare the production path: svBaselines gates
+    // in-entry SV instrumentation columns (ANN recall evidence, the
+    // profile sketch's exact baseline) — setting it on only one side
+    // made 8 entries digest-differ on schema, not on results
+    localS.conf.set("spark.graft.svBaselines", "false")
     val baseline = scala.collection.mutable.LinkedHashMap[String, (Int, String)]()
     val baseErr = scala.collection.mutable.LinkedHashMap[String, String]()
     names.foreach { n =>
@@ -102,7 +107,10 @@ object ClusterCheck {
       }
 
     val failJson = parityFail.map { case (k, v) =>
-      s""""$k":"${v.replaceAll("[\"\\\\]", " ").take(300)}"""" }
+      // strip quotes/backslashes AND control chars (multi-line Spark
+      // error messages would corrupt the JSON line)
+      s""""$k":"${v.replaceAll("[^\\x20-\\x7e]", " ")
+        .replaceAll("[\"\\\\]", " ").take(300)}"""" }
       .mkString("{", ",", "}")
     val secsJson = secs.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
       .mkString("{", ",", "}")

@@ -93,22 +93,43 @@ object Snapshots {
     * BEFORE any data write, so a refused commit writes nothing at all
     * — no torn state, not even a vacuum-class orphan.
     *
-    * Single-driver scope: the check-and-commit is atomic within one
-    * JVM (all conditional writers must use commitIf — a plain
-    * [[commit]] bypasses the check by design, it IS the
-    * last-writer-wins mode); cross-driver deployments put the same CAS
-    * on the catalog/locking service — the CONTRACT (stated parent,
-    * loud refusal, nothing torn) is what this pins. */
+    * Cross-PROCESS scope (r8 verdict item 6): the check-and-swap runs
+    * under an OS file lock (`FileChannel.lock` on a `.commit.lock`
+    * sibling of the manifest), so two DRIVERS racing the same table
+    * root on a shared filesystem serialize too — the loser observes
+    * the winner's manifest and refuses. `this.synchronized` stays for
+    * intra-JVM writers (a second lock() on an already-held FileLock in
+    * the SAME JVM throws OverlappingFileLockException rather than
+    * blocking). On filesystems without advisory locking the lock
+    * degrades to the single-JVM guarantee — same CONTRACT (stated
+    * parent, loud refusal, nothing torn), best transport available. */
   def commitIf(df: DataFrame, root: String,
       expectedCurrent: Option[String]): String = this.synchronized {
-    val (cur, _) = readManifest(root)
-    if (cur != expectedCurrent)
-      throw new java.util.ConcurrentModificationException(
-        s"snapshot conflict under $root: expected base " +
-          s"${expectedCurrent.getOrElse("<empty>")} but current is " +
-          s"${cur.getOrElse("<empty>")} — rebase and retry")
-    commit(df, root)
+    Files.createDirectories(Paths.get(root))
+    val ch = java.nio.channels.FileChannel.open(
+      Paths.get(root, ".commit.lock"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lock = ch.lock()
+      try {
+        val (cur, _) = readManifest(root)
+        if (cur != expectedCurrent)
+          throw new java.util.ConcurrentModificationException(
+            s"snapshot conflict under $root: expected base " +
+              s"${expectedCurrent.getOrElse("<empty>")} but current is " +
+              s"${cur.getOrElse("<empty>")} — rebase and retry")
+        if (raceHoldMs > 0) Thread.sleep(raceHoldMs) // test seam
+        commit(df, root)
+      } finally lock.release()
+    } finally ch.close()
   }
+
+  /** Test seam for the two-process race spec: widens the
+    * check-to-swap window so a concurrent writer demonstrably blocks
+    * on the OS lock instead of interleaving. Never set in production
+    * paths. */
+  @volatile private[etl] var raceHoldMs: Long = 0L
 
   /** The current snapshot id (None = never committed) — what a
     * read-modify-write maintainer records as its base for [[commitIf]]. */

@@ -29,10 +29,15 @@ object Bucketed {
   private val built =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Bucketed copies of orders/lineitem on the orderkey spine. */
+  /** Bucketed copies of orders/lineitem on the orderkey spine. The
+    * memo key carries the SparkContext's applicationId, not just the
+    * pid: catalog tables die with their context, and a process that
+    * stops one context and starts another (ClusterCheck's sequential
+    * local[n] → local-cluster phases) would otherwise skip the rebuild
+    * and hit TABLE_OR_VIEW_NOT_FOUND. */
   def ensureTables(s: SparkSession, dir: String): (String, String) = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
-      ProcessHandle.current().pid()
+      s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
     val (ot, lt) = (s"orders_bkt_$tag", s"lineitem_bkt_$tag")
     if (built.add(tag)) {
       Tables.orders(s, dir).write
