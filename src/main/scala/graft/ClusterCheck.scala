@@ -181,7 +181,7 @@ object ClusterCheck {
     else {
       // let some tasks actually run (shuffle files exist → the kill
       // also exercises FetchFailed recompute, not just task retry)
-      Thread.sleep(1500)
+      Thread.sleep(500)
       val stillActive = s.sparkContext.statusTracker.getActiveStageIds().nonEmpty
       executorHandles().headOption match {
         case Some(h) if stillActive =>
@@ -208,19 +208,35 @@ object ClusterCheck {
   }
 
   private def batchDrill(s: SparkSession, nRows: Long): (Boolean, String) = {
-    val expect = drillFrame(s, nRows).collect()(0).toSeq
-    @volatile var result: Seq[Any] = null
-    @volatile var err: String = null
-    val t = new Thread(() => {
-      try result = drillFrame(s, nRows).collect()(0).toSeq
-      catch { case e: Throwable => err = msg(e) }
-    })
-    t.start()
-    val (pid, killed) = killOneExecutorMidJob(s)
-    t.join(600000)
+    // a warmed uncontended sweep can finish the drill job before the
+    // kill thread ever fires (attempt-3 full run: 2e8 rows done inside
+    // the pre-kill sleep) — scale the job up until the kill genuinely
+    // lands mid-flight, so "pass" always means "recovered", never
+    // "finished before we could hurt it"
+    var rows = nRows
+    var attempt = 0
+    var pid = -1L; var killed = false
+    var result: Seq[Any] = null; var expect: Seq[Any] = null
+    var err: String = null
+    while (!killed && attempt < 4) {
+      attempt += 1
+      expect = drillFrame(s, rows).collect()(0).toSeq
+      @volatile var r: Seq[Any] = null
+      @volatile var e: String = null
+      val t = new Thread(() => {
+        try r = drillFrame(s, rows).collect()(0).toSeq
+        catch { case ex: Throwable => e = msg(ex) }
+      })
+      t.start()
+      val (p, k) = killOneExecutorMidJob(s)
+      t.join(600000)
+      pid = p; killed = k; result = r; err = e
+      if (!killed) rows *= 4
+    }
     val pass = killed && err == null && result == expect
     (pass,
       s"""{"pass":$pass,"killed_pid":$pid,"killed_mid_job":$killed,""" +
+        s""""rows":$rows,"attempts":$attempt,""" +
         s""""match":${result == expect},"error":${if (err == null) "null" else s""""$err""""}}""")
   }
 

@@ -180,16 +180,21 @@ object GenScale {
 
     // label-clustered embeddings: centroid(label, dim) + per-vector
     // noise, both pure hashes — ANN/blocking structure at any scale
-    write(spark.range(nVec).select(
+    write(embeddingsFrame(spark, nVec), "embeddings")
+  }
+
+  /** The embeddings table as a standalone frame — [[ImiCapBench]]
+    * generates a vectors-only corpus past the IVF cell cap (tens of
+    * millions of rows) without paying for the rest of the star. */
+  def embeddingsFrame(spark: SparkSession, nVec: Long): DataFrame =
+    spark.range(nVec).select(
       col("id").as("vec_id"),
       transform(sequence(lit(0), lit(63)), i =>
         (((pmod(xxhash64(pmod(xxhash64(col("id"), lit(80)), lit(10)), i,
             lit(81)), lit(1000)) - 500).cast("double") / 2500.0) +
           ((pmod(xxhash64(col("id"), i, lit(82)), lit(2000)) - 1000)
             .cast("double") / 5000.0)).cast("float")).as("embedding"),
-      pmod(xxhash64(col("id"), lit(80)), lit(10)).cast("int").as("label")),
-      "embeddings")
-  }
+      pmod(xxhash64(col("id"), lit(80)), lit(10)).cast("int").as("label"))
 
   def main(args: Array[String]): Unit = {
     val out = args(0)
