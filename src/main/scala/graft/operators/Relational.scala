@@ -871,6 +871,69 @@ object Relational {
               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
             ORDER BY user_id, ts_us, event_id"""))
 
+  /** R27b: the SAME moving 1-hour sum/count, computed BUCKET-PARALLEL
+    * — the hot-key form of R27. A per-user RANGE window puts a user's
+    * whole event history in ONE task; the r9 skew sweep measured the
+    * 4%-hot-user corpus at 3.9× the uniform cost (one straggler task
+    * scanning 200k rows while siblings hold ~25). Decompose instead:
+    * with bucket width = the window width W, the frame [t−W, t] spans
+    * exactly the row's own bucket (a PREFIX ending at t — every own-
+    * bucket row is > t−W by construction) and the previous bucket (a
+    * SUFFIX starting at t−W — every such row is ≤ t). The prefix is a
+    * window over (user, bucket); the suffix is the same union-a-probe
+    * trick as the R23 range join: each row plants a zero-value probe
+    * at (bucket−1, t−W) and reads the running suffix sum there. The
+    * hot user now spreads across its ~720 hour-buckets — partitions
+    * are bounded by burst-per-hour, not by history length. Costs one
+    * extra shuffle + an event_id join-back vs R27; wins whenever one
+    * key's history dominates a task (the measured 3.9× at 4% hot).
+    * Decimal(38,6) partial sums keep the split exactly associative, so
+    * the oracle is R27's, verbatim. */
+  val qSlidingWindowBlocked = QueryDef(
+    "q_sliding_window_blocked",
+    (s, d) => {
+      val W = 3600L * 1000000L
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+      val base = ev.withColumn("bucket", floor(col("ts_us") / W))
+      val data = base.select(col("event_id"), col("user_id"),
+        col("bucket"), col("ts_us"), col("value"),
+        col("value").cast("decimal(38,6)").as("v"), lit(0).as("probe"))
+      // probe rows: v = null so they never count, positioned at the
+      // frame's lower bound inside the PREVIOUS bucket
+      val probes = base.select(col("event_id"), col("user_id"),
+        (col("bucket") - 1).as("bucket"), (col("ts_us") - W).as("ts_us"),
+        col("value"), lit(null).cast("decimal(38,6)").as("v"),
+        lit(1).as("probe"))
+      val wSuf = Window.partitionBy("user_id", "bucket").orderBy("ts_us")
+        .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+      val suffix = data.unionByName(probes)
+        .withColumn("suf_sum", sum("v").over(wSuf))
+        .withColumn("suf_n", count(col("v")).over(wSuf))
+        .filter(col("probe") === 1)
+        .select(col("event_id"),
+          coalesce(col("suf_sum"), lit(0).cast("decimal(38,6)")).as("prev_sum"),
+          col("suf_n").as("prev_n"))
+      val wPre = Window.partitionBy("user_id", "bucket").orderBy("ts_us")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      data
+        .withColumn("pre_sum", sum("v").over(wPre))
+        .withColumn("pre_n", count(col("v")).over(wPre))
+        .join(suffix, "event_id")
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
+          round(col("pre_sum") + col("prev_sum"), 4).cast("double").as("hour_sum"),
+          (col("pre_n") + col("prev_n")).as("hour_n"))
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+    Some("""SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+              CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))) OVER w, 4) AS DOUBLE) AS hour_sum,
+              COUNT(*) OVER w AS hour_n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+            ORDER BY user_id, ts_us, event_id"""))
+
   /** R28: set operations — INTERSECT and EXCEPT (set semantics, i.e.
     * distinct) in one tagged output. Both plan as aggregations/joins
     * on the full row, one shuffle each. */
@@ -2034,7 +2097,8 @@ object Relational {
     qUnionDedup, qScalarFuncs, qAsofJoin, qAsofNearest, qVectorAgg,
     qApproxDistinct,
     qPivot, qCubeGrouping, qWindowFuncs, qRangeJoin, qRangeJoinRewrite, qSaltedJoin, qWeightedMedian,
-    qApproxPercentile, qOuterJoin, qSlidingWindow, qSetOps, qSqlSurface,
+    qApproxPercentile, qOuterJoin, qSlidingWindow, qSlidingWindowBlocked,
+    qSetOps, qSqlSurface,
     qGroupingSets, qBloomJoin, qArgmax, qUnpivot, q18LargeOrders,
     qCorrStats, qRecursiveCte, qWindowDist, qSketchRollup, qQuantileRollup,
     qSketchOverlap, qThetaAlgebra, qTopkSketchRollup, qTheilSen,

@@ -523,4 +523,22 @@ class RelationalSpec extends SparkSpec {
       assert(below * 2 >= tot)
     }
   }
+
+  test("R27b: the bucket-parallel sliding window equals the plain RANGE " +
+      "window bit for bit, and its window partitions carry the bucket key") {
+    val plain = Relational.qSlidingWindow.fn(spark, sf).collect().map(_.toSeq)
+    val blocked = Relational.qSlidingWindowBlocked.fn(spark, sf)
+    assert(blocked.collect().map(_.toSeq).toSeq === plain.toSeq,
+      "blocked decomposition must reproduce the exact window result")
+    // the skew defense IS the partitioning: every window in the blocked
+    // plan partitions by (user, bucket), never by user alone — a hot
+    // user's history spreads across its time buckets instead of one task
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val windows = blocked.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w.partitionSpec.map(_.sql.toLowerCase).mkString(",")
+    }
+    assert(windows.nonEmpty)
+    windows.foreach(p => assert(p.contains("bucket"),
+      s"window partition spec missing the bucket key: $p"))
+  }
 }
