@@ -906,24 +906,35 @@ object Relational {
         (col("bucket") - 1).as("bucket"), (col("ts_us") - W).as("ts_us"),
         col("value"), lit(null).cast("decimal(38,6)").as("v"),
         lit(1).as("probe"))
-      val wSuf = Window.partitionBy("user_id", "bucket").orderBy("ts_us")
-        .rangeBetween(Window.currentRow, Window.unboundedFollowing)
-      val suffix = data.unionByName(probes)
-        .withColumn("suf_sum", sum("v").over(wSuf))
-        .withColumn("suf_n", count(col("v")).over(wSuf))
-        .filter(col("probe") === 1)
-        .select(col("event_id"),
-          coalesce(col("suf_sum"), lit(0).cast("decimal(38,6)")).as("prev_sum"),
-          col("suf_n").as("prev_n"))
+      // both frames share ONE partitioning+ordering, so Catalyst fuses
+      // them into a single Window operator over one exchange; each
+      // row's two halves (its own data row's prefix, its probe row's
+      // suffix) then meet in ONE groupBy(event_id) — 2 exchanges of 2N
+      // rows total, vs 4 for the naive union-window + prefix-window +
+      // two-sided join-back formulation
       val wPre = Window.partitionBy("user_id", "bucket").orderBy("ts_us")
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-      data
+      val wSuf = Window.partitionBy("user_id", "bucket").orderBy("ts_us")
+        .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+      data.unionByName(probes)
         .withColumn("pre_sum", sum("v").over(wPre))
         .withColumn("pre_n", count(col("v")).over(wPre))
-        .join(suffix, "event_id")
-        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
-          round(col("pre_sum") + col("prev_sum"), 4).cast("double").as("hour_sum"),
-          (col("pre_n") + col("prev_n")).as("hour_n"))
+        .withColumn("suf_sum", sum("v").over(wSuf))
+        .withColumn("suf_n", count(col("v")).over(wSuf))
+        .groupBy("event_id")
+        .agg(
+          max(when(col("probe") === 0,
+            struct(col("user_id"), col("ts_us"), col("value"),
+              col("pre_sum"), col("pre_n")))).as("d"),
+          max(when(col("probe") === 1,
+            struct(coalesce(col("suf_sum"), lit(0).cast("decimal(38,6)"))
+                .as("suf_sum"),
+              col("suf_n").as("suf_n")))).as("p"))
+        .select(col("event_id"), col("d.user_id").as("user_id"),
+          col("d.ts_us").as("ts_us"), col("d.value").as("value"),
+          round(col("d.pre_sum") + col("p.suf_sum"), 4).cast("double")
+            .as("hour_sum"),
+          (col("d.pre_n") + col("p.suf_n")).as("hour_n"))
         .orderBy("user_id", "ts_us", "event_id")
     },
     Some("""SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
