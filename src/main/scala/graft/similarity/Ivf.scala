@@ -102,11 +102,18 @@ object Ivf {
   private val countCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** NOTE: with an empty cacheKey every call pays a corpus.count()
+    * job — callers sizing repeatedly against the same corpus should
+    * name it (any stable string) so the count memoizes. */
   private[similarity] def countFor(corpus: DataFrame, cacheKey: String): Long =
     if (cacheKey.nonEmpty)
       countCache.computeIfAbsent(cacheKey, _ => corpus.count()).toLong
     else corpus.count()
 
+  /** Past the 4096 cap (N ≳ 16.7M vectors) per-cell populations grow
+    * ∝ N again — switch to the two-level [[Imi]] product quantizer,
+    * whose √N effective cells carry no cap (measured 20–48× cheaper
+    * at 20M vectors: bench/imi_cap_r9.json). */
   def autoCells(corpus: DataFrame, cacheKey: String): Int = {
     val n = countFor(corpus, cacheKey)
     math.min(4096, math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
