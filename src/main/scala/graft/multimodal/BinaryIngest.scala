@@ -88,5 +88,12 @@ object BinaryIngest {
           ORDER BY fname"""
     })
 
-  val all: Seq[QueryDef] = Seq(qBinaryIngestDef)
+  /** A def, not a val: the oracle SQL interpolates `lastDir` EAGERLY
+    * at QueryDef construction, so a val would freeze the default
+    * sf0.01 fixture path at class-init — correct for the standard
+    * gate purely by coincidence, and wrong at any other sf (found by
+    * the r9 sf0.1 oracle run: spark=500 rows, duck=0 blobs). As a def
+    * it re-renders at `SparkEntry.oracleSql` dump time, after the
+    * query run set lastDir — the Zorder/RowGroups convention. */
+  def all: Seq[QueryDef] = Seq(qBinaryIngestDef)
 }
