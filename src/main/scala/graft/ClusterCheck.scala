@@ -247,6 +247,26 @@ object ClusterCheck {
     * row set afterwards — at-least-once replay × idempotent txn
     * append = exactly-once, executor loss included. */
   private def streamDrill(s: SparkSession): (Boolean, String) = {
+    // Like batchDrill, the kill must PROVABLY land mid-stream: the
+    // committed batch id is re-read right after the kill, and the drill
+    // only counts as mid-stream when batches remained outstanding at
+    // that moment (a kill that lands after the stream drained is a
+    // no-kill pass). Retries with 4x the staged files until it does.
+    var files = 24
+    var out: (Boolean, String) = (false, "{}")
+    var attempt = 0
+    var mid = false
+    while (!mid && attempt < 3) {
+      attempt += 1
+      out = streamDrillOnce(s, files, attempt)
+      mid = out._2.contains(""""killed_mid_stream":true""")
+      if (!mid) files *= 4
+    }
+    out
+  }
+
+  private def streamDrillOnce(
+      s: SparkSession, files: Int, attempt: Int): (Boolean, String) = {
     val root = "/tmp/graft_cluster_drill_" + ProcessHandle.current().pid()
     val in = s"$root/in"; val sink = s"$root/sink"; val ckpt = s"$root/ckpt"
     def rm(f: java.io.File): Unit = {
@@ -254,7 +274,6 @@ object ClusterCheck {
     }
     rm(new java.io.File(root))
     val perFile = 50000L
-    val files = 24
     (0 until files).foreach { i =>
       s.range(i * perFile, (i + 1) * perFile).toDF("id")
         .coalesce(1).write.mode("overwrite").parquet(s"$in/f$i")
@@ -269,7 +288,11 @@ object ClusterCheck {
       }
       .start()
     // kill an executor once at least one batch has committed and more
-    // are pending — i.e. genuinely mid-stream
+    // are pending — then VERIFY the stream had not already drained:
+    // the committed batch id re-read after the kill must still be
+    // below the final batch, or the kill landed on an idle executor
+    // and the attempt does not count as mid-stream
+    val lastBatch = files / 2 - 1 // maxFilesPerTrigger=2
     var pid = -1L; var killed = false
     val deadline = System.nanoTime() + 120L * 1000000000L
     while (!killed && System.nanoTime() < deadline) {
@@ -281,6 +304,9 @@ object ClusterCheck {
       }
       if (!killed) Thread.sleep(100)
     }
+    val committedAtKill =
+      Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+    val midStream = killed && committedAtKill < lastBatch
     var err: String = null
     try q.processAllAvailable()
     catch { case e: Throwable => err = msg(e) }
@@ -304,11 +330,13 @@ object ClusterCheck {
         count_distinct(col("id")).as("d")).collect()(0)
     val n = files * perFile
     val wantSum = n * (n - 1) / 2
-    val pass = killed && got.getLong(0) == n && got.getLong(1) == wantSum &&
-      got.getLong(2) == n
+    val pass = midStream && got.getLong(0) == n &&
+      got.getLong(1) == wantSum && got.getLong(2) == n
     rm(new java.io.File(root))
     (pass,
-      s"""{"pass":$pass,"killed_pid":$pid,"killed_mid_stream":$killed,""" +
+      s"""{"pass":$pass,"killed_pid":$pid,"killed_mid_stream":$midStream,""" +
+        s""""committed_at_kill":$committedAtKill,"last_batch":$lastBatch,""" +
+        s""""files":$files,"attempt":$attempt,""" +
         s""""rows":${got.getLong(0)},"expect_rows":$n,""" +
         s""""distinct":${got.getLong(2)},"sum_ok":${got.getLong(1) == wantSum},""" +
         s""""restart_needed":${err != null}}""")

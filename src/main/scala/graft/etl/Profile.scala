@@ -129,13 +129,20 @@ object Profile {
     // shuffle-free (scan/filter/project only): there .rdd plans without
     // running any job, and that is exactly the raw-file-scan case the
     // valve exists for. Multi-stage inputs skip the valve — their
-    // shuffle already set parallelism.
+    // shuffle already set parallelism. The gate is a WHITELIST of the
+    // stated shape (every node a leaf, Filter, Project, or union of
+    // such), not a blacklist of shuffle-inducing nodes: a blacklist
+    // silently admits nodes it forgot (Deduplicate — dropDuplicates
+    // survives optimization as Deduplicate, not Aggregate — group-map
+    // nodes, future operators), and an admitted shuffle means .rdd
+    // materializes upstream stages under AQE, the exact behavior this
+    // valve exists to prevent. An unknown node skips the valve —
+    // always safe, never a hidden job.
     import org.apache.spark.sql.catalyst.plans.{logical => lp}
     val shuffleFree = !df.queryExecution.optimizedPlan.exists {
-      case _: lp.Join | _: lp.Aggregate | _: lp.Window | _: lp.Sort |
-          _: lp.Distinct | _: lp.RepartitionOperation |
-          _: lp.GlobalLimit => true
-      case _ => false
+      case _: lp.LeafNode | _: lp.Filter | _: lp.Project | _: lp.Union =>
+        false
+      case _ => true
     }
     val src =
       if (shuffleFree && df.rdd.getNumPartitions < cores)

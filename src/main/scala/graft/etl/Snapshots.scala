@@ -100,9 +100,12 @@ object Snapshots {
     * the winner's manifest and refuses. `this.synchronized` stays for
     * intra-JVM writers (a second lock() on an already-held FileLock in
     * the SAME JVM throws OverlappingFileLockException rather than
-    * blocking). On filesystems without advisory locking the lock
-    * degrades to the single-JVM guarantee — same CONTRACT (stated
-    * parent, loud refusal, nothing torn), best transport available. */
+    * blocking). On filesystems without advisory locking (lock() throws
+    * IOException / UnsupportedOperationException) the commit proceeds
+    * under `this.synchronized` alone — the single-JVM guarantee, same
+    * CONTRACT (stated parent, loud refusal, nothing torn), best
+    * transport available; the degradation is a real fallback path, not
+    * a propagated failure. */
   def commitIf(df: DataFrame, root: String,
       expectedCurrent: Option[String]): String = this.synchronized {
     Files.createDirectories(Paths.get(root))
@@ -111,7 +114,16 @@ object Snapshots {
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.WRITE)
     try {
-      val lock = ch.lock()
+      // null = filesystem refused advisory locking; fall back to the
+      // intra-JVM monitor already held. OverlappingFileLockException is
+      // NOT caught: same-JVM re-entry is a logic error this.synchronized
+      // makes impossible, so it should stay loud.
+      val lock =
+        try ch.lock()
+        catch {
+          case _: java.io.IOException | _: UnsupportedOperationException =>
+            null
+        }
       try {
         val (cur, _) = readManifest(root)
         if (cur != expectedCurrent)
@@ -121,7 +133,7 @@ object Snapshots {
               s"${cur.getOrElse("<empty>")} — rebase and retry")
         if (raceHoldMs > 0) Thread.sleep(raceHoldMs) // test seam
         commit(df, root)
-      } finally lock.release()
+      } finally if (lock != null) lock.release()
     } finally ch.close()
   }
 

@@ -897,15 +897,19 @@ object Relational {
         .select(col("event_id"), col("user_id"),
           unix_micros(col("ts")).as("ts_us"), col("value"))
       val base = ev.withColumn("bucket", floor(col("ts_us") / W))
+      // cnt is the COUNT(*) indicator: non-null exactly on data rows,
+      // so count(cnt) matches the oracle's COUNT(*) even when value
+      // itself is NULL (count(v) would skip null-valued events)
       val data = base.select(col("event_id"), col("user_id"),
         col("bucket"), col("ts_us"), col("value"),
-        col("value").cast("decimal(38,6)").as("v"), lit(0).as("probe"))
-      // probe rows: v = null so they never count, positioned at the
-      // frame's lower bound inside the PREVIOUS bucket
+        col("value").cast("decimal(38,6)").as("v"),
+        lit(1).cast("int").as("cnt"), lit(0).as("probe"))
+      // probe rows: v and cnt = null so they never sum nor count,
+      // positioned at the frame's lower bound inside the PREVIOUS bucket
       val probes = base.select(col("event_id"), col("user_id"),
         (col("bucket") - 1).as("bucket"), (col("ts_us") - W).as("ts_us"),
         col("value"), lit(null).cast("decimal(38,6)").as("v"),
-        lit(1).as("probe"))
+        lit(null).cast("int").as("cnt"), lit(1).as("probe"))
       // both frames share ONE partitioning+ordering, so Catalyst fuses
       // them into a single Window operator over one exchange; each
       // row's two halves (its own data row's prefix, its probe row's
@@ -916,23 +920,31 @@ object Relational {
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
       val wSuf = Window.partitionBy("user_id", "bucket").orderBy("ts_us")
         .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+      // SUM null semantics must survive the split: a single SUM over
+      // the whole frame is null iff NO non-null value exists in it, so
+      // the recombined sum coalesces each half to 0 and emits null only
+      // when BOTH halves are null — coalescing just one side would
+      // return null whenever the other half happened to be all-null
+      val zero = lit(0).cast("decimal(38,6)")
       data.unionByName(probes)
         .withColumn("pre_sum", sum("v").over(wPre))
-        .withColumn("pre_n", count(col("v")).over(wPre))
+        .withColumn("pre_n", count(col("cnt")).over(wPre))
         .withColumn("suf_sum", sum("v").over(wSuf))
-        .withColumn("suf_n", count(col("v")).over(wSuf))
+        .withColumn("suf_n", count(col("cnt")).over(wSuf))
         .groupBy("event_id")
         .agg(
           max(when(col("probe") === 0,
             struct(col("user_id"), col("ts_us"), col("value"),
               col("pre_sum"), col("pre_n")))).as("d"),
           max(when(col("probe") === 1,
-            struct(coalesce(col("suf_sum"), lit(0).cast("decimal(38,6)"))
-                .as("suf_sum"),
+            struct(col("suf_sum").as("suf_sum"),
               col("suf_n").as("suf_n")))).as("p"))
         .select(col("event_id"), col("d.user_id").as("user_id"),
           col("d.ts_us").as("ts_us"), col("d.value").as("value"),
-          round(col("d.pre_sum") + col("p.suf_sum"), 4).cast("double")
+          round(when(col("d.pre_sum").isNull && col("p.suf_sum").isNull,
+              lit(null).cast("decimal(38,6)"))
+            .otherwise(coalesce(col("d.pre_sum"), zero) +
+              coalesce(col("p.suf_sum"), zero)), 4).cast("double")
             .as("hour_sum"),
           (col("d.pre_n") + col("p.suf_n")).as("hour_n"))
         .orderBy("user_id", "ts_us", "event_id")

@@ -541,4 +541,42 @@ class RelationalSpec extends SparkSpec {
     windows.foreach(p => assert(p.contains("bucket"),
       s"window partition spec missing the bucket key: $p"))
   }
+
+  test("R27b: NULL values — the blocked window keeps SUM/COUNT(*) null " +
+      "semantics (null-valued rows count in hour_n; hour_sum is null only " +
+      "when the WHOLE frame is null, even when one half-frame is all-null)") {
+    // generated corpora carry no null values, so this law needs its own
+    // fixture: user 1 hits the all-null OWN-BUCKET PREFIX + non-null
+    // prev-bucket suffix case (a one-sided coalesce returns null there);
+    // user 2 is all-null (sum must stay null); user 3 mixes both orders
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_r27b_nulls").toString
+    val S = 1000000L // seconds -> micros
+    val rows = Seq[(Long, Long, Long, java.lang.Double)](
+      (1L, 1800L * S, 1L, 1.5), (2L, 2100L * S, 1L, 2.5),
+      (3L, 4200L * S, 1L, null),
+      (4L, 1800L * S, 2L, null), (5L, 4200L * S, 2L, null),
+      (6L, 1800L * S, 3L, 3.0), (7L, 4200L * S, 3L, null),
+      (8L, 4500L * S, 3L, 1.0))
+    import spark.implicits._
+    rows.toDF("event_id", "ts_us", "user_id", "value")
+      .select(col("event_id"), expr("timestamp_micros(ts_us)").as("ts"),
+        col("user_id"), lit("x").as("event_type"), col("value"),
+        lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val plain = Relational.qSlidingWindow.fn(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val blocked = Relational.qSlidingWindowBlocked.fn(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(blocked === plain,
+      "blocked decomposition must reproduce the window result under nulls")
+    // pin the law independently so parity-with-the-same-bug cannot pass:
+    // event 3's frame [600s,4200s] holds 1.5+2.5+null -> sum 4.0, n 3
+    // (its own bucket is ALL-null; the old one-sided coalesce gave null)
+    val e3 = blocked.find(_.head == 3L).get
+    assert(e3(4) === 4.0 && e3(5) === 3L, s"event 3 got $e3")
+    // user 2: every value null -> sum null, but COUNT(*) still counts
+    val e5 = blocked.find(_.head == 5L).get
+    assert(e5(4) == null && e5(5) === 2L, s"event 5 got $e5")
+  }
 }
