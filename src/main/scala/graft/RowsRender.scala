@@ -55,11 +55,16 @@ object RowsRender {
     "q_rolling_distinct_sketch" // HLL++ sparse/dense merge threshold
   )
 
-  /** MD5 of the rendering — O(1) to hold per entry across a sweep. */
+  /** MD5 of the rendering — O(1) to hold per entry across a sweep.
+    * A NUL byte separates rows: without it the digest sees one
+    * concatenated stream, so two different row multisets whose
+    * renderings share a boundary-shifted concatenation (possible when
+    * string columns contain the field separators) would collide. NUL
+    * cannot appear in a rendered row (UTF-8 of real column text). */
   def digest(df: DataFrame): (Int, String) = {
     val rs = rows(df)
     val md = java.security.MessageDigest.getInstance("MD5")
-    rs.foreach(r => md.update(r.getBytes("UTF-8")))
+    rs.foreach { r => md.update(r.getBytes("UTF-8")); md.update(0.toByte) }
     (rs.size, md.digest().map("%02x".format(_)).mkString)
   }
 }

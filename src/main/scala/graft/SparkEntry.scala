@@ -23,6 +23,7 @@ object SparkEntry {
       etl.Incremental.all ++ etl.Repair.all ++ etl.AggNavigator.all ++
       etl.Retention.all ++ etl.Erasure.all ++ etl.SubjectExport.all ++ etl.DeltaAttribution.all ++ etl.Fx.all ++
       dedup.PipelineQueries.all ++ dedup.IncrementalClusters.all ++ dedup.InvertedIndex.all ++
+      dedup.HybridRetrieval.all ++
       dedup.ParagraphDedup.all ++
       dedup.Layout.all ++ dedup.Waterfall.all ++ similarity.Project.all ++ similarity.IvfMaintain.all ++
       similarity.Kcenter.all ++

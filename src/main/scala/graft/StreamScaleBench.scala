@@ -180,6 +180,10 @@ object StreamScaleBench {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", Provider)
+    // recentProgress retains only the LAST N updates (default 100);
+    // a run with more batches than that would silently drop the head
+    // of the history and under-count rows/batches in the report
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
     val work = "/tmp/graft_stream_scale_" + ProcessHandle.current().pid()
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()

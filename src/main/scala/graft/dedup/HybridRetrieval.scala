@@ -1,0 +1,138 @@
+package graft.dedup
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** D112 — HYBRID retrieval fusion: Reciprocal-Rank Fusion (Cormack,
+  * Clarke & Büttcher, "Reciprocal Rank Fusion outperforms Condorcet
+  * and individual rank learning methods", SIGIR 2009) of a LEXICAL
+  * retrieval list (D59's inverted-index tf·idf read path) and a DENSE
+  * retrieval list (the D6 cosine top-k) — the standard two-leg
+  * retrieval stack every RAG / training-data curation pipeline runs,
+  * fused without score calibration: RRF needs only the RANKS, so the
+  * incomparable score scales of BM25-ish lexical weights and cosines
+  * never meet.
+  *
+  *   rrf(d) = Σ_legs 1/(C + rank_leg(d)),  C = 60 (the paper's choice)
+  *
+  * quantized to exact integers (1e6 // (C + rank) per leg — both
+  * engines collate identically, the D59/D25 ppm convention; a doc
+  * missing from a leg contributes 0).
+  *
+  * Scale shape: each leg is already scale-proven elsewhere — the
+  * lexical leg reads the stored term-partitioned index (never the
+  * corpus), the dense leg swaps to IVF/IMI probes (D7/D111) past
+  * brute-force size; this operator touches only the two O(queries × k)
+  * retrieval LISTS: one tiny full-outer join on (q_id, doc_id) + one
+  * per-query rank window (WindowGroupLimit prunes map-side). Fusion
+  * cost is independent of corpus size by construction.
+  *
+  * The doc_id ↔ vec_id correspondence is positional (embedding i IS
+  * document i — the generated-corpus layout, TESTDATA.md); dense
+  * queries are the q_id·100 vectors, lexical queries the term sets
+  * below, so both legs genuinely retrieve different-but-overlapping
+  * lists and the fused head rewards the overlap (RRF's point).
+  */
+object HybridRetrieval {
+
+  private val C = 60 // RRF's smoothing constant
+  private val LegK = 20 // per-leg depth
+  private val FusedK = 10
+
+  private val QueryTerms: Seq[(Long, String)] = Seq(
+    1L -> "data", 1L -> "spark", 1L -> "merge",
+    2L -> "window", 2L -> "join", 2L -> "fast",
+    3L -> "stream", 3L -> "table", 3L -> "slow")
+
+  private val oCanon =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+
+  val textHybridRrf = QueryDef(
+    "text_hybrid_rrf",
+    (s, d) => {
+      import s.implicits._
+      val lex = InvertedIndex.retrieve(Tables.documents(s, d),
+          QueryTerms.toDF("q_id", "term"), k = LegK)
+        .select(col("q_id"), col("doc_id"),
+          col("rank").cast("int").as("lex_rank"))
+      val emb = Tables.embeddings(s, d)
+      val dense = graft.similarity.Ann.bruteForceTopK(emb,
+          emb.filter(col("vec_id").isin(100L, 200L, 300L)), LegK)
+        .select((col("q_id") / 100).cast("long").as("q_id"),
+          col("vec_id").as("doc_id"), col("rnk").cast("int").as("dense_rank"))
+      val fused = lex.join(dense, Seq("q_id", "doc_id"), "full_outer")
+        .withColumn("rrf_q",
+          coalesce(expr(s"1000000 div (lex_rank + $C)").cast("long"), lit(0L)) +
+            coalesce(expr(s"1000000 div (dense_rank + $C)").cast("long"), lit(0L)))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("rrf_q").desc, col("doc_id").asc)
+      fused.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= FusedK)
+        .select("q_id", "rank", "doc_id", "rrf_q", "lex_rank", "dense_rank")
+        .orderBy("q_id", "rank")
+    },
+    Some(s"""WITH w AS (SELECT doc_id, string_split($oCanon, ' ') AS ws
+                        FROM documents),
+             t AS (SELECT doc_id, i AS pos, ws[i + 1] AS term
+                   FROM w, UNNEST(generate_series(0, len(ws) - 1)) AS u(i)
+                   WHERE ws[i + 1] != ''),
+             r AS (SELECT term, doc_id,
+                     row_number() OVER (PARTITION BY term
+                                        ORDER BY doc_id, pos) AS rn
+                   FROM t),
+             dfs AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                     FROM t GROUP BY term),
+             q(q_id, term) AS (VALUES ${QueryTerms
+               .map { case (q, t) => s"($q, '$t')" }.mkString(", ")}),
+             hits AS (
+               SELECT q.q_id, r.term, dfs.df, r.doc_id,
+                      CAST(count(*) AS BIGINT) AS tf
+               FROM q JOIN r ON r.term = q.term AND r.rn <= ${InvertedIndex.Cap}
+               JOIN dfs ON dfs.term = q.term
+               GROUP BY q.q_id, r.term, dfs.df, r.doc_id),
+             lscored AS (
+               SELECT q_id, doc_id,
+                      SUM(CAST(floor(tf *
+                        ln(CAST((SELECT count(*) + 1 FROM documents) AS DOUBLE)
+                           / (df + 1)) * 1e6) AS BIGINT)) AS score_q
+               FROM hits GROUP BY q_id, doc_id),
+             lex AS (
+               SELECT q_id, doc_id,
+                      CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY score_q DESC, doc_id) AS INT) AS lex_rank
+               FROM lscored QUALIFY lex_rank <= $LegK),
+             e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings),
+             dq AS (SELECT vec_id, emb FROM e WHERE vec_id IN (100, 200, 300)),
+             dscored AS (
+               SELECT dq.vec_id // 100 AS q_id, e.vec_id AS doc_id,
+                 ROUND(
+                   list_sum(list_transform(list_zip(dq.emb, e.emb), p -> p[1] * p[2]))
+                   / (sqrt(list_sum(list_transform(dq.emb, x -> x * x)))
+                    * sqrt(list_sum(list_transform(e.emb, x -> x * x)))), 6) AS cos_sim
+               FROM dq JOIN e ON e.vec_id <> dq.vec_id),
+             dense AS (
+               SELECT q_id, doc_id,
+                      CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY cos_sim DESC, doc_id) AS INT) AS dense_rank
+               FROM dscored QUALIFY dense_rank <= $LegK),
+             fused AS (
+               SELECT COALESCE(lex.q_id, dense.q_id) AS q_id,
+                      COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+                      CAST(COALESCE(1000000 // (lex.lex_rank + $C), 0)
+                         + COALESCE(1000000 // (dense.dense_rank + $C), 0)
+                         AS BIGINT) AS rrf_q,
+                      lex.lex_rank, dense.dense_rank
+               FROM lex FULL OUTER JOIN dense
+                 ON lex.q_id = dense.q_id AND lex.doc_id = dense.doc_id)
+             SELECT q_id,
+                    CAST(row_number() OVER (PARTITION BY q_id
+                      ORDER BY rrf_q DESC, doc_id) AS INT) AS rank,
+                    doc_id, rrf_q, lex_rank, dense_rank
+             FROM fused
+             QUALIFY rank <= $FusedK
+             ORDER BY q_id, rank"""))
+
+  val all: Seq[QueryDef] = Seq(textHybridRrf)
+}

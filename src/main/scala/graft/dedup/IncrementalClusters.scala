@@ -18,15 +18,20 @@ import org.apache.spark.sql.functions._
   * different base clusters MERGES them (the hard case — bridge docs
   * are planted to force it).
   *
-  * Correctness is a THEOREM made machine-checkable in the output:
-  * quotient-graph CC over the same edge evidence yields exactly the
-  * full-recompute labels (collapsing a connected set preserves
-  * connectivity; min over {label nodes, batch ids} = min over all
-  * member ids because labels are min-members). The entry computes the
-  * full recompute IN-ENTRY as eval instrumentation — per batch doc,
-  * `label_inc`, `label_full` and the match flag; `n_merges` counts
-  * base clusters fused by bridges. Rows-only SV (the LSH band stage
-  * has no SQL oracle) per the dedup-family convention. */
+  * Correctness is a THEOREM made machine-checkable: quotient-graph CC
+  * over the same edge evidence yields exactly the full-recompute
+  * labels (collapsing a connected set preserves connectivity; min over
+  * {label nodes, batch ids} = min over all member ids because labels
+  * are min-members). The full-recompute parity leg lives in
+  * [[graft.dedup.IncrementalClustersSpec]] via [[fullParity]] — NOT in
+  * the entry: in production the witness would dominate the incremental
+  * path it certifies (it re-clusters the corpus evidence the
+  * incremental path exists to avoid), so the entry emits only the
+  * production output — per batch doc `label_inc` + `kind`, plus
+  * `n_merges` (base clusters fused by bridges/directives), the
+  * operational signal a deployment actually monitors. Rows-only SV
+  * (the LSH band stage has no SQL oracle) per the dedup-family
+  * convention; the spec replays 100% label parity per run. */
 object IncrementalClusters {
 
   private[graft] def baseCorpus(docs: DataFrame): DataFrame = {
@@ -77,12 +82,18 @@ object IncrementalClusters {
     (s"$base/index", s"$base/edges", s"$base/labels")
   }
 
-  def incremental(s: SparkSession, dir: String): DataFrame = {
+  /** The per-batch EVIDENCE both the incremental path and the parity
+    * witness consume: the batch itself (checkpointed — probed twice
+    * and labeled), its band-index hits against the base, its
+    * intra-batch candidate pairs, and the merge directives. */
+  private final case class Evidence(delta: DataFrame, vsBase: DataFrame,
+      inDelta: DataFrame, directives: DataFrame, baseLabels: DataFrame,
+      edgePath: String)
+
+  private def evidence(s: SparkSession, dir: String): Evidence = {
     val (idxPath, edgePath, labPath) = fixtures(s, dir)
     val docs = Tables.documents(s, dir)
     val delta = deltaBatch(docs).localCheckpoint() // probed twice + labeled
-    val baseLabels = s.read.parquet(labPath)
-
     val vsBase = Dedup.probeBandIndex(s, idxPath, delta)
     val inDelta = Dedup.minhashLshCandidates(delta)
       .select(col("doc_a"), col("doc_b"))
@@ -94,61 +105,78 @@ object IncrementalClusters {
     val directives = docs.filter(col("doc_id") % 160 === 0)
       .select(col("doc_id").as("doc_a"), (col("doc_id") + 40).as("doc_b"))
       .join(docs.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+    Evidence(delta, vsBase, inDelta, directives,
+      s.read.parquet(labPath), edgePath)
+  }
+
+  /** CC over the quotient graph: batch docs + touched base LABELS. */
+  private def quotientCC(ev: Evidence): DataFrame = {
     // quotient mapping: every base member collapses to its stored
     // label node; an UNCLUSTERED base doc is its own label (a base
     // singleton joined by a batch doc must relabel too — dropping it
     // was the first draft's joiner-parity bug)
-    val la = baseLabels.select(col("doc_id").as("la_d"), col("cluster_id").as("la_c"))
-    val lb = baseLabels.select(col("doc_id").as("lb_d"), col("cluster_id").as("lb_c"))
-    val quotient = vsBase
+    val la = ev.baseLabels.select(col("doc_id").as("la_d"), col("cluster_id").as("la_c"))
+    val lb = ev.baseLabels.select(col("doc_id").as("lb_d"), col("cluster_id").as("lb_c"))
+    val quotient = ev.vsBase
       .join(lb, col("dup_of") === col("lb_d"), "left")
       .select(col("new_doc").as("doc_a"),
         coalesce(col("lb_c"), col("dup_of")).as("doc_b"))
-      .unionByName(inDelta)
-      .unionByName(directives
+      .unionByName(ev.inDelta)
+      .unionByName(ev.directives
         .join(la, col("doc_a") === col("la_d"), "left")
         .join(lb, col("doc_b") === col("lb_d"), "left")
         .select(coalesce(col("la_c"), col("doc_a")).as("doc_a"),
           coalesce(col("lb_c"), col("doc_b")).as("doc_b")))
-      .localCheckpoint() // two CC consumers below
-    val labelCC = Clusters.connectedComponents(quotient)
+      .localCheckpoint() // two consumers: labels + merge stats
+    Clusters.connectedComponents(quotient)
+  }
 
-    val incLabels = delta.select(col("doc_id"))
-      .join(labelCC.select(col("doc_id"), col("cluster_id").as("label_inc")),
+  private def labelBatch(ev: Evidence, cc: DataFrame, as: String): DataFrame =
+    ev.delta.select(col("doc_id"))
+      .join(cc.select(col("doc_id"), col("cluster_id").as(as)),
         Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("label_inc"), col("doc_id")).as("label_inc"))
+      .select(col("doc_id"), coalesce(col(as), col("doc_id")).as(as))
 
-    // eval instrumentation: the full recompute over the SAME evidence
-    val fullEdges = s.read.parquet(edgePath)
-      .select("doc_a", "doc_b")
-      .unionByName(vsBase.select(col("new_doc").as("doc_a"),
-        col("dup_of").as("doc_b")))
-      .unionByName(inDelta)
-      .unionByName(directives)
-    val fullCC = Clusters.connectedComponents(fullEdges)
-    val fullLabels = delta.select(col("doc_id"))
-      .join(fullCC.select(col("doc_id"), col("cluster_id").as("label_full")),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("label_full"), col("doc_id")).as("label_full"))
-
+  /** The PRODUCTION entry: incremental labels + merge count only —
+    * cost ∝ batch + touched clusters. */
+  def incremental(s: SparkSession, dir: String): DataFrame = {
+    val ev = evidence(s, dir)
+    val labelCC = quotientCC(ev)
+    val incLabels = labelBatch(ev, labelCC, "label_inc")
     // merges: label-graph components holding >= 2 distinct base labels
     val mergeStats = labelCC
-      .join(baseLabels.select(col("cluster_id").as("bl")).distinct(),
+      .join(ev.baseLabels.select(col("cluster_id").as("bl")).distinct(),
         labelCC("doc_id") === col("bl"))
       .groupBy(labelCC("cluster_id")).agg(count(lit(1)).as("n_labels"))
       .agg(sum(when(col("n_labels") >= 2, 1L).otherwise(0L)).as("n_merges"))
-
-    incLabels.join(fullLabels, "doc_id")
+    incLabels
       .withColumn("kind",
         when(col("doc_id") >= 3800000L, "fresh")
           .when(col("doc_id") >= 3500000L, "joiner")
           .otherwise("bridge"))
-      .withColumn("label_match", col("label_inc") === col("label_full"))
       .crossJoin(broadcast(mergeStats))
-      .select("doc_id", "kind", "label_inc", "label_full", "label_match",
-        "n_merges")
+      .select("doc_id", "kind", "label_inc", "n_merges")
+      .orderBy("doc_id")
+  }
+
+  /** SPEC-ONLY parity witness: the full recompute over the SAME edge
+    * evidence, joined against the incremental labels — the quotient
+    * theorem replayed per run by IncrementalClustersSpec. Quadratic in
+    * corpus evidence by design (it is exactly the cost the incremental
+    * path avoids), so it lives here and not in the entry. */
+  def fullParity(s: SparkSession, dir: String): DataFrame = {
+    val ev = evidence(s, dir)
+    val incLabels = labelBatch(ev, quotientCC(ev), "label_inc")
+    val fullEdges = s.read.parquet(ev.edgePath)
+      .select("doc_a", "doc_b")
+      .unionByName(ev.vsBase.select(col("new_doc").as("doc_a"),
+        col("dup_of").as("doc_b")))
+      .unionByName(ev.inDelta)
+      .unionByName(ev.directives)
+    val fullLabels = labelBatch(ev, Clusters.connectedComponents(fullEdges),
+      "label_full")
+    incLabels.join(fullLabels, "doc_id")
+      .withColumn("label_match", col("label_inc") === col("label_full"))
       .orderBy("doc_id")
   }
 

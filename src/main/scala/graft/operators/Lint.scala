@@ -39,8 +39,7 @@ object Lint {
       case _: BroadcastNestedLoopJoinExec =>
         Seq(Finding("nested-loop-join", p.nodeName))
       case e: ShuffleExchangeExec
-          if e.outputPartitioning.numPartitions == 1 &&
-            !e.child.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec] =>
+          if e.outputPartitioning.numPartitions == 1 && !isAggReduced(e.child) =>
         Seq(Finding("single-partition-exchange", e.child.nodeName))
       case w: WindowExec
           if w.partitionSpec.isEmpty =>
@@ -132,6 +131,38 @@ object Lint {
   def shuffleBill(df: DataFrame): Seq[ExchangeCost] =
     shuffleBill(df.queryExecution.executedPlan)
 
+  /** Whether a SinglePartition exchange's input is AGGREGATE-REDUCED:
+    * the rows entering the funnel are some aggregate's output (already
+    * collapsed to group count), reached by descending through unary
+    * nodes that can only PRESERVE OR SHRINK row count (projections,
+    * filters, sorts, limits, windows, codegen wrappers). Anything else
+    * on the way down — a join, a generator, a union, a raw scan —
+    * means the funnel swallows data-proportional rows: the global-
+    * window trap L1 exists to flag. Shared by the L1 rule and the
+    * shuffle-bill annotation so the two can never disagree. */
+  private[operators] def isAggReduced(p: SparkPlan): Boolean = p match {
+    case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+    case u @ (_: org.apache.spark.sql.execution.WholeStageCodegenExec |
+        _: org.apache.spark.sql.execution.InputAdapter |
+        _: org.apache.spark.sql.execution.ProjectExec |
+        _: org.apache.spark.sql.execution.FilterExec |
+        _: org.apache.spark.sql.execution.SortExec |
+        _: org.apache.spark.sql.execution.LocalLimitExec |
+        _: org.apache.spark.sql.execution.GlobalLimitExec |
+        _: org.apache.spark.sql.execution.window.WindowExec) =>
+      isAggReduced(u.children.head)
+    case _ => false
+  }
+
+  /** Annotate a SinglePartition shuffle token with its L1 allowlist
+    * class, so a committed shuffle-bill diff distinguishes the benign
+    * bounded funnel (an aggregate's output feeding a global reduction
+    * — the class L1's `single-partition-exchange` rule exempts) from a
+    * genuine global funnel regression WITHOUT re-running the linter.
+    * `[agg-1row]` = sanctioned; `[non-agg]` = the shape L1 would flag. */
+  private def singlePartitionClass(e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec): String =
+    if (isAggReduced(e.child)) "[agg-1row]" else "[non-agg]"
+
   /** Overload for a physical plan obtained elsewhere (e.g. the
     * cache-free planning path in [[PlanLedger]]). */
   def shuffleBill(executedPlan: SparkPlan): Seq[ExchangeCost] = {
@@ -149,7 +180,11 @@ object Lint {
     }
     plan.collect {
       case s: ShuffleExchangeExec =>
-        ExchangeCost("shuffle", s.outputPartitioning.toString,
+        val part = s.outputPartitioning.toString +
+          (if (s.outputPartitioning.numPartitions == 1 &&
+            s.outputPartitioning.toString == "SinglePartition")
+            singlePartitionClass(s) else "")
+        ExchangeCost("shuffle", part,
           s.child.logicalLink.map(_.stats.sizeInBytes).getOrElse(BigInt(-1)))
       case b: BroadcastExchangeExec =>
         ExchangeCost("broadcast", b.outputPartitioning.toString,

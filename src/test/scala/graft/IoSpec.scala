@@ -84,6 +84,51 @@ class IoSpec extends SparkSpec {
     assert(filtered.count() === li.filter(col("l_returnflag") === "R").count())
   }
 
+  test("IO24: Avro round-trip preserves relational results; reader-schema " +
+      "evolution fills added fields from defaults") {
+    val dir = Files.createTempDirectory("graft_avro").toString
+    // round-trip the fact table through the remaining standard lake
+    // format. This Spark build bundles the avro FileFormat
+    // implementation inside spark-sql (probed r10 — serializer,
+    // deserializer, SchemaConverters all present) but NOT the
+    // spark-avro module's DefaultSource/service registration, so the
+    // short name "avro" does not resolve; the fully-qualified
+    // FileFormat class is the documented alternative spelling.
+    val AvroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag",
+        "l_extendedprice")
+    li.write.mode("overwrite").format(AvroFormat).save(s"$dir/lineitem_avro")
+    val back = spark.read.format(AvroFormat).load(s"$dir/lineitem_avro")
+    assert(back.count() === li.count())
+    assert(back.schema === li.schema,
+      "Avro round-trip must preserve the Spark schema exactly")
+    val agg = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy("l_returnflag")
+        .agg(sum("l_quantity").as("q"), sum("l_extendedprice").as("p"))
+        .orderBy("l_returnflag").collect().map(_.toSeq).toSeq
+    assert(agg(back) === agg(li))
+    // schema evolution, the Avro way: a READER schema with an added
+    // field carrying a default — old files surface the default, no
+    // rewrite. (Avro has no parquet-style mergeSchema; the reader
+    // schema IS the evolution contract.)
+    import spark.implicits._
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .write.mode("overwrite").format(AvroFormat).save(s"$dir/docs_v1")
+    val evolved = """{"type":"record","name":"topLevelRecord","fields":[
+      {"name":"doc_id","type":["long","null"]},
+      {"name":"text","type":["string","null"]},
+      {"name":"lang","type":["null","string"],"default":null}]}"""
+    val withLang = spark.read.format(AvroFormat)
+      .option("avroSchema", evolved).load(s"$dir/docs_v1")
+    assert(withLang.schema.fieldNames.toSeq === Seq("doc_id", "text", "lang"))
+    val rows = withLang.orderBy("doc_id").collect()
+    assert(rows.length === 2)
+    assert(rows.forall(_.isNullAt(rows.head.fieldIndex("lang"))),
+      "pre-evolution Avro files must surface the reader-schema default")
+    assert(rows.map(_.getAs[String]("text")).toSeq === Seq("alpha", "beta"))
+  }
+
   test("IO11: corrupt JSON records are quarantined as data, not crashes") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_corrupt").toString

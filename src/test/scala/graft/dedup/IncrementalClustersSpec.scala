@@ -3,16 +3,25 @@ package graft.dedup
 import graft.SparkSpec
 
 /** D92 — incremental cluster maintenance: quotient-graph parity with
-  * the full recompute, per-class labeling laws, forced merges. */
+  * the full recompute (replayed HERE per run — the entry emits only
+  * the production output, so this spec IS the correctness gate),
+  * per-class labeling laws, forced merges. */
 class IncrementalClustersSpec extends SparkSpec {
 
   private lazy val rows = IncrementalClusters.incremental(spark, sf).collect()
+  private lazy val parity = IncrementalClusters.fullParity(spark, sf).collect()
 
   test("D92: incremental labels equal the full recompute on every batch doc") {
-    assert(rows.nonEmpty)
-    rows.foreach(r => assert(r.getAs[Boolean]("label_match"),
-      s"doc ${r.getAs[Long]("doc_id")} (${r.getAs[String]("kind")}): " +
+    assert(parity.nonEmpty)
+    parity.foreach(r => assert(r.getAs[Boolean]("label_match"),
+      s"doc ${r.getAs[Long]("doc_id")}: " +
         s"inc=${r.getAs[Long]("label_inc")} full=${r.getAs[Long]("label_full")}"))
+    // the witness covers exactly the entry's batch, doc for doc, and
+    // agrees with the labels the entry actually shipped
+    assert(parity.map(_.getAs[Long]("doc_id")).toSeq ===
+      rows.map(_.getAs[Long]("doc_id")).toSeq)
+    assert(parity.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("label_inc")).toMap ===
+      rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("label_inc")).toMap)
   }
 
   test("D92: merges, growth and fresh singletons all genuinely occur") {

@@ -152,4 +152,25 @@ class LintSpec extends SparkSpec {
     val pdBill = Lint.shuffleBill(pd).filter(_.kind == "shuffle")
     assert(pdBill.nonEmpty && pdBill.size <= 6, s"bill: $pdBill")
   }
+
+  test("L5: SinglePartition tokens carry their L1 allowlist class — " +
+      "benign agg reductions read differently from global funnels") {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.lineitem(spark, sf)
+    // a global aggregate's final 1-partition exchange: the sanctioned
+    // 1-row-reduction class (partial agg upstream, one row per task)
+    val globalAgg = li.agg(sum("l_quantity").as("s"))
+    val aggTokens = Lint.shuffleBill(globalAgg)
+      .filter(_.partitioning.startsWith("SinglePartition"))
+    assert(aggTokens.nonEmpty, "global agg must bill a SinglePartition")
+    assert(aggTokens.forall(_.partitioning == "SinglePartition[agg-1row]"),
+      s"agg reduction must carry [agg-1row]: $aggTokens")
+    // a raw repartition(1) of a fact scan: the funnel L1 would flag
+    val funnel = li.repartition(1).select("l_orderkey")
+    val funnelTokens = Lint.shuffleBill(funnel)
+      .filter(_.partitioning.startsWith("SinglePartition"))
+    assert(funnelTokens.nonEmpty && funnelTokens.forall(
+      _.partitioning == "SinglePartition[non-agg]"),
+      s"non-agg funnel must carry [non-agg]: $funnelTokens")
+  }
 }

@@ -206,6 +206,9 @@ class RelationalSpec extends SparkSpec {
       // inherits D6's bounded-broadcast query scan (its ranked lists
       // ARE the ann_bruteforce output)
       "q_ranking_eval",
+      // the dense retrieval leg IS the D6 bounded-broadcast scan; the
+      // lexical leg and the fusion join are equi-joins
+      "text_hybrid_rrf",
       // 1-row token-total and bigram-total broadcasts for the PMI terms
       "text_collocations",
       // bounded center-dim broadcast scan (E27's documented shape —

@@ -53,6 +53,55 @@ class ImiSpec extends SparkSpec {
     res.unpersist(); queries.unpersist()
   }
 
+  test("D111: cell balance under a power-law corpus — occupancy ratio " +
+      "bounded, or widened nprobe provably restores recall (the IVF " +
+      "cap's job, now capless)") {
+    // Deterministic skewed corpus, the D22/GenScale inverse-CDF trick
+    // applied to LATENT CLUSTERS instead of users: cluster =
+    // floor((i/n)^3 * 64) puts ~25% of all vectors in cluster 0 —
+    // a 4%-hot-corpus is the r9 skew convention; this is harsher.
+    val n = 20000L; val latent = 64; val dim = 16
+    val base = spark.range(n).select(col("id").as("vec_id"),
+      floor(pow(col("id").cast("double") / n, 3.0) * latent)
+        .cast("int").as("lat"))
+    val corpus = base.select(col("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), d =>
+        (pmod(xxhash64(col("lat"), d), lit(2000)).cast("double") / 1000.0 - 1.0) +
+          (pmod(xxhash64(col("vec_id"), d, lit(77)), lit(200)).cast("double")
+            / 1000.0 - 0.1)).as("embedding")).cache()
+    val kHalf = Imi.autoCellsPerHalf(corpus, "") // N^(1/4): 12 per half
+    val (cb1, cb2) = Imi.codebooks(corpus, kHalf, "")
+    val occ = Imi.assignCells(corpus, cb1, cb2, dim)
+      .groupBy("cell").count().agg(
+        max("count").cast("double").as("mx"),
+        avg("count").as("mean"), count(lit(1)).as("nonempty")).head()
+    val ratio = occ.getDouble(0) / occ.getDouble(1)
+    val nonempty = occ.getLong(2)
+    info(f"IMI occupancy under power-law skew: K=$kHalf/half, " +
+      f"$nonempty nonempty cells, max/mean = $ratio%.1f")
+    // the quantizer must actually subdivide — a handful of mega-cells
+    // would mean density-blind codebooks (seeds are hash-sampled from
+    // the corpus, so dense regions get proportionally more centroids)
+    assert(nonempty >= latent / 2,
+      s"only $nonempty nonempty cells — the hot region is not subdivided")
+    if (ratio > 12.0) {
+      // unbalanced: the DOCUMENTED mitigation is widening nprobe —
+      // prove it restores recall on this exact corpus
+      val queries = corpus.filter(col("vec_id") % 200 === 0)
+      val exact = Ann.bruteForceTopK(corpus, queries, 10)
+        .select("q_id", "vec_id")
+      val wide = Imi.topK(corpus, queries, 10, cellsPerHalf = kHalf,
+        nprobe = 16).select("q_id", "vec_id")
+      val recall = wide.join(exact, Seq("q_id", "vec_id")).count().toDouble /
+        exact.count()
+      info(f"ratio > 12 — widened nprobe=16 recall@10 = $recall%.3f")
+      assert(recall >= 0.9,
+        f"occupancy ratio $ratio%.1f and nprobe=16 recall $recall%.3f: " +
+          "neither balance nor the widen-nprobe mitigation holds")
+    }
+    corpus.unpersist()
+  }
+
   test("D111: coverage entry carries self-verified recall within bounds") {
     val out = graft.dedup.PipelineQueries.annIvfImi.fn(spark, sf).cache()
     val row = out.select("min_recall", "mean_recall", "top1_recall").head()

@@ -95,6 +95,19 @@ for name, sql in sorted(oracle.items()):
         fails.append((name, f"values differ at row {diff[0]}:\n  spark={diff[1]}\n  duck ={diff[2]}")); continue
     passes.append((name, len(srows)))
 
+# --out=FILE writes the run as a committable JSON record (the r9
+# verdict item 2 ritual: the sf0.1 full gate is a standing per-round
+# artifact, CORRECTNESS_r{N}_sf0.1.json)
+OUT_JSON = next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--out=")), None)
+if OUT_JSON:
+    rec = {n: {"rows": c, "rows_match": True, "schema_match": True,
+               "hash_match": True} for n, c in passes}
+    rec.update({n: {"err": m.splitlines()[0][:300]} for n, m in fails})
+    with open(OUT_JSON, "w") as f:
+        json.dump({"sf": SF, "n_pass": len(passes), "n_fail": len(fails),
+                   "queries": dict(sorted(rec.items()))}, f, indent=1)
+    print(f"record written: {OUT_JSON}")
+
 for n, c in passes: print(f"PASS {n} ({c} rows)")
 for n, m in fails: print(f"FAIL {n}: {m}")
 print(f"\n{len(passes)} pass / {len(fails)} fail")
