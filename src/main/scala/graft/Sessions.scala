@@ -53,7 +53,19 @@ object Sessions {
         // executor just under it so exactly one executor fits per worker
         val memMb = master.replaceAll("[^0-9,]", "").split(",")
           .lift(2).map(_.toInt).getOrElse(1024)
-        b.config("spark.executor.extraClassPath", sys.props("java.class.path"))
+        // ABSOLUTIZE every classpath entry: executor JVMs run in the
+        // Worker's scratch dir, so a relative entry (e.g. a plain
+        // `java -cp target/...classes` launch) silently fails to
+        // resolve there and graft classes arrive via a second
+        // classloader — SerializedLambda/DefaultSerializationProxy
+        // ClassCastExceptions on exactly the entries that ship native
+        // expression trees (26 entries, r10 measured). sbt's fork uses
+        // absolute paths, which is why the suite never saw it.
+        b.config("spark.executor.extraClassPath",
+          sys.props("java.class.path").split(java.io.File.pathSeparator)
+            .filter(_.nonEmpty)
+            .map(p => new java.io.File(p).getAbsolutePath)
+            .mkString(java.io.File.pathSeparator))
           .config("spark.executor.memory", s"${math.max(512, memMb - 256)}m")
           // the worker's executor launcher always resolves the Scala
           // version; under sbt (no bin/load-spark-env.sh) the env var

@@ -27,7 +27,8 @@ class ClusterParitySpec extends AnyFunSuite {
     "q_salted_join", // skew-salted join equivalence
     "etl_upsert_merge", // keyed merge
     "dedup_embedding_cosine", // native graft expression over arrays
-    "text_token_count" // text pipeline + regex
+    "text_token_count", // text pipeline + regex
+    "text_hybrid_rrf" // full-outer fusion of two retrieval legs
   )
 
   test("representative entries are bit-identical across executor JVMs; " +
