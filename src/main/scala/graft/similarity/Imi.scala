@@ -99,6 +99,52 @@ object Imi {
       x => x.getField("cell"))
   }
 
+  /** Deployment persistence — the CAPLESS counterpart of
+    * [[Ivf.writeIndex]]: the corpus written PARTITIONED BY combined
+    * cell, so a probe's parquet scan prunes to the probed cells'
+    * directories instead of scanning the corpus. Directory count is
+    * the nonempty-cell count (~√N — the same layout shape as IVF's,
+    * with no 4096 ceiling on how far it keeps shrinking per-cell
+    * populations). Returns both half-codebooks — a deployment
+    * persists them beside the index (2·K·(d/2) doubles). */
+  def writeIndex(corpus: DataFrame, path: String, cellsPerHalf: Int = 0,
+      cacheKey: String = ""): (Seq[Seq[Double]], Seq[Seq[Double]]) = {
+    val kHalf =
+      if (cellsPerHalf > 0) cellsPerHalf else autoCellsPerHalf(corpus, cacheKey)
+    val (cb1, cb2) = codebooks(corpus, kHalf, cacheKey)
+    assignCells(corpus, cb1, cb2, dimOf(corpus))
+      .select("vec_id", "embedding", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    (cb1, cb2)
+  }
+
+  /** Probe over a written IMI index, mirroring [[Ivf.topKFromIndex]]:
+    * the bounded query side's probed cell-id set collects to a STATIC
+    * `cell IN (...)` filter, so partition pruning engages at plan time
+    * and the scan reads ~nprobe·queries of ~√N directories. */
+  def topKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, cb1: Seq[Seq[Double]], cb2: Seq[Seq[Double]],
+      queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
+    val dim = dimOf(queries)
+    val queryCells = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        explode(probeCells(col("embedding"), cb1, cb2, dim, nprobe)).as("cell"))
+    val probed = queryCells.select("cell").distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq
+    val corpusCells = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(probed: _*))
+    val scored = corpusCells.as("c")
+      .join(broadcast(queryCells.as("q")),
+        col("c.cell") === col("q.cell") && col("c.vec_id") =!= col("q.q_id"))
+      .select(col("q.q_id").as("q_id"), col("c.vec_id").as("vec_id"),
+        round(Ann.cosine(col("q.q_emb"), col("c.embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "vec_id", "cos_sim", "rnk")
+  }
+
   /** IMI top-k, mirroring [[Ivf.topK]]: probe-cell equi-join, exact
     * fused-cosine re-rank, per-query rank window. */
   def topK(corpus: DataFrame, queries: DataFrame, k: Int,

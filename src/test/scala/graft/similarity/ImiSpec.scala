@@ -102,6 +102,32 @@ class ImiSpec extends SparkSpec {
     corpus.unpersist()
   }
 
+  test("D111: index written partitionBy(combined cell) prunes the probe " +
+      "scan to probed cells and matches the in-memory path bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_imi_idx").toString + "/index"
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val (cb1, cb2) = Imi.writeIndex(emb, dir, cellsPerHalf = 4,
+      cacheKey = sf + "#imiidx")
+    val totalCells = cb1.size * cb2.size
+    val fromIndex = Imi.topKFromIndex(spark, dir, cb1, cb2, queries, 10)
+    // the scan must read ONLY the probed cell directories (inspect
+    // BEFORE any cache: caching substitutes an InMemoryTableScan)
+    val scan = fromIndex.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.output.exists(_.name == "cell") => f
+    }.head
+    val read = scan.selectedPartitions.partitionCount
+    assert(read > 0 && read < totalCells,
+      s"probe must prune partitions: read $read of $totalCells cells")
+    // parity with the in-memory IMI path on the same memoized codebooks
+    val direct = Imi.topK(emb, queries, 10, cellsPerHalf = 4,
+      cacheKey = sf + "#imiidx")
+    assert(fromIndex.exceptAll(direct).count() === 0)
+    assert(direct.exceptAll(fromIndex).count() === 0)
+  }
+
   test("D111: coverage entry carries self-verified recall within bounds") {
     val out = graft.dedup.PipelineQueries.annIvfImi.fn(spark, sf).cache()
     val row = out.select("min_recall", "mean_recall", "top1_recall").head()
