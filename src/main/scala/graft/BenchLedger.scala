@@ -20,27 +20,57 @@ package graft
   *   - RANDOMIZED order: each sweep times entries in a seeded-random
   *     permutation (seed = sweep index — reproducible), so no entry
   *     systematically inherits its alphabetical predecessor's wake;
-  *   - MEDIAN of 3 sweeps: one GC pause or C2 recompilation can poison
-  *     one sweep; it cannot move the median of three.
+  *   - MEDIAN of sweeps: one GC pause or C2 recompilation can poison
+  *     one sweep; it cannot move the median.
+  *
+  * VARIANCE-AWARE GATE (r10 verdict item 3): the committed ledger
+  * stores each entry's median AND its cross-sweep spread (max−min).
+  * The r10 sweeps measured ambient spread at median 1.38×, p90 2.13×
+  * — a fixed 1.3×/+0.3 s band has weak power exactly where sub-second
+  * entries live. The mover predicate is therefore
+  * `now > median·1.3 AND now − median > max(0.3 s, SpreadK·spread)`:
+  * the absolute arm scales with the entry's OWN measured noise floor,
+  * so a 0.4 s entry that ambiently wanders ±0.5 s cannot false-alarm,
+  * while a stable 3 s entry still trips at +1 s.
   *
   * Contract mirror of LedgerSpec: `ledger/bench_times.tsv` is
-  * committed; `runMain graft.BenchLedger` re-measures and FAILS
-  * (exit 1) on any unadjudicated mover — an entry both >1.3× AND
-  * >+0.3 s vs its committed median (the band below which local[32]
-  * noise lives). Improvements are reported, never failed. Adjudicated
-  * regen: GRAFT_UPDATE_LEDGER=1 rewrites the ledger; commit the diff
-  * with the change that caused it. BenchLedgerSpec keeps the ledger
-  * well-formed and in sync with the entry set and unit-tests the
-  * mover math; the measurement itself is a per-round main (a 3-JVM
-  * sf0.1 sweep is minutes, not test-suite material).
+  * committed (`name\tmedian\tspread`); `runMain graft.BenchLedger`
+  * re-measures and FAILS (exit 1) on any unadjudicated mover.
+  * Improvements are reported, never failed. Adjudicated regen:
+  * GRAFT_UPDATE_LEDGER=1 rewrites the ledger; commit the diff with the
+  * change that caused it. BenchLedgerSpec keeps the ledger well-formed
+  * and in sync with the entry set and unit-tests the mover math;
+  * BenchGateSpec additionally re-measures the expensive slice of the
+  * surface inside the standard test run (r10 verdict item 8), so a
+  * perf regression fails `sbt test` the way a plan regression already
+  * does. The full measurement remains a per-round main (a 3-JVM sf0.1
+  * sweep is minutes, not test-suite material).
   */
 object BenchLedger {
 
   val File = "ledger/bench_times.tsv"
 
-  /** `>1.3x AND >+0.3s` — both gates, so tiny entries can't flag on
-    * ratio alone and big entries can't flag on a fixed band alone. */
-  def isMover(stored: Double, now: Double): Boolean =
+  /** Committed per-entry record: median of the isolated-JVM sweeps
+    * and their spread (max − min) — the entry's own measured ambient
+    * noise band. */
+  final case class Entry(median: Double, spread: Double)
+
+  /** Multiplier on the entry's own cross-sweep spread in the absolute
+    * arm of the mover gate: a regression must clear the entry's
+    * ambient wander with margin, not just a fixed band. */
+  val SpreadK = 1.5
+
+  /** `> 1.3× AND > max(+0.3 s, SpreadK·spread)` — the ratio arm stops
+    * big entries flagging on a fixed band, the absolute arm stops tiny
+    * entries flagging on ratio alone, and the spread term stops noisy
+    * entries flagging inside their own measured ambient band. */
+  def isMover(stored: Entry, now: Double): Boolean =
+    now > stored.median * 1.3 &&
+      now - stored.median > math.max(0.3, SpreadK * stored.spread)
+
+  /** Pre-r11 fixed-band predicate, kept for the false-alarm-rate
+    * comparison over committed raw sweeps (docs/bench_ledger.md). */
+  def isMoverFixedBand(stored: Double, now: Double): Boolean =
     now > stored * 1.3 && now - stored > 0.3
 
   def median(xs: Seq[Double]): Double = {
@@ -50,32 +80,67 @@ object BenchLedger {
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
+  private def fmt3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   /** Slower-movers (failures) and faster-movers (informational). */
-  def compare(stored: Map[String, Double], now: Map[String, Double])
+  def compare(stored: Map[String, Entry], now: Map[String, Double])
       : (Seq[String], Seq[String]) = {
     val shared = stored.keySet intersect now.keySet
     def fmt(n: String) =
-      f"$n: ${stored(n)}%.2fs -> ${now(n)}%.2fs (${now(n) / stored(n)}%.2fx)"
+      s"$n: ${fmt3(stored(n).median)}s -> ${fmt3(now(n))}s " +
+        s"(${fmt3(now(n) / stored(n).median)}x, spread ${fmt3(stored(n).spread)}s)"
     val slower = shared.toSeq.filter(n => isMover(stored(n), now(n)))
-      .sortBy(n => -(now(n) - stored(n))).map(fmt)
-    val faster = shared.toSeq.filter(n => isMover(now(n), stored(n)))
-      .sortBy(n => now(n) - stored(n)).map(fmt)
+      .sortBy(n => -(now(n) - stored(n).median)).map(fmt)
+    val faster = shared.toSeq
+      .filter(n => isMover(Entry(now(n), stored(n).spread), stored(n).median))
+      .sortBy(n => now(n) - stored(n).median).map(fmt)
     (slower, faster)
   }
 
-  def read(path: String): Map[String, Double] = {
+  /** Read a committed ledger (`name\tmedian\tspread`); 2-column lines
+    * (sweep files, pre-r11 ledgers) parse with spread 0. Parsing is
+    * Locale.ROOT by construction — `toDouble` only accepts the
+    * dot-decimal form [[write]]/[[writeFull]] emit. */
+  def readFull(path: String): Map[String, Entry] = {
     val f = new java.io.File(path)
     if (!f.exists()) Map.empty
     else scala.io.Source.fromFile(f, "UTF-8").getLines().filter(_.nonEmpty)
-      .map { l => val Array(k, v) = l.split("\t", 2); k -> v.toDouble }.toMap
+      .map { l =>
+        l.split("\t") match {
+          case Array(k, m, s) => k -> Entry(m.toDouble, s.toDouble)
+          case Array(k, m) => k -> Entry(m.toDouble, 0.0)
+          case other => sys.error(
+            s"$path: malformed ledger line '${l.take(120)}' (${other.length} fields)")
+        }
+      }.toMap
   }
 
+  /** Medians only — the shape sweep files use. */
+  def read(path: String): Map[String, Double] =
+    readFull(path).map { case (k, e) => k -> e.median }
+
+  /** Write a 2-column `name\tsec` file (per-sweep outputs). Formats
+    * with an explicit root locale: a comma-decimal default locale must
+    * not produce a file [[read]] cannot parse back. */
   def write(path: String, m: Map[String, Double]): Unit = {
     val f = new java.io.File(path)
     Option(f.getParentFile).foreach(_.mkdirs())
     val w = new java.io.PrintWriter(f)
-    try m.toSeq.sortBy(_._1).foreach { case (k, v) => w.println(f"$k\t$v%.3f") }
-    finally w.close()
+    try m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      w.println(s"$k\t${fmt3(v)}")
+    } finally w.close()
+  }
+
+  /** Write the committed 3-column ledger (root-locale formatting,
+    * same rationale as [[write]]). */
+  def writeFull(path: String, m: Map[String, Entry]): Unit = {
+    val f = new java.io.File(path)
+    Option(f.getParentFile).foreach(_.mkdirs())
+    val w = new java.io.PrintWriter(f)
+    try m.toSeq.sortBy(_._1).foreach { case (k, e) =>
+      w.println(s"$k\t${fmt3(e.median)}\t${fmt3(e.spread)}")
+    } finally w.close()
   }
 
   /** The sbt fork's JDK-17 module flags (build.sbt's jdk17AddOpens) —
@@ -90,7 +155,7 @@ object BenchLedger {
     "java.base/sun.security.action", "java.base/sun.util.calendar",
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
-  private def runSweep(sweep: Int, sfDir: String, out: String,
+  private[graft] def runSweep(sweep: Int, sfDir: String, out: String,
       only: Option[String]): Unit = {
     val javaBin = sys.props("java.home") + "/bin/java"
     val cmd = Seq(javaBin) ++ addOpens ++ Seq(
@@ -124,17 +189,21 @@ object BenchLedger {
       read(out)
     }
     val names = perSweep.map(_.keySet).reduce(_ intersect _)
-    val medians = names.map(n => n -> median(perSweep.map(_(n)))).toMap
-    val stored = read(File)
+    val measured = names.map { n =>
+      val xs = perSweep.map(_(n))
+      n -> Entry(median(xs), xs.max - xs.min)
+    }.toMap
+    val medians = measured.map { case (k, e) => k -> e.median }
+    val stored = readFull(File)
 
     if (update) {
       // a GRAFT_SWEEP_ONLY top-up (e.g. a newly registered entry)
       // merges into the committed ledger; a full run replaces it
-      val next = if (only.isDefined) stored ++ medians else medians
-      write(File, next)
+      val next = if (only.isDefined) stored ++ measured else measured
+      writeFull(File, next)
       println(s"[benchledger] ledger ${if (only.isDefined) "topped up" else
-        "regenerated"}: ${medians.size} measured, ${next.size} total " +
-        s"($sweeps isolated-JVM sweeps, randomized order, median)")
+        "regenerated"}: ${measured.size} measured, ${next.size} total " +
+        s"($sweeps isolated-JVM sweeps, randomized order, median+spread)")
     }
     val (slower, faster) = compare(stored, medians)
     if (faster.nonEmpty)
@@ -148,12 +217,12 @@ object BenchLedger {
       println(s"[benchledger] entry-set drift (regen needed):\n  " +
         drift.mkString("\n  "))
     if (slower.nonEmpty)
-      println("[benchledger] REGRESSED (>1.3x and >+0.3s vs committed " +
-        s"median):\n  " + slower.mkString("\n  ") +
+      println("[benchledger] REGRESSED (>1.3x and >max(0.3s, " +
+        s"$SpreadK*spread) vs committed median):\n  " + slower.mkString("\n  ") +
         "\n  if intended, regen: GRAFT_UPDATE_LEDGER=1 runMain graft.BenchLedger")
     val total = medians.values.sum
-    println(f"[benchledger] ${medians.size} entries, total of medians " +
-      f"$total%.1f s, ${slower.size} regressed, ${faster.size} improved")
+    println(s"[benchledger] ${medians.size} entries, total of medians " +
+      s"${fmt3(total)} s, ${slower.size} regressed, ${faster.size} improved")
     if (!update && (slower.nonEmpty || drift.nonEmpty)) sys.exit(1)
   }
 }
@@ -163,6 +232,37 @@ object BenchLedger {
   * DIFFERENT seeded-random order; write `name\tsec` lines. Child
   * process of [[BenchLedger]] — runnable alone for debugging. */
 object BenchSweep {
+
+  /** Time one noop-sink materialization per name, in seeded-random
+    * order, on an already-warm session. Shared by the isolated-JVM
+    * sweep below and BenchGateSpec's in-suite gate. */
+  def timeEntries(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      names: Seq[String], seed: Int,
+      progressEvery: Int = 50): Map[String, Double] = {
+    def runOnce(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    val order = new scala.util.Random(seed * 7919 + 1).shuffle(names)
+    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    order.zipWithIndex.foreach { case (n, i) =>
+      try {
+        spark.sqlContext.clearCache()
+        val t0 = System.nanoTime()
+        runOnce(n)
+        timings(n) = (System.nanoTime() - t0) / 1e9
+        if ((i + 1) % progressEvery == 0)
+          println(s"[sweep] seed=$seed ${i + 1}/${names.size}")
+      } catch {
+        case e: Throwable =>
+          // a failed entry is MISSING from the sweep file; BenchLedger's
+          // intersect drops it and entry-set drift reports it
+          println(s"[sweep] seed=$seed FAILED $n: " +
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
+      }
+    }
+    timings.toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(seedS, sfDir, out) = args.take(3)
     val seed = seedS.toInt
@@ -175,30 +275,12 @@ object BenchSweep {
     def runOnce(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-    def shuffled(salt: Int): Seq[String] =
-      new scala.util.Random(seed * 7919 + salt).shuffle(names)
-    shuffled(0).foreach { n =>
+    new scala.util.Random(seed * 7919).shuffle(names).foreach { n =>
       try runOnce(n) catch { case _: Throwable => () } // warm pass
     }
     spark.sqlContext.clearCache()
-    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
-    shuffled(1).zipWithIndex.foreach { case (n, i) =>
-      try {
-        spark.sqlContext.clearCache()
-        val t0 = System.nanoTime()
-        runOnce(n)
-        timings(n) = (System.nanoTime() - t0) / 1e9
-        if ((i + 1) % 50 == 0)
-          println(s"[sweep] seed=$seed ${i + 1}/${names.size}")
-      } catch {
-        case e: Throwable =>
-          // a failed entry is MISSING from the sweep file; BenchLedger's
-          // intersect drops it and entry-set drift reports it
-          println(s"[sweep] seed=$seed FAILED $n: " +
-            Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
-      }
-    }
-    BenchLedger.write(out, timings.toMap)
+    val timings = timeEntries(spark, sfDir, names, seed)
+    BenchLedger.write(out, timings)
     println(s"[sweep] seed=$seed done: ${timings.size}/${names.size} entries")
     spark.stop()
   }

@@ -52,17 +52,25 @@ object ImiCapBench {
 
     val queries = corpus.filter(col("vec_id") % (n / 32) === 0)
 
-    // ---- single-level IVF at its cap
+    // ---- single-level IVF at its cap (skippable: the IVF leg is the
+    // ~30-min side and its r9 numbers stand; --skip-ivf refreshes only
+    // the IMI legs, emitting "ivf":null)
+    val skipIvf = args.contains("--skip-ivf")
     val ivfCells = 4096 // what resolveCells returns for any N >= 16.7M
-    val (cbIvf, tTrainIvf) = timed(graft.similarity.Ivf.trainCodebook(corpus, ivfCells))
-    val ((ivfNc, ivfMax, ivfMean), tAssignIvf) =
-      timed(assignStats(graft.similarity.Ivf.assignCells(corpus, cbIvf)
-        .select("vec_id", "cell")))
-    val (_, tProbeIvf) = timed {
-      graft.similarity.Ivf.topK(corpus, queries, 10,
-          cells = ivfCells, cacheKey = dir)
-        .write.format("noop").mode("overwrite").save()
-    }
+    val (tTrainIvf, tAssignIvf, tProbeIvf, ivfNc, ivfMax, ivfMean) =
+      if (skipIvf) (0.0, 0.0, 0.0, 0L, 0L, 0.0)
+      else {
+        val (cbIvf, tTrain) = timed(graft.similarity.Ivf.trainCodebook(corpus, ivfCells))
+        val ((nc, mx, mean), tAssign) =
+          timed(assignStats(graft.similarity.Ivf.assignCells(corpus, cbIvf)
+            .select("vec_id", "cell")))
+        val (_, tProbe) = timed {
+          graft.similarity.Ivf.topK(corpus, queries, 10,
+              cells = ivfCells, cacheKey = dir)
+            .write.format("noop").mode("overwrite").save()
+        }
+        (tTrain, tAssign, tProbe, nc, mx, mean)
+      }
 
     // ---- IMI at the same-or-more effective cells, uncapped
     val kHalf = graft.similarity.Imi.autoCellsPerHalf(corpus, dir)
@@ -78,6 +86,35 @@ object ImiCapBench {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // ---- STORED IMI index (r10 verdict item 2): write the corpus
+    // partitioned by combined cell once, then probe through the
+    // directory layout — the deployment shape where the probe's scan
+    // PRUNES to the probed cells' directories instead of re-reading
+    // and re-assigning the whole corpus per query batch.
+    val idxDir = s"$dir/imi_index_$kHalf"
+    val (_, tWriteIdx) = timed {
+      if (!new java.io.File(s"$idxDir/_SUCCESS").exists())
+        graft.similarity.Imi.writeIndex(corpus, idxDir,
+          cellsPerHalf = kHalf, cacheKey = dir)
+    }
+    val probedSet =
+      graft.similarity.Imi.probedCellIds(queries, cb1, cb2).toSet
+    val fromIndex = graft.similarity.Imi.topKFromIndex(
+      spark, idxDir, cb1, cb2, queries, 10)
+    // measured pruning: the scan's selected partitions, read from the
+    // physical plan BEFORE execution, must be bounded by the probed
+    // cell set — the at-scale form of ImiSpec's directory assert
+    val cellsRead = fromIndex.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.output.exists(_.name == "cell") => f
+    }.head.selectedPartitions.partitionCount
+    require(cellsRead <= probedSet.size && cellsRead < imiNc,
+      s"stored probe must prune: read $cellsRead, probed ${probedSet.size}, " +
+        s"nonempty $imiNc")
+    val (_, tProbeStored) = timed {
+      fromIndex.write.format("noop").mode("overwrite").save()
+    }
+
     val json =
       s"""{"n_vectors":$n,"dim":$dim,""" +
         s""""ivf":{"cells_config":$ivfCells,"cells_nonempty":$ivfNc,""" +
@@ -87,8 +124,13 @@ object ImiCapBench {
         s""""cells_nonempty":$imiNc,""" +
         f""""train_secs":$tTrainImi%.1f,"assign_secs":$tAssignImi%.1f,""" +
         f""""probe_secs":$tProbeImi%.1f,"max_cell":$imiMax,"mean_cell":$imiMean%.0f},""" +
+        s""""imi_stored":{"write_secs":${f"$tWriteIdx%.1f"},""" +
+        s""""probe_secs":${f"$tProbeStored%.1f"},"cells_read":$cellsRead,""" +
+        s""""cells_probed":${probedSet.size},"cells_nonempty":$imiNc,""" +
+        f""""prune_fraction":${cellsRead.toDouble / imiNc}%.4f},""" +
         f""""train_speedup":${tTrainIvf / tTrainImi}%.1f,""" +
-        f""""assign_speedup":${tAssignIvf / tAssignImi}%.1f}"""
+        f""""assign_speedup":${tAssignIvf / tAssignImi}%.1f,""" +
+        f""""stored_probe_speedup":${tProbeImi / tProbeStored}%.1f}"""
     val w = new java.io.PrintWriter(outJson)
     try w.println(json) finally w.close()
     println(json)

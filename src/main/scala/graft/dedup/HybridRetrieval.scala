@@ -21,12 +21,17 @@ import org.apache.spark.sql.functions._
   * missing from a leg contributes 0).
   *
   * Scale shape: each leg is already scale-proven elsewhere — the
-  * lexical leg reads the stored term-partitioned index (never the
-  * corpus), the dense leg swaps to IVF/IMI probes (D7/D111) past
-  * brute-force size; this operator touches only the two O(queries × k)
-  * retrieval LISTS: one tiny full-outer join on (q_id, doc_id) + one
-  * per-query rank window (WindowGroupLimit prunes map-side). Fusion
-  * cost is independent of corpus size by construction.
+  * lexical leg reads the STORED term-sharded index via
+  * [[InvertedIndex.retrieveStored]] (shard-pruned scan of the query
+  * terms' partitions; the index build is a process-memoized one-time
+  * fixture, the D34 band-index convention, so the corpus is never
+  * scanned in-query), the dense leg swaps to IVF/IMI probes (D7/D111)
+  * past brute-force size; this operator touches only the two
+  * O(queries × k) retrieval LISTS: one tiny full-outer join on
+  * (q_id, doc_id) + one per-query rank window (WindowGroupLimit
+  * prunes map-side). Fusion cost is independent of corpus size once
+  * the index artifact exists — the one-time build is the only
+  * corpus-proportional step, exactly as in production.
   *
   * The doc_id ↔ vec_id correspondence is positional (embedding i IS
   * document i — the generated-corpus layout, TESTDATA.md); dense
@@ -48,12 +53,26 @@ object HybridRetrieval {
   private val oCanon =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
 
+  /** Stored-index fixture, built once per (process, dataset) — the
+    * D34/Compaction memo convention (pid-scoped path so concurrent
+    * JVMs never race). */
+  private val builtIndexes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[dedup] def storedIndexFor(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val path = "/tmp/graft_warehouse/invidx_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + ProcessHandle.current().pid()
+    if (builtIndexes.add(path))
+      InvertedIndex.writeIndex(Tables.documents(s, dir), path)
+    path
+  }
+
   val textHybridRrf = QueryDef(
     "text_hybrid_rrf",
     (s, d) => {
       import s.implicits._
-      val lex = InvertedIndex.retrieve(Tables.documents(s, d),
-          QueryTerms.toDF("q_id", "term"), k = LegK)
+      val lex = InvertedIndex.retrieveStored(s, storedIndexFor(s, d),
+          QueryTerms, k = LegK)
         .select(col("q_id"), col("doc_id"),
           col("rank").cast("int").as("lex_rank"))
       val emb = Tables.embeddings(s, d)

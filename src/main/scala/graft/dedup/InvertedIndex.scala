@@ -117,9 +117,52 @@ object InvertedIndex {
   val TopK = 10
 
   def retrieve(docs: DataFrame, queries: DataFrame,
-      k: Int = TopK): DataFrame = {
-    val idx = build(docs)
-    val nRow = docs.agg(count(lit(1)).as("n_docs"))
+      k: Int = TopK): DataFrame =
+    score(build(docs), docs.agg(count(lit(1)).as("n_docs")), queries, k)
+
+  /** The D52 index as a STORED, term-SHARDED artifact: postings
+    * partitioned by the first md5 hex char of the term (16 balanced
+    * shards — at 100 TB the same layout with 2-3 chars gives 256-4096
+    * directories), plus a 1-row meta table carrying the corpus size
+    * the idf needs. A query then PRUNES to its terms' shards at the
+    * scan — the property that makes index-only retrieval cheaper than
+    * the corpus it indexes. */
+  def writeIndex(docs: DataFrame, path: String): Unit = {
+    build(docs)
+      .withColumn("term_shard", substring(md5(col("term")), 1, 1))
+      .write.partitionBy("term_shard").mode("overwrite")
+      .parquet(s"$path/postings")
+    docs.agg(count(lit(1)).as("n_docs"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Driver-side mirror of the shard function — query terms are a
+    * bounded literal set, so their shard list is computed before the
+    * plan is built and becomes a partition filter. */
+  def shardOf(term: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes("UTF-8")).take(1)
+      .map("%02x".format(_)).mkString.take(1)
+
+  /** D59 retrieval against the STORED index: reads ONLY the query
+    * terms' shards (partition pruning on `term_shard` — spec-asserted)
+    * and the 1-row meta; the corpus is never touched at query time.
+    * Identical scoring to [[retrieve]] over the same index contract,
+    * so results are equal by construction (spec-asserted too). */
+  def retrieveStored(s: org.apache.spark.sql.SparkSession, path: String,
+      queries: Seq[(Long, String)], k: Int = TopK): DataFrame = {
+    import s.implicits._
+    val shards = queries.map(q => shardOf(q._2)).distinct
+    val idx = s.read.parquet(s"$path/postings")
+      .filter(col("term_shard").isin(shards: _*))
+      .drop("term_shard")
+    score(idx, s.read.parquet(s"$path/meta"), queries.toDF("q_id", "term"), k)
+  }
+
+  /** tf·idf scoring over an index frame — shared by the in-query and
+    * stored-index read paths. */
+  private def score(idx: DataFrame, nRow: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
     val hits = idx.join(broadcast(queries), "term")
       .select(col("q_id"), col("term"), col("df"),
         explode(col("postings")).as("enc"))

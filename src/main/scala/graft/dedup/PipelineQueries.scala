@@ -34,6 +34,82 @@ object PipelineQueries {
   private[graft] val oCanon =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
 
+  // ------------------------- oracle signature fixtures (r10 item 1)
+
+  /** The minhash / simhash SIGNATURE matrices of the planted corpora,
+    * dumped once per (process, dataset): the ONE stage of the D2/D3/D4
+    * pipelines DuckDB cannot re-express is the xxhash64 signature
+    * computation — with the signatures as a fixture table, the oracle
+    * independently re-derives EVERYTHING downstream (LSH banding =
+    * equal sub-signatures, simhash chunking = 16-bit slices, bucket
+    * valves, candidate self-joins, n-gram Jaccard verification from
+    * the raw corpus, planted-recall evidence), turning the former
+    * rows-only entries into full hash-green gates with no semantic
+    * change to the Spark side. Written at entry-construction time
+    * (Verify runs every query BEFORE dumping oracleSql, and the
+    * affected entries + `all` are defs, so the SQL re-renders with the
+    * path this process actually wrote — the R75/Compaction
+    * convention). */
+  private val sigFixtures =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  @volatile private var lastSigDir: String = "/root/testdata/sf0.01"
+  private def sigFixtureBase(dir: String): String =
+    "/tmp/graft_warehouse/oraclesigs_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + ProcessHandle.current().pid()
+  private[dedup] def sigFixtureFor(s: SparkSession, dir: String): String = {
+    val base = sigFixtureBase(dir)
+    lastSigDir = dir
+    if (sigFixtures.add(base)) {
+      val docs = Tables.documents(s, dir)
+      Dedup.minhashSignatures(Dedup.withPlantedDups(docs))
+        .write.mode("overwrite").parquet(s"$base/minhash")
+      Dedup.simhashSignatures(Dedup.withPlantedExactDups(docs))
+        .write.mode("overwrite").parquet(s"$base/simhash")
+    }
+    base
+  }
+
+  /** DuckDB mirror of [[Dedup.minhashLshCandidates]] DOWNSTREAM of the
+    * signatures: band j of a signature is rows [4j, 4j+4); equal band
+    * keys ⇔ equal (band, sub-signature) tuples (xxhash64 band-key
+    * collisions aside — negligible at 64 bits); the bucket-size valve
+    * and the a<b self-join mirror exactly. */
+  private def lshCandidatesCte(base: String): String = {
+    val r = Dedup.RowsPerBand
+    s"""sig AS (SELECT doc_id, sig
+                FROM read_parquet('$base/minhash/*.parquet')),
+        bnd AS (SELECT doc_id, j,
+                  sig[j*$r + 1] AS s1, sig[j*$r + 2] AS s2,
+                  sig[j*$r + 3] AS s3, sig[j*$r + 4] AS s4
+                FROM sig, UNNEST(generate_series(0, ${Dedup.Bands - 1})) AS u(j)),
+        sized AS (SELECT *, count(*) OVER
+                    (PARTITION BY j, s1, s2, s3, s4) AS bucket_n
+                  FROM bnd),
+        ok AS (SELECT * FROM sized WHERE bucket_n <= ${Dedup.MaxBucket}),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM ok a JOIN ok b ON a.j = b.j
+                   AND a.s1 = b.s1 AND a.s2 = b.s2
+                   AND a.s3 = b.s3 AND a.s4 = b.s4
+                   AND a.doc_id < b.doc_id)"""
+  }
+
+  /** DuckDB mirror of [[Dedup.withPlantedEvidence]] over a `pairs`
+    * CTE carrying doc_a/doc_b (+ extra columns). */
+  private def plantedEvidenceSql(offset: Long, extraCols: String): String =
+    s"""flagged AS (SELECT *, (doc_a % 50 = 0 AND doc_b = doc_a + $offset)
+                      AS is_planted_pair
+                    FROM pairs),
+        stats AS (SELECT CAST(SUM(CASE WHEN is_planted_pair THEN 1 ELSE 0 END)
+                      AS BIGINT) AS planted_found
+                  FROM flagged),
+        expd AS (SELECT CAST(count(*) AS BIGINT) AS planted_expected
+                 FROM documents WHERE doc_id % 50 = 0)
+        SELECT f.doc_a, f.doc_b$extraCols, f.is_planted_pair,
+               s.planted_found, e.planted_expected,
+               ROUND(s.planted_found / e.planted_expected, 4) AS planted_recall
+        FROM flagged f CROSS JOIN stats s CROSS JOIN expd e
+        ORDER BY doc_a, doc_b"""
+
   /** D1: exact dedup via content-hash groupBy. */
   val dedupExact = QueryDef(
     "dedup_exact",
@@ -43,40 +119,76 @@ object PipelineQueries {
              FROM documents GROUP BY 1 ORDER BY content_hash"""))
 
   /** D2: MinHash+LSH candidate pairs on the corpus + planted
-    * near-dups — SELF-VERIFYING (rows-only: the hash family has no SQL
-    * oracle): every row flags whether it is a planted positive and
-    * carries 1-row planted found/expected/recall stats. */
-  val dedupMinhashLsh = QueryDef(
+    * near-dups. FULL ORACLE (r11): the signature matrix is the
+    * committed fixture; DuckDB re-derives the banding (equal
+    * sub-signatures), the MaxBucket valve, the bucket self-join, the
+    * pair distinct, and the planted-recall evidence independently. */
+  def dedupMinhashLsh = QueryDef(
     "dedup_minhash_lsh",
     (s, d) => {
+      sigFixtureFor(s, d)
       val docs = Tables.documents(s, d)
       Dedup.withPlantedEvidence(
         Dedup.minhashLshCandidates(Dedup.withPlantedDups(docs)),
         docs, 1000000L)
         .orderBy("doc_a", "doc_b")
     },
-    None)
+    Some {
+      val base = sigFixtureBase(lastSigDir)
+      s"""WITH ${lshCandidatesCte(base)},
+          pairs AS (SELECT doc_a, doc_b FROM cand),
+          ${plantedEvidenceSql(1000000L, "")}"""
+    })
 
-  /** D3: SimHash near-dup candidates — SELF-VERIFYING like D2; the
-    * planted positives are exact copies (id + 2M, hamming 0 — see
-    * Dedup.withPlantedExactDups). */
-  val dedupSimhash = QueryDef(
+  /** D3: SimHash near-dup candidates; planted positives are exact
+    * copies (id + 2M, hamming 0 — see Dedup.withPlantedExactDups).
+    * FULL ORACLE (r11): signatures are the fixture; DuckDB mirrors
+    * the 16-bit chunking ((simhash >> 16j) & 0xFFFF — DuckDB's `>>`
+    * is arithmetic like the JVM's and bit_count/xor are two's-
+    * complement exact), the bucket valve, the pigeonhole self-join,
+    * and the hamming filter. */
+  def dedupSimhash = QueryDef(
     "dedup_simhash",
     (s, d) => {
+      sigFixtureFor(s, d)
       val docs = Tables.documents(s, d)
       Dedup.withPlantedEvidence(
         Dedup.simhashCandidates(Dedup.withPlantedExactDups(docs)),
         docs, 2000000L)
         .orderBy("doc_a", "doc_b")
     },
-    None)
+    Some {
+      val base = sigFixtureBase(lastSigDir)
+      s"""WITH sh AS (SELECT doc_id, simhash
+                      FROM read_parquet('$base/simhash/*.parquet')),
+          ch AS (SELECT doc_id, simhash, j AS chunk_idx,
+                   ((simhash >> (16*j)) & 65535) AS chunk_val
+                 FROM sh, UNNEST(generate_series(0, 3)) AS u(j)),
+          sized AS (SELECT *, count(*) OVER
+                      (PARTITION BY chunk_idx, chunk_val) AS bucket_n
+                    FROM ch),
+          ok AS (SELECT * FROM sized WHERE bucket_n <= ${Dedup.MaxBucket}),
+          pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      CAST(bit_count(xor(a.simhash, b.simhash)) AS INT)
+                        AS hamming
+                    FROM ok a JOIN ok b ON a.chunk_idx = b.chunk_idx
+                      AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+                    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+          ${plantedEvidenceSql(2000000L, ", f.hamming")}"""
+    })
 
-  /** D4: n-gram Jaccard verification over the D2 candidates —
-    * SELF-VERIFYING: planted pairs sit at Jaccard ≈ 0.85, far above
-    * the 0.5 threshold, so planted_recall tracks the LSH stage's. */
-  val dedupNgramJaccard = QueryDef(
+  /** D4: n-gram Jaccard verification over the D2 candidates; planted
+    * pairs sit at Jaccard ≈ 0.85, far above the 0.5 threshold, so
+    * planted_recall tracks the LSH stage's. FULL ORACLE (r11): the
+    * candidate set re-derives from the signature fixture (the D2
+    * banding), and the Jaccard itself recomputes from the RAW corpus
+    * via string 3-shingles (the D79 arithmetic — equal to the hashed-
+    * shingle production form absent 64-bit collisions, the proven D47
+    * string/hashed parity convention). */
+  def dedupNgramJaccard = QueryDef(
     "dedup_ngram_jaccard",
     (s, d) => {
+      sigFixtureFor(s, d)
       val docs = Tables.documents(s, d)
       val corpus = Dedup.withPlantedDups(docs)
       Dedup.withPlantedEvidence(
@@ -84,7 +196,27 @@ object PipelineQueries {
         docs, 1000000L)
         .orderBy("doc_a", "doc_b")
     },
-    None)
+    Some {
+      val base = sigFixtureBase(lastSigDir)
+      s"""WITH ${lshCandidatesCte(base)},
+          c AS (SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text || ' planted near duplicate suffix'
+                FROM documents WHERE doc_id % 50 = 0),
+          w AS (SELECT doc_id, string_split($oCanon, ' ') AS ws FROM c),
+          t AS (SELECT doc_id, list_distinct(list_transform(
+                  generate_series(0, greatest(len(ws) - 3, 0)),
+                  i -> array_to_string(list_slice(ws, i + 1, i + 3), ' '))) AS sh
+                FROM w),
+          scored AS (SELECT cand.doc_a, cand.doc_b,
+                       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / (len(a.sh) + len(b.sh)
+                            - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+                     FROM cand JOIN t a ON a.doc_id = cand.doc_a
+                               JOIN t b ON b.doc_id = cand.doc_b),
+          pairs AS (SELECT * FROM scored WHERE jaccard >= 0.5),
+          ${plantedEvidenceSql(1000000L, ", f.jaccard")}"""
+    })
 
   /** D47: EXACT all-pairs Jaccard similarity self-join via prefix
     * filtering — the first near-dup PAIR entry with a full SQL oracle:
@@ -491,13 +623,18 @@ object PipelineQueries {
     },
     None)
 
-  /** D77: binary sign-sketch ANN (Hamming pre-rank + float rerank) —
-    * SELF-VERIFYING like the other sublinear-index entries: recall@10
-    * + top-1 recall vs the D6 exact baseline over the planted eval
-    * corpus, in the entry output. A planted identical copy shares all
-    * sign bits with its query (Hamming 0), so it must lead the
-    * candidate list and survive the rerank — top-1 recall is the
-    * must-find signal; mean recall@10 carries the honest noise tail. */
+  /** D77: binary sign-sketch ANN (Hamming pre-rank + float rerank):
+    * recall@10 + top-1 recall vs the D6 exact baseline over the
+    * planted eval corpus, in the entry output. A planted identical
+    * copy shares all sign bits with its query (Hamming 0), so it must
+    * lead the candidate list and survive the rerank.
+    *
+    * FULL ORACLE (r11, no fixture needed): the packed-word Hamming
+    * distance between two sign codes IS the count of dimensions whose
+    * signs disagree — exact integer arithmetic DuckDB expresses
+    * directly over the float embeddings (`(a_i>0) <> (b_i>0)` counted
+    * per pair), so the whole pipeline — sketch rank, depth cut, float
+    * rerank, recall evidence — mirrors in SQL. */
   val annBinaryHamming = QueryDef(
     "ann_binary_hamming",
     (s, d) => {
@@ -509,7 +646,62 @@ object PipelineQueries {
         Ann.bruteForceTopK(corpus, q, 10), 10)
         .orderBy("q_id", "rnk")
     },
-    None)
+    Some(s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                         FROM embeddings),
+            q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e0
+                  WHERE vec_id % 100 = 0 AND vec_id < ${Ann.MaxBroadcastQueries * 100L}),
+            e AS (SELECT vec_id, emb FROM e0
+                  UNION ALL SELECT q_id + 10000000, q_emb FROM q),
+            ham AS (SELECT q.q_id, e.vec_id, q.q_emb, e.emb,
+                      CAST(len(list_filter(list_zip(q.q_emb, e.emb),
+                        p -> (p[1] > 0) <> (p[2] > 0))) AS BIGINT) AS ham
+                    FROM q JOIN e ON e.vec_id <> q.q_id),
+            cand AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                       ORDER BY ham, vec_id) AS hrnk
+                     FROM ham QUALIFY hrnk <= ${
+                       graft.similarity.BinarySketch.RerankFactor * 10}),
+            rer AS (SELECT q_id, vec_id, ham,
+                      ROUND(
+                        list_sum(list_transform(list_zip(q_emb, emb), p -> p[1] * p[2]))
+                        / (sqrt(list_sum(list_transform(q_emb, x -> x * x)))
+                         * sqrt(list_sum(list_transform(emb, x -> x * x)))), 6) AS cos_sim
+                    FROM cand),
+            topk AS (SELECT q_id, vec_id, ham, cos_sim,
+                       CAST(row_number() OVER (PARTITION BY q_id
+                         ORDER BY cos_sim DESC, vec_id) AS INT) AS rnk
+                     FROM rer QUALIFY rnk <= 10),
+            exscored AS (SELECT q.q_id, e.vec_id,
+                      ROUND(
+                        list_sum(list_transform(list_zip(q.q_emb, e.emb), p -> p[1] * p[2]))
+                        / (sqrt(list_sum(list_transform(q.q_emb, x -> x * x)))
+                         * sqrt(list_sum(list_transform(e.emb, x -> x * x)))), 6) AS cos_sim
+                    FROM q JOIN e ON e.vec_id <> q.q_id),
+            exact AS (SELECT q_id, vec_id,
+                        row_number() OVER (PARTITION BY q_id
+                          ORDER BY cos_sim DESC, vec_id) AS rnk
+                      FROM exscored QUALIFY rnk <= 10),
+            flagged AS (SELECT t.q_id, t.vec_id, t.ham, t.cos_sim, t.rnk,
+                          (x.vec_id IS NOT NULL) AS in_exact_topk
+                        FROM topk t LEFT JOIN exact x
+                          ON x.q_id = t.q_id AND x.vec_id = t.vec_id),
+            perq AS (SELECT q_id,
+                       CAST(SUM(CASE WHEN in_exact_topk THEN 1 ELSE 0 END)
+                         AS DOUBLE) / 10 AS recall_at_k
+                     FROM flagged GROUP BY q_id),
+            t1 AS (SELECT ROUND(AVG(CASE WHEN f.vec_id IS NOT NULL
+                       THEN 1.0 ELSE 0.0 END), 4) AS top1_recall
+                   FROM (SELECT q_id, vec_id FROM exact WHERE rnk = 1) x1
+                   LEFT JOIN flagged f
+                     ON f.q_id = x1.q_id AND f.vec_id = x1.vec_id),
+            corp AS (SELECT ROUND(MIN(recall_at_k), 4) AS min_recall,
+                            ROUND(AVG(recall_at_k), 4) AS mean_recall
+                     FROM perq)
+            SELECT f.q_id, f.vec_id, f.ham, f.cos_sim, f.rnk,
+                   f.in_exact_topk, p.recall_at_k,
+                   c.min_recall, c.mean_recall, t.top1_recall
+            FROM flagged f JOIN perq p ON p.q_id = f.q_id
+            CROSS JOIN corp c CROSS JOIN t1 t
+            ORDER BY f.q_id, f.rnk"""))
 
   /** D36: hard-negative mining for contrastive embedding training —
     * per anchor, the exact top-k most-similar vectors with a DIFFERENT
@@ -2894,7 +3086,11 @@ object PipelineQueries {
                       CROSS JOIN nt CROSS JOIN nb
              ORDER BY pmi_q DESC, w1, w2 LIMIT 50"""))
 
-  val all: Seq[QueryDef] = Seq(
+  /** A def, not a val: the D2/D3/D4 oracle strings embed the
+    * signature-fixture path of the dataset THIS process ran, so they
+    * re-render when Verify dumps the oracle map (Compaction
+    * convention). */
+  def all: Seq[QueryDef] = Seq(
     embDecontaminate, embOutliers, textUrlCanonical, textCollocations,
     textLangidEval, qExactSplit, dedupBestKeeper, embDimStats,
     dedupContainment, qWeightedSample, embTriplets,

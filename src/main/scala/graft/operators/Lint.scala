@@ -17,9 +17,12 @@ import org.apache.spark.sql.execution.window.WindowExec
   *     ONLY for the sanctioned 1-row stats broadcasts / bounded eval
   *     scans, so it reports and the caller allowlists;
   *   - `single-partition-exchange`: an Exchange with SinglePartition
-  *     whose input is not already an aggregate — the global-window
-  *     funnel trap (R53's reason to exist). Aggregates feeding a
-  *     1-row reduction are the documented benign class.
+  *     whose input is not an aggregate — the global-window funnel
+  *     trap (R53's reason to exist). Only GLOBAL aggregates (empty
+  *     grouping — a bounded 1-row-per-task reduction) are the benign
+  *     exempt class; a grouped aggregate emits one row per group and
+  *     is flagged separately as `grouped-agg-funnel` so callers with
+  *     provably bounded key cardinality allowlist it deliberately.
   *   - `global-window`: a WindowExec directly over a SinglePartition
   *     exchange — the naive global row_number/running-sum shape.
   *
@@ -38,9 +41,18 @@ object Lint {
         Seq(Finding("cartesian-product", p.nodeName))
       case _: BroadcastNestedLoopJoinExec =>
         Seq(Finding("nested-loop-join", p.nodeName))
-      case e: ShuffleExchangeExec
-          if e.outputPartitioning.numPartitions == 1 && !isAggReduced(e.child) =>
-        Seq(Finding("single-partition-exchange", e.child.nodeName))
+      case e: ShuffleExchangeExec if e.outputPartitioning.numPartitions == 1 =>
+        aggBelow(e.child) match {
+          case Some(g) if g.isEmpty =>
+            Seq.empty // global aggregate: bounded 1-row-per-task funnel
+          case Some(_) =>
+            // a GROUPED aggregate emits one row per group — bounded
+            // only if the caller knows the key cardinality is, so it
+            // is flagged under its own kind for deliberate allowlisting
+            Seq(Finding("grouped-agg-funnel", e.child.nodeName))
+          case None =>
+            Seq(Finding("single-partition-exchange", e.child.nodeName))
+        }
       case w: WindowExec
           if w.partitionSpec.isEmpty =>
         Seq(Finding("global-window", w.nodeName))
@@ -140,28 +152,42 @@ object Lint {
     * means the funnel swallows data-proportional rows: the global-
     * window trap L1 exists to flag. Shared by the L1 rule and the
     * shuffle-bill annotation so the two can never disagree. */
-  private[operators] def isAggReduced(p: SparkPlan): Boolean = p match {
-    case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
-    case u @ (_: org.apache.spark.sql.execution.WholeStageCodegenExec |
-        _: org.apache.spark.sql.execution.InputAdapter |
-        _: org.apache.spark.sql.execution.ProjectExec |
-        _: org.apache.spark.sql.execution.FilterExec |
-        _: org.apache.spark.sql.execution.SortExec |
-        _: org.apache.spark.sql.execution.LocalLimitExec |
-        _: org.apache.spark.sql.execution.GlobalLimitExec |
-        _: org.apache.spark.sql.execution.window.WindowExec) =>
-      isAggReduced(u.children.head)
-    case _ => false
-  }
+  /** The aggregate (if any) feeding a node through reduction-
+    * preserving operators, as its grouping-expression list:
+    * `Some(Nil)` = GLOBAL aggregate (at most one row per input task —
+    * the truly bounded funnel class), `Some(keys)` = grouped
+    * aggregate (one row PER GROUP — data-proportional for
+    * high-cardinality keys, so NOT exempt), `None` = no aggregate. */
+  private[operators] def aggBelow(p: SparkPlan)
+      : Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression]] =
+    p match {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        Some(a.groupingExpressions)
+      case u @ (_: org.apache.spark.sql.execution.WholeStageCodegenExec |
+          _: org.apache.spark.sql.execution.InputAdapter |
+          _: org.apache.spark.sql.execution.ProjectExec |
+          _: org.apache.spark.sql.execution.FilterExec |
+          _: org.apache.spark.sql.execution.SortExec |
+          _: org.apache.spark.sql.execution.LocalLimitExec |
+          _: org.apache.spark.sql.execution.GlobalLimitExec |
+          _: org.apache.spark.sql.execution.window.WindowExec) =>
+        aggBelow(u.children.head)
+      case _ => None
+    }
 
-  /** Annotate a SinglePartition shuffle token with its L1 allowlist
-    * class, so a committed shuffle-bill diff distinguishes the benign
-    * bounded funnel (an aggregate's output feeding a global reduction
-    * — the class L1's `single-partition-exchange` rule exempts) from a
-    * genuine global funnel regression WITHOUT re-running the linter.
-    * `[agg-1row]` = sanctioned; `[non-agg]` = the shape L1 would flag. */
+  /** Annotate a SinglePartition shuffle token with its L1 class, so a
+    * committed shuffle-bill diff distinguishes the funnels WITHOUT
+    * re-running the linter. `[agg-1row]` = global-aggregate reduction,
+    * sanctioned; `[agg-grouped]` = grouped-aggregate funnel, bounded
+    * only when the grouping keys are (L1 flags it as
+    * `grouped-agg-funnel` for deliberate allowlisting); `[non-agg]` =
+    * the raw funnel L1 flags as `single-partition-exchange`. */
   private def singlePartitionClass(e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec): String =
-    if (isAggReduced(e.child)) "[agg-1row]" else "[non-agg]"
+    aggBelow(e.child) match {
+      case Some(g) if g.isEmpty => "[agg-1row]"
+      case Some(_) => "[agg-grouped]"
+      case None => "[non-agg]"
+    }
 
   /** Overload for a physical plan obtained elsewhere (e.g. the
     * cache-free planning path in [[PlanLedger]]). */

@@ -118,6 +118,18 @@ object Imi {
     (cb1, cb2)
   }
 
+  /** The distinct combined-cell ids a bounded query set probes —
+    * driver-side (O(queries·nprobe) ints), shared by
+    * [[topKFromIndex]]'s static pruning filter and the cap bench's
+    * pruned-fraction measurement. */
+  def probedCellIds(queries: DataFrame, cb1: Seq[Seq[Double]],
+      cb2: Seq[Seq[Double]], nprobe: Int = 4): IndexedSeq[Int] = {
+    val dim = dimOf(queries)
+    queries.select(
+        explode(probeCells(col("embedding"), cb1, cb2, dim, nprobe)).as("cell"))
+      .distinct().collect().map(_.getInt(0)).toIndexedSeq
+  }
+
   /** Probe over a written IMI index, mirroring [[Ivf.topKFromIndex]]:
     * the bounded query side's probed cell-id set collects to a STATIC
     * `cell IN (...)` filter, so partition pruning engages at plan time
@@ -129,8 +141,7 @@ object Imi {
     val queryCells = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         explode(probeCells(col("embedding"), cb1, cb2, dim, nprobe)).as("cell"))
-    val probed = queryCells.select("cell").distinct()
-      .collect().map(_.getInt(0)).toIndexedSeq
+    val probed = probedCellIds(queries, cb1, cb2, nprobe)
     val corpusCells = spark.read.parquet(indexPath)
       .filter(col("cell").isin(probed: _*))
     val scored = corpusCells.as("c")

@@ -3,14 +3,12 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The perf ledger's fast gates: the committed `ledger/bench_times.tsv`
-  * stays well-formed and in sync with the entry set, and the mover
-  * math is exactly the contract the main enforces. The MEASUREMENT is
-  * `runMain graft.BenchLedger` (a 3-JVM randomized sweep — a per-round
-  * main, not test-suite material); this spec makes sure the committed
-  * artifact and the comparison mechanism can be trusted between runs. */
+  * stays well-formed and in sync with the entry set, and the
+  * variance-aware mover math is exactly the contract the main (and
+  * BenchGateSpec's in-suite measurement) enforces. */
 class BenchLedgerSpec extends AnyFunSuite {
 
-  private lazy val ledger = BenchLedger.read(BenchLedger.File)
+  private lazy val ledger = BenchLedger.readFull(BenchLedger.File)
 
   test("perf ledger exists, parses, and covers exactly the entry set") {
     assert(ledger.nonEmpty, s"${BenchLedger.File} missing — run " +
@@ -23,23 +21,37 @@ class BenchLedgerSpec extends AnyFunSuite {
         "regen the perf ledger (GRAFT_UPDATE_LEDGER=1 runMain graft.BenchLedger)")
   }
 
-  test("ledger times are sane: positive, sub-minute per entry at sf0.1") {
-    ledger.foreach { case (n, t) =>
-      assert(t > 0.0 && t < 60.0, s"$n: $t s is outside the sane band")
+  test("ledger times are sane: positive, sub-minute per entry at sf0.1; " +
+      "spreads are non-negative and below the pathological band") {
+    ledger.foreach { case (n, e) =>
+      assert(e.median > 0.0 && e.median < 60.0,
+        s"$n: ${e.median} s is outside the sane band")
+      assert(e.spread >= 0.0 && e.spread < 30.0,
+        s"$n: spread ${e.spread} s is outside the sane band")
     }
   }
 
-  test("mover predicate: both the ratio AND the absolute band must trip") {
+  test("mover predicate: ratio arm, absolute arm, AND the entry's own " +
+      "spread band must all clear") {
+    import BenchLedger.{Entry, isMover}
     // tiny entry, big ratio, small absolute delta: NOT a mover
-    assert(!BenchLedger.isMover(stored = 0.1, now = 0.35))
+    assert(!isMover(Entry(0.1, 0.0), now = 0.35))
     // big entry, big absolute delta, small ratio: NOT a mover
-    assert(!BenchLedger.isMover(stored = 10.0, now = 12.0))
-    // both gates trip: mover
-    assert(BenchLedger.isMover(stored = 1.0, now = 1.5))
+    assert(!isMover(Entry(10.0, 0.0), now = 12.0))
+    // both fixed gates trip, zero measured spread: mover
+    assert(isMover(Entry(1.0, 0.0), now = 1.5))
     // boundary: exactly 1.3x is not a mover (strict >)
-    assert(!BenchLedger.isMover(stored = 1.0, now = 1.3))
+    assert(!isMover(Entry(1.0, 0.0), now = 1.3))
     // improvements never count as regressions
-    assert(!BenchLedger.isMover(stored = 5.0, now = 1.0))
+    assert(!isMover(Entry(5.0, 0.0), now = 1.0))
+    // VARIANCE ARM: same +0.5s delta, but the entry's own sweeps
+    // ambiently wander 0.4s — 1.5*0.4 = 0.6 > 0.5, inside the noise
+    // floor, NOT a mover...
+    assert(!isMover(Entry(1.0, 0.4), now = 1.5))
+    // ...while clearing the scaled band IS one
+    assert(isMover(Entry(1.0, 0.4), now = 1.7))
+    // a stable multi-second entry still trips on the fixed band
+    assert(isMover(Entry(3.0, 0.1), now = 4.0))
   }
 
   test("median: odd picks the middle, even averages, single passes through") {
@@ -51,18 +63,45 @@ class BenchLedgerSpec extends AnyFunSuite {
   }
 
   test("compare splits slower (failures) from faster (informational)") {
-    val stored = Map("a" -> 1.0, "b" -> 2.0, "c" -> 0.1, "gone" -> 1.0)
-    val now = Map("a" -> 1.6, "b" -> 1.0, "c" -> 0.2, "new" -> 1.0)
+    import BenchLedger.Entry
+    val stored = Map("a" -> Entry(1.0, 0.0), "b" -> Entry(2.0, 0.0),
+      "c" -> Entry(0.1, 0.0), "gone" -> Entry(1.0, 0.0),
+      // d's delta clears the fixed band but not its own spread band
+      "d" -> Entry(1.0, 0.5))
+    val now = Map("a" -> 1.6, "b" -> 1.0, "c" -> 0.2, "new" -> 1.0,
+      "d" -> 1.6)
     val (slower, faster) = BenchLedger.compare(stored, now)
     assert(slower.size === 1 && slower.head.startsWith("a:"))
     assert(faster.size === 1 && faster.head.startsWith("b:"))
   }
 
-  test("write/read round-trips to 3-decimal precision") {
+  test("write/read round-trips to 3-decimal precision in both shapes, " +
+      "and 2-column sweep files parse with spread 0") {
+    import BenchLedger.Entry
     val f = java.nio.file.Files.createTempFile("graft_bl", ".tsv").toString
-    val m = Map("x" -> 1.23456, "y" -> 0.001)
-    BenchLedger.write(f, m)
-    val back = BenchLedger.read(f)
-    assert(back("x") === 1.235 && back("y") === 0.001)
+    BenchLedger.write(f, Map("x" -> 1.23456, "y" -> 0.001))
+    assert(BenchLedger.read(f) === Map("x" -> 1.235, "y" -> 0.001))
+    assert(BenchLedger.readFull(f) ===
+      Map("x" -> Entry(1.235, 0.0), "y" -> Entry(0.001, 0.0)))
+    val g = java.nio.file.Files.createTempFile("graft_bl3", ".tsv").toString
+    BenchLedger.writeFull(g,
+      Map("x" -> Entry(1.23456, 0.4567), "y" -> Entry(0.001, 0.0)))
+    assert(BenchLedger.readFull(g) ===
+      Map("x" -> Entry(1.235, 0.457), "y" -> Entry(0.001, 0.0)))
+  }
+
+  test("writes are root-locale: a comma-decimal default locale cannot " +
+      "produce a ledger read() rejects") {
+    import BenchLedger.Entry
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY) // 1,235
+      val f = java.nio.file.Files.createTempFile("graft_bl_de", ".tsv").toString
+      BenchLedger.write(f, Map("x" -> 1.23456))
+      assert(BenchLedger.read(f) === Map("x" -> 1.235))
+      val g = java.nio.file.Files.createTempFile("graft_bl3_de", ".tsv").toString
+      BenchLedger.writeFull(g, Map("x" -> Entry(1.23456, 0.5)))
+      assert(BenchLedger.readFull(g) === Map("x" -> Entry(1.235, 0.5)))
+    } finally java.util.Locale.setDefault(prev)
   }
 }

@@ -99,4 +99,41 @@ class InvertedIndexSpec extends SparkSpec {
       "rank <= k must plan a WindowGroupLimit")
     out.unpersist()
   }
+
+  test("D59b: stored-index retrieval is result-identical to the " +
+      "in-query path and reads ONLY the query terms' shards") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+    val queries = Seq(1L -> "data", 1L -> "merge", 2L -> "window",
+      2L -> "join")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_invidx").toString
+    InvertedIndex.writeIndex(docs, path)
+
+    val stored = InvertedIndex.retrieveStored(spark, path, queries).cache()
+    val direct = InvertedIndex.retrieve(docs, queries.toDF("q_id", "term"))
+    assert(stored.exceptAll(direct).count() === 0 &&
+      direct.exceptAll(stored).count() === 0,
+      "stored-index scoring must equal the in-query formulation")
+
+    // pruning, measured against the layout on disk (not just the
+    // plan string): the files the pruned scan enumerates live in
+    // probed-shard directories ONLY, and the fixture has strictly
+    // more populated shards than the probe touches — so a full scan
+    // could not pass this assert
+    val probed = queries.map(q => InvertedIndex.shardOf(q._2)).distinct.toSet
+    val readDirs = spark.read.parquet(s"$path/postings")
+      .filter(col("term_shard").isin(probed.toSeq: _*))
+      .select(input_file_name()).distinct().collect()
+      .map(_.getString(0).replaceAll(".*term_shard=", "")
+        .replaceAll("/.*", "")).toSet
+    assert(readDirs.nonEmpty && readDirs.subsetOf(probed),
+      s"scan read shards $readDirs outside the probed set $probed")
+    val onDisk = new java.io.File(s"$path/postings").listFiles()
+      .filter(_.getName.startsWith("term_shard=")).map(_.getName).toSet
+    assert(onDisk.size > probed.size,
+      s"fixture must have unprobed shards for this assert to bite: " +
+        s"${onDisk.size} on disk vs ${probed.size} probed")
+    stored.unpersist()
+  }
 }

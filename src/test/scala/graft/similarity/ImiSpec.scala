@@ -119,8 +119,23 @@ class ImiSpec extends SparkSpec {
         if f.output.exists(_.name == "cell") => f
     }.head
     val read = scan.selectedPartitions.partitionCount
-    assert(read > 0 && read < totalCells,
-      s"probe must prune partitions: read $read of $totalCells cells")
+    // the strong form (r10 ADVICE): the scan's selected partitions are
+    // bounded by the PROBED cell set intersected with what exists on
+    // disk — a full scan of the nonempty directories cannot pass
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val probed = queries.select(
+        explode(Imi.probeCells(col("embedding"), cb1, cb2, dim, 4)).as("cell"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val onDisk = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("cell="))
+      .map(_.getName.drop("cell=".length).toInt).toSet
+    assert(read > 0 && read <= (probed intersect onDisk).size,
+      s"probe must read ONLY probed cells: read $read, probed ${probed.size}, " +
+        s"probed-and-nonempty ${(probed intersect onDisk).size}")
+    assert(onDisk.size > probed.size,
+      s"fixture must have unprobed nonempty cells for this assert to " +
+        s"bite: ${onDisk.size} on disk vs ${probed.size} probed " +
+        s"(of $totalCells total)")
     // parity with the in-memory IMI path on the same memoized codebooks
     val direct = Imi.topK(emb, queries, 10, cellsPerHalf = 4,
       cacheKey = sf + "#imiidx")

@@ -71,7 +71,16 @@ def rows_of(df):
     return sorted(tuple(norm(v) for v in row) for row in df[cols].itertuples(index=False, name=None))
 
 fails, passes = [], []
+# per-name record of what each comparison stage ACTUALLY established:
+# schema_match = sorted column names equal; rows_match = row counts
+# equal; rowset_match = full normalized row-set equality (this replica
+# compares complete value tuples — stronger than a hash — so the flag
+# is named for what ran, not for the driver's hash stage). A stage not
+# reached stays None.
+stages = {}
 for name, sql in sorted(oracle.items()):
+    st = stages[name] = {"schema_match": None, "rows_match": None,
+                         "rowset_match": None}
     spark_dir = f"{OUT}/{name}"
     if not glob.glob(f"{spark_dir}/*.parquet"):
         fails.append((name, "no spark output")); continue
@@ -82,15 +91,18 @@ for name, sql in sorted(oracle.items()):
         ddf = con.execute(sql).df()
     except Exception as e:
         fails.append((name, f"exec error: {str(e)[:200]}")); continue
-    if sorted(sdf.columns) != sorted(ddf.columns):
+    st["schema_match"] = sorted(sdf.columns) == sorted(ddf.columns)
+    if not st["schema_match"]:
         fails.append((name, f"schema: spark={list(sdf.columns)} duck={list(ddf.columns)}")); continue
     try:
         srows, drows = rows_of(sdf), rows_of(ddf)
     except Unhashable as e:
         fails.append((name, str(e))); continue
-    if len(srows) != len(drows):
+    st["rows_match"] = len(srows) == len(drows)
+    if not st["rows_match"]:
         fails.append((name, f"rowcount: spark={len(srows)} duck={len(drows)}")); continue
-    if srows != drows:
+    st["rowset_match"] = srows == drows
+    if not st["rowset_match"]:
         diff = next((i, a, b) for i, (a, b) in enumerate(zip(srows, drows)) if a != b)
         fails.append((name, f"values differ at row {diff[0]}:\n  spark={diff[1]}\n  duck ={diff[2]}")); continue
     passes.append((name, len(srows)))
@@ -100,9 +112,12 @@ for name, sql in sorted(oracle.items()):
 # artifact, CORRECTNESS_r{N}_sf0.1.json)
 OUT_JSON = next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--out=")), None)
 if OUT_JSON:
-    rec = {n: {"rows": c, "rows_match": True, "schema_match": True,
-               "hash_match": True} for n, c in passes}
-    rec.update({n: {"err": m.splitlines()[0][:300]} for n, m in fails})
+    # flags come from the stage results the run actually produced —
+    # never asserted wholesale (r10 ADVICE: the record must not claim
+    # a per-key check that did not individually run)
+    rec = {n: {"rows": c, **stages[n]} for n, c in passes}
+    rec.update({n: {"err": m.splitlines()[0][:300], **stages.get(n, {})}
+                for n, m in fails})
     with open(OUT_JSON, "w") as f:
         json.dump({"sf": SF, "n_pass": len(passes), "n_fail": len(fails),
                    "queries": dict(sorted(rec.items()))}, f, indent=1)
