@@ -171,6 +171,99 @@ object StreamScaleBench {
         "no state store -- growth is the index, linear in CLEAN docs")
   }
 
+  /** S25: forward-fill — one retained observation per user; most
+    * events carry null and read the carried value. */
+  def forwardFill(s: SparkSession, staged: String, fpt: Int, ckpt: String): Res = {
+    import s.implicits._
+    val in = eventsStream(s, staged, fpt)
+      .select(col("user_id"), col("event_id"),
+        when(col("event_id") % 5 === 0, col("value")).as("reading"))
+      .as[streaming.RunningState.Reading]
+    val q = streaming.RunningState.forwardFill(s, in)
+      .writeStream.format("noop")
+      .option("checkpointLocation", s"$ckpt/ffill")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    drain("forward_fill", q,
+      "state = ONE double per user ever observed; growth bound |users|")
+  }
+
+  /** S26: sequence-pattern CEP — capped per-user event-type string. */
+  def sequencePatterns(s: SparkSession, staged: String, fpt: Int,
+      ckpt: String): Res = {
+    import s.implicits._
+    val in = eventsStream(s, staged, fpt)
+      .select(col("user_id"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("ch"))
+      .as[streaming.RunningState.TypedEv]
+    val q = streaming.RunningState.sequencePatterns(s, in)
+      .writeStream.format("noop")
+      .option("checkpointLocation", s"$ckpt/cep")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    drain("sequence_patterns", q,
+      "state = one capped string per user (maxLen chars); growth bound " +
+        "|users| x cap regardless of stream length")
+  }
+
+  /** S31: hash-priority bottom-k sampling per shard. */
+  def bottomKSample(s: SparkSession, staged: String, fpt: Int,
+      ckpt: String): Res = {
+    import s.implicits._
+    val in = eventsStream(s, staged, fpt)
+      .select((col("event_id") % 64).as("shard"), col("event_id").as("doc_id"))
+      .as[streaming.SampleStream.Item]
+    val q = streaming.SampleStream.bottomK(s, in, 32)
+      .writeStream.format("noop")
+      .option("checkpointLocation", s"$ckpt/bottomk")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    drain("bottomk_sample", q,
+      "state = O(k) members per shard: 64 shards x 32 = 2048 rows max, " +
+        "scale-independent")
+  }
+
+  /** S32: streaming KLL-ish quantile monitor per key. */
+  def quantileMonitor(s: SparkSession, staged: String, fpt: Int,
+      ckpt: String): Res = {
+    import s.implicits._
+    val in = eventsStream(s, staged, fpt)
+      .select((col("user_id") % 64).as("key"), col("event_id"),
+        (col("value") * 1e6).cast("long").as("value_q"))
+      .as[streaming.QuantileStream.Obs]
+    val q = streaming.QuantileStream.quantiles(s, in)
+      .writeStream.format("noop")
+      .option("checkpointLocation", s"$ckpt/kll")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    drain("quantile_monitor", q,
+      "state = O(k log n) sketch bytes per key, 64 keys; emits O(1) " +
+        "rows per key per batch")
+  }
+
+  /** S33: event-time token-bucket rate limiting per user. */
+  def rateLimit(s: SparkSession, staged: String, fpt: Int,
+      ckpt: String): Res = {
+    import s.implicits._
+    val in = eventsStream(s, staged, fpt)
+      .select(col("user_id").as("key"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[streaming.RateLimit.Ev]
+    val q = streaming.RateLimit.decide(s, in, capacity = 10, refillPerSec = 1)
+      .writeStream.format("noop")
+      .option("checkpointLocation", s"$ckpt/rate")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    drain("rate_limit", q,
+      "state = one O(1) bucket per user; pure event-time fold, " +
+        "replay-identical decisions")
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val outJson = args(1)
@@ -199,7 +292,13 @@ object StreamScaleBench {
       sessionWindows(spark, s"$work/staged_events", fpt, s"$work/ck2"),
       heavyHitters(spark, s"$work/staged_events", fpt, s"$work/ck3"),
       scd2Fold(spark, s"$work/staged_events", fpt, s"$work/scd2"),
-      dedupStream(spark, s"$dir/documents.parquet", fpt, s"$work/dedup"))
+      dedupStream(spark, s"$dir/documents.parquet", fpt, s"$work/dedup"),
+      // the r10 verdict item-4 additions: the full stateful family
+      forwardFill(spark, s"$work/staged_events", fpt, s"$work/ck4"),
+      sequencePatterns(spark, s"$work/staged_events", fpt, s"$work/ck5"),
+      bottomKSample(spark, s"$work/staged_events", fpt, s"$work/ck6"),
+      quantileMonitor(spark, s"$work/staged_events", fpt, s"$work/ck7"),
+      rateLimit(spark, s"$work/staged_events", fpt, s"$work/ck8"))
     val json =
       s"""{"dir":"$dir","provider":"rocksdb","files_per_trigger":$fpt,""" +
         s""""stage_secs":${f"$stageSecs%.1f"},""" +

@@ -65,19 +65,36 @@ object IncrementalClusters {
   private val built =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Dataset dir of the most recent fixture build in this process —
+    * the oracle SQL re-renders with it at dump time (the Compaction /
+    * sigFixtureFor convention). */
+  @volatile private var lastDir: String = "/root/testdata/sf0.01"
+  private def fixtureBase(dir: String): String =
+    "/tmp/graft_warehouse/incclusters_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + ProcessHandle.current().pid()
+
   /** Stored state a deployment maintains: the band index, the base
     * edge evidence, and the base labels — built once per (process,
-    * dataset). */
+    * dataset). Also dumps the base-corpus and delta-batch SIGNATURE
+    * matrices: the one non-SQL-expressible stage, from which the
+    * oracle independently re-derives base edges, base labels (a
+    * recursive-CTE CC — the full chain, not the stored labels), both
+    * probe legs, the quotient graph, and the merge stats. */
   private def fixtures(s: SparkSession, dir: String): (String, String, String) = {
-    val base = "/tmp/graft_warehouse/incclusters_" +
-      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + ProcessHandle.current().pid()
+    val base = fixtureBase(dir)
+    lastDir = dir
     if (built.add(base)) {
-      val corpus = baseCorpus(Tables.documents(s, dir))
+      val docs = Tables.documents(s, dir)
+      val corpus = baseCorpus(docs)
       Dedup.writeBandIndex(corpus, s"$base/index")
       val edges = Dedup.minhashLshCandidates(corpus)
       edges.write.mode("overwrite").parquet(s"$base/edges")
       Clusters.connectedComponents(s.read.parquet(s"$base/edges"))
         .write.mode("overwrite").parquet(s"$base/labels")
+      Dedup.minhashSignatures(corpus)
+        .write.mode("overwrite").parquet(s"$base/sigs_base")
+      Dedup.minhashSignatures(deltaBatch(docs))
+        .write.mode("overwrite").parquet(s"$base/sigs_delta")
     }
     (s"$base/index", s"$base/edges", s"$base/labels")
   }
@@ -180,8 +197,71 @@ object IncrementalClusters {
       .orderBy("doc_id")
   }
 
-  val qIncrementalClusters =
-    QueryDef("dedup_clusters_incremental", (s, d) => incremental(s, d))
+  /** FULL ORACLE (r11, was rows-only SV): from the two signature
+    * fixtures DuckDB re-derives base edges + base labels (recursive-
+    * CTE CC #1), both probe legs (index-valved base↔delta band join;
+    * delta self-pairs), the merge directives, the QUOTIENT graph, its
+    * components (recursive-CTE CC #2), the per-doc incremental labels
+    * and the merge count — the complete D92 algorithm replayed
+    * independently, quotient theorem included. */
+  def qIncrementalClusters =
+    QueryDef("dedup_clusters_incremental", (s, d) => incremental(s, d),
+      Some {
+        val base = fixtureBase(lastDir)
+        import PipelineQueries.{bandCteSql, selfPairsSql, ccSql}
+        s"""WITH RECURSIVE ${bandCteSql("cb", s"$base/sigs_base")},
+            ${bandCteSql("db", s"$base/sigs_delta")},
+            ${selfPairsSql("base_pairs", "cb")},
+            base_edges AS (SELECT doc_a AS src, doc_b AS dst FROM base_pairs
+                           UNION SELECT doc_b, doc_a FROM base_pairs),
+            ${ccSql("base_edges", "base_reach", "basecc")},
+            vsbase AS (SELECT DISTINCT db.doc_id AS new_doc,
+                         o.doc_id AS dup_of
+                       FROM cb_ok o JOIN db ON o.j = db.j
+                         AND o.s1 = db.s1 AND o.s2 = db.s2
+                         AND o.s3 = db.s3 AND o.s4 = db.s4),
+            ${selfPairsSql("indelta", "db")},
+            dirs AS (SELECT d.doc_id AS doc_a, d.doc_id + 40 AS doc_b
+                     FROM documents d JOIN documents e
+                       ON e.doc_id = d.doc_id + 40
+                     WHERE d.doc_id % 160 = 0),
+            q_raw AS (
+              SELECT v.new_doc AS doc_a,
+                     COALESCE(bl.cluster_id, v.dup_of) AS doc_b
+              FROM vsbase v LEFT JOIN basecc bl ON bl.doc_id = v.dup_of
+              UNION ALL SELECT doc_a, doc_b FROM indelta
+              UNION ALL
+              SELECT COALESCE(la.cluster_id, dirs.doc_a),
+                     COALESCE(lb.cluster_id, dirs.doc_b)
+              FROM dirs LEFT JOIN basecc la ON la.doc_id = dirs.doc_a
+                        LEFT JOIN basecc lb ON lb.doc_id = dirs.doc_b),
+            q_edges AS (SELECT doc_a AS src, doc_b AS dst FROM q_raw
+                        UNION SELECT doc_b, doc_a FROM q_raw),
+            ${ccSql("q_edges", "q_reach", "qcc")},
+            delta_ids AS (
+              SELECT d.doc_id + 3000000 AS doc_id FROM documents d
+                JOIN documents e ON e.doc_id = d.doc_id + 40
+              WHERE d.doc_id % 80 = 0
+              UNION ALL SELECT doc_id + 3500000 FROM documents
+                WHERE doc_id % 40 = 20
+              UNION ALL SELECT doc_id + 3800000 FROM documents
+                WHERE doc_id % 40 = 21),
+            bl_set AS (SELECT DISTINCT cluster_id AS bl FROM basecc),
+            mergec AS (SELECT q.cluster_id, count(*) AS n_labels
+                       FROM qcc q JOIN bl_set ON q.doc_id = bl
+                       GROUP BY q.cluster_id),
+            merges AS (SELECT CAST(SUM(CASE WHEN n_labels >= 2
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_merges
+                       FROM mergec)
+            SELECT di.doc_id,
+                   CASE WHEN di.doc_id >= 3800000 THEN 'fresh'
+                        WHEN di.doc_id >= 3500000 THEN 'joiner'
+                        ELSE 'bridge' END AS kind,
+                   COALESCE(q.cluster_id, di.doc_id) AS label_inc,
+                   m.n_merges
+            FROM delta_ids di LEFT JOIN qcc q ON q.doc_id = di.doc_id
+            CROSS JOIN merges m ORDER BY di.doc_id"""
+      })
 
-  val all: Seq[QueryDef] = Seq(qIncrementalClusters)
+  def all: Seq[QueryDef] = Seq(qIncrementalClusters)
 }

@@ -65,9 +65,55 @@ object PipelineQueries {
         .write.mode("overwrite").parquet(s"$base/minhash")
       Dedup.simhashSignatures(Dedup.withPlantedExactDups(docs))
         .write.mode("overwrite").parquet(s"$base/simhash")
+      // D34's probe legs: the UNplanted corpus (what the stored band
+      // index holds) and the ingest batch
+      Dedup.minhashSignatures(docs)
+        .write.mode("overwrite").parquet(s"$base/minhash_corpus")
+      Dedup.minhashSignatures(incrementalBatch(docs))
+        .write.mode("overwrite").parquet(s"$base/minhash_batch")
     }
     base
   }
+
+  /** The D34 ingest batch: half planted near-dups of corpus docs
+    * (id + 4M, suffix edit), half synthetic md5-word docs that cannot
+    * shingle-match the corpus — shared by the entry and the oracle
+    * signature fixture. */
+  private def incrementalBatch(docs: DataFrame): DataFrame = {
+    val planted = docs.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 4000000L).as("doc_id"),
+        concat(col("text"), lit(" incremental ingest near duplicate")).as("text"))
+    val fresh = docs.filter(col("doc_id") % 50 === 1)
+      .select((col("doc_id") + 5000000L).as("doc_id"),
+        concat_ws(" ", md5(col("doc_id").cast("string")),
+          md5((col("doc_id") + 1).cast("string")),
+          md5((col("doc_id") + 2).cast("string")),
+          md5((col("doc_id") + 3).cast("string"))).as("text"))
+    planted.unionByName(fresh)
+  }
+
+  /** Band CTE over a signature fixture: one row per (doc, band) with
+    * the band's sub-signature — the building block every fixture
+    * oracle's LSH mirror shares. */
+  private[dedup] def bandCteSql(name: String, path: String): String = {
+    val r = Dedup.RowsPerBand
+    s"""$name AS (SELECT doc_id, j,
+          sig[j*$r + 1] AS s1, sig[j*$r + 2] AS s2,
+          sig[j*$r + 3] AS s3, sig[j*$r + 4] AS s4
+        FROM read_parquet('$path/*.parquet'),
+          UNNEST(generate_series(0, ${Dedup.Bands - 1})) AS u(j))"""
+  }
+
+  /** The D2 candidate arithmetic over a band CTE: bucket-size valve
+    * (window count ≤ MaxBucket) then the a<b self-join, distinct. */
+  private[dedup] def selfPairsSql(pairs: String, bands: String): String =
+    s"""${bands}_ok AS (SELECT * FROM (SELECT *, count(*) OVER
+           (PARTITION BY j, s1, s2, s3, s4) AS bucket_n FROM $bands)
+         WHERE bucket_n <= ${Dedup.MaxBucket}),
+        $pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM ${bands}_ok a JOIN ${bands}_ok b ON a.j = b.j
+                     AND a.s1 = b.s1 AND a.s2 = b.s2 AND a.s3 = b.s3
+                     AND a.s4 = b.s4 AND a.doc_id < b.doc_id)"""
 
   /** DuckDB mirror of [[Dedup.minhashLshCandidates]] DOWNSTREAM of the
     * signatures: band j of a signature is rows [4j, 4j+4); equal band
@@ -1260,27 +1306,24 @@ object PipelineQueries {
   /** D34: incremental dedup against the STORED band index — the
     * continuous-ingest shape: the corpus index is built once (memoized
     * per process+dataset, like the DPP layout), each new batch probes
-    * it with ITS bands broadcast. SELF-VERIFYING rows-only: the new
-    * batch is half planted near-dups of corpus docs (id + 4M, suffix
-    * edit) and half synthetic md5-word docs that CANNOT shingle-match
-    * the corpus; every emitted pair flags is_planted_hit and the 1-row
-    * stats carry found/expected/recall + the fresh-doc false-hit
-    * count. */
-  val dedupIncremental = QueryDef(
+    * it with ITS bands broadcast. The new batch is half planted
+    * near-dups of corpus docs (id + 4M, suffix edit) and half
+    * synthetic md5-word docs that CANNOT shingle-match the corpus;
+    * every emitted pair flags is_planted_hit and the 1-row stats carry
+    * found/expected/recall + the fresh-doc false-hit count.
+    *
+    * FULL ORACLE (r11, was rows-only SV): corpus and batch signature
+    * matrices are fixtures; DuckDB mirrors the index side (bands +
+    * the build-time bucket_n ≤ MaxBucket valve over the CORPUS), the
+    * broadcast batch-band join, the (new_doc, dup_of) distinct, and
+    * the evidence arithmetic. */
+  def dedupIncremental = QueryDef(
     "dedup_incremental",
     (s, d) => {
+      sigFixtureFor(s, d)
       val idx = PipelineQueries.bandIndexFor(s, d)
       val docs = Tables.documents(s, d)
-      val planted = docs.filter(col("doc_id") % 50 === 0)
-        .select((col("doc_id") + 4000000L).as("doc_id"),
-          concat(col("text"), lit(" incremental ingest near duplicate")).as("text"))
-      val fresh = docs.filter(col("doc_id") % 50 === 1)
-        .select((col("doc_id") + 5000000L).as("doc_id"),
-          concat_ws(" ", md5(col("doc_id").cast("string")),
-            md5((col("doc_id") + 1).cast("string")),
-            md5((col("doc_id") + 2).cast("string")),
-            md5((col("doc_id") + 3).cast("string"))).as("text"))
-      val pairs = Dedup.probeBandIndex(s, idx, planted.unionByName(fresh))
+      val pairs = Dedup.probeBandIndex(s, idx, incrementalBatch(docs))
         .withColumn("is_planted_hit",
           col("new_doc") >= 4000000L && col("new_doc") < 5000000L &&
             col("dup_of") === col("new_doc") - 4000000L)
@@ -1294,7 +1337,44 @@ object PipelineQueries {
           round(col("planted_found") / col("planted_expected"), 4))
       pairs.crossJoin(broadcast(stats)).orderBy("new_doc", "dup_of")
     },
-    None)
+    Some {
+      val base = sigFixtureBase(lastSigDir)
+      val r = Dedup.RowsPerBand
+      def bandCte(name: String, src: String) =
+        s"""$name AS (SELECT doc_id, j,
+              sig[j*$r + 1] AS s1, sig[j*$r + 2] AS s2,
+              sig[j*$r + 3] AS s3, sig[j*$r + 4] AS s4
+            FROM read_parquet('$base/$src/*.parquet'),
+              UNNEST(generate_series(0, ${Dedup.Bands - 1})) AS u(j))"""
+      s"""WITH ${bandCte("cb", "minhash_corpus")},
+          ${bandCte("bb", "minhash_batch")},
+          idx AS (SELECT * FROM (SELECT *, count(*) OVER
+                    (PARTITION BY j, s1, s2, s3, s4) AS bucket_n FROM cb)
+                  WHERE bucket_n <= ${Dedup.MaxBucket}),
+          pairs AS (SELECT DISTINCT bb.doc_id AS new_doc,
+                      idx.doc_id AS dup_of
+                    FROM idx JOIN bb ON idx.j = bb.j
+                      AND idx.s1 = bb.s1 AND idx.s2 = bb.s2
+                      AND idx.s3 = bb.s3 AND idx.s4 = bb.s4),
+          flagged AS (SELECT *,
+                        (new_doc >= 4000000 AND new_doc < 5000000
+                         AND dup_of = new_doc - 4000000) AS is_planted_hit
+                      FROM pairs),
+          stats AS (SELECT
+                      CAST(SUM(CASE WHEN is_planted_hit THEN 1 ELSE 0 END)
+                        AS BIGINT) AS planted_found,
+                      CAST(SUM(CASE WHEN new_doc >= 5000000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS fresh_hits
+                    FROM flagged),
+          pexp AS (SELECT CAST(count(*) AS BIGINT) AS planted_expected
+                   FROM documents WHERE doc_id % 50 = 0)
+          SELECT f.new_doc, f.dup_of, f.is_planted_hit, s.planted_found,
+                 s.fresh_hits, e.planted_expected,
+                 ROUND(s.planted_found / e.planted_expected, 4)
+                   AS planted_recall
+          FROM flagged f CROSS JOIN stats s CROSS JOIN pexp e
+          ORDER BY new_doc, dup_of"""
+    })
 
   /** D33: Matryoshka-style embedding truncation — keep the first 16 of
     * 64 dims, renormalize, report the retained L2 energy (the MRL
@@ -1752,32 +1832,59 @@ object PipelineQueries {
                  '${graft.functions.Scrub.LongDigitPattern}', '<NUM>', 'g') AS scrubbed
              FROM planted ORDER BY doc_id"""))
 
-  /** D15: duplicate-cluster resolution over the D2 candidate graph
-    * (rows-only: the pairs themselves have no SQL oracle; component
-    * semantics are spec-asserted on explicit graphs). */
-  val dedupClusters = QueryDef(
+  /** DuckDB mirror of [[Clusters.connectedComponents]] over an
+    * `edges` CTE (src, dst both directions): transitive closure via a
+    * recursive CTE, component label = min reached id. Candidate-graph
+    * components are small (stars/cliques around a template), so the
+    * closure is tiny at oracle scale; the Spark side's min-label
+    * propagation is the 100 TB formulation of the same fixpoint. */
+  private[dedup] def ccSql(edges: String, reach: String, cc: String): String =
+    s"""$reach(doc_id, r) AS (
+         SELECT src, src FROM $edges
+         UNION
+         SELECT $reach.doc_id, e.dst FROM $reach JOIN $edges e ON e.src = $reach.r),
+       $cc AS (SELECT doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+               FROM $reach GROUP BY doc_id)"""
+  private val ccReachSql = ccSql("edges", "reach", "cc")
+
+  /** D15: duplicate-cluster resolution over the D2 candidate graph.
+    * FULL ORACLE (r11, was rows-only): candidates re-derive from the
+    * signature fixture (the D2 banding) and the component labels from
+    * a recursive-CTE transitive closure — min-label propagation and
+    * min-over-closure compute the same fixpoint. */
+  def dedupClusters = QueryDef(
     "dedup_clusters",
     (s, d) => {
+      sigFixtureFor(s, d)
       val corpus = Dedup.withPlantedDups(Tables.documents(s, d))
       Clusters.connectedComponents(Dedup.minhashLshCandidates(corpus))
         .orderBy("doc_id")
     },
-    None)
+    Some {
+      val base = sigFixtureBase(lastSigDir)
+      s"""WITH RECURSIVE ${lshCandidatesCte(base)},
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                    UNION SELECT doc_b, doc_a FROM cand),
+          $ccReachSql
+          SELECT doc_id, cluster_id FROM cc ORDER BY doc_id"""
+    })
 
-  /** Composed D2→D4→D15 pipeline (rows-only: the LSH candidate stage
-    * has no SQL oracle; end-to-end keeper semantics are spec-asserted).
-    * This is the production shape — one plan, candidate subtree
-    * materialized once — and its bench time should track a SINGLE
-    * candidate pass, unlike summing the standalone stage entries. */
-  val dedupPipelineQ = QueryDef(
+  /** Composed D2→D4→D15 pipeline — the production shape: one plan,
+    * candidate subtree materialized once, so its bench time tracks a
+    * SINGLE candidate pass, unlike summing the standalone stage
+    * entries. Output carries n_in/n_out and how many planted
+    * near-dups the end-to-end pipeline dropped. FULL ORACLE (r11,
+    * was rows-only): the whole chain mirrors in DuckDB — banding from
+    * the signature fixture, string-shingle Jaccard verification (the
+    * D4 arithmetic), recursive-CTE components, keeper filter, stats. */
+  def dedupPipelineQ = QueryDef(
     "dedup_pipeline",
     (s, d) => {
+      sigFixtureFor(s, d)
       val docs = Tables.documents(s, d)
       val corpus = Dedup.withPlantedDups(docs)
-      // SELF-VERIFYING: n_in/n_out plus how many planted near-dups the
-      // end-to-end pipeline dropped vs planted. The keeper set feeds
-      // both the stats and the output — cached so the candidate+CC
-      // subtree runs once.
+      // the keeper set feeds both the stats and the output — cached so
+      // the candidate+CC subtree runs once
       val kept = Dedup.dedupPipeline(corpus).select("doc_id").cache()
       val stats = kept.agg(
           count(lit(1)).as("n_out"),
@@ -1789,7 +1896,44 @@ object PipelineQueries {
           col("planted_expected") - col("planted_kept"))
       kept.crossJoin(broadcast(stats)).orderBy("doc_id")
     },
-    None)
+    Some {
+      val base = sigFixtureBase(lastSigDir)
+      s"""WITH RECURSIVE ${lshCandidatesCte(base)},
+          c AS (SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text || ' planted near duplicate suffix'
+                FROM documents WHERE doc_id % 50 = 0),
+          w AS (SELECT doc_id, string_split($oCanon, ' ') AS ws FROM c),
+          t AS (SELECT doc_id, list_distinct(list_transform(
+                  generate_series(0, greatest(len(ws) - 3, 0)),
+                  i -> array_to_string(list_slice(ws, i + 1, i + 3), ' '))) AS sh
+                FROM w),
+          scored AS (SELECT cand.doc_a, cand.doc_b,
+                       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / (len(a.sh) + len(b.sh)
+                            - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+                     FROM cand JOIN t a ON a.doc_id = cand.doc_a
+                               JOIN t b ON b.doc_id = cand.doc_b),
+          vpairs AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM vpairs
+                    UNION SELECT doc_b, doc_a FROM vpairs),
+          $ccReachSql,
+          kept AS (SELECT ci.doc_id FROM c ci
+                   LEFT JOIN cc ON cc.doc_id = ci.doc_id
+                   WHERE cc.doc_id IS NULL OR ci.doc_id = cc.cluster_id),
+          stats AS (SELECT CAST(count(*) AS BIGINT) AS n_out,
+                      CAST(SUM(CASE WHEN doc_id >= 1000000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS planted_kept
+                    FROM kept),
+          nin AS (SELECT CAST(count(*) AS BIGINT) AS n_in FROM c),
+          pexp AS (SELECT CAST(count(*) AS BIGINT) AS planted_expected
+                   FROM documents WHERE doc_id % 50 = 0)
+          SELECT k.doc_id, s.n_out, s.planted_kept, n.n_in,
+                 p.planted_expected,
+                 (p.planted_expected - s.planted_kept) AS planted_dropped
+          FROM kept k CROSS JOIN stats s CROSS JOIN nin n CROSS JOIN pexp p
+          ORDER BY k.doc_id"""
+    })
 
   /** D21: heavy hitters — approximate top-k frequent items
     * (approx_top_k: one-pass, mergeable, bounded memory — the sketch

@@ -83,13 +83,13 @@ object ExactlyOnceSink {
     * post-crash replay of an already-committed batch is a no-op and
     * the pipeline is exactly-once END-TO-END (checkpointed offsets ×
     * idempotent commit). */
-  def attach(incoming: DataFrame, root: String,
-      checkpointDir: String): StreamingQuery =
+  def attach(incoming: DataFrame, root: String, checkpointDir: String,
+      postBatch: Long => Unit = _ => ()): StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(SSTrigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendOnce(batch, root, s"batch-$batchId"); ()
+        appendOnce(batch, root, s"batch-$batchId"); postBatch(batchId); ()
       }
       .start()
 }
