@@ -71,8 +71,26 @@ object PipelineQueries {
         .write.mode("overwrite").parquet(s"$base/minhash_corpus")
       Dedup.minhashSignatures(incrementalBatch(docs))
         .write.mode("overwrite").parquet(s"$base/minhash_batch")
+      // D93's skew-stress corpus (documents + 5000 hot-text copies)
+      Dedup.minhashSignatures(skewCorpus(docs))
+        .write.mode("overwrite").parquet(s"$base/minhash_skew")
+      // the method-eval's simhash leg runs over the NEAR-dup planted
+      // corpus (withPlantedDups), not D3's exact-copy one
+      Dedup.simhashSignatures(Dedup.withPlantedDups(docs))
+        .write.mode("overwrite").parquet(s"$base/simhash_planted")
     }
     base
+  }
+
+  /** The skew-stress corpus: the corpus plus 5000 verbatim copies of
+    * its min-doc_id text — shared by the entry and the oracle
+    * signature fixture. */
+  private def skewCorpus(docs: DataFrame): DataFrame = {
+    val base = docs.select("doc_id", "text")
+    val copies = base.orderBy("doc_id").limit(1)
+      .select(explode(sequence(lit(1L), lit(5000L))).as("i"), col("text"))
+      .select((lit(5000000L) + col("i")).as("doc_id"), col("text"))
+    base.unionByName(copies)
   }
 
   /** The D34 ingest batch: half planted near-dups of corpus docs
@@ -114,6 +132,26 @@ object PipelineQueries {
                    FROM ${bands}_ok a JOIN ${bands}_ok b ON a.j = b.j
                      AND a.s1 = b.s1 AND a.s2 = b.s2 AND a.s3 = b.s3
                      AND a.s4 = b.s4 AND a.doc_id < b.doc_id)"""
+
+  /** DuckDB mirror of [[Dedup.simhashCandidates]] downstream of the
+    * signatures: 16-bit chunking ((simhash >> 16j) & 0xFFFF — DuckDB's
+    * `>>` is arithmetic like the JVM's), bucket valve, pigeonhole
+    * self-join, two's-complement bit_count(xor) hamming ≤ 3. */
+  private[dedup] def simhashPairsSql(pairs: String, path: String): String =
+    s"""${pairs}_sh AS (SELECT doc_id, simhash
+                        FROM read_parquet('$path/*.parquet')),
+        ${pairs}_ch AS (SELECT doc_id, simhash, j AS chunk_idx,
+             ((simhash >> (16*j)) & 65535) AS chunk_val
+           FROM ${pairs}_sh, UNNEST(generate_series(0, 3)) AS u(j)),
+        ${pairs}_ok AS (SELECT * FROM (SELECT *, count(*) OVER
+             (PARTITION BY chunk_idx, chunk_val) AS bucket_n
+           FROM ${pairs}_ch) WHERE bucket_n <= ${Dedup.MaxBucket}),
+        $pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+           FROM ${pairs}_ok a JOIN ${pairs}_ok b
+             ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+               AND a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)"""
 
   /** DuckDB mirror of [[Dedup.minhashLshCandidates]] DOWNSTREAM of the
     * signatures: band j of a signature is rows [4j, 4j+4); equal band
@@ -205,21 +243,7 @@ object PipelineQueries {
     },
     Some {
       val base = sigFixtureBase(lastSigDir)
-      s"""WITH sh AS (SELECT doc_id, simhash
-                      FROM read_parquet('$base/simhash/*.parquet')),
-          ch AS (SELECT doc_id, simhash, j AS chunk_idx,
-                   ((simhash >> (16*j)) & 65535) AS chunk_val
-                 FROM sh, UNNEST(generate_series(0, 3)) AS u(j)),
-          sized AS (SELECT *, count(*) OVER
-                      (PARTITION BY chunk_idx, chunk_val) AS bucket_n
-                    FROM ch),
-          ok AS (SELECT * FROM sized WHERE bucket_n <= ${Dedup.MaxBucket}),
-          pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                      CAST(bit_count(xor(a.simhash, b.simhash)) AS INT)
-                        AS hamming
-                    FROM ok a JOIN ok b ON a.chunk_idx = b.chunk_idx
-                      AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
-                    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+      s"""WITH ${simhashPairsSql("pairs", s"$base/simhash")},
           ${plantedEvidenceSql(2000000L, ", f.hamming")}"""
     })
 
@@ -2135,18 +2159,23 @@ object PipelineQueries {
     * refused, not computed — uncapped it would be C(5001,2) × 16 bands
     * ≈ 2×10⁸ join rows), and a salted-join leg over the same hot key
     * (content hash, 5001-row group) returning exactly one match per
-    * corpus row. Runtime stays bounded BECAUSE the valves engage. */
-  val dedupSkewStress = QueryDef(
+    * corpus row. Runtime stays bounded BECAUSE the valves engage.
+    *
+    * FULL ORACLE (r11, was rows-only SV): the skew corpus's signature
+    * matrix is a fixture; DuckDB recomputes bucket sizes, the capped
+    * count, the valved candidate join and the hot-pair count. The
+    * salted-join leg's count mirrors as the corpus count — an inner
+    * equi-join where every fact row matches its key's single dim row
+    * exactly once per construction (the invariant the salting must
+    * preserve, now hash-gated). */
+  def dedupSkewStress = QueryDef(
     "dedup_skew_stress",
     (s, d) => {
+      sigFixtureFor(s, d)
       val docs = Tables.documents(s, d).select("doc_id", "text")
-      val hot = docs.orderBy("doc_id").limit(1)
-      val copies = hot
-        .select(explode(sequence(lit(1L), lit(5000L))).as("i"), col("text"))
-        .select((lit(5000000L) + col("i")).as("doc_id"), col("text"))
       // referenced by the signature stats, the candidate pass, and the
       // salted-join leg — cache the (tiny-per-row) corpus once
-      val corpus = docs.unionByName(copies).cache()
+      val corpus = skewCorpus(docs).cache()
       val bucketCounts = Dedup.minhashSignatures(corpus)
         .select(col("doc_id"), explode(Dedup.bandKeys(col("sig"))).as("band_key"))
         .groupBy("band_key").count()
@@ -2166,7 +2195,29 @@ object PipelineQueries {
             .as("hot_pairs")))
         .crossJoin(salted.agg(count(lit(1)).as("salted_join_rows")))
     },
-    None)
+    Some {
+      val base = sigFixtureBase(lastSigDir)
+      s"""WITH ${bandCteSql("kb", s"$base/minhash_skew")},
+          buckets AS (SELECT j, s1, s2, s3, s4,
+                        CAST(count(*) AS BIGINT) AS cnt
+                      FROM kb GROUP BY j, s1, s2, s3, s4),
+          bstats AS (SELECT
+                       CAST(SUM(CASE WHEN cnt > ${Dedup.MaxBucket}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS capped_buckets,
+                       CAST(MAX(cnt) AS BIGINT) AS max_bucket
+                     FROM buckets),
+          ${selfPairsSql("cand", "kb")},
+          cstats AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+                       CAST(COALESCE(SUM(CASE WHEN doc_b >= 5000001
+                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS hot_pairs
+                     FROM cand),
+          nc AS (SELECT CAST(count(*) + 5000 AS BIGINT) AS n_corpus
+                 FROM documents)
+          SELECT b.capped_buckets, b.max_bucket, n.n_corpus,
+                 c.n_candidates, c.hot_pairs,
+                 n.n_corpus AS salted_join_rows
+          FROM bstats b CROSS JOIN nc n CROSS JOIN cstats c"""
+    })
 
   /** D20b: the eval-set-shaped decontamination variant — bench gram set
     * broadcast, df valve applied after the bench cut (provably the same
@@ -2231,10 +2282,11 @@ object PipelineQueries {
     * verified-output identity tp = |candidates ∩ truth| are checkable
     * from the counts, and the spec recomputes every number from the
     * constituent operators (each of which carries its own gate). */
-  val dedupMethodEval = QueryDef(
+  def dedupMethodEval = QueryDef(
     "dedup_method_eval",
     (s, d) => {
       import s.implicits._
+      sigFixtureFor(s, d)
       val Tau = 0.5
       val corpus = Dedup.withPlantedDups(Tables.documents(s, d))
       // the exact truth set is the eval's BASELINE; the bench disables
@@ -2265,7 +2317,58 @@ object PipelineQueries {
       rows.toDF("method", "n_candidates", "n_truth", "tp",
         "precision_ppm", "recall_ppm").orderBy("method")
     },
-    None)
+    // FULL ORACLE (r11, was rows-only SV): both candidate generators
+    // re-derive from the signature fixtures; the exact truth set
+    // recomputes from the raw corpus via the D79 string-shingle
+    // all-pairs jaccard (prefix filtering loses no pair, so the truth
+    // is reproducible without mirroring the prefix join); the ppm
+    // precision/recall integer arithmetic mirrors with // division.
+    Some {
+      val base = sigFixtureBase(lastSigDir)
+      s"""WITH ${bandCteSql("mh", s"$base/minhash")},
+          ${selfPairsSql("mh_cand", "mh")},
+          ${simhashPairsSql("shp", s"$base/simhash_planted")},
+          sh_cand AS (SELECT DISTINCT doc_a, doc_b FROM shp),
+          c AS (SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text || ' planted near duplicate suffix'
+                FROM documents WHERE doc_id % 50 = 0),
+          w AS (SELECT doc_id, string_split($oCanon, ' ') AS ws FROM c),
+          t AS (SELECT doc_id, list_distinct(list_transform(
+                  generate_series(0, greatest(len(ws) - 3, 0)),
+                  i -> array_to_string(list_slice(ws, i + 1, i + 3), ' '))) AS sh
+                FROM w),
+          truth AS (SELECT doc_a, doc_b FROM (
+                      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                          / (len(a.sh) + len(b.sh)
+                             - len(list_intersect(a.sh, b.sh))), 6) AS jac
+                      FROM t a JOIN t b ON a.doc_id < b.doc_id)
+                    WHERE jac >= 0.5),
+          tn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM truth),
+          mc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM mh_cand),
+          mt AS (SELECT CAST(count(*) AS BIGINT) AS tp FROM mh_cand m
+                 JOIN truth t ON t.doc_a = m.doc_a AND t.doc_b = m.doc_b),
+          sc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sh_cand),
+          st AS (SELECT CAST(count(*) AS BIGINT) AS tp FROM sh_cand s
+                 JOIN truth t ON t.doc_a = s.doc_a AND t.doc_b = s.doc_b)
+          SELECT * FROM (
+            SELECT 'minhash_lsh' AS method, mc.n AS n_candidates,
+                   tn.n AS n_truth, mt.tp,
+                   CASE WHEN mc.n > 0 THEN mt.tp * 1000000 // mc.n
+                        ELSE CAST(-1 AS BIGINT) END AS precision_ppm,
+                   CASE WHEN tn.n > 0 THEN mt.tp * 1000000 // tn.n
+                        ELSE CAST(-1 AS BIGINT) END AS recall_ppm
+            FROM mc CROSS JOIN tn CROSS JOIN mt
+            UNION ALL
+            SELECT 'simhash_h3', sc.n, tn.n, st.tp,
+                   CASE WHEN sc.n > 0 THEN st.tp * 1000000 // sc.n
+                        ELSE CAST(-1 AS BIGINT) END,
+                   CASE WHEN tn.n > 0 THEN st.tp * 1000000 // tn.n
+                        ELSE CAST(-1 AS BIGINT) END
+            FROM sc CROSS JOIN tn CROSS JOIN st)
+          ORDER BY method"""
+    })
 
   /** D107: contaminated-span excision — see
     * [[graft.dedup.Decontaminate.excised]]. Same planted corpus and
