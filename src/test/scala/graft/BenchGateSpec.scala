@@ -17,8 +17,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * Slice: entries with committed median ≥ [[BenchGateSpec.MinMedian]]
   * — the band where a real regression (the r10 etl_profile_table
   * 2.98→3.92 s class) is detectable above the measured ambient noise
-  * floor; sub-band entries stay covered by the per-round 3-sweep
-  * main. Flagged entries get ONE confirming re-measurement in a
+  * floor — MINUS the mechanically-derived ambient-bimodal class (see
+  * [[bimodal]]); sub-band and bimodal entries stay covered by the
+  * per-round 3-sweep main. Measured on the committed r10/r11 raw
+  * sweeps, a single fresh reading false-alarms on the stable slice at
+  * 1.7% (docs/BENCH_LEDGER.md). Flagged entries get ONE confirming
+  * re-measurement in a
   * second child JVM (min of the two readings) before failing — a
   * single GC pause or C2 recompile in the child must not fail the
   * build. Skip with GRAFT_SKIP_PERF_GATE=1 (e.g. when iterating on an
@@ -29,19 +33,43 @@ class BenchGateSpec extends AnyFunSuite {
   val MinMedian = 2.0
   private val SfDir = "/root/testdata/sf0.1"
 
-  test(s"perf gate: every entry with committed median >= $MinMedian s " +
-      "re-measures inside its variance-aware band (isolated JVM, sf0.1)") {
+  /** Entries whose committed RAW sweep history (bench/benchledger_
+    * r*_sweep*.tsv) is measurably BIMODAL — max/min > 1.6× and
+    * max−min > 0.5 s across all committed readings. Three sweeps can
+    * land entirely in one mode, so the stored spread under-states
+    * these entries' ambient band and no per-reading gate has power
+    * over them; they are info-reported here and adjudicated by the
+    * per-round 3-sweep median in `runMain graft.BenchLedger` instead.
+    * Derived mechanically from the committed records, never
+    * hand-pinned. */
+  private def bimodal: Set[String] = {
+    val sweeps = Option(new java.io.File("bench").listFiles()).get
+      .filter(_.getName.matches("benchledger_r\\d+_sweep\\d+\\.tsv"))
+    val readings = sweeps.flatMap(f => BenchLedger.read(f.getPath).toSeq)
+      .groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2) }
+    readings.collect {
+      case (n, xs) if xs.max / xs.min > 1.6 && xs.max - xs.min > 0.5 => n
+    }.toSet
+  }
+
+  test(s"perf gate: every STABLE entry with committed median >= " +
+      s"$MinMedian s re-measures inside its variance-aware band " +
+      "(isolated JVM, sf0.1)") {
     assume(sys.env.get("GRAFT_SKIP_PERF_GATE").isEmpty,
       "GRAFT_SKIP_PERF_GATE=1 set")
     assume(new java.io.File(SfDir).isDirectory, s"$SfDir absent")
     val stored = BenchLedger.readFull(BenchLedger.File)
     assert(stored.nonEmpty, s"${BenchLedger.File} missing")
+    val bim = bimodal
     val slice = stored.collect {
-      case (n, e) if e.median >= MinMedian && SparkEntry.queries.contains(n) => n
+      case (n, e) if e.median >= MinMedian && !bim(n) &&
+        SparkEntry.queries.contains(n) => n
     }.toSeq.sorted
     assert(slice.nonEmpty, "gate slice empty — MinMedian too high?")
     info(s"gate slice: ${slice.size} entries, committed total " +
-      f"${slice.map(stored(_).median).sum}%.1f s")
+      f"${slice.map(stored(_).median).sum}%.1f s; " +
+      s"${bim.count(n => stored.get(n).exists(_.median >= MinMedian))} " +
+      "bimodal entries excluded (3-sweep-median adjudicated instead)")
 
     val tmp = java.nio.file.Files.createTempDirectory("graft_benchgate")
     def sweep(seed: Int, names: Seq[String]): Map[String, Double] = {
