@@ -91,7 +91,10 @@ object ImiCapBench {
     // directory layout — the deployment shape where the probe's scan
     // PRUNES to the probed cells' directories instead of re-reading
     // and re-assigning the whole corpus per query batch.
-    val idxDir = s"$dir/imi_index_$kHalf"
+    // sibling of the corpus dir, NEVER inside it: a partitioned
+    // subtree under the corpus path makes later plain reads fail with
+    // CONFLICTING_DIRECTORY_STRUCTURES
+    val idxDir = s"${dir}_imi_index_$kHalf"
     val (_, tWriteIdx) = timed {
       if (!new java.io.File(s"$idxDir/_SUCCESS").exists())
         graft.similarity.Imi.writeIndex(corpus, idxDir,
@@ -115,11 +118,19 @@ object ImiCapBench {
       fromIndex.write.format("noop").mode("overwrite").save()
     }
 
-    val json =
-      s"""{"n_vectors":$n,"dim":$dim,""" +
-        s""""ivf":{"cells_config":$ivfCells,"cells_nonempty":$ivfNc,""" +
+    // --skip-ivf leaves the IVF leg unmeasured: emit null (the r9
+    // artifact's IVF numbers stand), never zeros that read as measured
+    val ivfJson =
+      if (skipIvf) """"ivf":null,"""
+      else s""""ivf":{"cells_config":$ivfCells,"cells_nonempty":$ivfNc,""" +
         f""""train_secs":$tTrainIvf%.1f,"assign_secs":$tAssignIvf%.1f,""" +
-        f""""probe_secs":$tProbeIvf%.1f,"max_cell":$ivfMax,"mean_cell":$ivfMean%.0f},""" +
+        f""""probe_secs":$tProbeIvf%.1f,"max_cell":$ivfMax,"mean_cell":$ivfMean%.0f},"""
+    val speedups =
+      if (skipIvf) """"train_speedup":null,"assign_speedup":null,"""
+      else f""""train_speedup":${tTrainIvf / tTrainImi}%.1f,""" +
+        f""""assign_speedup":${tAssignIvf / tAssignImi}%.1f,"""
+    val json =
+      s"""{"n_vectors":$n,"dim":$dim,""" + ivfJson +
         s""""imi":{"cells_per_half":$kHalf,"cells_config":${kHalf.toLong * kHalf},""" +
         s""""cells_nonempty":$imiNc,""" +
         f""""train_secs":$tTrainImi%.1f,"assign_secs":$tAssignImi%.1f,""" +
@@ -127,9 +138,7 @@ object ImiCapBench {
         s""""imi_stored":{"write_secs":${f"$tWriteIdx%.1f"},""" +
         s""""probe_secs":${f"$tProbeStored%.1f"},"cells_read":$cellsRead,""" +
         s""""cells_probed":${probedSet.size},"cells_nonempty":$imiNc,""" +
-        f""""prune_fraction":${cellsRead.toDouble / imiNc}%.4f},""" +
-        f""""train_speedup":${tTrainIvf / tTrainImi}%.1f,""" +
-        f""""assign_speedup":${tAssignIvf / tAssignImi}%.1f,""" +
+        f""""prune_fraction":${cellsRead.toDouble / imiNc}%.4f},""" + speedups +
         f""""stored_probe_speedup":${tProbeImi / tProbeStored}%.1f}"""
     val w = new java.io.PrintWriter(outJson)
     try w.println(json) finally w.close()

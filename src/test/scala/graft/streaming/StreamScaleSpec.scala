@@ -53,4 +53,43 @@ class StreamScaleSpec extends SparkSpec {
       assert(tot.stateRowsLast === users)
     } finally rm(new java.io.File(work))
   }
+
+  test("the r11 stateful family holds its designed state bounds: " +
+      "per-user singletons for fill/CEP/rate-limit, fixed shard/key " +
+      "counts for bottom-k and quantiles") {
+    val s = spark.newSession()
+    s.conf.set(ProviderKey, Provider)
+    val work = "/tmp/graft_stream_scale_spec2_" + ProcessHandle.current().pid()
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(work))
+    try {
+      val events = Tables.events(s, sf)
+      val n = events.count()
+      val users = events.select("user_id").distinct().count()
+      StreamScaleBench.stage(s, events, "ts", s"$work/staged", 4)
+
+      val ff = StreamScaleBench.forwardFill(s, s"$work/staged", 1, s"$work/c1")
+      assert(ff.rows === n)
+      assert(ff.stateRowsLast === users,
+        s"forward-fill state must be exactly |users|: ${ff.stateRowsLast}")
+
+      val cep = StreamScaleBench.sequencePatterns(s, s"$work/staged", 1, s"$work/c2")
+      assert(cep.rows === n && cep.stateRowsLast === users)
+
+      val bk = StreamScaleBench.bottomKSample(s, s"$work/staged", 1, s"$work/c3")
+      assert(bk.rows === n)
+      assert(bk.stateRowsMax <= 64,
+        s"bottom-k state is one reservoir row per shard: ${bk.stateRowsMax}")
+
+      val qm = StreamScaleBench.quantileMonitor(s, s"$work/staged", 1, s"$work/c4")
+      assert(qm.rows === n)
+      assert(qm.stateRowsMax <= 64,
+        s"quantile state is one sketch row per key: ${qm.stateRowsMax}")
+
+      val rl = StreamScaleBench.rateLimit(s, s"$work/staged", 1, s"$work/c5")
+      assert(rl.rows === n && rl.stateRowsLast === users)
+    } finally rm(new java.io.File(work))
+  }
 }
