@@ -1047,18 +1047,63 @@ object PipelineQueries {
     Some(s"""SELECT doc_id, md5($oCanon) AS fp_md5
              FROM documents ORDER BY doc_id"""))
 
-  /** D11b: winnowing fingerprint set (rows-only — xxhash64 rolling
-    * hashes have no DuckDB mirror). The Scala API returns the raw
-    * array<long>; the coverage entry serializes it to JSON because the
-    * driver's row-sorting harness can't hash ndarray cells. */
-  val textWinnow = QueryDef(
+  /** D11b: winnowing fingerprint set over the production xxhash64
+    * gram family. The Scala API returns the raw array<long>; the
+    * coverage entry serializes it to JSON because the driver's
+    * row-sorting harness can't hash ndarray cells.
+    *
+    * FULL ORACLE (r11, was rows-only): the per-(doc, pos) gram-hash
+    * table is the fixture (the one non-SQL stage); DuckDB replays the
+    * ENTIRE winnowing geometry — w-window min, the short-doc boundary
+    * rule, distinct selection, ascending sort — the same arithmetic
+    * the md5-gram twin (text_winnow_geometry) already proves
+    * cross-engine, now gating the production hash family's output
+    * too. */
+  private val winnowFixtures =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  @volatile private var lastWinnowDir: String = "/root/testdata/sf0.01"
+  private def winnowFixtureBase(dir: String): String =
+    "/tmp/graft_warehouse/oraclewinnow_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + ProcessHandle.current().pid()
+  private def winnowFixtureFor(s: SparkSession, dir: String): String = {
+    val base = winnowFixtureBase(dir)
+    lastWinnowDir = dir
+    if (winnowFixtures.add(base)) {
+      graft.functions.Spread(Tables.documents(s, dir), col("doc_id"))
+        .withColumn("canon", Text.canonical(col("text")))
+        .select(col("doc_id"),
+          posexplode(Text.gramHashes(col("canon"), 8)).as(Seq("pos", "gram")))
+        .write.mode("overwrite").parquet(base)
+    }
+    base
+  }
+
+  def textWinnow = QueryDef(
     "text_winnow",
-    (s, d) => graft.functions.Winnow.fingerprints(Tables.documents(s, d))
-      .select(col("doc_id"),
-        size(col("winnow_fps")).as("n_fps"),
-        to_json(col("winnow_fps")).as("winnow_fps"))
-      .orderBy("doc_id"),
-    None)
+    (s, d) => {
+      winnowFixtureFor(s, d)
+      graft.functions.Winnow.fingerprints(Tables.documents(s, d))
+        .select(col("doc_id"),
+          size(col("winnow_fps")).as("n_fps"),
+          to_json(col("winnow_fps")).as("winnow_fps"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val base = winnowFixtureBase(lastWinnowDir)
+      s"""WITH g AS (SELECT doc_id, pos, gram
+                     FROM read_parquet('$base/*.parquet')),
+          wm AS (SELECT doc_id, pos,
+                   min(gram) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin,
+                   count(*) OVER (PARTITION BY doc_id) AS n_grams
+                 FROM g),
+          sel AS (SELECT doc_id, wmin FROM wm
+                  WHERE pos >= 3 OR (n_grams < 4 AND pos = n_grams - 1))
+          SELECT doc_id, CAST(count(DISTINCT wmin) AS INTEGER) AS n_fps,
+            '[' || array_to_string(list_sort(list(DISTINCT wmin)), ',')
+              || ']' AS winnow_fps
+          FROM sel GROUP BY doc_id ORDER BY doc_id"""
+    })
 
   /** D11c: ORACLE-GATED winnowing geometry (VERDICT r4 #7): the same
     * window-min selection as text_winnow but over md5 hex-string grams,
