@@ -56,31 +56,25 @@ object PipelineQueries {
   private def sigFixtureBase(dir: String): String =
     "/tmp/graft_warehouse/oraclesigs_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
       "_" + ProcessHandle.current().pid()
-  private[dedup] def sigFixtureFor(s: SparkSession, dir: String): String = {
+
+  /** Write ONE named fixture table, once per (process, dataset) —
+    * lazily per table, so an entry pays exactly the signature pass its
+    * OWN oracle reads (the first cut eagerly wrote all seven tables on
+    * the first dedup-entry construction: six wasted corpus passes for
+    * a single-entry caller). */
+  private def sigFixture(s: SparkSession, dir: String, sub: String)
+      (df: => DataFrame): Unit = {
     val base = sigFixtureBase(dir)
     lastSigDir = dir
-    if (sigFixtures.add(base)) {
-      val docs = Tables.documents(s, dir)
-      Dedup.minhashSignatures(Dedup.withPlantedDups(docs))
-        .write.mode("overwrite").parquet(s"$base/minhash")
-      Dedup.simhashSignatures(Dedup.withPlantedExactDups(docs))
-        .write.mode("overwrite").parquet(s"$base/simhash")
-      // D34's probe legs: the UNplanted corpus (what the stored band
-      // index holds) and the ingest batch
-      Dedup.minhashSignatures(docs)
-        .write.mode("overwrite").parquet(s"$base/minhash_corpus")
-      Dedup.minhashSignatures(incrementalBatch(docs))
-        .write.mode("overwrite").parquet(s"$base/minhash_batch")
-      // D93's skew-stress corpus (documents + 5000 hot-text copies)
-      Dedup.minhashSignatures(skewCorpus(docs))
-        .write.mode("overwrite").parquet(s"$base/minhash_skew")
-      // the method-eval's simhash leg runs over the NEAR-dup planted
-      // corpus (withPlantedDups), not D3's exact-copy one
-      Dedup.simhashSignatures(Dedup.withPlantedDups(docs))
-        .write.mode("overwrite").parquet(s"$base/simhash_planted")
-    }
-    base
+    if (sigFixtures.add(s"$base/$sub"))
+      df.write.mode("overwrite").parquet(s"$base/$sub")
   }
+
+  /** The planted-corpus minhash signatures — the fixture behind
+    * D2/D4/D15/D19's oracles. */
+  private def minhashPlantedFixture(s: SparkSession, dir: String): Unit =
+    sigFixture(s, dir, "minhash")(
+      Dedup.minhashSignatures(Dedup.withPlantedDups(Tables.documents(s, dir))))
 
   /** The skew-stress corpus: the corpus plus 5000 verbatim copies of
     * its min-doc_id text — shared by the entry and the oracle
@@ -210,7 +204,7 @@ object PipelineQueries {
   def dedupMinhashLsh = QueryDef(
     "dedup_minhash_lsh",
     (s, d) => {
-      sigFixtureFor(s, d)
+      minhashPlantedFixture(s, d)
       val docs = Tables.documents(s, d)
       Dedup.withPlantedEvidence(
         Dedup.minhashLshCandidates(Dedup.withPlantedDups(docs)),
@@ -234,8 +228,9 @@ object PipelineQueries {
   def dedupSimhash = QueryDef(
     "dedup_simhash",
     (s, d) => {
-      sigFixtureFor(s, d)
       val docs = Tables.documents(s, d)
+      sigFixture(s, d, "simhash")(
+        Dedup.simhashSignatures(Dedup.withPlantedExactDups(docs)))
       Dedup.withPlantedEvidence(
         Dedup.simhashCandidates(Dedup.withPlantedExactDups(docs)),
         docs, 2000000L)
@@ -258,7 +253,7 @@ object PipelineQueries {
   def dedupNgramJaccard = QueryDef(
     "dedup_ngram_jaccard",
     (s, d) => {
-      sigFixtureFor(s, d)
+      minhashPlantedFixture(s, d)
       val docs = Tables.documents(s, d)
       val corpus = Dedup.withPlantedDups(docs)
       Dedup.withPlantedEvidence(
@@ -1389,7 +1384,10 @@ object PipelineQueries {
   def dedupIncremental = QueryDef(
     "dedup_incremental",
     (s, d) => {
-      sigFixtureFor(s, d)
+      val docs0 = Tables.documents(s, d)
+      sigFixture(s, d, "minhash_corpus")(Dedup.minhashSignatures(docs0))
+      sigFixture(s, d, "minhash_batch")(
+        Dedup.minhashSignatures(incrementalBatch(docs0)))
       val idx = PipelineQueries.bandIndexFor(s, d)
       val docs = Tables.documents(s, d)
       val pairs = Dedup.probeBandIndex(s, idx, incrementalBatch(docs))
@@ -1924,7 +1922,7 @@ object PipelineQueries {
   def dedupClusters = QueryDef(
     "dedup_clusters",
     (s, d) => {
-      sigFixtureFor(s, d)
+      minhashPlantedFixture(s, d)
       val corpus = Dedup.withPlantedDups(Tables.documents(s, d))
       Clusters.connectedComponents(Dedup.minhashLshCandidates(corpus))
         .orderBy("doc_id")
@@ -1949,7 +1947,7 @@ object PipelineQueries {
   def dedupPipelineQ = QueryDef(
     "dedup_pipeline",
     (s, d) => {
-      sigFixtureFor(s, d)
+      minhashPlantedFixture(s, d)
       val docs = Tables.documents(s, d)
       val corpus = Dedup.withPlantedDups(docs)
       // the keeper set feeds both the stats and the output — cached so
@@ -2216,7 +2214,9 @@ object PipelineQueries {
   def dedupSkewStress = QueryDef(
     "dedup_skew_stress",
     (s, d) => {
-      sigFixtureFor(s, d)
+      sigFixture(s, d, "minhash_skew")(
+        Dedup.minhashSignatures(skewCorpus(
+          Tables.documents(s, d).select("doc_id", "text"))))
       val docs = Tables.documents(s, d).select("doc_id", "text")
       // referenced by the signature stats, the candidate pass, and the
       // salted-join leg — cache the (tiny-per-row) corpus once
@@ -2331,7 +2331,9 @@ object PipelineQueries {
     "dedup_method_eval",
     (s, d) => {
       import s.implicits._
-      sigFixtureFor(s, d)
+      minhashPlantedFixture(s, d)
+      sigFixture(s, d, "simhash_planted")(
+        Dedup.simhashSignatures(Dedup.withPlantedDups(Tables.documents(s, d))))
       val Tau = 0.5
       val corpus = Dedup.withPlantedDups(Tables.documents(s, d))
       // the exact truth set is the eval's BASELINE; the bench disables
