@@ -45,7 +45,14 @@ class BenchGateSpec extends AnyFunSuite {
   private def bimodal: Set[String] = {
     val sweeps = Option(new java.io.File("bench").listFiles()).get
       .filter(_.getName.matches("benchledger_r\\d+_sweep\\d+\\.tsv"))
-    val readings = sweeps.flatMap(f => BenchLedger.read(f.getPath).toSeq)
+    // only the LATEST two rounds of raw sweeps: a code change that
+    // legitimately moved an entry between old rounds must not label
+    // it bimodal forever
+    def round(f: java.io.File): Int =
+      "benchledger_r(\\d+)_".r.findFirstMatchIn(f.getName).get.group(1).toInt
+    val keepRounds = sweeps.map(round).distinct.sorted.takeRight(2).toSet
+    val readings = sweeps.filter(f => keepRounds(round(f)))
+      .flatMap(f => BenchLedger.read(f.getPath).toSeq)
       .groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2) }
     readings.collect {
       case (n, xs) if xs.max / xs.min > 1.6 && xs.max - xs.min > 0.5 => n
