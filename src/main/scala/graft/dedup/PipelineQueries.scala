@@ -550,23 +550,93 @@ object PipelineQueries {
       q.select((col("vec_id") + 10000000L).as("vec_id"),
         col("embedding"), col("label")))
 
-  /** D7: LSH-bucketed ANN — SELF-VERIFYING (rows-only, no SQL oracle
-    * for the hash family): the entry joins the D6 exact brute-force
+  /** D7: LSH-bucketed ANN — the entry joins the D6 exact brute-force
     * baseline over the planted eval corpus and carries per-query
     * recall@10 plus corpus-level min/mean/top1 recall in its own
     * output, spec-bounded in AnnSpec. A production run executes only
-    * the LSH side. */
-  val annLsh = QueryDef(
+    * the LSH side.
+    *
+    * FULL ORACLE (r12-class flip landed in r11): the (id, table,
+    * bucket) code tables for corpus and queries are the fixture — the
+    * one non-SQL stage (Rademacher hyperplane signs from xxhash64);
+    * DuckDB re-derives the candidate set (bucket collisions, the
+    * cross-table dedup), the exact cosine rerank over the raw float
+    * embeddings, the top-k, and the full recall evidence. */
+  def annLsh = QueryDef(
     "ann_lsh",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
       val q = boundedQueries(emb)
       val corpus = annEvalCorpus(emb, q)
+      sigFixture(s, d, "lsh_corpus")(corpus.select(col("vec_id"),
+        posexplode(Ann.hyperplaneBuckets(col("embedding")))
+          .as(Seq("tbl", "bucket"))))
+      sigFixture(s, d, "lsh_queries")(q.select(col("vec_id").as("q_id"),
+        posexplode(Ann.hyperplaneBuckets(col("embedding")))
+          .as(Seq("tbl", "bucket"))))
       Ann.withRecallVsExact(
         Ann.lshTopK(corpus, q, 10), Ann.bruteForceTopK(corpus, q, 10), 10)
         .orderBy("q_id", "rnk")
     },
-    None)
+    Some {
+      val base = sigFixtureBase(lastSigDir)
+      s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                      FROM embeddings),
+          q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e0
+                WHERE vec_id % 100 = 0 AND vec_id < ${Ann.MaxBroadcastQueries * 100L}),
+          e AS (SELECT vec_id, emb FROM e0
+                UNION ALL SELECT q_id + 10000000, q_emb FROM q),
+          cb AS (SELECT vec_id, tbl, bucket
+                 FROM read_parquet('$base/lsh_corpus/*.parquet')),
+          qb AS (SELECT q_id, tbl, bucket
+                 FROM read_parquet('$base/lsh_queries/*.parquet')),
+          cand AS (SELECT DISTINCT qb.q_id, cb.vec_id
+                   FROM cb JOIN qb ON cb.tbl = qb.tbl
+                     AND cb.bucket = qb.bucket AND cb.vec_id <> qb.q_id),
+          scored AS (SELECT c.q_id, c.vec_id,
+                       ROUND(
+                         list_sum(list_transform(list_zip(q.q_emb, e.emb), p -> p[1] * p[2]))
+                         / (sqrt(list_sum(list_transform(q.q_emb, x -> x * x)))
+                          * sqrt(list_sum(list_transform(e.emb, x -> x * x)))), 6)
+                         AS cos_sim
+                     FROM cand c JOIN e ON e.vec_id = c.vec_id
+                                  JOIN q ON q.q_id = c.q_id),
+          topk AS (SELECT q_id, vec_id, cos_sim,
+                     CAST(row_number() OVER (PARTITION BY q_id
+                       ORDER BY cos_sim DESC, vec_id) AS INT) AS rnk
+                   FROM scored QUALIFY rnk <= 10),
+          exscored AS (SELECT q.q_id, e.vec_id,
+                    ROUND(
+                      list_sum(list_transform(list_zip(q.q_emb, e.emb), p -> p[1] * p[2]))
+                      / (sqrt(list_sum(list_transform(q.q_emb, x -> x * x)))
+                       * sqrt(list_sum(list_transform(e.emb, x -> x * x)))), 6) AS cos_sim
+                  FROM q JOIN e ON e.vec_id <> q.q_id),
+          exact AS (SELECT q_id, vec_id,
+                      row_number() OVER (PARTITION BY q_id
+                        ORDER BY cos_sim DESC, vec_id) AS rnk
+                    FROM exscored QUALIFY rnk <= 10),
+          flagged AS (SELECT t.q_id, t.vec_id, t.cos_sim, t.rnk,
+                        (x.vec_id IS NOT NULL) AS in_exact_topk
+                      FROM topk t LEFT JOIN exact x
+                        ON x.q_id = t.q_id AND x.vec_id = t.vec_id),
+          perq AS (SELECT q_id,
+                     CAST(SUM(CASE WHEN in_exact_topk THEN 1 ELSE 0 END)
+                       AS DOUBLE) / 10 AS recall_at_k
+                   FROM flagged GROUP BY q_id),
+          t1 AS (SELECT ROUND(AVG(CASE WHEN f.vec_id IS NOT NULL
+                     THEN 1.0 ELSE 0.0 END), 4) AS top1_recall
+                 FROM (SELECT q_id, vec_id FROM exact WHERE rnk = 1) x1
+                 LEFT JOIN flagged f
+                   ON f.q_id = x1.q_id AND f.vec_id = x1.vec_id),
+          corp AS (SELECT ROUND(MIN(recall_at_k), 4) AS min_recall,
+                          ROUND(AVG(recall_at_k), 4) AS mean_recall
+                   FROM perq)
+          SELECT f.q_id, f.vec_id, f.cos_sim, f.rnk, f.in_exact_topk,
+                 p.recall_at_k, c.min_recall, c.mean_recall, t.top1_recall
+          FROM flagged f JOIN perq p ON p.q_id = f.q_id
+          CROSS JOIN corp c CROSS JOIN t1 t
+          ORDER BY f.q_id, f.rnk"""
+    })
 
   /** D7-alt: IVF ANN — SELF-VERIFYING like ann_lsh (recall@10 and
     * top-1 recall vs the D6 exact baseline in the entry output,
