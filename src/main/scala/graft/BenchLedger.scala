@@ -80,8 +80,70 @@ object BenchLedger {
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
-  private def fmt3(v: Double): String =
+  private[graft] def fmt3(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  /** Gate on the ambient-load canary: a fresh canary reading above
+    * `committed × CanaryK` means the box is sharing its cores with
+    * another full-width load (the r11 closing failure: the driver's
+    * sf0.1 bench ran concurrently with `sbt test` and the perf gate
+    * flagged two untouched entries at ~2× their medians — exactly the
+    * slowdown a 2-threads-per-core schedule produces). Idle-box
+    * re-reads of the canary sit within ~1.2×; a concurrent 32-thread
+    * bench doubles it, so 1.4 separates the regimes with margin on
+    * both sides. */
+  val CanaryK = 1.4
+
+  /** Ambient-load canary: wall seconds of a FIXED all-cores CPU
+    * workload — one spin thread per core, each mixing a constant
+    * number of 64-bit hash rounds (no allocation, no IO, no locale).
+    * On an idle box this reads a near-constant ~0.5 s; under a
+    * concurrent full-width load each thread gets ~half a core and the
+    * reading ~doubles — the exact contention mode that poisons sweep
+    * timings. Recorded in every sweep TSV and beside the committed
+    * ledger (r11 verdict item 5) so mover adjudication is mechanical,
+    * and consumed by BenchGateSpec's self-skip (r11 verdict item 1). */
+  def canarySecs(): Double = {
+    def spin(rounds: Long): Long = {
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0L
+      while (i < rounds) {
+        x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL
+        x ^= x >>> 33; x *= 0xC4CEB9FE1A85EC53L
+        i += 1
+      }
+      x
+    }
+    val perThread = 200000000L
+    spin(perThread / 10) // OSR/JIT warmup on the calling thread
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val t0 = System.nanoTime()
+    val threads = (1 to Runtime.getRuntime.availableProcessors()).map { _ =>
+      val t = new Thread(() => sink.addAndGet(spin(perThread)))
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    if (sink.get() == 42) println(sink.get()) // defeat dead-code elim
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Metadata lines (`# key\tvalue`) at the top of ledger/sweep TSVs
+    * — ambient-load context beside the timings. [[readFull]]/[[read]]
+    * skip them, so consumers of the timing map are unaffected. */
+  def readMeta(path: String): Map[String, String] = {
+    val f = new java.io.File(path)
+    if (!f.exists()) Map.empty
+    else scala.io.Source.fromFile(f, "UTF-8").getLines()
+      .filter(_.startsWith("# "))
+      .map { l =>
+        val p = l.drop(2).split("\t", 2)
+        p(0) -> p.lift(1).getOrElse("")
+      }.toMap
+  }
+
+  private def writeMeta(w: java.io.PrintWriter,
+      meta: Map[String, String]): Unit =
+    meta.toSeq.sortBy(_._1).foreach { case (k, v) => w.println(s"# $k\t$v") }
 
   /** Slower-movers (failures) and faster-movers (informational). */
   def compare(stored: Map[String, Entry], now: Map[String, Double])
@@ -106,6 +168,7 @@ object BenchLedger {
     val f = new java.io.File(path)
     if (!f.exists()) Map.empty
     else scala.io.Source.fromFile(f, "UTF-8").getLines().filter(_.nonEmpty)
+      .filterNot(_.startsWith("#"))
       .map { l =>
         l.split("\t") match {
           case Array(k, m, s) => k -> Entry(m.toDouble, s.toDouble)
@@ -123,23 +186,31 @@ object BenchLedger {
   /** Write a 2-column `name\tsec` file (per-sweep outputs). Formats
     * with an explicit root locale: a comma-decimal default locale must
     * not produce a file [[read]] cannot parse back. */
-  def write(path: String, m: Map[String, Double]): Unit = {
+  def write(path: String, m: Map[String, Double],
+      meta: Map[String, String] = Map.empty): Unit = {
     val f = new java.io.File(path)
     Option(f.getParentFile).foreach(_.mkdirs())
     val w = new java.io.PrintWriter(f)
-    try m.toSeq.sortBy(_._1).foreach { case (k, v) =>
-      w.println(s"$k\t${fmt3(v)}")
+    try {
+      writeMeta(w, meta)
+      m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        w.println(s"$k\t${fmt3(v)}")
+      }
     } finally w.close()
   }
 
   /** Write the committed 3-column ledger (root-locale formatting,
     * same rationale as [[write]]). */
-  def writeFull(path: String, m: Map[String, Entry]): Unit = {
+  def writeFull(path: String, m: Map[String, Entry],
+      meta: Map[String, String] = Map.empty): Unit = {
     val f = new java.io.File(path)
     Option(f.getParentFile).foreach(_.mkdirs())
     val w = new java.io.PrintWriter(f)
-    try m.toSeq.sortBy(_._1).foreach { case (k, e) =>
-      w.println(s"$k\t${fmt3(e.median)}\t${fmt3(e.spread)}")
+    try {
+      writeMeta(w, meta)
+      m.toSeq.sortBy(_._1).foreach { case (k, e) =>
+        w.println(s"$k\t${fmt3(e.median)}\t${fmt3(e.spread)}")
+      }
     } finally w.close()
   }
 
@@ -182,12 +253,21 @@ object BenchLedger {
     val only = sys.env.get("GRAFT_SWEEP_ONLY") // comma-joined, dev loop
     val update = sys.env.get("GRAFT_UPDATE_LEDGER").contains("1")
     val tmp = java.nio.file.Files.createTempDirectory("graft_benchledger")
-    val perSweep = (0 until sweeps).map { i =>
+    val sweepFiles = (0 until sweeps).map { i =>
       val out = s"$tmp/sweep_$i.tsv"
       System.err.println(s"[benchledger] sweep $i/$sweeps (isolated JVM, seed $i)")
       runSweep(i, sfDir, out, only)
-      read(out)
+      out
     }
+    val perSweep = sweepFiles.map(read)
+    // each sweep's child JVM records its own ambient canary (readMeta);
+    // the committed ledger carries the sweeps' median so the gate and
+    // future adjudication have a mechanical load reference
+    val canaries = sweepFiles.flatMap(f => readMeta(f).get("canary"))
+      .map(_.toDouble)
+    if (canaries.nonEmpty)
+      println(s"[benchledger] sweep canaries: " +
+        canaries.map(fmt3).mkString(", ") + " s")
     val names = perSweep.map(_.keySet).reduce(_ intersect _)
     val measured = names.map { n =>
       val xs = perSweep.map(_(n))
@@ -200,7 +280,9 @@ object BenchLedger {
       // a GRAFT_SWEEP_ONLY top-up (e.g. a newly registered entry)
       // merges into the committed ledger; a full run replaces it
       val next = if (only.isDefined) stored ++ measured else measured
-      writeFull(File, next)
+      val meta = readMeta(File) ++ (if (canaries.nonEmpty)
+        Map("canary" -> fmt3(median(canaries))) else Map.empty)
+      writeFull(File, next, meta)
       println(s"[benchledger] ledger ${if (only.isDefined) "topped up" else
         "regenerated"}: ${measured.size} measured, ${next.size} total " +
         s"($sweeps isolated-JVM sweeps, randomized order, median+spread)")
@@ -279,8 +361,18 @@ object BenchSweep {
       try runOnce(n) catch { case _: Throwable => () } // warm pass
     }
     spark.sqlContext.clearCache()
+    // the sweep's ambient-load context, measured JUST before the timed
+    // pass in this same child JVM: the canary reading plus the 1-min
+    // loadavg go into the TSV header so any later mover adjudication
+    // can see what the box was doing (r11 verdict item 5)
+    val canary = BenchLedger.canarySecs()
+    val loadavg = scala.util.Try(
+      scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0))
+      .getOrElse("")
+    println(f"[sweep] seed=$seed canary $canary%.3f s, loadavg $loadavg")
     val timings = timeEntries(spark, sfDir, names, seed)
-    BenchLedger.write(out, timings)
+    BenchLedger.write(out, timings,
+      Map("canary" -> BenchLedger.fmt3(canary), "loadavg1" -> loadavg))
     println(s"[sweep] seed=$seed done: ${timings.size}/${names.size} entries")
     spark.stop()
   }

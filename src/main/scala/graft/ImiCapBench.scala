@@ -93,10 +93,15 @@ object ImiCapBench {
     // and re-assigning the whole corpus per query batch.
     // sibling of the corpus dir, NEVER inside it: a partitioned
     // subtree under the corpus path makes later plain reads fail with
-    // CONFLICTING_DIRECTORY_STRUCTURES
-    val idxDir = s"${dir}_imi_index_$kHalf"
+    // CONFLICTING_DIRECTORY_STRUCTURES. Keyed on the corpus _SUCCESS
+    // mtime so a regenerated corpus can never silently reuse a stale
+    // index (r11 ADVICE item 1) — probe timings must measure the index
+    // of THIS corpus, not a previous generation's.
+    val corpusStamp = new java.io.File(s"$dir/_SUCCESS").lastModified()
+    val idxDir = s"${dir}_imi_index_${kHalf}_$corpusStamp"
+    val needBuild = !new java.io.File(s"$idxDir/_SUCCESS").exists()
     val (_, tWriteIdx) = timed {
-      if (!new java.io.File(s"$idxDir/_SUCCESS").exists())
+      if (needBuild)
         graft.similarity.Imi.writeIndex(corpus, idxDir,
           cellsPerHalf = kHalf, cacheKey = dir)
     }
@@ -135,7 +140,10 @@ object ImiCapBench {
         s""""cells_nonempty":$imiNc,""" +
         f""""train_secs":$tTrainImi%.1f,"assign_secs":$tAssignImi%.1f,""" +
         f""""probe_secs":$tProbeImi%.1f,"max_cell":$imiMax,"mean_cell":$imiMean%.0f},""" +
-        s""""imi_stored":{"write_secs":${f"$tWriteIdx%.1f"},""" +
+        // a reused index has NO measured write: null (the --skip-ivf
+        // convention), never a ~0.0 that reads as a measurement
+        s""""imi_stored":{"write_secs":${
+          if (needBuild) f"$tWriteIdx%.1f" else "null"},""" +
         s""""probe_secs":${f"$tProbeStored%.1f"},"cells_read":$cellsRead,""" +
         s""""cells_probed":${probedSet.size},"cells_nonempty":$imiNc,""" +
         f""""prune_fraction":${cellsRead.toDouble / imiNc}%.4f},""" + speedups +

@@ -580,19 +580,32 @@ object PipelineQueries {
     },
     Some {
       val base = sigFixtureBase(lastSigDir)
-      s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-                      FROM embeddings),
-          q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e0
-                WHERE vec_id % 100 = 0 AND vec_id < ${Ann.MaxBroadcastQueries * 100L}),
-          e AS (SELECT vec_id, emb FROM e0
-                UNION ALL SELECT q_id + 10000000, q_emb FROM q),
-          cb AS (SELECT vec_id, tbl, bucket
+      annRecallOracleSql(
+        s"""cb AS (SELECT vec_id, tbl, bucket
                  FROM read_parquet('$base/lsh_corpus/*.parquet')),
           qb AS (SELECT q_id, tbl, bucket
                  FROM read_parquet('$base/lsh_queries/*.parquet')),
           cand AS (SELECT DISTINCT qb.q_id, cb.vec_id
                    FROM cb JOIN qb ON cb.tbl = qb.tbl
-                     AND cb.bucket = qb.bucket AND cb.vec_id <> qb.q_id),
+                     AND cb.bucket = qb.bucket AND cb.vec_id <> qb.q_id)""")
+    })
+
+  /** The shared fixture-oracle tail for recall-instrumented ANN
+    * entries (ann_lsh / ann_ivf / ann_ivf_imi): given CTEs that define
+    * a candidate set `cand(q_id, vec_id)` (they may reference `e0`
+    * raw embeddings, `q` bounded queries, `e` planted eval corpus),
+    * DuckDB re-derives the 6dp-rounded cosine rerank over the RAW
+    * float embeddings, the top-k window, the exact brute-force
+    * baseline, and every recall column exactly as
+    * [[graft.similarity.Ann.withRecallVsExact]] emits them. */
+  private def annRecallOracleSql(candCtes: String): String =
+    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                      FROM embeddings),
+          q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e0
+                WHERE vec_id % 100 = 0 AND vec_id < ${Ann.MaxBroadcastQueries * 100L}),
+          e AS (SELECT vec_id, emb FROM e0
+                UNION ALL SELECT q_id + 10000000, q_emb FROM q),
+          $candCtes,
           scored AS (SELECT c.q_id, c.vec_id,
                        ROUND(
                          list_sum(list_transform(list_zip(q.q_emb, e.emb), p -> p[1] * p[2]))
@@ -636,43 +649,91 @@ object PipelineQueries {
           FROM flagged f JOIN perq p ON p.q_id = f.q_id
           CROSS JOIN corp c CROSS JOIN t1 t
           ORDER BY f.q_id, f.rnk"""
-    })
 
-  /** D7-alt: IVF ANN — SELF-VERIFYING like ann_lsh (recall@10 and
-    * top-1 recall vs the D6 exact baseline in the entry output,
-    * spec-bounded). */
-  val annIvf = QueryDef(
+  /** D7-alt: IVF ANN — recall@10 and top-1 recall vs the D6 exact
+    * baseline in the entry output, spec-bounded.
+    *
+    * FULL ORACLE (r12, was rows-only): the two float-argmax stages —
+    * the corpus CELL ASSIGNMENT and the query PROBE SET — are the
+    * committed fixtures (exactly as ann_lsh dumps its bucket codes);
+    * DuckDB independently re-derives the candidate equi-join, the
+    * 6dp-rounded cosine rerank over the RAW embeddings, the top-k,
+    * and the full recall evidence, so any bug in the probe join,
+    * dedup, rerank, ranking, or recall arithmetic fails cross-engine.
+    * Only the trained-codebook argmax itself is trusted — and its
+    * planted-copy law (identical vector → identical cell) stays
+    * spec-asserted in AnnSpec. */
+  def annIvf = QueryDef(
     "ann_ivf",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
       val q = boundedQueries(emb)
       val corpus = annEvalCorpus(emb, q)
+      val key = d + "#eval"
+      val cb = graft.similarity.Ivf.codebookFor(corpus,
+        graft.similarity.Ivf.autoCells(corpus, key), key)
+      sigFixture(s, d, "ivf_cells")(
+        graft.similarity.Ivf.assignmentFixture(corpus, cb))
+      sigFixture(s, d, "ivf_probes")(
+        graft.similarity.Ivf.probeFixture(q, cb))
       Ann.withRecallVsExact(
-        graft.similarity.Ivf.topK(corpus, q, 10, cacheKey = d + "#eval"),
+        graft.similarity.Ivf.topK(corpus, q, 10, cacheKey = key),
         Ann.bruteForceTopK(corpus, q, 10), 10)
         .orderBy("q_id", "rnk")
     },
-    None)
+    Some {
+      val base = sigFixtureBase(lastSigDir)
+      annRecallOracleSql(
+        s"""cc AS (SELECT vec_id, cell
+                 FROM read_parquet('$base/ivf_cells/*.parquet')),
+          qp AS (SELECT q_id, cell
+                 FROM read_parquet('$base/ivf_probes/*.parquet')),
+          cand AS (SELECT DISTINCT qp.q_id, cc.vec_id
+                   FROM cc JOIN qp ON cc.cell = qp.cell
+                     AND cc.vec_id <> qp.q_id)""")
+    })
 
   /** D111: two-level IMI coarse quantizer ANN — the [[graft.similarity.Imi]]
     * factorized index that removes the single-level 4096-cell cap
-    * (√N total cells from two N^(1/4) half-codebooks). SELF-VERIFYING
-    * like ann_ivf: recall@10 + top-1 recall vs the D6 exact baseline
-    * over the planted eval corpus, in the entry output, spec-bounded
-    * in ImiSpec (including the structural planted-copy law: the
-    * identical copy shares BOTH half-argmax cells with its query). */
-  val annIvfImi = QueryDef(
+    * (√N total cells from two N^(1/4) half-codebooks). Recall@10 +
+    * top-1 recall vs the D6 exact baseline in the entry output,
+    * spec-bounded in ImiSpec (including the structural planted-copy
+    * law: the identical copy shares BOTH half-argmax cells with its
+    * query).
+    *
+    * FULL ORACLE (r12, the ann_ivf recipe): combined-cell assignment
+    * and the multi-sequence probe set are the fixtures; everything
+    * downstream — candidate join, 6dp cosine rerank from raw floats,
+    * top-k, recall evidence — re-derives in DuckDB. */
+  def annIvfImi = QueryDef(
     "ann_ivf_imi",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
       val q = boundedQueries(emb)
       val corpus = annEvalCorpus(emb, q)
+      val key = d + "#eval"
+      val kHalf = graft.similarity.Imi.autoCellsPerHalf(corpus, key)
+      val (cb1, cb2) = graft.similarity.Imi.codebooks(corpus, kHalf, key)
+      sigFixture(s, d, "imi_cells")(
+        graft.similarity.Imi.assignmentFixture(corpus, cb1, cb2))
+      sigFixture(s, d, "imi_probes")(
+        graft.similarity.Imi.probeFixture(q, cb1, cb2))
       Ann.withRecallVsExact(
-        graft.similarity.Imi.topK(corpus, q, 10, cacheKey = d + "#eval"),
+        graft.similarity.Imi.topK(corpus, q, 10, cacheKey = key),
         Ann.bruteForceTopK(corpus, q, 10), 10)
         .orderBy("q_id", "rnk")
     },
-    None)
+    Some {
+      val base = sigFixtureBase(lastSigDir)
+      annRecallOracleSql(
+        s"""cc AS (SELECT vec_id, cell
+                 FROM read_parquet('$base/imi_cells/*.parquet')),
+          qp AS (SELECT q_id, cell
+                 FROM read_parquet('$base/imi_probes/*.parquet')),
+          cand AS (SELECT DISTINCT qp.q_id, cc.vec_id
+                   FROM cc JOIN qp ON cc.cell = qp.cell
+                     AND cc.vec_id <> qp.q_id)""")
+    })
 
   /** D49: product-quantization ANN — SELF-VERIFYING like ann_lsh/
     * ann_ivf (recall@10 + top-1 recall vs the D6 exact baseline over
@@ -2889,17 +2950,22 @@ object PipelineQueries {
                  * 1e6 + 0.5) / 1e6 >= 0.8 AS is_near_dup
              FROM scored ORDER BY pair_type, doc_a"""))
 
-  /** D26: semantic dedup (SemDeDup) — SELF-VERIFYING (rows-only: the
-    * codebook/CC composition has no SQL oracle): an exact copy of every
-    * 100th embedding is planted at id+10M; an exact copy has cosine
-    * 1.0 ≥ any threshold and lands in its original's cell
-    * deterministically (identical vector → identical cell scores), so
-    * every copy MUST lose keeper-ship to its original's smaller id —
-    * planted_recall carries that evidence in the output. At threshold
-    * 0.99 the isotropic noise corpus (pairwise cos ≈ 0.3) contributes
-    * no natural pairs, so the keeper set is exactly corpus minus
-    * copies; the spec asserts both. */
-  val dedupSemantic = QueryDef(
+  /** D26: semantic dedup (SemDeDup): an exact copy of every 100th
+    * embedding is planted at id+10M; an exact copy has cosine 1.0 ≥
+    * any threshold and lands in its original's cell deterministically
+    * (identical vector → identical cell scores), so every copy MUST
+    * lose keeper-ship to its original's smaller id — planted_recall
+    * carries that evidence in the output, spec-asserted beside it.
+    *
+    * FULL ORACLE (r12, was rows-only): the float-argmax CELL
+    * ASSIGNMENT is the fixture — dumped WITH each vector's
+    * xxhash64(vec_id) so DuckDB re-derives even the MaxCell valve's
+    * hash-ordered sampling itself; everything downstream is
+    * independent SQL: the within-cell a<b pair join, the 6dp-rounded
+    * cosine from the RAW embeddings, the 0.99 threshold, the
+    * connected components (recursive-CTE closure), the min-id keeper
+    * rule, and the planted-recall stats. */
+  def dedupSemantic = QueryDef(
     "dedup_semantic",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -2907,12 +2973,14 @@ object PipelineQueries {
         .select((col("vec_id") + 10000000L).as("vec_id"),
           col("embedding"), col("label"))
       val corpus = emb.unionByName(copies)
-      // 32 cells (vs ann_ivf's 16): the within-cell pair count falls
-      // ~4× per cell-count doubling and SemDeDup needs no probe-side
-      // recall margin — an exact copy shares its original's cell at ANY
-      // cell count (identical vector → identical cell scores)
+      val key = s"$d#semdedup"
+      val cb = graft.similarity.Ivf.codebookFor(corpus,
+        graft.similarity.Ivf.autoCells(corpus, key), key)
+      sigFixture(s, d, "semdedup_cells")(
+        graft.similarity.Ivf.assignmentFixture(corpus, cb)
+          .withColumn("h", xxhash64(col("vec_id"))))
       val out = graft.similarity.SemDedup
-        .dedup(corpus, 0.99, cacheKey = s"$d#semdedup")
+        .dedup(corpus, 0.99, cacheKey = key)
         .withColumn("is_planted_copy", col("vec_id") >= 10000000L)
       val stats = out.agg(
           count(lit(1)).as("n_in"),
@@ -2925,7 +2993,55 @@ object PipelineQueries {
           round(col("planted_dropped") / col("planted_expected"), 4))
       out.crossJoin(broadcast(stats)).orderBy("vec_id")
     },
-    None)
+    Some {
+      val base = sigFixtureBase(lastSigDir)
+      s"""WITH RECURSIVE
+          e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                 FROM embeddings),
+          c AS (SELECT vec_id, emb FROM e0
+                UNION ALL SELECT vec_id + 10000000, emb FROM e0
+                WHERE vec_id % 100 = 0),
+          cells AS (SELECT vec_id, cell, h
+                    FROM read_parquet('$base/semdedup_cells/*.parquet')),
+          capped AS (SELECT vec_id, cell FROM (
+                       SELECT vec_id, cell, row_number() OVER
+                         (PARTITION BY cell ORDER BY h, vec_id) AS rn
+                       FROM cells)
+                     WHERE rn <= ${graft.similarity.SemDedup.MaxCell}),
+          vpairs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+                     FROM capped a JOIN capped b
+                       ON a.cell = b.cell AND a.vec_id < b.vec_id
+                     JOIN c ca ON ca.vec_id = a.vec_id
+                     JOIN c cb ON cb.vec_id = b.vec_id
+                     WHERE ROUND(
+                         list_sum(list_transform(list_zip(ca.emb, cb.emb), p -> p[1] * p[2]))
+                         / (sqrt(list_sum(list_transform(ca.emb, x -> x * x)))
+                          * sqrt(list_sum(list_transform(cb.emb, x -> x * x)))), 6)
+                       >= 0.99),
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM vpairs
+                    UNION SELECT doc_b, doc_a FROM vpairs),
+          $ccReachSql,
+          outv AS (SELECT cells.vec_id, cells.cell, cc.cluster_id,
+                     (cc.cluster_id IS NULL
+                       OR cc.cluster_id = cells.vec_id) AS is_keeper,
+                     (cells.vec_id >= 10000000) AS is_planted_copy
+                   FROM cells LEFT JOIN cc ON cc.doc_id = cells.vec_id),
+          stats AS (SELECT CAST(count(*) AS BIGINT) AS n_in,
+                      CAST(SUM(CASE WHEN NOT is_keeper THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dropped,
+                      CAST(SUM(CASE WHEN is_planted_copy AND NOT is_keeper
+                        THEN 1 ELSE 0 END) AS BIGINT) AS planted_dropped
+                    FROM outv),
+          pexp AS (SELECT CAST(count(*) AS BIGINT) AS planted_expected
+                   FROM embeddings WHERE vec_id % 100 = 0)
+          SELECT o.vec_id, o.cell, o.cluster_id, o.is_keeper,
+                 o.is_planted_copy, s.n_in, s.n_dropped, s.planted_dropped,
+                 p.planted_expected,
+                 ROUND(s.planted_dropped / p.planted_expected, 4)
+                   AS planted_recall
+          FROM outv o CROSS JOIN stats s CROSS JOIN pexp p
+          ORDER BY o.vec_id"""
+    })
 
   val textBm25 = QueryDef(
     "text_bm25",

@@ -217,8 +217,9 @@ object Zorder {
         FROM fl GROUP BY layout ORDER BY layout"""
   }
 
-  /** `all` is a def so Verify's oracle dump re-renders the pid-scoped
-    * fixture path (the Compaction convention). */
+  /** The zonemap oracle re-renders the pid-scoped fixture path on
+    * every access (QueryDef's oracle is by-name since r12). */
   def all: Seq[QueryDef] = Seq(qZorder,
-    qZonemapSkipping.copy(oracle = Some(oZoneSql(lastDir))))
+    QueryDef(qZonemapSkipping.name, qZonemapSkipping.fn,
+      Some(oZoneSql(lastDir))))
 }

@@ -99,6 +99,21 @@ object Imi {
       x => x.getField("cell"))
   }
 
+  /** Fixture views for cross-engine oracles — the IMI counterparts of
+    * [[Ivf.assignmentFixture]]/[[Ivf.probeFixture]]: combined-cell
+    * assignment and the multi-sequence probe set as (id, cell) tables,
+    * the only two stages of the IMI pipeline DuckDB cannot re-derive
+    * (both are float-argmax over the trained half-codebooks). */
+  def assignmentFixture(corpus: DataFrame, cb1: Seq[Seq[Double]],
+      cb2: Seq[Seq[Double]]): DataFrame =
+    assignCells(corpus, cb1, cb2, dimOf(corpus)).select("vec_id", "cell")
+
+  def probeFixture(queries: DataFrame, cb1: Seq[Seq[Double]],
+      cb2: Seq[Seq[Double]], nprobe: Int = 4): DataFrame =
+    queries.select(col("vec_id").as("q_id"),
+      explode(probeCells(col("embedding"), cb1, cb2, dimOf(queries), nprobe))
+        .as("cell"))
+
   /** Deployment persistence — the CAPLESS counterpart of
     * [[Ivf.writeIndex]]: the corpus written PARTITIONED BY combined
     * cell, so a probe's parquet scan prunes to the probed cells'

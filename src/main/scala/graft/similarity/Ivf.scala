@@ -82,6 +82,22 @@ object Ivf {
       x => x.getField("cell"))
   }
 
+  /** Fixture views for cross-engine oracles (r11 verdict item 2): the
+    * two float-argmax stages a SQL engine cannot re-express — corpus
+    * cell assignment and the query probe set — as plain (id, cell)
+    * tables. A fixture oracle dumps these once per process and DuckDB
+    * independently re-derives everything downstream: the candidate
+    * equi-join, the 6dp-rounded cosine rerank over the RAW embeddings,
+    * the top-k window, and the recall evidence (the ann_lsh recipe). */
+  def assignmentFixture(corpus: DataFrame,
+      codebook: Seq[Seq[Double]]): DataFrame =
+    assignCells(corpus, codebook).select("vec_id", "cell")
+
+  def probeFixture(queries: DataFrame, codebook: Seq[Seq[Double]],
+      nprobe: Int = 4): DataFrame =
+    queries.select(col("vec_id").as("q_id"),
+      explode(probeCells(col("embedding"), codebook, nprobe)).as("cell"))
+
   /** Codebooks are trained once per corpus and reused — exactly how a
     * deployment persists its IVF index. Callers that can name their
     * corpus stably (e.g. a dataset directory) pass `cacheKey`. */

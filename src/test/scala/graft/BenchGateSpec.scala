@@ -22,11 +22,22 @@ import org.scalatest.funsuite.AnyFunSuite
   * per-round 3-sweep main. Measured on the committed r10/r11 raw
   * sweeps, a single fresh reading false-alarms on the stable slice at
   * 1.7% (docs/BENCH_LEDGER.md). Flagged entries get ONE confirming
-  * re-measurement in a
-  * second child JVM (min of the two readings) before failing — a
-  * single GC pause or C2 recompile in the child must not fail the
-  * build. Skip with GRAFT_SKIP_PERF_GATE=1 (e.g. when iterating on an
-  * unrelated suite under constrained hardware).
+  * re-measurement in a second child JVM (min of the two readings)
+  * before failing — a single GC pause or C2 recompile in the child
+  * must not fail the build.
+  *
+  * CONTENTION SELF-SKIP (r11 verdict item 1): sweep timings are only
+  * meaningful when the gate's child JVM has the box to itself. The
+  * r11 closing run failed exactly because it didn't — the driver's
+  * own sf0.1 bench shared the 32 cores and two untouched entries read
+  * ~2× their medians. The gate now measures the all-cores ambient
+  * canary ([[BenchLedger.canarySecs]]) against the value committed
+  * beside the ledger and SELF-SKIPS (a loud TestCanceled, not a
+  * failure and not silence) when the box is contended — checked both
+  * BEFORE sweeping and again before turning a confirmed mover into a
+  * failure, so contention that starts mid-gate is also caught. The
+  * old manual GRAFT_SKIP_PERF_GATE env knob remains as a dev-loop
+  * escape only; contention no longer needs it.
   */
 class BenchGateSpec extends AnyFunSuite {
 
@@ -43,7 +54,8 @@ class BenchGateSpec extends AnyFunSuite {
     * Derived mechanically from the committed records, never
     * hand-pinned. */
   private def bimodal: Set[String] = {
-    val sweeps = Option(new java.io.File("bench").listFiles()).get
+    val sweeps = Option(new java.io.File("bench").listFiles())
+      .getOrElse(Array.empty[java.io.File])
       .filter(_.getName.matches("benchledger_r\\d+_sweep\\d+\\.tsv"))
     // only the LATEST two rounds of raw sweeps: a code change that
     // legitimately moved an entry between old rounds must not label
@@ -61,12 +73,35 @@ class BenchGateSpec extends AnyFunSuite {
 
   test(s"perf gate: every STABLE entry with committed median >= " +
       s"$MinMedian s re-measures inside its variance-aware band " +
-      "(isolated JVM, sf0.1)") {
+      "(isolated JVM, sf0.1; self-skips under ambient contention)") {
     assume(sys.env.get("GRAFT_SKIP_PERF_GATE").isEmpty,
       "GRAFT_SKIP_PERF_GATE=1 set")
     assume(new java.io.File(SfDir).isDirectory, s"$SfDir absent")
+    val rawSweeps = Option(new java.io.File("bench").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .exists(_.getName.matches("benchledger_r\\d+_sweep\\d+\\.tsv"))
+    assume(rawSweeps, "bench/benchledger_r*_sweep*.tsv not found — " +
+      "run from the repo root (bimodal derivation needs the raw sweeps)")
     val stored = BenchLedger.readFull(BenchLedger.File)
     assert(stored.nonEmpty, s"${BenchLedger.File} missing")
+    val committedCanary =
+      BenchLedger.readMeta(BenchLedger.File).get("canary").map(_.toDouble)
+    assert(committedCanary.nonEmpty, s"${BenchLedger.File} carries no " +
+      "'# canary' metadata — regen the ledger (GRAFT_UPDATE_LEDGER=1 " +
+      "runMain graft.BenchLedger) so the contention self-skip has a baseline")
+    def contended(stage: String): Boolean = {
+      val now = BenchLedger.canarySecs()
+      val limit = committedCanary.get * BenchLedger.CanaryK
+      info(f"ambient canary ($stage): $now%.2f s " +
+        f"(committed ${committedCanary.get}%.2f s, self-skip above $limit%.2f s)")
+      now > limit
+    }
+    assume(!contended("gate start"),
+      "AMBIENT CONTENTION — perf gate self-skipped: the all-cores " +
+        "canary exceeds its committed envelope, so another full-width " +
+        "load shares this box and sweep timings would measure the " +
+        "scheduler, not the code. Re-run `sbt test` on an idle box.")
+
     val bim = bimodal
     val slice = stored.collect {
       case (n, e) if e.median >= MinMedian && !bim(n) &&
@@ -98,8 +133,17 @@ class BenchGateSpec extends AnyFunSuite {
           BenchLedger.isMover(stored(n), best)
         }
       }
+    // contention can START mid-gate (the r11 failure: the driver's
+    // bench kicked off while the suite ran) — re-read the canary
+    // before turning a confirmed mover into a red suite
+    if (confirmed.nonEmpty)
+      assume(!contended("pre-fail recheck"),
+        "AMBIENT CONTENTION AROSE MID-GATE — self-skipped: " +
+          s"flagged $confirmed, but the canary shows the box became " +
+          "loaded during the gate, so the readings are not attributable " +
+          "to code. Re-run `sbt test` on an idle box.")
     assert(confirmed.isEmpty,
-      "PERF REGRESSION (confirmed in two isolated JVMs): " +
+      "PERF REGRESSION (confirmed in two isolated JVMs, idle box): " +
         confirmed.map(n => f"$n: ${stored(n).median}%.2fs " +
           f"(spread ${stored(n).spread}%.2fs) -> ${now(n)}%.2fs").mkString("; ") +
         " — if intended, regen the ledger " +

@@ -90,18 +90,42 @@ class BenchLedgerSpec extends AnyFunSuite {
       Map("x" -> Entry(1.235, 0.457), "y" -> Entry(0.001, 0.0)))
   }
 
-  test("writes are root-locale: a comma-decimal default locale cannot " +
-      "produce a ledger read() rejects") {
+  test("the shared number formatter is root-locale BY CONSTRUCTION: " +
+      "its output is the dot-decimal string regardless of the JVM " +
+      "default locale") {
+    // asserted on the formatter directly instead of flipping the
+    // process-global default Locale (r11 ADVICE: a setDefault in a
+    // parallel suite can make any concurrently running f-interpolator
+    // emit comma decimals mid-test) — fmt3 names Locale.ROOT
+    // explicitly, and every write path goes through it, so pinning its
+    // character-level output pins the file format
+    assert(BenchLedger.fmt3(1.23456) === "1.235")
+    assert(BenchLedger.fmt3(0.001) === "0.001")
+    assert(BenchLedger.fmt3(1234.5) === "1234.500")
+    // and the emitted text round-trips through the strict parser
+    assert(BenchLedger.fmt3(1.23456).toDouble === 1.235)
+  }
+
+  test("metadata lines round-trip and never leak into the timing map") {
     import BenchLedger.Entry
-    val prev = java.util.Locale.getDefault
-    try {
-      java.util.Locale.setDefault(java.util.Locale.GERMANY) // 1,235
-      val f = java.nio.file.Files.createTempFile("graft_bl_de", ".tsv").toString
-      BenchLedger.write(f, Map("x" -> 1.23456))
-      assert(BenchLedger.read(f) === Map("x" -> 1.235))
-      val g = java.nio.file.Files.createTempFile("graft_bl3_de", ".tsv").toString
-      BenchLedger.writeFull(g, Map("x" -> Entry(1.23456, 0.5)))
-      assert(BenchLedger.readFull(g) === Map("x" -> Entry(1.235, 0.5)))
-    } finally java.util.Locale.setDefault(prev)
+    val f = java.nio.file.Files.createTempFile("graft_bl_meta", ".tsv").toString
+    BenchLedger.writeFull(f, Map("x" -> Entry(1.0, 0.1)),
+      meta = Map("canary" -> "0.512", "loadavg1" -> "3.10"))
+    assert(BenchLedger.readMeta(f) ===
+      Map("canary" -> "0.512", "loadavg1" -> "3.10"))
+    assert(BenchLedger.readFull(f) === Map("x" -> Entry(1.0, 0.1)))
+    val g = java.nio.file.Files.createTempFile("graft_bl_meta2", ".tsv").toString
+    BenchLedger.write(g, Map("y" -> 2.0), meta = Map("canary" -> "0.498"))
+    assert(BenchLedger.read(g) === Map("y" -> 2.0))
+    assert(BenchLedger.readMeta(g)("canary") === "0.498")
+  }
+
+  test("committed ledger carries the ambient-load canary the perf " +
+      "gate's contention self-skip consumes") {
+    val canary = BenchLedger.readMeta(BenchLedger.File).get("canary")
+    assert(canary.nonEmpty, s"${BenchLedger.File} has no '# canary' " +
+      "metadata — regen (GRAFT_UPDATE_LEDGER=1 runMain graft.BenchLedger)")
+    val v = canary.get.toDouble
+    assert(v > 0.0 && v < 30.0, s"canary $v s outside the sane band")
   }
 }
