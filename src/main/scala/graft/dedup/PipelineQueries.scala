@@ -599,13 +599,8 @@ object PipelineQueries {
     * baseline, and every recall column exactly as
     * [[graft.similarity.Ann.withRecallVsExact]] emits them. */
   private def annRecallOracleSql(candCtes: String): String =
-    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-                      FROM embeddings),
-          q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e0
-                WHERE vec_id % 100 = 0 AND vec_id < ${Ann.MaxBroadcastQueries * 100L}),
-          e AS (SELECT vec_id, emb FROM e0
-                UNION ALL SELECT q_id + 10000000, q_emb FROM q),
-          $candCtes,
+    annRecallTopkOracleSql(
+      s"""$candCtes,
           scored AS (SELECT c.q_id, c.vec_id,
                        ROUND(
                          list_sum(list_transform(list_zip(q.q_emb, e.emb), p -> p[1] * p[2]))
@@ -617,7 +612,28 @@ object PipelineQueries {
           topk AS (SELECT q_id, vec_id, cos_sim,
                      CAST(row_number() OVER (PARTITION BY q_id
                        ORDER BY cos_sim DESC, vec_id) AS INT) AS rnk
-                   FROM scored QUALIFY rnk <= 10),
+                   FROM scored QUALIFY rnk <= 10)""",
+      scoreCol = "cos_sim")
+
+  /** The tail one level down: the caller supplies CTEs ending in a
+    * `topk(q_id, vec_id, $scoreCol, rnk)` — for indexes whose ranking
+    * score is NOT the exact cosine (PQ's ADC) the caller mirrors its
+    * own scoring arithmetic; the exact brute-force baseline and the
+    * recall columns are shared verbatim. */
+  /** The shared prelude of every ANN oracle: raw embeddings, the
+    * bounded query set, and the planted eval corpus. */
+  private def annOraclePreludeCtes: String =
+    s"""e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                      FROM embeddings),
+          q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e0
+                WHERE vec_id % 100 = 0 AND vec_id < ${Ann.MaxBroadcastQueries * 100L}),
+          e AS (SELECT vec_id, emb FROM e0
+                UNION ALL SELECT q_id + 10000000, q_emb FROM q)"""
+
+  private def annRecallTopkOracleSql(topkCtes: String,
+      scoreCol: String): String =
+    s"""WITH $annOraclePreludeCtes,
+          $topkCtes,
           exscored AS (SELECT q.q_id, e.vec_id,
                     ROUND(
                       list_sum(list_transform(list_zip(q.q_emb, e.emb), p -> p[1] * p[2]))
@@ -628,7 +644,7 @@ object PipelineQueries {
                       row_number() OVER (PARTITION BY q_id
                         ORDER BY cos_sim DESC, vec_id) AS rnk
                     FROM exscored QUALIFY rnk <= 10),
-          flagged AS (SELECT t.q_id, t.vec_id, t.cos_sim, t.rnk,
+          flagged AS (SELECT t.q_id, t.vec_id, t.$scoreCol, t.rnk,
                         (x.vec_id IS NOT NULL) AS in_exact_topk
                       FROM topk t LEFT JOIN exact x
                         ON x.q_id = t.q_id AND x.vec_id = t.vec_id),
@@ -644,11 +660,73 @@ object PipelineQueries {
           corp AS (SELECT ROUND(MIN(recall_at_k), 4) AS min_recall,
                           ROUND(AVG(recall_at_k), 4) AS mean_recall
                    FROM perq)
-          SELECT f.q_id, f.vec_id, f.cos_sim, f.rnk, f.in_exact_topk,
+          SELECT f.q_id, f.vec_id, f.$scoreCol, f.rnk, f.in_exact_topk,
                  p.recall_at_k, c.min_recall, c.mean_recall, t.top1_recall
           FROM flagged f JOIN perq p ON p.q_id = f.q_id
           CROSS JOIN corp c CROSS JOIN t1 t
           ORDER BY f.q_id, f.rnk"""
+
+  /** The PQ fixtures behind the D49/D61 oracles: the per-vector CODES
+    * (exactly the stored compressed index the probe reads) and the
+    * trained codebook as an (s, code, cw) table. With both committed,
+    * the ADC LUT arithmetic mirrors fully in SQL — the lookup tables,
+    * the per-subspace dots, the codeword norms, and the rounded
+    * asymmetric cosine re-derive from raw floats; only the k-means
+    * argmax encoding itself is trusted (and its planted-copy law stays
+    * spec-asserted). */
+  private def pqFixtures(s: SparkSession, d: String,
+      corpus: DataFrame, cb: Seq[Seq[Seq[Double]]], key: String): Unit = {
+    sigFixture(s, d, "pq_codes")(
+      graft.similarity.Pq.encodedStored(corpus, cb, key))
+    sigFixture(s, d, "pq_codebook") {
+      import s.implicits._
+      cb.zipWithIndex.flatMap { case (sub, si) =>
+        sub.zipWithIndex.map { case (c, ci) => (si, ci, c) }
+      }.toDF("s", "code", "cw")
+    }
+  }
+
+  /** DuckDB mirror of [[graft.similarity.Pq]]'s ADC scoring over the
+    * PQ fixtures, downstream of a `cand(q_id, vec_id)` CTE: per-query
+    * LUT = ⟨q_sub, codeword⟩ per (subspace, codeword), dot/norm² as
+    * s-ORDERED list_sums (matching the Spark fold's association
+    * order), rounded asymmetric cosine, rank window — produces the
+    * `topk(q_id, vec_id, adc_sim, rnk)` the shared recall tail
+    * consumes. */
+  private def adcTopkCtes(base: String, candCtes: String): String = {
+    val m = graft.similarity.Pq.M
+    val dsub = 64 / m
+    s"""$candCtes,
+        pqcw AS (SELECT s, code, cw
+                 FROM read_parquet('$base/pq_codebook/*.parquet')),
+        pqcodes AS (SELECT vec_id, codes
+                    FROM read_parquet('$base/pq_codes/*.parquet')),
+        vc AS (SELECT vec_id, j AS s, codes[j + 1] AS code
+               FROM pqcodes, UNNEST(generate_series(0, ${m - 1})) AS u(j)),
+        lut AS (SELECT q.q_id, w.s, w.code,
+                  list_sum(list_transform(list_zip(
+                    list_slice(q.q_emb, w.s * $dsub + 1, (w.s + 1) * $dsub),
+                    w.cw), p -> p[1] * p[2])) AS dotv,
+                  list_sum(list_transform(w.cw, x -> x * x)) AS n2
+                FROM q CROSS JOIN pqcw w),
+        qn AS (SELECT q_id,
+                 sqrt(list_sum(list_transform(q_emb, x -> x * x))) AS q_norm
+               FROM q),
+        sc AS (SELECT c.q_id, c.vec_id,
+                 list_sum(list(l.dotv ORDER BY l.s)) AS dot,
+                 list_sum(list(l.n2 ORDER BY l.s)) AS xn2
+               FROM cand c JOIN vc ON vc.vec_id = c.vec_id
+               JOIN lut l ON l.q_id = c.q_id AND l.s = vc.s
+                 AND l.code = vc.code
+               GROUP BY c.q_id, c.vec_id),
+        topk AS (SELECT sc.q_id, sc.vec_id,
+                   ROUND(sc.dot / (qn.q_norm * sqrt(sc.xn2)), 6) AS adc_sim,
+                   CAST(row_number() OVER (PARTITION BY sc.q_id
+                     ORDER BY ROUND(sc.dot / (qn.q_norm * sqrt(sc.xn2)), 6)
+                       DESC, sc.vec_id) AS INT) AS rnk
+                 FROM sc JOIN qn ON qn.q_id = sc.q_id
+                 QUALIFY rnk <= 10)"""
+  }
 
   /** D7-alt: IVF ANN — recall@10 and top-1 recall vs the D6 exact
     * baseline in the entry output, spec-bounded.
@@ -735,46 +813,89 @@ object PipelineQueries {
                      AND cc.vec_id <> qp.q_id)""")
     })
 
-  /** D49: product-quantization ANN — SELF-VERIFYING like ann_lsh/
-    * ann_ivf (recall@10 + top-1 recall vs the D6 exact baseline over
-    * the planted eval corpus, in the entry output). The index is the
-    * codes column (m small ints per vector — the 32× storage cut);
-    * scoring decodes map-side from the broadcast codebook and runs
-    * the fused cosine. Codebook training is driver-side over an
+  /** D49: product-quantization ANN — recall@10 + top-1 recall vs the
+    * D6 exact baseline over the planted eval corpus, in the entry
+    * output. The index is the codes column (m small ints per vector —
+    * the 32× storage cut); scoring is the true ADC LUT path over the
+    * stored codes. Codebook training is driver-side over an
     * absolutely-bounded sample (standard PQ practice), memoized per
-    * dataset. */
-  val annPqAdc = QueryDef(
+    * dataset.
+    *
+    * FULL ORACLE (r12, was rows-only): the stored CODES and the
+    * trained CODEBOOK are the fixtures; DuckDB rebuilds the per-query
+    * LUTs from the raw float embeddings and mirrors the entire ADC
+    * arithmetic — per-subspace dots, codeword norms, the rounded
+    * asymmetric cosine, the rank window — plus the recall evidence,
+    * so any bug in the LUT, lookup, scoring, or ranking fails
+    * cross-engine. Only the k-means argmax encoder is trusted
+    * (spec-asserted planted-copy law in PqSpec). */
+  def annPqAdc = QueryDef(
     "ann_pq_adc",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
       val q = boundedQueries(emb)
       val corpus = annEvalCorpus(emb, q)
-      val cb = graft.similarity.Pq.codebooks(corpus, d + "#eval")
+      val key = d + "#eval"
+      val cb = graft.similarity.Pq.codebooks(corpus, key)
+      pqFixtures(s, d, corpus, cb, key)
       Ann.withRecallVsExact(
-        graft.similarity.Pq.topK(corpus, q, 10, cb, d + "#eval"),
+        graft.similarity.Pq.topK(corpus, q, 10, cb, key),
         Ann.bruteForceTopK(corpus, q, 10), 10)
         .orderBy("q_id", "rnk")
     },
-    None)
+    Some {
+      val base = sigFixtureBase(lastSigDir)
+      annRecallTopkOracleSql(
+        adcTopkCtes(base,
+          """cand AS (SELECT q.q_id, e.vec_id
+                      FROM q JOIN e ON e.vec_id <> q.q_id)"""),
+        scoreCol = "adc_sim")
+    })
 
-  /** D61: IVF-PQ composed index — SELF-VERIFYING like its parents
-    * (D7-alt cells, D49 codes): recall columns vs the D6 exact
+  /** D61: IVF-PQ composed index: recall columns vs the D6 exact
     * baseline over the planted eval corpus. A planted identical copy
     * lands in the query's own argmax cell AND encodes to the query's
     * own codes, so it must survive BOTH prunings and rank first —
-    * top-1 recall is the composed index's correctness signal. */
-  val annIvfPq = QueryDef(
+    * top-1 recall is the composed index's correctness signal.
+    *
+    * FULL ORACLE (r12): composes its parents' fixtures with NO new
+    * tables — the candidate pruning re-derives from ann_ivf's cell /
+    * probe fixtures (same memoized codebook, same nprobe) and the ADC
+    * scoring from ann_pq_adc's codes / codebook fixtures, so the
+    * composition itself — prune THEN ADC — is what the cross-engine
+    * gate checks. */
+  def annIvfPq = QueryDef(
     "ann_ivf_pq",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
       val q = boundedQueries(emb)
       val corpus = annEvalCorpus(emb, q)
+      val key = d + "#eval"
+      val cbIvf = graft.similarity.Ivf.codebookFor(corpus,
+        graft.similarity.Ivf.autoCells(corpus, key), key)
+      sigFixture(s, d, "ivf_cells")(
+        graft.similarity.Ivf.assignmentFixture(corpus, cbIvf))
+      sigFixture(s, d, "ivf_probes")(
+        graft.similarity.Ivf.probeFixture(q, cbIvf))
+      pqFixtures(s, d, corpus, graft.similarity.Pq.codebooks(corpus, key), key)
       Ann.withRecallVsExact(
-        graft.similarity.IvfPq.topK(corpus, q, 10, cacheKey = d + "#eval"),
+        graft.similarity.IvfPq.topK(corpus, q, 10, cacheKey = key),
         Ann.bruteForceTopK(corpus, q, 10), 10)
         .orderBy("q_id", "rnk")
     },
-    None)
+    Some {
+      val base = sigFixtureBase(lastSigDir)
+      annRecallTopkOracleSql(
+        adcTopkCtes(base,
+          s"""icc AS (SELECT vec_id, cell
+                    FROM read_parquet('$base/ivf_cells/*.parquet')),
+            iqp AS (SELECT q_id, cell
+                    FROM read_parquet('$base/ivf_probes/*.parquet')),
+            cand AS (SELECT DISTINCT iqp.q_id, icc.vec_id
+                     FROM icc JOIN iqp ON icc.cell = iqp.cell
+                       AND icc.vec_id <> iqp.q_id)"""),
+        scoreCol = "adc_sim")
+    })
 
   /** D101: IVF nprobe recall/cost CURVE — the "tune your index" read:
     * for each probe width, recall@10 and top-1 recall vs the D6 exact
@@ -788,14 +909,31 @@ object PipelineQueries {
     * EXACTLY 1.0. The exact baseline computes once and is cached; the
     * codebook memoizes under the shared cacheKey, so the sweep costs
     * four probe passes, not four index builds. Counts are exact
-    * integers; recalls are exact integer ratios (q4). */
-  val annNprobeCurve = QueryDef(
+    * integers; recalls are exact integer ratios (q4).
+    *
+    * FULL ORACLE (r12, was rows-only): the 16-cell assignment plus the
+    * probe sets of ALL FIVE widths (one fixture table with an nprobe
+    * column) are the fixtures; DuckDB re-derives each width's
+    * candidate set, the rounded-cosine top-10, the exact baseline,
+    * and the integer recall ratios — the two in-output theorems
+    * (monotone recall, exact 1.0 at nprobe = cells) are now
+    * cross-engine facts instead of self-asserted ones. */
+  def annNprobeCurve = QueryDef(
     "ann_nprobe_curve",
     (s, d) => {
       val Cells = 16
       val emb = Tables.embeddings(s, d)
       val q = boundedQueries(emb)
       val corpus = annEvalCorpus(emb, q)
+      val key = d + "#eval"
+      val cb16 = graft.similarity.Ivf.codebookFor(corpus, Cells, key)
+      sigFixture(s, d, "ivf16_cells")(
+        graft.similarity.Ivf.assignmentFixture(corpus, cb16))
+      sigFixture(s, d, "ivf16_probes")(
+        Seq(1, 2, 4, 8, 16).map(np =>
+          graft.similarity.Ivf.probeFixture(q, cb16, np)
+            .withColumn("nprobe", lit(np)))
+          .reduce(_ unionByName _))
       val exact = Ann.bruteForceTopK(corpus, q, 10)
         .select(col("q_id"), col("vec_id"), col("rnk")).cache()
       val nq = q.count() // bounded by construction (boundedQueries)
@@ -817,7 +955,61 @@ object PipelineQueries {
       rows.toDF("nprobe", "cells_fraction_ppm", "recall_at10_q4", "top1_recall_q4")
         .orderBy("nprobe")
     },
-    None)
+    Some {
+      val base = sigFixtureBase(lastSigDir)
+      s"""WITH $annOraclePreludeCtes,
+          cc AS (SELECT vec_id, cell
+                 FROM read_parquet('$base/ivf16_cells/*.parquet')),
+          qp AS (SELECT q_id, cell, nprobe
+                 FROM read_parquet('$base/ivf16_probes/*.parquet')),
+          cand AS (SELECT DISTINCT qp.nprobe, qp.q_id, cc.vec_id
+                   FROM cc JOIN qp ON cc.cell = qp.cell
+                     AND cc.vec_id <> qp.q_id),
+          scored AS (SELECT c.nprobe, c.q_id, c.vec_id,
+                       ROUND(
+                         list_sum(list_transform(list_zip(q.q_emb, e.emb), p -> p[1] * p[2]))
+                         / (sqrt(list_sum(list_transform(q.q_emb, x -> x * x)))
+                          * sqrt(list_sum(list_transform(e.emb, x -> x * x)))), 6)
+                         AS cos_sim
+                     FROM cand c JOIN e ON e.vec_id = c.vec_id
+                                  JOIN q ON q.q_id = c.q_id),
+          atopk AS (SELECT nprobe, q_id, vec_id,
+                      row_number() OVER (PARTITION BY nprobe, q_id
+                        ORDER BY cos_sim DESC, vec_id) AS rnk
+                    FROM scored QUALIFY rnk <= 10),
+          exscored AS (SELECT q.q_id, e.vec_id,
+                    ROUND(
+                      list_sum(list_transform(list_zip(q.q_emb, e.emb), p -> p[1] * p[2]))
+                      / (sqrt(list_sum(list_transform(q.q_emb, x -> x * x)))
+                       * sqrt(list_sum(list_transform(e.emb, x -> x * x)))), 6) AS cos_sim
+                  FROM q JOIN e ON e.vec_id <> q.q_id),
+          exact AS (SELECT q_id, vec_id,
+                      row_number() OVER (PARTITION BY q_id
+                        ORDER BY cos_sim DESC, vec_id) AS rnk
+                    FROM exscored QUALIFY rnk <= 10),
+          nq AS (SELECT count(*) AS n FROM q),
+          hits AS (SELECT a.nprobe, count(*) AS h
+                   FROM atopk a JOIN exact x
+                     ON x.q_id = a.q_id AND x.vec_id = a.vec_id
+                   GROUP BY a.nprobe),
+          tops AS (SELECT a.nprobe, count(*) AS t
+                   FROM atopk a JOIN exact x
+                     ON x.q_id = a.q_id AND x.vec_id = a.vec_id
+                       AND x.rnk = 1
+                   GROUP BY a.nprobe),
+          nps AS (SELECT UNNEST([1, 2, 4, 8, 16]) AS nprobe)
+          SELECT CAST(n.nprobe AS INT) AS nprobe,
+                 CAST(n.nprobe * 1000000 // 16 AS BIGINT)
+                   AS cells_fraction_ppm,
+                 CAST(COALESCE(h.h, 0) * 10000 // (nq.n * 10) AS BIGINT)
+                   AS recall_at10_q4,
+                 CAST(COALESCE(t.t, 0) * 10000 // nq.n AS BIGINT)
+                   AS top1_recall_q4
+          FROM nps n CROSS JOIN nq
+          LEFT JOIN hits h ON h.nprobe = n.nprobe
+          LEFT JOIN tops t ON t.nprobe = n.nprobe
+          ORDER BY nprobe"""
+    })
 
   /** D77: binary sign-sketch ANN (Hamming pre-rank + float rerank):
     * recall@10 + top-1 recall vs the D6 exact baseline over the
@@ -1261,9 +1453,19 @@ object PipelineQueries {
              FROM sel GROUP BY doc_id ORDER BY doc_id"""))
 
   /** Per-label centroid embeddings via the native graft_vec_mean
-    * aggregate (rows-only; exactness vs per-dimension arithmetic is
-    * asserted in ExtensionsSpec — a cross-engine double-sum oracle
-    * would be summation-order-dependent). */
+    * aggregate, emitted as exploded (label, dim, value) rows with the
+    * mean rounded to 6dp (raw array / JSON cells are unhashable or
+    * float-formatter-dependent in the driver harness).
+    *
+    * FULL ORACLE (r12, was rows-only): at the 6dp grain the
+    * element-wise mean is summation-order-ROBUST — the double-sum's
+    * cross-partition ulp noise sits ~9 orders of magnitude below the
+    * rounding step at any tested sf — so DuckDB re-derives each
+    * centroid component from the raw floats with a per-(label, dim)
+    * AVG, no fixture needed. graft_vec_mean's bit-exactness vs
+    * per-dimension arithmetic stays asserted in ExtensionsSpec; the
+    * earlier rows-only stance was an artifact of the JSON-array
+    * serialization, not of the arithmetic. */
   val vecCentroid = QueryDef(
     "q_vector_centroid",
     (s, d) => Tables.embeddings(s, d)
@@ -1271,14 +1473,18 @@ object PipelineQueries {
       .agg(call_function("graft_vec_mean",
         col("embedding").cast("array<double>")).as("centroid_arr"),
         count(lit(1)).as("n_vectors"))
-      // serialize for the driver harness (raw array cells are unhashable
-      // there); round to 6dp so cross-partition summation-order noise in
-      // the mean's last bits can't flap the serialized form
-      .select(col("label"),
-        to_json(transform(col("centroid_arr"), x => round(x, 6))).as("centroid"),
+      .select(col("label"), col("n_vectors"),
+        posexplode(col("centroid_arr")).as(Seq("dim", "v")))
+      .select(col("label"), col("dim"), round(col("v"), 6).as("value"),
         col("n_vectors"))
-      .orderBy("label"),
-    None)
+      .orderBy("label", "dim"),
+    Some("""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb
+                       FROM embeddings),
+            x AS (SELECT label, CAST(u.j - 1 AS INT) AS dim, emb[u.j] AS v
+                  FROM e, UNNEST(generate_series(1, len(emb))) AS u(j))
+            SELECT label, dim, ROUND(AVG(v), 6) AS value,
+                   CAST(count(*) AS BIGINT) AS n_vectors
+            FROM x GROUP BY label, dim ORDER BY label, dim"""))
 
   /** D12: multimodal binary columns + typed metadata. The synthetic
     * asset metadata is pure arithmetic over documents, so the whole

@@ -15,9 +15,10 @@ import org.apache.spark.sql.functions._
   * means, accumulate as DECIMAL(38,0) ↔ HUGEINT (order-free, exact at
   * any parallelism), and one fixed double sequence at the end forms
   * the cosine. No float accumulation anywhere — unlike a naive
-  * avg-of-floats centroid, whose merge order would fork the hash
-  * (the reason D38's q_vector_centroid is rows-only; this entry is
-  * fully oracle-gated).
+  * avg-of-floats centroid, whose merge order can fork a full-precision
+  * hash (q_vector_centroid's oracle survives only because it rounds
+  * the mean to 6dp, far above the ulp noise; this entry's UNROUNDED
+  * cosine could not, hence the integer path).
   *
   * Scale: posexplode keys on (label, dim) — O(labels × dim)
   * aggregate rows; everything after the first shuffle is bounded. */
