@@ -12,18 +12,28 @@ import org.apache.spark.sql.functions._
   *     a crashed deployment's replay must not double-publish)
   *   → S18 exactly-once sink fed by a file stream over the published
   *     snapshot (maxFilesPerTrigger=1 → multiple micro-batches)
+  *   → E5b/E8c transactional JDBC upsert sink (embedded Derby): the
+  *     SAME snapshot streamed through foreachBatch → JdbcSink.upsert
+  *     on the pipeline key, its own checkpoint — the key-idempotent
+  *     leg of the deployment (r11 verdict item 4)
   *   → S30 listener metrics dumped as the observability record.
   *
-  * `crash` mode `Runtime.halt(137)`s INSIDE the second micro-batch's
-  * commit window — after the sink's idempotent append, BEFORE the
-  * checkpoint records the offset. That is the worst-case crash point
-  * (the batch will be REPLAYED on restart) and the driver-side
-  * equivalent of the L9 executor SIGKILL drills: halt skips every
-  * shutdown hook, so nothing gets to clean up. `run` mode completes
-  * the chain, dumps `out/metrics` (S30 frame) and prints
-  * `DONE <sinkRows>` as its last line.
+  * `crash` mode `Runtime.halt(137)`s INSIDE the second FILE micro-
+  * batch's commit window — after the sink's idempotent append, BEFORE
+  * the checkpoint records the offset. `crashjdbc` mode lets the file
+  * leg complete and halts inside the second JDBC micro-batch's window
+  * — after the Derby transaction COMMITTED, before the offset commit,
+  * so the restart MUST re-deliver a batch whose rows are already in
+  * the table and the upsert's key-idempotence is what saves it. Both
+  * are the worst-case crash points (the batch will be REPLAYED on
+  * restart) and the driver-side equivalent of the L9 executor SIGKILL
+  * drills: halt skips every shutdown hook, so nothing gets to clean
+  * up. `run` mode completes the chain, dumps `out/metrics` (S30
+  * frame) and prints `JDBCROWS <n>` then `DONE <sinkRows>` as its
+  * last lines.
   *
-  * Usage: graft.etl.DeploymentRehearsalChild <workRoot> <crash|run>
+  * Usage: graft.etl.DeploymentRehearsalChild <workRoot>
+  *   <crash|crashjdbc|run>
   */
 object DeploymentRehearsalChild {
 
@@ -79,8 +89,32 @@ object DeploymentRehearsalChild {
         if (mode == "crash" && id >= 1) Runtime.getRuntime.halt(137))
     q.awaitTermination()
 
+    // E5b/E8c: the transactional JDBC leg — the same published
+    // snapshot streamed into a key-idempotent Derby upsert with its
+    // own checkpoint. The crashjdbc halt fires AFTER the JDBC commit
+    // and BEFORE the offset commit: the worst-case window where the
+    // restart must re-deliver an already-persisted batch.
+    val url = s"jdbc:derby:$root/derbydb;create=true"
+    val qj = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$table/$current")
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt_jdbc")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        JdbcSink.upsert(batch, url, "rehearsal_zip",
+          keyCols = Seq("zipcode", "state_abbr"))
+        if (mode == "crashjdbc" && id >= 1) Runtime.getRuntime.halt(137)
+        ()
+      }
+      .start()
+    qj.awaitTermination()
+
     metrics.frame(spark).write.mode("overwrite").parquet(s"$out/metrics")
+    val jdbcRows = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "rehearsal_zip").load().count()
     val sinkRows = graft.streaming.ExactlyOnceSink.read(spark, sink).count()
+    println(s"JDBCROWS $jdbcRows")
     println(s"DONE $sinkRows")
     spark.stop()
   }

@@ -3,23 +3,29 @@ package graft.etl
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-/** The end-to-end DEPLOYMENT REHEARSAL (r10 verdict item 6): the
-  * composition E44 → E14 → IO14/IO23 → S18 → S30 run as one chain in
-  * child JVMs, with a hard crash (halt = driver-side SIGKILL, no
-  * shutdown hooks) inside the second sink batch's commit window, then
-  * a replay, then a second replay. Exactness is asserted against the
-  * in-suite recomputation of the same E44 spec:
+/** The end-to-end DEPLOYMENT REHEARSAL (r10 verdict item 6, JDBC leg
+  * r11 verdict item 4): the composition E44 → E14 → IO14/IO23 → S18 →
+  * E5b/E8c → S30 run as one chain in child JVMs, with hard crashes
+  * (halt = driver-side SIGKILL, no shutdown hooks) inside BOTH sinks'
+  * worst-case commit windows, then replays. Exactness is asserted
+  * against the in-suite recomputation of the same E44 spec:
   *
-  *   1. crash run: the published snapshot must already be complete
-  *      and readable (commit-before-stream), the sink must hold an
-  *      uncorrupted PREFIX of the batches, the E14 observation row
-  *      must match the suite's own count/crc;
-  *   2. replay run: the crashed batch is re-delivered (offsets were
-  *      never committed) and its append is a no-op; the sink ends
-  *      EXACTLY equal to the published snapshot — no dupes, no
-  *      losses; S30 metrics recorded the replayed batches;
-  *   3. second replay: nothing new to process — byte-identical final
-  *      state (the idempotence fixed point).
+  *   1. crash run: halt inside the second FILE batch's commit window.
+  *      The published snapshot must already be complete and readable
+  *      (commit-before-stream), the sink must hold an uncorrupted
+  *      PREFIX of the batches, the E14 observation row must match the
+  *      suite's own count/crc;
+  *   2. crashjdbc run: the file leg replays to completion, then halt
+  *      fires inside the second JDBC batch's window — AFTER the Derby
+  *      transaction committed, BEFORE the offset commit. The table
+  *      must hold a key-clean strict subset of the published rows;
+  *   3. replay run: both crashed batches are re-delivered (offsets
+  *      were never committed); the file append is a no-op and the
+  *      JDBC upsert is key-idempotent; BOTH sinks end EXACTLY equal
+  *      to the published snapshot — no dupes, no losses; S30 metrics
+  *      recorded the replayed batches;
+  *   4. second replay: nothing new to process — byte-identical final
+  *      state in both sinks (the idempotence fixed point).
   */
 class DeploymentRehearsalSpec extends AnyFunSuite {
 
@@ -27,6 +33,25 @@ class DeploymentRehearsalSpec extends AnyFunSuite {
 
   private def rm(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+  }
+
+  /** Read the rehearsal's Derby table aligned to the published
+    * snapshot's column order/types, materialize, then SHUT THE
+    * EMBEDDED ENGINE DOWN — Derby is single-JVM, so a suite that kept
+    * the database booted would block the next child run. */
+  private def jdbcRows(root: String,
+      published: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val url = s"jdbc:derby:$root/derbydb"
+    val aligned = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "rehearsal_zip").load()
+      // Derby uppercases unquoted identifiers; Spark resolves columns
+      // case-insensitively, so selecting by the published names aligns
+      .select(published.schema.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)): _*)
+    val rows = aligned.collect().map(_.toString).toSeq.sorted
+    try java.sql.DriverManager.getConnection(s"$url;shutdown=true")
+    catch { case _: java.sql.SQLException => () } // 08006 = clean shutdown
+    rows
   }
 
   private val addOpens = Seq(
@@ -91,11 +116,33 @@ class DeploymentRehearsalSpec extends AnyFunSuite {
         "post-crash sink holds only published rows")
       assert(sink1.count() < expN, "crash must leave the sink incomplete")
 
-      // ---- run 2: replay — batch 1 re-delivered, append is a no-op
+      // ---- run 2: JDBC crash — the file leg replays to completion,
+      // then halt fires after the second Derby COMMIT but before the
+      // offset commit (the window where replay re-delivers persisted
+      // rows and only key-idempotence prevents duplication)
+      val (code1b, _) = runChild(root, "crashjdbc")
+      assert(code1b === 137, s"crashjdbc run must die by halt(137), got $code1b")
+      // the file sink completed during this run
+      assert(graft.streaming.ExactlyOnceSink.committed(root + "/sink")
+        .sorted === Seq("batch-0", "batch-1", "batch-2", "batch-3"))
+      val pubRows = published.collect().map(_.toString).toSeq.sorted
+      val jdbc1 = jdbcRows(root, published)
+      assert(jdbc1.nonEmpty && jdbc1.size < expN,
+        s"jdbc crash must leave the table a strict prefix, got ${jdbc1.size}")
+      assert(jdbc1.toSet.subsetOf(pubRows.toSet),
+        "post-crash Derby table holds only published rows (no torn keys)")
+
+      // ---- run 3: replay — both crashed batches re-delivered; the
+      // file append is a no-op, the JDBC upsert lands on existing keys
       val (code2, out2) = runChild(root, "run")
       assert(code2 === 0, s"replay failed:\n${out2.takeRight(800)}")
       assert(out2.linesIterator.exists(_.trim == s"DONE $expN"),
         s"replay verdict missing:\n${out2.takeRight(400)}")
+      assert(out2.linesIterator.exists(_.trim == s"JDBCROWS $expN"),
+        s"jdbc replay verdict missing:\n${out2.takeRight(400)}")
+      assert(jdbcRows(root, published) === pubRows,
+        "after replay the Derby table equals the published snapshot " +
+          "exactly (key-idempotent upsert: no dupes, no losses)")
       val sink2 = graft.streaming.ExactlyOnceSink.read(spark, root + "/sink")
       assert(sink2.count() === expN, "no losses")
       assert(sink2.distinct().count() === expected.distinct().count() &&
@@ -112,15 +159,18 @@ class DeploymentRehearsalSpec extends AnyFunSuite {
       assert(metrics.agg(sum("input_rows")).head.getLong(0) >= 1,
         "replayed micro-batches must carry input rows")
 
-      // ---- run 3: the fixed point — nothing new, nothing changed
+      // ---- run 4: the fixed point — nothing new, nothing changed
       val (code3, out3) = runChild(root, "run")
       assert(code3 === 0)
       assert(out3.linesIterator.exists(_.trim == s"DONE $expN"))
+      assert(out3.linesIterator.exists(_.trim == s"JDBCROWS $expN"))
       assert(graft.streaming.ExactlyOnceSink.committed(root + "/sink")
         .sorted === Seq("batch-0", "batch-1", "batch-2", "batch-3"))
       assert(graft.streaming.ExactlyOnceSink.read(spark, root + "/sink")
         .count() === expN)
       assert(Snapshots.readManifest(root + "/table")._2.length === 1)
+      assert(jdbcRows(root, published) === pubRows,
+        "the fixed point holds in the JDBC sink too")
       expected.unpersist()
     } finally rm(new java.io.File(root))
   }
