@@ -3,7 +3,7 @@
 (via sbt) on a sf dir, then re-run each oracleSql in DuckDB over the
 same parquet tables and compare row-sets.  Usage:
     python3 tools/oracle_check.py [sfdir] [--skip-verify] [--only=a,b]
-        [--out=FILE.json] [--timeout=SECS]
+        [--out=FILE.json] [--timeout=SECS] [--memlimit=24GB]
 --out records are driver-key-compatible (rows_match/schema_match/
 hash_match/spark_rows/oracle_rows/err, format 3 — see the --out block);
 --timeout bounds each DuckDB oracle and records overruns as loud skips.
@@ -35,6 +35,20 @@ import pandas as pd
 
 con = duckdb.connect()
 
+# --memlimit=N caps DuckDB's memory (e.g. --memlimit=24GB) with disk
+# spill — without it, one pathological oracle at a big sf can balloon
+# to all of RAM and the kernel OOM-kills the WHOLE gate with no record
+# written (observed on the first r12 sf1 run: 128 GB anon-rss).
+# preserve_insertion_order=false lowers materialization memory; order
+# never matters here (rows_of sorts).
+MEMLIMIT = next((a.split("=", 1)[1] for a in sys.argv
+                 if a.startswith("--memlimit=")), None)
+if MEMLIMIT:
+    os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+    con.execute(f"SET memory_limit='{MEMLIMIT}'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute("SET preserve_insertion_order=false")
+
 # --timeout=SECS bounds each DUCKDB oracle execution (the r12 sf1
 # ritual: some oracles are deliberately quadratic in corpus size —
 # exact all-pairs verification CTEs — and a 10x sf step can push them
@@ -60,15 +74,29 @@ def exec_df(sql):
     t.start(); t.join(TIMEOUT)
     if t.is_alive():
         con.interrupt()
-        t.join(60)
+        # wait for the interrupt to actually land: proceeding while the
+        # worker still runs would use the connection from two threads
+        # AND stack zombie queries' memory (the r12 sf1 OOM)
+        t.join(600)
+        if t.is_alive():
+            print("FATAL: interrupted oracle did not stop; aborting the "
+                  "gate rather than corrupting the connection", flush=True)
+            os._exit(3)
         raise OracleTimeout(f"oracle timeout: exceeded {TIMEOUT:.0f}s in DuckDB at this sf")
     if "err" in box:
         raise box["err"]
     return box["df"]
-for t in TABLES:
-    p = f"{SF}/{t}.parquet"
-    if os.path.exists(p):
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+def make_views(c):
+    for t in TABLES:
+        p = f"{SF}/{t}.parquet"
+        # driver testdata ships single parquet FILES; GenScale corpora
+        # are Spark-written DIRECTORIES — glob those
+        if os.path.isdir(p):
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif os.path.exists(p):
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+make_views(con)
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 
@@ -106,50 +134,107 @@ def rows_of(df):
     return sorted(tuple(norm(v) for v in row) for row in df[cols].itertuples(index=False, name=None))
 
 fails, passes, skips = [], [], []
+
+def note(line):
+    # flushed immediately so a long run (sf1) shows live progress and a
+    # killed run still leaves evidence of WHERE it died
+    print(line, flush=True)
 # per-name record of what each comparison stage ACTUALLY established:
 # schema_match = sorted column names equal; rows_match = row counts
 # equal; rowset_match = full normalized row-set equality (this replica
 # compares complete value tuples — stronger than a hash). A stage not
 # reached stays None.
 stages = {}
-for name, sql in sorted(oracle.items()):
-    st = stages[name] = {"schema_match": None, "rows_match": None,
-                         "rowset_match": None,
-                         "spark_rows": None, "oracle_rows": None}
+
+def blank_stage():
+    return {"schema_match": None, "rows_match": None, "rowset_match": None,
+            "spark_rows": None, "oracle_rows": None}
+
+def compare_one(name, sql, c, exec_oracle):
+    """Full comparison of one entry on connection `c`.
+    Returns (kind, payload, stage-dict): kind PASS (payload=row count),
+    FAIL or SKIP (payload=message)."""
+    st = blank_stage()
     spark_dir = f"{OUT}/{name}"
     if not glob.glob(f"{spark_dir}/*.parquet"):
-        fails.append((name, "no spark output")); continue
+        return ("FAIL", "no spark output", st)
     try:
         # .df() (not fetchall) so values carry the same pandas dtypes the
         # driver sees: HUGEINT->float64, BIGINT->int64, DECIMAL->float64
-        sdf = con.execute(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").df()
-        ddf = exec_df(sql)
+        sdf = c.execute(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").df()
+        ddf = exec_oracle(sql)
     except OracleTimeout as e:
-        skips.append((name, str(e))); continue
+        return ("SKIP", str(e), st)
     except Exception as e:
-        fails.append((name, f"exec error: {str(e)[:200]}")); continue
+        return ("FAIL", f"exec error: {str(e)[:200]}", st)
     st["spark_rows"], st["oracle_rows"] = len(sdf), len(ddf)
     st["schema_match"] = sorted(sdf.columns) == sorted(ddf.columns)
     if not st["schema_match"]:
-        fails.append((name, f"schema: spark={list(sdf.columns)} duck={list(ddf.columns)}")); continue
+        return ("FAIL", f"schema: spark={list(sdf.columns)} duck={list(ddf.columns)}", st)
     try:
         srows, drows = rows_of(sdf), rows_of(ddf)
     except Unhashable as e:
-        fails.append((name, str(e))); continue
+        return ("FAIL", str(e), st)
     st["rows_match"] = len(srows) == len(drows)
     if not st["rows_match"]:
-        fails.append((name, f"rowcount: spark={len(srows)} duck={len(drows)}")); continue
+        return ("FAIL", f"rowcount: spark={len(srows)} duck={len(drows)}", st)
     st["rowset_match"] = srows == drows
     if not st["rowset_match"]:
         diff = next((i, a, b) for i, (a, b) in enumerate(zip(srows, drows)) if a != b)
-        fails.append((name, f"values differ at row {diff[0]}:\n  spark={diff[1]}\n  duck ={diff[2]}")); continue
-    passes.append((name, len(srows)))
+        return ("FAIL", f"values differ at row {diff[0]}:\n  spark={diff[1]}\n  duck ={diff[2]}", st)
+    return ("PASS", len(srows), st)
+
+# --isolate runs EVERY oracle in its own subprocess with a hard kill on
+# timeout — the only reliable bound: an in-process con.interrupt() can
+# be ignored indefinitely by a query stuck inside a spilling operator
+# (observed at sf1: dedup_containment sat 600 s past the interrupt),
+# and a runaway oracle's memory then belongs to the gate process
+# itself. A killed child's memory is reclaimed by the kernel, the
+# parent's connection is never shared, and the per-child view setup is
+# milliseconds.
+ISOLATE = "--isolate" in sys.argv
+
+def child_main(name, sql, q):
+    c = duckdb.connect()
+    if MEMLIMIT:
+        os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+        c.execute(f"SET memory_limit='{MEMLIMIT}'")
+        c.execute("SET temp_directory='/tmp/duckdb_spill'")
+        c.execute("SET preserve_insertion_order=false")
+    make_views(c)
+    q.put(compare_one(name, sql, c, lambda s: c.execute(s).df()))
+
+def compare_isolated(name, sql):
+    import multiprocessing as mp, queue as _q, time as _t
+    q = mp.Queue()
+    p = mp.Process(target=child_main, args=(name, sql, q), daemon=True)
+    p.start()
+    deadline = _t.time() + (TIMEOUT if TIMEOUT else 86400)
+    while True:
+        try:
+            res = q.get(timeout=2); break
+        except _q.Empty:
+            if not p.is_alive():
+                try:
+                    res = q.get(timeout=2); break
+                except _q.Empty:
+                    return ("FAIL", f"oracle child crashed (exit {p.exitcode})",
+                            blank_stage())
+            if _t.time() > deadline:
+                p.kill(); p.join()
+                return ("SKIP", f"oracle timeout: exceeded {TIMEOUT:.0f}s in "
+                                "DuckDB at this sf (child killed)",
+                        blank_stage())
+    p.join()
+    return res
 
 # --out=FILE writes the run as a committable JSON record (the r9
 # verdict item 2 ritual: the sf0.1 full gate is a standing per-round
-# artifact, CORRECTNESS_r{N}_sf0.1.json)
+# artifact, CORRECTNESS_r{N}_sf0.1.json). Written INCREMENTALLY after
+# every entry (with "complete": false until the loop ends) so a killed
+# long run still leaves an honest partial artifact.
 OUT_JSON = next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--out=")), None)
-if OUT_JSON:
+def write_record(complete):
     # RECORD SHAPE (format 3, r12): per-query keys mirror the driver's
     # CORRECTNESS_r{N}.json exactly — rows_match / schema_match /
     # hash_match / spark_rows / oracle_rows / err — so cross-round and
@@ -172,14 +257,36 @@ if OUT_JSON:
     rec = {n: record(n, None) for n, _ in passes}
     rec.update({n: record(n, m.splitlines()[0][:300]) for n, m in fails})
     rec.update({n: record(n, m.splitlines()[0][:300]) for n, m in skips})
-    with open(OUT_JSON, "w") as f:
-        json.dump({"format": 3, "sf": SF,
-                   "n_pass": len(passes), "n_fail": len(fails),
-                   "n_skip": len(skips),
-                   "queries": dict(sorted(rec.items()))}, f, indent=1)
-    print(f"record written: {OUT_JSON}")
+    top = {"format": 3, "sf": SF, "complete": complete,
+           "n_pass": len(passes), "n_fail": len(fails),
+           "n_skip": len(skips), "queries": dict(sorted(rec.items()))}
+    tmp_path = OUT_JSON + ".tmp"
+    with open(tmp_path, "w") as f:
+        json.dump(top, f, indent=1)
+    os.replace(tmp_path, OUT_JSON)
+    if complete:
+        print(f"record written: {OUT_JSON}")
 
-for n, c in passes: print(f"PASS {n} ({c} rows)")
+
+for name, sql in sorted(oracle.items()):
+    if ISOLATE:
+        kind, payload, st = compare_isolated(name, sql)
+    else:
+        kind, payload, st = compare_one(name, sql, con, exec_df)
+    stages[name] = st
+    if kind == "PASS":
+        passes.append((name, payload)); note(f"PASS {name} ({payload} rows)")
+    elif kind == "SKIP":
+        skips.append((name, payload)); note(f"SKIP {name}: {payload}")
+    else:
+        fails.append((name, payload))
+        note(f"FAIL {name}: {payload.splitlines()[0][:160]}")
+    if OUT_JSON:
+        write_record(complete=False)
+
+if OUT_JSON:
+    write_record(complete=True)
+
 for n, m in skips: print(f"SKIP {n}: {m}")
 for n, m in fails: print(f"FAIL {n}: {m}")
 print(f"\n{len(passes)} pass / {len(fails)} fail / {len(skips)} timeout-skip")
