@@ -166,6 +166,11 @@ def compare_one(name, sql, c, exec_oracle):
     except OracleTimeout as e:
         return ("SKIP", str(e), st)
     except Exception as e:
+        # a DuckDB out-of-memory under --memlimit is the same class as
+        # a timeout: the oracle is too expensive at this sf — a loud
+        # resource skip, not a correctness verdict
+        if "Out of Memory" in str(e):
+            return ("SKIP", f"oracle resource-capped: {str(e)[:160]}", st)
         return ("FAIL", f"exec error: {str(e)[:200]}", st)
     st["spark_rows"], st["oracle_rows"] = len(sdf), len(ddf)
     st["schema_match"] = sorted(sdf.columns) == sorted(ddf.columns)
