@@ -1288,6 +1288,12 @@ object Relational {
     "q_recursive_cte",
     (s, d) => {
       Tables.part(s, d).createOrReplaceTempView("part_rec_v")
+      // the walk emits |part| × ⌈log₂ max(p_partkey)⌉ rows — N log N,
+      // not a runaway — but Spark 4.1's safety default
+      // (spark.sql.cteRecursionRowLimit = 1e6) lids it at ~55k parts:
+      // the r12 sf1 ritual hit RECURSION_ROW_LIMIT_EXCEEDED at 200k
+      // parts (~3.7M walk rows). Budget it explicitly for scale.
+      s.conf.set("spark.sql.cteRecursionRowLimit", "2000000000")
       // integer division: Spark's / on ints is fractional (DOUBLE), so
       // DIV here and // in DuckDB keep the walk in exact integers
       s.sql("""WITH RECURSIVE anc(part, node, depth) AS (

@@ -17,8 +17,10 @@ OUT = f"/tmp/graft_verify_{os.path.basename(SF.rstrip('/'))}"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 ONLY = next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")), None)
-if ONLY:
-    OUT += "_only"  # never mix a filtered dump with a full one
+if ONLY and "--skip-verify" not in sys.argv:
+    OUT += "_only"  # never mix a filtered VERIFY dump with a full one
+    # (--skip-verify --only reuses the existing FULL dump and just
+    # filters the comparison — the retry path for flaky/heavy oracles)
 
 if "--skip-verify" not in sys.argv:
     names = f" {ONLY}" if ONLY else ""
@@ -223,6 +225,14 @@ def compare_isolated(name, sql):
                 try:
                     res = q.get(timeout=2); break
                 except _q.Empty:
+                    if p.exitcode == -9:
+                        # the kernel OOM-killed the child: some DuckDB
+                        # operators under-account and blow past
+                        # memory_limit — same class as a timeout, a
+                        # loud resource skip, never a correctness FAIL
+                        return ("SKIP", "oracle resource-capped: child "
+                                        "OOM-killed by the kernel at this sf",
+                                blank_stage())
                     return ("FAIL", f"oracle child crashed (exit {p.exitcode})",
                             blank_stage())
             if _t.time() > deadline:
@@ -273,7 +283,10 @@ def write_record(complete):
         print(f"record written: {OUT_JSON}")
 
 
+ONLY_SET = set(ONLY.split(",")) if ONLY else None
 for name, sql in sorted(oracle.items()):
+    if ONLY_SET is not None and name not in ONLY_SET:
+        continue  # retry path: full dump, filtered comparison
     if ISOLATE:
         kind, payload, st = compare_isolated(name, sql)
     else:
