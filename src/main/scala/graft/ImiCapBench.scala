@@ -98,7 +98,27 @@ object ImiCapBench {
     // index (r11 ADVICE item 1) — probe timings must measure the index
     // of THIS corpus, not a previous generation's.
     val corpusStamp = new java.io.File(s"$dir/_SUCCESS").lastModified()
+    // a missing _SUCCESS marker stamps 0 — every unmarked corpus would
+    // alias to the same ..._0 index and silently share a stale one,
+    // exactly the reuse the stamp exists to prevent (r12 ADVICE item 4)
+    require(corpusStamp > 0L,
+      s"$dir/_SUCCESS missing or unreadable: refusing to key the stored " +
+        "index on stamp 0 (stale-index aliasing hazard)")
     val idxDir = s"${dir}_imi_index_${kHalf}_$corpusStamp"
+    // retire previous generations' index trees: each regeneration would
+    // otherwise leave its full corpus-sized index on disk forever
+    val idxParent = new java.io.File(idxDir).getAbsoluteFile.getParentFile
+    val idxPrefix = new java.io.File(s"${dir}_imi_index_${kHalf}_").getName
+    Option(idxParent.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(idxPrefix) &&
+        f.getName != new java.io.File(idxDir).getName)
+      .foreach { stale =>
+        println(s"[imi-cap] deleting stale index generation: $stale")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(stale)
+      }
     val needBuild = !new java.io.File(s"$idxDir/_SUCCESS").exists()
     val (_, tWriteIdx) = timed {
       if (needBuild)

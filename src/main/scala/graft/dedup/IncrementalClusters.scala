@@ -65,10 +65,6 @@ object IncrementalClusters {
   private val built =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Dataset dir of the most recent fixture build in this process —
-    * the oracle SQL re-renders with it at dump time (the Compaction /
-    * sigFixtureFor convention). */
-  @volatile private var lastDir: String = "/root/testdata/sf0.01"
   private def fixtureBase(dir: String): String =
     "/tmp/graft_warehouse/incclusters_" +
       dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + ProcessHandle.current().pid()
@@ -82,7 +78,6 @@ object IncrementalClusters {
     * probe legs, the quotient graph, and the merge stats. */
   private def fixtures(s: SparkSession, dir: String): (String, String, String) = {
     val base = fixtureBase(dir)
-    lastDir = dir
     if (built.add(base)) {
       val docs = Tables.documents(s, dir)
       val corpus = baseCorpus(docs)
@@ -205,9 +200,9 @@ object IncrementalClusters {
     * and the merge count — the complete D92 algorithm replayed
     * independently, quotient theorem included. */
   def qIncrementalClusters =
-    QueryDef("dedup_clusters_incremental", (s, d) => incremental(s, d),
-      Some {
-        val base = fixtureBase(lastDir)
+    QueryDef.dirOracle("dedup_clusters_incremental", (s, d) => incremental(s, d),
+      dir => {
+        val base = fixtureBase(dir)
         import PipelineQueries.{bandCteSql, selfPairsSql, ccSql}
         s"""WITH RECURSIVE ${bandCteSql("cb", s"$base/sigs_base")},
             ${bandCteSql("db", s"$base/sigs_delta")},

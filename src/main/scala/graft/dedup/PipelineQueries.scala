@@ -52,7 +52,6 @@ object PipelineQueries {
     * convention). */
   private val sigFixtures =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  @volatile private var lastSigDir: String = "/root/testdata/sf0.01"
   private def sigFixtureBase(dir: String): String =
     "/tmp/graft_warehouse/oraclesigs_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
       "_" + ProcessHandle.current().pid()
@@ -65,7 +64,6 @@ object PipelineQueries {
   private def sigFixture(s: SparkSession, dir: String, sub: String)
       (df: => DataFrame): Unit = {
     val base = sigFixtureBase(dir)
-    lastSigDir = dir
     if (sigFixtures.add(s"$base/$sub"))
       df.write.mode("overwrite").parquet(s"$base/$sub")
   }
@@ -201,7 +199,7 @@ object PipelineQueries {
     * committed fixture; DuckDB re-derives the banding (equal
     * sub-signatures), the MaxBucket valve, the bucket self-join, the
     * pair distinct, and the planted-recall evidence independently. */
-  def dedupMinhashLsh = QueryDef(
+  def dedupMinhashLsh = QueryDef.dirOracle(
     "dedup_minhash_lsh",
     (s, d) => {
       minhashPlantedFixture(s, d)
@@ -211,8 +209,8 @@ object PipelineQueries {
         docs, 1000000L)
         .orderBy("doc_a", "doc_b")
     },
-    Some {
-      val base = sigFixtureBase(lastSigDir)
+    dir => {
+      val base = sigFixtureBase(dir)
       s"""WITH ${lshCandidatesCte(base)},
           pairs AS (SELECT doc_a, doc_b FROM cand),
           ${plantedEvidenceSql(1000000L, "")}"""
@@ -225,7 +223,7 @@ object PipelineQueries {
     * is arithmetic like the JVM's and bit_count/xor are two's-
     * complement exact), the bucket valve, the pigeonhole self-join,
     * and the hamming filter. */
-  def dedupSimhash = QueryDef(
+  def dedupSimhash = QueryDef.dirOracle(
     "dedup_simhash",
     (s, d) => {
       val docs = Tables.documents(s, d)
@@ -236,8 +234,8 @@ object PipelineQueries {
         docs, 2000000L)
         .orderBy("doc_a", "doc_b")
     },
-    Some {
-      val base = sigFixtureBase(lastSigDir)
+    dir => {
+      val base = sigFixtureBase(dir)
       s"""WITH ${simhashPairsSql("pairs", s"$base/simhash")},
           ${plantedEvidenceSql(2000000L, ", f.hamming")}"""
     })
@@ -250,7 +248,7 @@ object PipelineQueries {
     * via string 3-shingles (the D79 arithmetic — equal to the hashed-
     * shingle production form absent 64-bit collisions, the proven D47
     * string/hashed parity convention). */
-  def dedupNgramJaccard = QueryDef(
+  def dedupNgramJaccard = QueryDef.dirOracle(
     "dedup_ngram_jaccard",
     (s, d) => {
       minhashPlantedFixture(s, d)
@@ -261,8 +259,8 @@ object PipelineQueries {
         docs, 1000000L)
         .orderBy("doc_a", "doc_b")
     },
-    Some {
-      val base = sigFixtureBase(lastSigDir)
+    dir => {
+      val base = sigFixtureBase(dir)
       s"""WITH ${lshCandidatesCte(base)},
           c AS (SELECT doc_id, text FROM documents
                 UNION ALL
@@ -562,7 +560,7 @@ object PipelineQueries {
     * DuckDB re-derives the candidate set (bucket collisions, the
     * cross-table dedup), the exact cosine rerank over the raw float
     * embeddings, the top-k, and the full recall evidence. */
-  def annLsh = QueryDef(
+  def annLsh = QueryDef.dirOracle(
     "ann_lsh",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -578,8 +576,8 @@ object PipelineQueries {
         Ann.lshTopK(corpus, q, 10), Ann.bruteForceTopK(corpus, q, 10), 10)
         .orderBy("q_id", "rnk")
     },
-    Some {
-      val base = sigFixtureBase(lastSigDir)
+    dir => {
+      val base = sigFixtureBase(dir)
       annRecallOracleSql(
         s"""cb AS (SELECT vec_id, tbl, bucket
                  FROM read_parquet('$base/lsh_corpus/*.parquet')),
@@ -741,7 +739,7 @@ object PipelineQueries {
     * Only the trained-codebook argmax itself is trusted — and its
     * planted-copy law (identical vector → identical cell) stays
     * spec-asserted in AnnSpec. */
-  def annIvf = QueryDef(
+  def annIvf = QueryDef.dirOracle(
     "ann_ivf",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -759,8 +757,8 @@ object PipelineQueries {
         Ann.bruteForceTopK(corpus, q, 10), 10)
         .orderBy("q_id", "rnk")
     },
-    Some {
-      val base = sigFixtureBase(lastSigDir)
+    dir => {
+      val base = sigFixtureBase(dir)
       annRecallOracleSql(
         s"""cc AS (SELECT vec_id, cell
                  FROM read_parquet('$base/ivf_cells/*.parquet')),
@@ -783,7 +781,7 @@ object PipelineQueries {
     * and the multi-sequence probe set are the fixtures; everything
     * downstream — candidate join, 6dp cosine rerank from raw floats,
     * top-k, recall evidence — re-derives in DuckDB. */
-  def annIvfImi = QueryDef(
+  def annIvfImi = QueryDef.dirOracle(
     "ann_ivf_imi",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -801,8 +799,8 @@ object PipelineQueries {
         Ann.bruteForceTopK(corpus, q, 10), 10)
         .orderBy("q_id", "rnk")
     },
-    Some {
-      val base = sigFixtureBase(lastSigDir)
+    dir => {
+      val base = sigFixtureBase(dir)
       annRecallOracleSql(
         s"""cc AS (SELECT vec_id, cell
                  FROM read_parquet('$base/imi_cells/*.parquet')),
@@ -829,7 +827,7 @@ object PipelineQueries {
     * so any bug in the LUT, lookup, scoring, or ranking fails
     * cross-engine. Only the k-means argmax encoder is trusted
     * (spec-asserted planted-copy law in PqSpec). */
-  def annPqAdc = QueryDef(
+  def annPqAdc = QueryDef.dirOracle(
     "ann_pq_adc",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -843,8 +841,8 @@ object PipelineQueries {
         Ann.bruteForceTopK(corpus, q, 10), 10)
         .orderBy("q_id", "rnk")
     },
-    Some {
-      val base = sigFixtureBase(lastSigDir)
+    dir => {
+      val base = sigFixtureBase(dir)
       annRecallTopkOracleSql(
         adcTopkCtes(base,
           """cand AS (SELECT q.q_id, e.vec_id
@@ -864,7 +862,7 @@ object PipelineQueries {
     * scoring from ann_pq_adc's codes / codebook fixtures, so the
     * composition itself — prune THEN ADC — is what the cross-engine
     * gate checks. */
-  def annIvfPq = QueryDef(
+  def annIvfPq = QueryDef.dirOracle(
     "ann_ivf_pq",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -883,8 +881,8 @@ object PipelineQueries {
         Ann.bruteForceTopK(corpus, q, 10), 10)
         .orderBy("q_id", "rnk")
     },
-    Some {
-      val base = sigFixtureBase(lastSigDir)
+    dir => {
+      val base = sigFixtureBase(dir)
       annRecallTopkOracleSql(
         adcTopkCtes(base,
           s"""icc AS (SELECT vec_id, cell
@@ -918,7 +916,7 @@ object PipelineQueries {
     * and the integer recall ratios — the two in-output theorems
     * (monotone recall, exact 1.0 at nprobe = cells) are now
     * cross-engine facts instead of self-asserted ones. */
-  def annNprobeCurve = QueryDef(
+  def annNprobeCurve = QueryDef.dirOracle(
     "ann_nprobe_curve",
     (s, d) => {
       val Cells = 16
@@ -955,8 +953,8 @@ object PipelineQueries {
       rows.toDF("nprobe", "cells_fraction_ppm", "recall_at10_q4", "top1_recall_q4")
         .orderBy("nprobe")
     },
-    Some {
-      val base = sigFixtureBase(lastSigDir)
+    dir => {
+      val base = sigFixtureBase(dir)
       s"""WITH $annOraclePreludeCtes,
           cc AS (SELECT vec_id, cell
                  FROM read_parquet('$base/ivf16_cells/*.parquet')),
@@ -1379,13 +1377,11 @@ object PipelineQueries {
     * too. */
   private val winnowFixtures =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  @volatile private var lastWinnowDir: String = "/root/testdata/sf0.01"
   private def winnowFixtureBase(dir: String): String =
     "/tmp/graft_warehouse/oraclewinnow_" +
       dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + ProcessHandle.current().pid()
   private def winnowFixtureFor(s: SparkSession, dir: String): String = {
     val base = winnowFixtureBase(dir)
-    lastWinnowDir = dir
     if (winnowFixtures.add(base)) {
       graft.functions.Spread(Tables.documents(s, dir), col("doc_id"))
         .withColumn("canon", Text.canonical(col("text")))
@@ -1396,7 +1392,7 @@ object PipelineQueries {
     base
   }
 
-  def textWinnow = QueryDef(
+  def textWinnow = QueryDef.dirOracle(
     "text_winnow",
     (s, d) => {
       winnowFixtureFor(s, d)
@@ -1406,8 +1402,8 @@ object PipelineQueries {
           to_json(col("winnow_fps")).as("winnow_fps"))
         .orderBy("doc_id")
     },
-    Some {
-      val base = winnowFixtureBase(lastWinnowDir)
+    dir => {
+      val base = winnowFixtureBase(dir)
       s"""WITH g AS (SELECT doc_id, pos, gram
                      FROM read_parquet('$base/*.parquet')),
           wm AS (SELECT doc_id, pos,
@@ -1718,7 +1714,7 @@ object PipelineQueries {
     * the build-time bucket_n ≤ MaxBucket valve over the CORPUS), the
     * broadcast batch-band join, the (new_doc, dup_of) distinct, and
     * the evidence arithmetic. */
-  def dedupIncremental = QueryDef(
+  def dedupIncremental = QueryDef.dirOracle(
     "dedup_incremental",
     (s, d) => {
       val docs0 = Tables.documents(s, d)
@@ -1741,8 +1737,8 @@ object PipelineQueries {
           round(col("planted_found") / col("planted_expected"), 4))
       pairs.crossJoin(broadcast(stats)).orderBy("new_doc", "dup_of")
     },
-    Some {
-      val base = sigFixtureBase(lastSigDir)
+    dir => {
+      val base = sigFixtureBase(dir)
       val r = Dedup.RowsPerBand
       def bandCte(name: String, src: String) =
         s"""$name AS (SELECT doc_id, j,
@@ -2256,7 +2252,7 @@ object PipelineQueries {
     * signature fixture (the D2 banding) and the component labels from
     * a recursive-CTE transitive closure — min-label propagation and
     * min-over-closure compute the same fixpoint. */
-  def dedupClusters = QueryDef(
+  def dedupClusters = QueryDef.dirOracle(
     "dedup_clusters",
     (s, d) => {
       minhashPlantedFixture(s, d)
@@ -2264,8 +2260,8 @@ object PipelineQueries {
       Clusters.connectedComponents(Dedup.minhashLshCandidates(corpus))
         .orderBy("doc_id")
     },
-    Some {
-      val base = sigFixtureBase(lastSigDir)
+    dir => {
+      val base = sigFixtureBase(dir)
       s"""WITH RECURSIVE ${lshCandidatesCte(base)},
           edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
                     UNION SELECT doc_b, doc_a FROM cand),
@@ -2281,7 +2277,7 @@ object PipelineQueries {
     * was rows-only): the whole chain mirrors in DuckDB — banding from
     * the signature fixture, string-shingle Jaccard verification (the
     * D4 arithmetic), recursive-CTE components, keeper filter, stats. */
-  def dedupPipelineQ = QueryDef(
+  def dedupPipelineQ = QueryDef.dirOracle(
     "dedup_pipeline",
     (s, d) => {
       minhashPlantedFixture(s, d)
@@ -2300,8 +2296,8 @@ object PipelineQueries {
           col("planted_expected") - col("planted_kept"))
       kept.crossJoin(broadcast(stats)).orderBy("doc_id")
     },
-    Some {
-      val base = sigFixtureBase(lastSigDir)
+    dir => {
+      val base = sigFixtureBase(dir)
       s"""WITH RECURSIVE ${lshCandidatesCte(base)},
           c AS (SELECT doc_id, text FROM documents
                 UNION ALL
@@ -2548,7 +2544,7 @@ object PipelineQueries {
     * equi-join where every fact row matches its key's single dim row
     * exactly once per construction (the invariant the salting must
     * preserve, now hash-gated). */
-  def dedupSkewStress = QueryDef(
+  def dedupSkewStress = QueryDef.dirOracle(
     "dedup_skew_stress",
     (s, d) => {
       sigFixture(s, d, "minhash_skew")(
@@ -2577,8 +2573,8 @@ object PipelineQueries {
             .as("hot_pairs")))
         .crossJoin(salted.agg(count(lit(1)).as("salted_join_rows")))
     },
-    Some {
-      val base = sigFixtureBase(lastSigDir)
+    dir => {
+      val base = sigFixtureBase(dir)
       s"""WITH ${bandCteSql("kb", s"$base/minhash_skew")},
           buckets AS (SELECT j, s1, s2, s3, s4,
                         CAST(count(*) AS BIGINT) AS cnt
@@ -2664,7 +2660,7 @@ object PipelineQueries {
     * verified-output identity tp = |candidates ∩ truth| are checkable
     * from the counts, and the spec recomputes every number from the
     * constituent operators (each of which carries its own gate). */
-  def dedupMethodEval = QueryDef(
+  def dedupMethodEval = QueryDef.dirOracle(
     "dedup_method_eval",
     (s, d) => {
       import s.implicits._
@@ -2707,8 +2703,8 @@ object PipelineQueries {
     // all-pairs jaccard (prefix filtering loses no pair, so the truth
     // is reproducible without mirroring the prefix join); the ppm
     // precision/recall integer arithmetic mirrors with // division.
-    Some {
-      val base = sigFixtureBase(lastSigDir)
+    dir => {
+      val base = sigFixtureBase(dir)
       s"""WITH ${bandCteSql("mh", s"$base/minhash")},
           ${selfPairsSql("mh_cand", "mh")},
           ${simhashPairsSql("shp", s"$base/simhash_planted")},
@@ -3171,7 +3167,7 @@ object PipelineQueries {
     * cosine from the RAW embeddings, the 0.99 threshold, the
     * connected components (recursive-CTE closure), the min-id keeper
     * rule, and the planted-recall stats. */
-  def dedupSemantic = QueryDef(
+  def dedupSemantic = QueryDef.dirOracle(
     "dedup_semantic",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -3199,8 +3195,8 @@ object PipelineQueries {
           round(col("planted_dropped") / col("planted_expected"), 4))
       out.crossJoin(broadcast(stats)).orderBy("vec_id")
     },
-    Some {
-      val base = sigFixtureBase(lastSigDir)
+    dir => {
+      val base = sigFixtureBase(dir)
       s"""WITH RECURSIVE
           e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                  FROM embeddings),

@@ -62,17 +62,15 @@ object BinaryIngest {
       .orderBy("fname")
   }
 
-  /** Oracle path re-rendered at dump time (the RowGroups convention:
-    * Verify runs queries first, then dumps oracleSql through the
-    * `allDefs` def, so `lastDir` is set by then). */
-  @volatile private var lastDir: String = "/root/testdata/sf0.01"
-
-  def qBinaryIngestDef: QueryDef = QueryDef(
+  /** Oracle path re-rendered at dump time against the dir THIS entry
+    * last ran on (QueryDef.dirOracle — per-entry, not a module global:
+    * r12 ADVICE item 5's cross-dataset hazard class). */
+  val qBinaryIngestDef: QueryDef = QueryDef.dirOracle(
     "io_binary_ingest",
-    (s, d) => { lastDir = d; ingest(s, d) },
-    Some {
+    (s, d) => ingest(s, d),
+    dir => {
       val base = "/tmp/graft_warehouse/binaryingest_" +
-        lastDir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
         ProcessHandle.current().pid()
       s"""WITH f AS (SELECT parse_filename(filename) AS fname,
                    CAST(size AS BIGINT) AS n_bytes,
@@ -88,12 +86,5 @@ object BinaryIngest {
           ORDER BY fname"""
     })
 
-  /** A def, not a val: the oracle SQL interpolates `lastDir` EAGERLY
-    * at QueryDef construction, so a val would freeze the default
-    * sf0.01 fixture path at class-init — correct for the standard
-    * gate purely by coincidence, and wrong at any other sf (found by
-    * the r9 sf0.1 oracle run: spark=500 rows, duck=0 blobs). As a def
-    * it re-renders at `SparkEntry.oracleSql` dump time, after the
-    * query run set lastDir — the Zorder/RowGroups convention. */
   def all: Seq[QueryDef] = Seq(qBinaryIngestDef)
 }

@@ -41,17 +41,9 @@ object Compaction {
   private val built =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Dataset dir of the most recent fixture build in this process —
-    * read when the oracle SQL is dumped (Verify runs every query
-    * FIRST, then dumps `SparkEntry.oracleSql`, and `allDefs` is a
-    * def, so the oracle string below is re-rendered at dump time with
-    * the path this process actually wrote). */
-  @volatile private var lastDir: String = "/root/testdata/sf0.01"
-
   /** The fragmented events layout (built once per process+dataset). */
   def fragmentedDir(s: SparkSession, dir: String): String = {
     val base = scratch(dir)
-    lastDir = dir
     if (built.add(base)) {
       Tables.events(s, dir)
         .repartition(SmallFiles, col("event_id"))
@@ -102,11 +94,11 @@ object Compaction {
       .write.partitionBy("bin").mode("overwrite").parquet(outDir)
   }
 
-  /** `all` is re-evaluated when Verify dumps the oracle map, so the
-    * SQL below globs the pid-scoped fixture dir this process wrote. */
+  /** The oracle re-renders at dump time against the dir the entry last
+    * ran on (QueryDef.dirOracle — per-entry, not a module global). */
   def all: Seq[QueryDef] = Seq(
-    QueryDef("q_compaction_plan", (s, d) => plan(s, d),
-      Some(oracleSqlFor(lastDir))))
+    QueryDef.dirOracle("q_compaction_plan", (s, d) => plan(s, d),
+      dir => oracleSqlFor(dir)))
 
   /** The oracle globs the SAME fragmented fixture dir. */
   private def oracleSqlFor(d: String): String = {

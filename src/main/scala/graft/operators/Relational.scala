@@ -1286,14 +1286,28 @@ object Relational {
     * SQL-surface semantics. */
   val qRecursiveCte = QueryDef(
     "q_recursive_cte",
-    (s, d) => {
-      Tables.part(s, d).createOrReplaceTempView("part_rec_v")
+    (s0, d) => {
       // the walk emits |part| × ⌈log₂ max(p_partkey)⌉ rows — N log N,
       // not a runaway — but Spark 4.1's safety default
       // (spark.sql.cteRecursionRowLimit = 1e6) lids it at ~55k parts:
       // the r12 sf1 ritual hit RECURSION_ROW_LIMIT_EXCEEDED at 200k
-      // parts (~3.7M walk rows). Budget it explicitly for scale.
-      s.conf.set("spark.sql.cteRecursionRowLimit", "2000000000")
+      // parts (~3.7M walk rows). Budget it from the ACTUAL walk size
+      // (|part| × (⌈log₂ max(key)⌉ + 1), 2× margin) on a CHILD session
+      // (the R148 isolation pattern), so the runaway-recursion guard is
+      // never weakened for other entries sharing the parent session —
+      // r12's session-global set leaked an effectively-unbounded limit
+      // into every later recursive CTE of the run.
+      val s = s0.newSession()
+      val part = Tables.part(s, d)
+      val Array(stats) = part
+        .agg(count(lit(1)).as("n"), max(col("p_partkey").cast("long")).as("mx"))
+        .collect()
+      val depth = 64 - java.lang.Long.numberOfLeadingZeros(
+        math.max(stats.getLong(1), 1L))
+      val budget = 2L * stats.getLong(0) * (depth + 1)
+      s.conf.set("spark.sql.cteRecursionRowLimit",
+        math.max(budget, 1000000L).toString)
+      part.createOrReplaceTempView("part_rec_v")
       // integer division: Spark's / on ints is fractional (DOUBLE), so
       // DIV here and // in DuckDB keep the walk in exact integers
       s.sql("""WITH RECURSIVE anc(part, node, depth) AS (

@@ -33,17 +33,10 @@ object RowGroups {
   private val built =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Dataset dir of the most recent fixture build in this process —
-    * re-rendered into the oracle SQL at dump time (the Compaction
-    * convention: Verify runs queries first, then dumps oracleSql
-    * through the `allDefs` def). */
-  @volatile private var lastDir: String = "/root/testdata/sf0.01"
-
   /** Sorted lineitem layout with ~128 KB row groups (several groups
     * per file at every SF). */
   def sortedDir(s: SparkSession, dir: String): String = {
     val base = scratch(dir)
-    lastDir = dir
     if (built.add(base)) {
       Tables.lineitem(s, dir)
         .sort(KeyCol, "l_linenumber")
@@ -165,7 +158,6 @@ object RowGroups {
     * be vacuous). */
   def pagedDir(s: SparkSession, dir: String): String = {
     val base = scratch(dir)
-    lastDir = dir
     if (built.add(base + "/paged")) {
       Tables.lineitem(s, dir)
         .sort(KeyCol, "l_linenumber")
@@ -233,18 +225,17 @@ object RowGroups {
       "max_key", "n_rows", "boundary_order")
   }
 
-  /** `all` is a def (the Compaction convention): re-evaluated when
-    * Verify dumps the oracle map, so the SQL reads the pid-scoped
-    * fixture this process actually wrote. */
+  /** Oracles re-render at dump time against the dir each entry last
+    * ran on (QueryDef.dirOracle — per-entry, not a module global). */
   def all: Seq[QueryDef] = Seq(
-    QueryDef("io_rowgroup_stats",
+    QueryDef.dirOracle("io_rowgroup_stats",
       (s, d) => stats(s, sortedDir(s, d), KeyCol)
         .orderBy("file", "row_group_id"),
-      Some(oracleSqlFor(lastDir))),
-    QueryDef("io_encoding_audit",
+      dir => oracleSqlFor(dir)),
+    QueryDef.dirOracle("io_encoding_audit",
       (s, d) => encodingAudit(s, sortedDir(s, d))
         .orderBy("file", "row_group_id", "column"),
-      Some(encodingOracleFor(lastDir))),
+      dir => encodingOracleFor(dir)),
     QueryDef("io_page_index_audit",
       (s, d) => pageIndexAudit(s, pagedDir(s, d), KeyCol)
         .orderBy("file", "row_group_id", "page_id")))

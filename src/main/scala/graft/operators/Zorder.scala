@@ -96,8 +96,6 @@ object Zorder {
   private val builtLayouts =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  @volatile private var lastDir: String = "/root/testdata/sf0.01"
-
   val ZoneFiles = 16
 
   /** Writes the SAME events projection twice (once per process per
@@ -106,7 +104,6 @@ object Zorder {
   def zoneLayouts(s: org.apache.spark.sql.SparkSession,
       dir: String): (String, String) = {
     val base = scratch(dir)
-    lastDir = dir
     if (builtLayouts.add(base)) {
       val ev = Tables.events(s, dir).select(col("event_id"),
         col("user_id"), floor(col("value")).cast("long").as("v"))
@@ -134,7 +131,7 @@ object Zorder {
     * Z-ordered layout prunes on either dimension. Zone maps are
     * O(files) metadata — the whole entry aggregates per
     * input_file_name, never per row, after the first count. */
-  val qZonemapSkipping = QueryDef(
+  val qZonemapSkipping = QueryDef.dirOracle(
     "q_zonemap_skipping",
     (s, d) => {
       val (lin, zo) = zoneLayouts(s, d)
@@ -178,7 +175,7 @@ object Zorder {
             .as("value_ratio_q"))
         .orderBy("layout")
     },
-    None)
+    dir => oZoneSql(dir))
 
   private def oZoneSql(d: String): String = {
     val base = scratch(d)
@@ -218,8 +215,7 @@ object Zorder {
   }
 
   /** The zonemap oracle re-renders the pid-scoped fixture path on
-    * every access (QueryDef's oracle is by-name since r12). */
-  def all: Seq[QueryDef] = Seq(qZorder,
-    QueryDef(qZonemapSkipping.name, qZonemapSkipping.fn,
-      Some(oZoneSql(lastDir))))
+    * every access, against the dir the entry last ran on
+    * (QueryDef.dirOracle — per-entry, not a module global). */
+  def all: Seq[QueryDef] = Seq(qZorder, qZonemapSkipping)
 }

@@ -498,6 +498,19 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("R38: the recursion budget never leaks into the parent session") {
+    // r12 set spark.sql.cteRecursionRowLimit session-globally, silently
+    // disabling the runaway-recursion guard for every later recursive
+    // CTE of the run; the entry now budgets a CHILD session (R148
+    // pattern). The parent's conf — default or explicit — must be
+    // untouched after the entry executes.
+    val key = "spark.sql.cteRecursionRowLimit"
+    val before = spark.conf.getOption(key)
+    assert(Relational.qRecursiveCte.fn(spark, sf).count() > 0)
+    assert(spark.conf.getOption(key) === before,
+      "q_recursive_cte must scope its recursion budget to a child session")
+  }
+
   test("R150: the weighted median replays exactly and dominates by mass") {
     val rows = Relational.qWeightedMedian.fn(spark, sf).collect()
     assert(rows.nonEmpty)

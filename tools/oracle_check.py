@@ -269,9 +269,15 @@ def write_record(complete):
                 "spark_rows": st.get("spark_rows"),
                 "oracle_rows": st.get("oracle_rows"),
                 "err": err}
+    # keep the first ~3 lines of a failure message (newlines folded):
+    # 'values differ' carries the spark/duck row values on lines 2-3,
+    # and truncating to line 1 left r12's one real sf1 mismatch
+    # undiagnosable from the committed record (r12 ADVICE item 2)
+    def fold(m):
+        return " | ".join(l.strip() for l in m.splitlines()[:3])[:600]
     rec = {n: record(n, None) for n, _ in passes}
-    rec.update({n: record(n, m.splitlines()[0][:300]) for n, m in fails})
-    rec.update({n: record(n, m.splitlines()[0][:300]) for n, m in skips})
+    rec.update({n: record(n, fold(m)) for n, m in fails})
+    rec.update({n: record(n, fold(m)) for n, m in skips})
     top = {"format": 3, "sf": SF, "complete": complete,
            "n_pass": len(passes), "n_fail": len(fails),
            "n_skip": len(skips), "queries": dict(sorted(rec.items()))}
@@ -308,4 +314,8 @@ if OUT_JSON:
 for n, m in skips: print(f"SKIP {n}: {m}")
 for n, m in fails: print(f"FAIL {n}: {m}")
 print(f"\n{len(passes)} pass / {len(fails)} fail / {len(skips)} timeout-skip")
-sys.exit(1 if fails else 0)
+# exit codes: 1 = any hash/schema/row FAIL; 2 = no fails but ≥1
+# resource skip (the gate is only PARTIALLY verified — a consumer
+# keying on the exit code must not read a largely-skipped run as
+# green, r12 ADVICE item 3); 0 = fully verified.
+sys.exit(1 if fails else (2 if skips else 0))
