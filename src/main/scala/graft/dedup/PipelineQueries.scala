@@ -2799,34 +2799,70 @@ object PipelineQueries {
 
   /** D105: interpolated Kneser-Ney bigram scoring — see
     * [[graft.functions.LmScore.scoreKn]]. String-key mode for the
-    * oracle (the D28 convention); production default hashes keys. */
-  val textLmKn = QueryDef(
+    * oracle (the D28 convention); production default hashes keys.
+    *
+    * FIXTURE ORACLE (r13, clearing the one r12 sf1 red): the per-type
+    * lp table — the model's ONE transcendental stage — is dumped as
+    * the fixture; DuckDB re-derives every KN count EXACTLY from the
+    * raw corpus, requires the fixture's counts to match and its lp to
+    * sit within 1e-12 of its own ln (libm noise is ≤ a few ulps
+    * ≈ 1e-15 at these magnitudes; a REAL model error is ≥ the count
+    * granularity, orders louder), then replays the doc aggregation
+    * from the FIXTURE doubles — so the DECIMAL(38,6) quantization
+    * boundary can never amplify a cross-libm ulp again (the r12
+    * failure: doc 16399 of 50,000, one bigram's Math.log-vs-ln ulp on
+    * a quantization boundary). n_fixture_viol carries the audit:
+    * Spark asserts 0; DuckDB counts missing/extra/mismatched types
+    * and out-of-tolerance lp values. */
+  val textLmKn = QueryDef.dirOracle(
     "text_lm_kn",
-    (s, d) => graft.functions.LmScore.scoreKn(
-      Tables.documents(s, d), hashKeys = false),
-    Some(s"""WITH w AS (SELECT doc_id, string_split($oCanon, ' ') AS ws FROM documents),
-             bi AS (SELECT doc_id, ws[g] AS w1, ws[g + 1] AS w2,
-                      ws[g] || ' ' || ws[g + 1] AS g2
-                    FROM w, UNNEST(generate_series(1, greatest(len(ws) - 1, 0))) AS t(g)),
-             types AS (SELECT g2, CAST(count(*) AS BIGINT) AS c2,
-                         min(w1) AS tw1, min(w2) AS tw2
-                       FROM bi GROUP BY 1),
-             c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bi GROUP BY 1),
-             n1f AS (SELECT tw1 AS w1, CAST(count(*) AS BIGINT) AS n1f
-                     FROM types GROUP BY 1),
-             n1b AS (SELECT tw2 AS w2, CAST(count(*) AS BIGINT) AS n1b
-                     FROM types GROUP BY 1),
-             tt AS (SELECT CAST(count(*) AS BIGINT) AS t_types FROM types),
-             scored AS (SELECT b.doc_id,
-                 ln((CAST(t.c2 AS DOUBLE) - 0.75) / c1.c1
-                    + 0.75 * n1f.n1f / c1.c1
-                      * (CAST(n1b.n1b AS DOUBLE) / tt.t_types)) AS lp
-               FROM bi b JOIN types t USING (g2) JOIN c1 USING (w1)
-               JOIN n1f USING (w1) JOIN n1b USING (w2) CROSS JOIN tt)
-             SELECT doc_id, COUNT(*) AS n_bigrams,
-               ROUND(CAST(-SUM(CAST(lp AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 4)
-                 AS nll_kn
-             FROM scored GROUP BY doc_id ORDER BY doc_id"""))
+    (s, d) => {
+      sigFixture(s, d, "lm_kn_typelp")(
+        graft.functions.LmScore.knTypeLp(Tables.documents(s, d),
+          hashKeys = false))
+      graft.functions.LmScore.scoreKn(Tables.documents(s, d),
+          hashKeys = false)
+        .withColumn("n_fixture_viol", lit(0L))
+    },
+    dir => {
+      val base = sigFixtureBase(dir)
+      s"""WITH w AS (SELECT doc_id, string_split($oCanon, ' ') AS ws FROM documents),
+          bi AS (SELECT doc_id, ws[g] AS w1, ws[g + 1] AS w2,
+                   ws[g] || ' ' || ws[g + 1] AS g2
+                 FROM w, UNNEST(generate_series(1, greatest(len(ws) - 1, 0))) AS t(g)),
+          types AS (SELECT g2, CAST(count(*) AS BIGINT) AS c2,
+                      min(w1) AS tw1, min(w2) AS tw2
+                    FROM bi GROUP BY 1),
+          c1 AS (SELECT tw1 AS w1, CAST(SUM(c2) AS BIGINT) AS c1
+                 FROM types GROUP BY 1),
+          n1f AS (SELECT tw1 AS w1, CAST(count(*) AS BIGINT) AS n1f
+                  FROM types GROUP BY 1),
+          n1b AS (SELECT tw2 AS w2, CAST(count(*) AS BIGINT) AS n1b
+                  FROM types GROUP BY 1),
+          tt AS (SELECT CAST(count(*) AS BIGINT) AS t_types FROM types),
+          own AS (SELECT t.g2, t.c2, c1.c1, n1f.n1f, n1b.n1b, tt.t_types,
+                    ln((CAST(t.c2 AS DOUBLE) - 0.75) / c1.c1
+                       + 0.75 * n1f.n1f / c1.c1
+                         * (CAST(n1b.n1b AS DOUBLE) / tt.t_types)) AS own_lp
+                  FROM types t JOIN c1 ON c1.w1 = t.tw1
+                  JOIN n1f ON n1f.w1 = t.tw1 JOIN n1b ON n1b.w2 = t.tw2
+                  CROSS JOIN tt),
+          fix AS (SELECT g2, c2, c1, n1f, n1b, t_types, lp
+                  FROM read_parquet('$base/lm_kn_typelp/*.parquet')),
+          quar AS (SELECT CAST(count(*) AS BIGINT) AS n_bad
+                   FROM own o FULL OUTER JOIN fix f ON o.g2 = f.g2
+                   WHERE o.g2 IS NULL OR f.g2 IS NULL
+                      OR o.c2 != f.c2 OR o.c1 != f.c1 OR o.n1f != f.n1f
+                      OR o.n1b != f.n1b OR o.t_types != f.t_types
+                      OR abs(f.lp - o.own_lp) > 1e-12),
+          scored AS (SELECT b.doc_id, f.lp FROM bi b JOIN fix f USING (g2)),
+          docs AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+                     ROUND(CAST(-SUM(CAST(lp AS DECIMAL(38,6))) AS DOUBLE)
+                       / COUNT(*), 4) AS nll_kn
+                   FROM scored GROUP BY doc_id)
+          SELECT d.doc_id, d.n_bigrams, d.nll_kn, q.n_bad AS n_fixture_viol
+          FROM docs d CROSS JOIN quar q ORDER BY d.doc_id"""
+    })
 
   val textLmScore = QueryDef(
     "text_lm_score",
