@@ -47,19 +47,46 @@ object Kcenter {
           x => x / sqrt(col("nsq"))).as("embedding"))
   }
 
+  private val fixtures =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def fixtureBase(dir: String): String =
+    "/tmp/graft_warehouse/kcenter_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + ProcessHandle.current().pid()
+
   /** Greedy selection: returns (vec_id, picked_sim_q, cover_min_sim_q)
     * per round. Seed = smallest xxhash64(vec_id) (the Ivf/Kmeans seed
-    * rule); its picked_sim_q is NULL (there is no prior set). */
-  def select(s: SparkSession, emb: DataFrame, k: Int): DataFrame = {
+    * rule); its picked_sim_q is NULL (there is no prior set).
+    *
+    * `fixtureDir` (the oracle-gated entry sets it): dump each center's
+    * quantized similarity column — (sel_idx, center_vec_id, vec_id,
+    * sim_q) — plus the (vec_id, h) seed-hash table, once per (process,
+    * dataset). One extra map-side pass per round over the persisted
+    * unit corpus; floor(cos·1e6) is deterministic given the center. */
+  def select(s: SparkSession, emb: DataFrame, k: Int,
+      fixtureDir: Option[String] = None): DataFrame = {
     import s.implicits._
+    val dump = fixtureDir.filter(d => fixtures.add(fixtureBase(d)))
+      .map(fixtureBase)
     val unit = normalized(emb).persist()
     try {
+      dump.foreach { base =>
+        unit.select(col("vec_id"), xxhash64(col("vec_id")).as("h"))
+          .write.mode("overwrite").parquet(s"$base/hash")
+      }
       val seed = unit.withColumn("h", xxhash64(col("vec_id")))
         .orderBy("h", "vec_id").limit(1)
         .select("vec_id", "embedding").collect()(0)
       var centers = Seq((seed.getLong(0), seed.getSeq[Double](1).toSeq))
       val simQ = (c: Seq[Double]) =>
         floor(Ann.cosine(col("embedding"), typedlit(c)) * 1e6).cast("long")
+      def dumpSims(r: Int, centerId: Long, centerVec: Seq[Double]): Unit =
+        dump.foreach { base =>
+          unit.select(lit(r).as("sel_idx"), lit(centerId).as("center_vec_id"),
+              col("vec_id"), simQ(centerVec).as("sim_q"))
+            .write.mode(if (r == 0) "overwrite" else "append")
+            .parquet(s"$base/sims")
+        }
+      dumpSims(0, centers.head._1, centers.head._2)
       // each point's best similarity to the chosen set so far
       var best = unit
         .withColumn("best_q", simQ(centers.head._2))
@@ -78,6 +105,7 @@ object Kcenter {
         val pickedVec = unit.filter(col("vec_id") === pickedId)
           .select("embedding").collect()(0).getSeq[Double](0).toSeq
         centers :+= ((pickedId, pickedVec))
+        dumpSims(r, pickedId, pickedVec)
         val prev = best
         best = best
           .withColumn("best_q", greatest(col("best_q"), simQ(pickedVec)))
@@ -91,9 +119,76 @@ object Kcenter {
     } finally unit.unpersist()
   }
 
-  val embKcenter = QueryDef(
+  /** FULL FIXTURE ORACLE (r13, was rows-only SV): the per-(point,
+    * center) quantized similarity matrix IS the fixture (the one
+    * trusted float→int stage). From it DuckDB re-derives the ENTIRE
+    * greedy run in exact integers — running best per point, each
+    * round's (best_q, vec_id) argmin over non-centers (which must name
+    * the fixture's next center: the induction check), picked_sim_q and
+    * cover_min_sim_q — re-derives the seed from the dumped xxhash64
+    * table, and bounds every fixture sim_q against its own raw-float
+    * cosine within floor-quantization distance. */
+  val embKcenter = QueryDef.dirOracle(
     "emb_kcenter",
-    (s, d) => select(s, Tables.embeddings(s, d), 8))
+    (s, d) => select(s, Tables.embeddings(s, d), 8, fixtureDir = Some(d))
+      .withColumn("n_fixture_viol", lit(0L)),
+    dir => {
+      val base = fixtureBase(dir)
+      s"""WITH sims AS (SELECT sel_idx, center_vec_id, vec_id, sim_q
+                        FROM read_parquet('$base/sims/*.parquet')),
+          h AS (SELECT vec_id, h FROM read_parquet('$base/hash/*.parquet')),
+          centers AS (SELECT DISTINCT sel_idx, center_vec_id FROM sims),
+          rounds AS (SELECT DISTINCT sel_idx AS r FROM sims),
+          -- running best per point after round r's center joined the set
+          best AS (SELECT rounds.r, s.vec_id,
+                     CAST(max(s.sim_q) AS BIGINT) AS best_q
+                   FROM sims s JOIN rounds ON s.sel_idx <= rounds.r
+                   GROUP BY rounds.r, s.vec_id),
+          cover AS (SELECT r, CAST(min(best_q) AS BIGINT) AS cover_min
+                    FROM best GROUP BY r),
+          -- round r+1's pick: integer argmin among non-centers(≤r)
+          elig AS (SELECT b.r, b.vec_id, b.best_q FROM best b
+                   WHERE NOT EXISTS (SELECT 1 FROM centers c
+                     WHERE c.center_vec_id = b.vec_id AND c.sel_idx <= b.r)),
+          pickd AS (SELECT r, vec_id, best_q FROM (
+                      SELECT r, vec_id, best_q, row_number() OVER
+                        (PARTITION BY r ORDER BY best_q, vec_id) AS rn
+                      FROM elig) t WHERE rn = 1),
+          seedv AS (SELECT vec_id FROM h ORDER BY h, vec_id LIMIT 1),
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                FROM embeddings
+                WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                  x -> x * x)) > 0),
+          sbound AS (SELECT s.sim_q,
+                       list_sum(list_transform(list_zip(p.emb, c.emb),
+                         x -> x[1] * x[2]))
+                       / (sqrt(list_sum(list_transform(p.emb, x -> x * x)))
+                          * sqrt(list_sum(list_transform(c.emb, x -> x * x))))
+                         AS own
+                     FROM sims s JOIN e p ON p.vec_id = s.vec_id
+                     JOIN e c ON c.vec_id = s.center_vec_id),
+          viol AS (SELECT CAST(count(*) AS BIGINT) AS n_bad FROM (
+                     -- floor(cos·1e6): own − sim_q/1e6 ∈ [0, 1e-6) ± libm
+                     SELECT 1 AS x FROM sbound
+                     WHERE own < sim_q / 1e6 - 2e-9
+                        OR own > sim_q / 1e6 + 1e-6 + 2e-9
+                     UNION ALL
+                     -- induction: round r's center is round r-1's argmin
+                     SELECT 1 FROM centers c JOIN pickd p ON p.r = c.sel_idx - 1
+                     WHERE c.center_vec_id != p.vec_id
+                     UNION ALL
+                     -- the seed is the smallest-hash vector
+                     SELECT 1 FROM centers c CROSS JOIN seedv
+                     WHERE c.sel_idx = 0 AND c.center_vec_id != seedv.vec_id) t)
+          SELECT c.sel_idx, c.center_vec_id AS vec_id,
+                 p.best_q AS picked_sim_q, cov.cover_min AS cover_min_sim_q,
+                 v.n_bad AS n_fixture_viol
+          FROM centers c
+          LEFT JOIN pickd p ON p.r = c.sel_idx - 1
+          JOIN cover cov ON cov.r = c.sel_idx
+          CROSS JOIN viol v
+          ORDER BY c.sel_idx"""
+    })
 
   val all: Seq[QueryDef] = Seq(embKcenter)
 }
