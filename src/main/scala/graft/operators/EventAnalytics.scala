@@ -1377,7 +1377,12 @@ object EventAnalytics {
     * window ordering + a min/max struct pair in the session
     * aggregation — never a per-session re-scan); the report aggregates
     * the O(sessions) frame down to O(event types). All integers, fully
-    * oracle-mirrorable. */
+    * oracle-mirrorable. The DuckDB mirror reads the endpoints off the
+    * SAME window sort instead (the session-start flag marks the entry
+    * row, its lead marks the exit row — exactly one of each per
+    * session), because DuckDB's min/max over packed structs blows the
+    * sf1 memory budget while the flag form verifies in under a
+    * second. */
   val qBounceRate = QueryDef(
     "q_bounce_rate",
     (s, d) => {
@@ -1425,20 +1430,20 @@ object EventAnalytics {
              z AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id
                      ORDER BY us, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     AS session_seq
+                     AS session_seq,
+                     lead(new_session, 1, 1) OVER (PARTITION BY user_id
+                       ORDER BY us, event_id) AS next_new
                    FROM y),
-             sess AS (
+             flat AS (
                SELECT user_id, session_seq,
                       CAST(count(*) AS BIGINT) AS n_events,
-                      min(struct_pack(us := us, event_id := event_id,
-                                      event_type := event_type)) AS f,
-                      max(struct_pack(us := us, event_id := event_id,
-                                      event_type := event_type)) AS l
-               FROM z GROUP BY 1, 2),
-             flat AS (
-               SELECT f.event_type AS entry_type, l.event_type AS exit_type,
-                      n_events, l.us - f.us AS dur_us
-               FROM sess)
+                      max(CASE WHEN new_session = 1 THEN event_type END)
+                        AS entry_type,
+                      max(CASE WHEN next_new = 1 THEN event_type END)
+                        AS exit_type,
+                      max(CASE WHEN next_new = 1 THEN us END)
+                        - max(CASE WHEN new_session = 1 THEN us END) AS dur_us
+               FROM z GROUP BY 1, 2)
              SELECT entry_type,
                     CAST(count(*) AS BIGINT) AS n_sessions,
                     CAST(count(*) FILTER (WHERE n_events = 1) AS BIGINT) AS n_bounce,

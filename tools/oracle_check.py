@@ -59,11 +59,28 @@ if MEMLIMIT:
 TIMEOUT = next((float(a.split("=", 1)[1]) for a in sys.argv
                 if a.startswith("--timeout=")), None)
 
+# --heavy=name:secs,name:secs grants NAMED oracles a larger per-entry
+# budget than --timeout (r12 verdict item 6: the known-heavy
+# verification CTEs — deliberately quadratic all-pairs checks, graph
+# fixpoints — deserve a documented longer budget at big sf instead of
+# a frozen skip list; every grant is visible on the command line that
+# produced the committed record). Only meaningful alongside --timeout.
+HEAVY = {}
+for a in sys.argv:
+    if a.startswith("--heavy="):
+        for kv in a.split("=", 1)[1].split(","):
+            k, v = kv.split(":")
+            HEAVY[k] = float(v)
+
+def budget_for(name):
+    return HEAVY.get(name, TIMEOUT)
+
 class OracleTimeout(Exception):
     pass
 
-def exec_df(sql):
-    if TIMEOUT is None:
+def exec_df(sql, tmo=None):
+    tmo = tmo if tmo is not None else TIMEOUT
+    if tmo is None:
         return con.execute(sql).df()
     import threading
     box = {}
@@ -73,7 +90,7 @@ def exec_df(sql):
         except Exception as e:
             box["err"] = e
     t = threading.Thread(target=run, daemon=True)
-    t.start(); t.join(TIMEOUT)
+    t.start(); t.join(tmo)
     if t.is_alive():
         con.interrupt()
         # wait for the interrupt to actually land: proceeding while the
@@ -84,7 +101,7 @@ def exec_df(sql):
             print("FATAL: interrupted oracle did not stop; aborting the "
                   "gate rather than corrupting the connection", flush=True)
             os._exit(3)
-        raise OracleTimeout(f"oracle timeout: exceeded {TIMEOUT:.0f}s in DuckDB at this sf")
+        raise OracleTimeout(f"oracle timeout: exceeded {tmo:.0f}s in DuckDB at this sf")
     if "err" in box:
         raise box["err"]
     return box["df"]
@@ -213,10 +230,11 @@ def child_main(name, sql, q):
 
 def compare_isolated(name, sql):
     import multiprocessing as mp, queue as _q, time as _t
+    tmo = budget_for(name)
     q = mp.Queue()
     p = mp.Process(target=child_main, args=(name, sql, q), daemon=True)
     p.start()
-    deadline = _t.time() + (TIMEOUT if TIMEOUT else 86400)
+    deadline = _t.time() + (tmo if tmo else 86400)
     while True:
         try:
             res = q.get(timeout=2); break
@@ -237,7 +255,7 @@ def compare_isolated(name, sql):
                             blank_stage())
             if _t.time() > deadline:
                 p.kill(); p.join()
-                return ("SKIP", f"oracle timeout: exceeded {TIMEOUT:.0f}s in "
+                return ("SKIP", f"oracle timeout: exceeded {tmo:.0f}s in "
                                 "DuckDB at this sf (child killed)",
                         blank_stage())
     p.join()
@@ -296,7 +314,8 @@ for name, sql in sorted(oracle.items()):
     if ISOLATE:
         kind, payload, st = compare_isolated(name, sql)
     else:
-        kind, payload, st = compare_one(name, sql, con, exec_df)
+        kind, payload, st = compare_one(
+            name, sql, con, lambda s, n=name: exec_df(s, budget_for(n)))
     stages[name] = st
     if kind == "PASS":
         passes.append((name, payload)); note(f"PASS {name} ({payload} rows)")
