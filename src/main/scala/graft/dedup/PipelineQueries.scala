@@ -34,6 +34,30 @@ object PipelineQueries {
   private[graft] val oCanon =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
 
+  /** Inverted-index form of the brute-force all-pairs Jaccard CTE
+    * (expects `t(doc_id, sh)` in scope; yields `p(doc_a, doc_b,
+    * jaccard)` with doc_a < doc_b). Exact for every oracle that
+    * filters jaccard >= τ with τ > 0: a pair with zero shared
+    * shingles cannot qualify, and for pairs that DO share a shingle
+    * the exploded equi-join's per-pair count is the same integer
+    * `len(list_intersect(...))` computes — but the cost is
+    * Σ_shingle df² instead of N²·|sh|. The nested-loop form timed
+    * out at every budget at sf1 (50k docs ≈ 1.25e9 list_intersect
+    * calls); this form verifies the identical row-set in seconds
+    * (md5-identical at sf0.01 and sf0.1, where both complete). */
+  private[graft] val oPairIdx =
+    """sz AS (SELECT doc_id, len(sh) AS n FROM t),
+       ex AS (SELECT doc_id, unnest(sh) AS s FROM t),
+       ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(count(*) AS BIGINT) AS inter
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+       p AS (SELECT ov.doc_a, ov.doc_b,
+               ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6)
+                 AS jaccard
+             FROM ov JOIN sz sa ON sa.doc_id = ov.doc_a
+                     JOIN sz sb ON sb.doc_id = ov.doc_b)"""
+
   // ------------------------- oracle signature fixtures (r10 item 1)
 
   /** The minhash / simhash SIGNATURE matrices of the planted corpora,
@@ -284,11 +308,13 @@ object PipelineQueries {
   /** D47: EXACT all-pairs Jaccard similarity self-join via prefix
     * filtering — the first near-dup PAIR entry with a full SQL oracle:
     * unlike the D2/D3 hash families, prefix filtering loses no
-    * qualifying pair, so a DuckDB brute-force all-pairs join over the
-    * same shingle sets must produce the IDENTICAL (doc_a, doc_b,
-    * jaccard) rows. The oracle entry runs string-shingle mode;
-    * production defaults to 64-bit hashed shingles (AllPairsSpec
-    * proves mode parity + that the prefix join prunes the pair space). */
+    * qualifying pair, so an independent DuckDB join over the same
+    * shingle sets must produce the IDENTICAL (doc_a, doc_b, jaccard)
+    * rows (the [[oPairIdx]] inverted-index form since r13 — same
+    * row-set as the nested-loop original, sf1-tractable). The oracle
+    * entry runs string-shingle mode; production defaults to 64-bit
+    * hashed shingles (AllPairsSpec proves mode parity + that the
+    * prefix join prunes the pair space). */
   /** D79: dedup threshold-tuning curve — the "how aggressive should
     * τ be" decision as DATA: one D47 prefix-filtered pair pass at the
     * LOOSEST threshold (0.5), then every tighter threshold's pair
@@ -325,11 +351,7 @@ object PipelineQueries {
                      generate_series(0, greatest(len(ws) - 3, 0)),
                      i -> array_to_string(list_slice(ws, i + 1, i + 3), ' '))) AS sh
                    FROM w),
-             p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                     ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                       / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
-                       6) AS jaccard
-                   FROM t a JOIN t b ON a.doc_id < b.doc_id),
+             $oPairIdx,
              taus AS (SELECT unnest([0.5, 0.75, 0.9]) AS tau)
              SELECT tau, CAST(count(*) FILTER (jaccard >= tau) AS BIGINT)
                       AS n_pairs,
@@ -353,11 +375,7 @@ object PipelineQueries {
                      generate_series(0, greatest(len(ws) - 3, 0)),
                      i -> array_to_string(list_slice(ws, i + 1, i + 3), ' '))) AS sh
                    FROM w),
-             p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                     ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                       / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
-                       6) AS jaccard
-                   FROM t a JOIN t b ON a.doc_id < b.doc_id)
+             $oPairIdx
              SELECT doc_a, doc_b, jaccard FROM p
              WHERE jaccard >= 0.75 ORDER BY doc_a, doc_b"""))
 
@@ -424,14 +442,20 @@ object PipelineQueries {
       Ann.cosineNearDupPairs(Tables.embeddings(s, d), 0.30)
         .orderBy("vec_a", "vec_b")
     },
+    // norms precomputed ONCE per vector and the pair dot product via
+    // the native list_inner_product (md5-identical rows to the
+    // lambda-zip form at sf0.01/sf0.1): the old form re-derived BOTH
+    // norms inside every pair, which at sf1's 40M within-label pairs
+    // blew every DuckDB time budget
     Some("""WITH e AS (SELECT vec_id, label,
-                  CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+                  CAST(embedding AS DOUBLE[]) AS emb,
+                  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                    x -> x * x))) AS nrm
+                FROM embeddings),
             pairs AS (
               SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                ROUND(
-                  list_sum(list_transform(list_zip(a.emb, b.emb), p -> p[1] * p[2]))
-                  / (sqrt(list_sum(list_transform(a.emb, x -> x * x)))
-                   * sqrt(list_sum(list_transform(b.emb, x -> x * x)))), 6) AS cos_sim
+                ROUND(list_inner_product(a.emb, b.emb) / (a.nrm * b.nrm), 6)
+                  AS cos_sim
               FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
             SELECT * FROM pairs WHERE cos_sim >= 0.30 ORDER BY vec_a, vec_b"""))
 
@@ -2697,6 +2721,11 @@ object PipelineQueries {
       rows.toDF("method", "n_candidates", "n_truth", "tp",
         "precision_ppm", "recall_ppm").orderBy("method")
     },
+    // truth is MATERIALIZED: it is referenced by three downstream
+    // CTEs (tn/mt/st) and DuckDB otherwise inlines the corpus-sized
+    // shingle aggregation once per reference — at sf1 the three
+    // concurrent copies spilled past the disk, while materialized the
+    // whole oracle runs in ~16 s
     // FULL ORACLE (r11, was rows-only SV): both candidate generators
     // re-derive from the signature fixtures; the exact truth set
     // recomputes from the raw corpus via the D79 string-shingle
@@ -2718,13 +2747,9 @@ object PipelineQueries {
                   generate_series(0, greatest(len(ws) - 3, 0)),
                   i -> array_to_string(list_slice(ws, i + 1, i + 3), ' '))) AS sh
                 FROM w),
-          truth AS (SELECT doc_a, doc_b FROM (
-                      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                        ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                          / (len(a.sh) + len(b.sh)
-                             - len(list_intersect(a.sh, b.sh))), 6) AS jac
-                      FROM t a JOIN t b ON a.doc_id < b.doc_id)
-                    WHERE jac >= 0.5),
+          $oPairIdx,
+          truth AS MATERIALIZED (SELECT doc_a, doc_b FROM p
+            WHERE jaccard >= 0.5),
           tn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM truth),
           mc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM mh_cand),
           mt AS (SELECT CAST(count(*) AS BIGINT) AS tp FROM mh_cand m
@@ -3474,10 +3499,13 @@ object PipelineQueries {
     * planted 10-word excerpts of every 40th doc must flag against
     * their source with containment 1.0 — the quote/excerpt relation
     * whose Jaccard is near zero (tiny |A| over a big |A∪B|), proving
-    * this catches what D47 by design does not. Oracle is the BRUTE
-    * FORCE containment join over all ordered pairs — the exact
-    * algorithm must match the quadratic reference bit-for-bit, the
-    * D47 oracle discipline. */
+    * this catches what D47 by design does not. Oracle is an
+    * independent containment join over every qualifying ordered pair
+    * (inverted-index since r13: a pair sharing zero shingles cannot
+    * reach containment 0.8, so exploding distinct shingles and
+    * counting equi-join hits yields the identical row-set as the old
+    * quadratic nested loop — which stopped fitting any sf1 budget),
+    * the D47 oracle discipline. */
   val dedupContainment = QueryDef(
     "dedup_containment",
     (s, d) => {
@@ -3506,12 +3534,20 @@ object PipelineQueries {
                      i -> array_to_string(list_slice(ws, i + 1, i + 3), ' ')))
                      AS sh
                    FROM w),
-             p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                     len(a.sh) AS n_a,
-                     len(list_intersect(a.sh, b.sh)) AS n_shared
-                   FROM t a JOIN t b
-                     ON (len(a.sh) < len(b.sh)
-                         OR (len(a.sh) = len(b.sh) AND a.doc_id < b.doc_id)))
+             sz AS (SELECT doc_id, len(sh) AS n FROM t),
+             ex AS (SELECT doc_id, unnest(sh) AS s FROM t),
+             ov AS (SELECT a.doc_id AS id_lo, b.doc_id AS id_hi,
+                      CAST(count(*) AS BIGINT) AS n_shared
+                    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+             p AS (SELECT
+                     CASE WHEN sa.n < sb.n OR (sa.n = sb.n) THEN id_lo
+                          ELSE id_hi END AS doc_a,
+                     CASE WHEN sa.n < sb.n OR (sa.n = sb.n) THEN id_hi
+                          ELSE id_lo END AS doc_b,
+                     least(sa.n, sb.n) AS n_a, n_shared
+                   FROM ov JOIN sz sa ON sa.doc_id = ov.id_lo
+                           JOIN sz sb ON sb.doc_id = ov.id_hi)
              SELECT doc_a, doc_b, CAST(n_a AS BIGINT) AS n_a,
                     CAST(n_shared AS BIGINT) AS n_shared,
                     CAST(floor(n_shared * 1e6 / n_a) AS BIGINT)

@@ -138,11 +138,7 @@ object Waterfall {
                      i -> array_to_string(list_slice(ws, i + 1, i + 3),
                        ' '))) AS sh
                    FROM w),
-             p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                     ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                       / (len(a.sh) + len(b.sh)
-                          - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
-                   FROM t a JOIN t b ON a.doc_id < b.doc_id),
+             ${PipelineQueries.oPairIdx},
              f AS (SELECT doc_a, doc_b, jaccard FROM p
                    WHERE jaccard >= 0.75),
              m AS (SELECT least(ca.source, cb.source) AS source_1,
