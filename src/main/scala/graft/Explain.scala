@@ -10,7 +10,9 @@ object Explain {
     val spark = Sessions.local()
     spark.sparkContext.setLogLevel("ERROR")
     val targets =
-      if (name.nonEmpty) Seq(name -> SparkEntry.queries(name))
+      if (name.nonEmpty)
+        // comma-separated names: one JVM for a whole dump batch
+        name.split(',').toSeq.map(n => n -> SparkEntry.queries(n))
       else SparkEntry.queries.toSeq.sortBy(_._1)
     targets.foreach { case (n, fn) =>
       println(s"\n===== $n =====")

@@ -56,13 +56,26 @@ object Clusters {
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 25,
       checkpointDir: Option[String] = None): DataFrame = {
     val cut = cutter(pairs, checkpointDir)
+    // edges are pinned HASH-PARTITIONED ON src (localCheckpoint
+    // preserves partitioning): every round's edges⋈labels join then
+    // reuses the stored layout instead of re-exchanging the edge list
+    // per round — labels come out of each round partitioned on doc_id,
+    // so the only per-round exchange left is the irreducible nbr-min
+    // regroup on dst (guide §2.4: two operations keyed the same way
+    // share one exchange). The per-partition dropDuplicates replaces
+    // distinct() so dedup rides the SAME src exchange.
     val edges = cut(pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct())
-    var labels = cut(edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id")))
-    var round = 0
+      .repartition(col("src"))
+      .dropDuplicates("src", "dst"))
+    // init = identity labels PLUS the first propagation round fused
+    // into one aggregation: min(self, neighbors) per node — one round
+    // of join+agg+join+cut (and its convergence-check job) never runs
+    var labels = cut(edges.groupBy("src").agg(min("dst").as("_nb"))
+      .select(col("src").as("doc_id"),
+        least(col("src"), col("_nb")).as("cluster_id")))
+    var round = 1
     var converged = false
     while (!converged && round < maxRounds) {
       val nbrMin = edges

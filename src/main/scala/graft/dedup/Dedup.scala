@@ -109,13 +109,25 @@ object Dedup {
     * band keys → bucket self-join (a.doc_id < b.doc_id) → distinct.
     * Work is linear in corpus size plus sum of bucket-size² with
     * buckets capped at MaxBucket; never an all-pairs product. */
-  def minhashLshCandidates(docs: DataFrame, shingleK: Int = 3): DataFrame = {
+  /** The exploded (doc_id, band_key) table of a corpus — the shared
+    * upstream of candidate generation and index probing. Callers that
+    * need BOTH over the same docs (D92's delta batch) compute it once
+    * and pass it to [[minhashLshCandidatesFromBands]] /
+    * [[probeBandIndexWithBands]] instead of paying the signature
+    * aggregation twice. */
+  def bandedKeys(docs: DataFrame, shingleK: Int = 3): DataFrame =
+    minhashSignatures(docs, shingleK)
+      .select(col("doc_id"), explode(bandKeys(col("sig"))).as("band_key"))
+
+  def minhashLshCandidates(docs: DataFrame, shingleK: Int = 3): DataFrame =
     // banded is referenced three times (count filter + both self-join
     // sides); cache the tiny (doc_id, band_key) table so the signature
     // lineage — the expensive part — is computed exactly once.
-    val banded = minhashSignatures(docs, shingleK)
-      .select(col("doc_id"), explode(bandKeys(col("sig"))).as("band_key"))
-      .cache()
+    minhashLshCandidatesFromBands(bandedKeys(docs, shingleK).cache())
+
+  /** Candidate pairs over a pre-computed (and ideally cached/pinned)
+    * band table. */
+  def minhashLshCandidatesFromBands(banded: DataFrame): DataFrame = {
     val bucketed = banded
       .join(banded.groupBy("band_key").count().filter(col("count") <= MaxBucket),
         Seq("band_key"))
@@ -150,16 +162,18 @@ object Dedup {
     * ingest cost scales with the batch, not the corpus (spec asserts
     * the broadcast plan). Emits (new_doc, dup_of) candidate pairs. */
   def probeBandIndex(s: org.apache.spark.sql.SparkSession, path: String,
-      newBatch: DataFrame, shingleK: Int = 3): DataFrame = {
-    val newBands = minhashSignatures(newBatch, shingleK)
-      .select(col("doc_id").as("new_doc"),
-        explode(bandKeys(col("sig"))).as("band_key"))
+      newBatch: DataFrame, shingleK: Int = 3): DataFrame =
+    probeBandIndexWithBands(s, path, bandedKeys(newBatch, shingleK))
+
+  /** Probe with a pre-computed batch band table (see [[bandedKeys]]). */
+  def probeBandIndexWithBands(s: org.apache.spark.sql.SparkSession,
+      path: String, newBands: DataFrame): DataFrame =
     s.read.parquet(path)
       .filter(col("bucket_n") <= MaxBucket)
-      .join(broadcast(newBands), Seq("band_key"))
+      .join(broadcast(newBands.select(col("doc_id").as("new_doc"),
+        col("band_key"))), Seq("band_key"))
       .select(col("new_doc"), col("doc_id").as("dup_of"))
       .distinct()
-  }
 
   // ---------------------------------------------------------------- D3
 
@@ -278,13 +292,17 @@ object Dedup {
     val withWs = spread(docs)
       .select(col("doc_id"), Text.words(col("text")).as("ws"))
       .select(col("doc_id"), col("ws"), size(col("ws")).as("n_tokens"))
-    // positional grams: docs shorter than k contribute none
+      .cache() // three consumers: gram build, df count side, final stats
+    // positional grams: docs shorter than k contribute none. Cached —
+    // consumed by BOTH the df aggregation and the join-back; uncached,
+    // the canonicalize+split+gram-build chain ran twice per run
     val grams = withWs.filter(col("n_tokens") >= k)
       .select(col("doc_id"),
         posexplode(transform(
           sequence(lit(0), size(col("ws")) - k),
           i => array_join(slice(col("ws"), i + lit(1), lit(k)), " ")))
           .as(Seq("pos", "gram")))
+      .cache()
     val dupGrams = grams.groupBy("gram")
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDf)

@@ -106,8 +106,13 @@ object IncrementalClusters {
     val (idxPath, edgePath, labPath) = fixtures(s, dir)
     val docs = Tables.documents(s, dir)
     val delta = deltaBatch(docs).localCheckpoint() // probed twice + labeled
-    val vsBase = Dedup.probeBandIndex(s, idxPath, delta)
-    val inDelta = Dedup.minhashLshCandidates(delta)
+    // ONE signature pass over the batch serves both probe legs (r13):
+    // the index probe and the intra-batch self-join consume the same
+    // (doc_id, band_key) table — computing it per leg paid the
+    // 64-min-aggregate signature aggregation twice per run
+    val deltaBands = Dedup.bandedKeys(delta).cache()
+    val vsBase = Dedup.probeBandIndexWithBands(s, idxPath, deltaBands)
+    val inDelta = Dedup.minhashLshCandidatesFromBands(deltaBands)
       .select(col("doc_a"), col("doc_b"))
     // MERGE DIRECTIVES: the entity-resolution "confirmed duplicate"
     // assertions every incremental dedup system also ingests (user

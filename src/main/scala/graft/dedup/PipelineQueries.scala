@@ -956,25 +956,49 @@ object PipelineQueries {
           graft.similarity.Ivf.probeFixture(q, cb16, np)
             .withColumn("nprobe", lit(np)))
           .reduce(_ unionByName _))
+      // r13 fusion: the five probe widths are prefixes of ONE probe
+      // order (Ivf.probeRanks), so the whole sweep is a single plan —
+      // the corpus is cell-assigned and cosine-scored ONCE at the
+      // widest width with each candidate's probe_rank attached, each
+      // width's top-10 is a (nprobe, q_id) window over the shared
+      // scored frame, and the recall counts aggregate per width. The
+      // per-width loop ran ~13 driver actions (5 topK jobs + 10 counts
+      // + nq) and re-assigned the corpus per width; this runs ONE.
+      // Same integer arithmetic, same rows (full DuckDB oracle).
+      val widths = Seq(1, 2, 4, 8, 16)
+      val corpusCells = graft.similarity.Ivf.assignCells(corpus, cb16)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      val probes = graft.similarity.Ivf.probeRanks(q, cb16)
+      val scored = corpusCells.join(broadcast(probes),
+          corpusCells("cell") === probes("cell") &&
+            col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), col("probe_rank"),
+          round(Ann.cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+      val ranked = scored
+        .withColumn("nprobe", explode(typedlit(widths)))
+        .filter(col("probe_rank") <= col("nprobe"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("nprobe", "q_id")
+            .orderBy(col("cos_sim").desc, col("vec_id"))))
+        .filter(col("rnk") <= 10)
       val exact = Ann.bruteForceTopK(corpus, q, 10)
-        .select(col("q_id"), col("vec_id"), col("rnk")).cache()
-      val nq = q.count() // bounded by construction (boundedQueries)
-      val rows = Seq(1, 2, 4, 8, 16).map { np =>
-        val ann = graft.similarity.Ivf.topK(corpus, q, 10,
-          cells = Cells, nprobe = np, cacheKey = d + "#eval")
-          .select(col("q_id"), col("vec_id")).cache()
-        val hits = ann
-          .join(exact.select("q_id", "vec_id"), Seq("q_id", "vec_id"), "leftsemi")
-          .count()
-        val top1 = exact.filter(col("rnk") === 1)
-          .join(ann, Seq("q_id", "vec_id"), "leftsemi").count()
-        ann.unpersist()
-        (np, np.toLong * 1000000L / Cells,
-          hits * 10000L / (nq * 10L), top1 * 10000L / nq)
-      }
-      exact.unpersist()
+        .select(col("q_id"), col("vec_id"), col("rnk").as("ex_rnk"))
+      val counts = ranked.select("nprobe", "q_id", "vec_id")
+        .join(broadcast(exact), Seq("q_id", "vec_id"))
+        .groupBy("nprobe")
+        .agg(count(lit(1)).as("hits"),
+          sum(when(col("ex_rnk") === 1, 1L).otherwise(0L)).as("top1"))
+      val nq = q.agg(count(lit(1)).as("nq"))
       import s.implicits._
-      rows.toDF("nprobe", "cells_fraction_ppm", "recall_at10_q4", "top1_recall_q4")
+      widths.toDF("nprobe")
+        .join(counts, Seq("nprobe"), "left")
+        .na.fill(0L, Seq("hits", "top1"))
+        .crossJoin(broadcast(nq))
+        .select(col("nprobe"),
+          expr(s"CAST(nprobe AS BIGINT) * 1000000 div $Cells")
+            .as("cells_fraction_ppm"),
+          expr("hits * 10000 div (nq * 10)").as("recall_at10_q4"),
+          expr("top1 * 10000 div nq").as("top1_recall_q4"))
         .orderBy("nprobe")
     },
     dir => {
@@ -2578,10 +2602,12 @@ object PipelineQueries {
       // referenced by the signature stats, the candidate pass, and the
       // salted-join leg — cache the (tiny-per-row) corpus once
       val corpus = skewCorpus(docs).cache()
-      val bucketCounts = Dedup.minhashSignatures(corpus)
-        .select(col("doc_id"), explode(Dedup.bandKeys(col("sig"))).as("band_key"))
-        .groupBy("band_key").count()
-      val cands = Dedup.minhashLshCandidates(corpus)
+      // ONE signature pass (r13): the bucket stats and the candidate
+      // join consume the same cached band table — the previous form
+      // ran the 64-min-aggregate signature aggregation twice per rep
+      val banded = Dedup.bandedKeys(corpus).cache()
+      val bucketCounts = banded.groupBy("band_key").count()
+      val cands = Dedup.minhashLshCandidatesFromBands(banded)
       val hashed = corpus.select(col("doc_id"),
         Text.fingerprintMd5(col("text")).as("h"))
       val dim = hashed.groupBy("h").agg(count(lit(1)).as("grp_size"))

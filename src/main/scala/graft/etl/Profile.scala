@@ -2,7 +2,6 @@ package graft.etl
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** E26 — generic one-pass table profiling: per column, the stats a
@@ -15,8 +14,8 @@ import org.apache.spark.sql.functions._
   * Shape: UNPIVOT the projected columns to (col_name, val) rows —
   * ONE generic aggregation pipeline then serves any table and any
   * column list (no per-column query fan-out), and the whole profile
-  * is two keyed aggregations + a WindowGroupLimit rank-1 for the
-  * mode. Cardinalities here are EXACT (the oracle demands it); at
+  * is two keyed aggregations; the mode is a struct-min inside the
+  * second. Cardinalities here are EXACT (the oracle demands it); at
   * 100 TB the countDistinct swaps for the R19 HLL sketch and the
   * mode for the D21 heavy-hitters sketch, both already in SURVEY. */
 object Profile {
@@ -32,29 +31,26 @@ object Profile {
     // EVERYTHING derives from one (col, val) count table — a separate
     // countDistinct pass would re-shuffle the full long form a second
     // time (it builds its own internal distinct), and the mode a
-    // third; measured 13.4 → ~5 s at sf0.1. The count table is
-    // localCheckpoint-pinned for its two consumers.
+    // third; measured 13.4 → ~5 s at sf0.1. The mode rides the SAME
+    // per-column aggregation as the stats: min over the lexicographic
+    // (−cnt, val) struct IS "highest count, ties to the smallest
+    // value" — so the count table has exactly one consumer (no
+    // checkpoint pin, no per-column window sort, no stats⋈mode join;
+    // 2 exchanges total, measured 3.0 → ~1.9 s at sf0.1).
     val g = unpivoted(df, cols)
       .groupBy("col_name", "val").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
-    val stats = g.groupBy("col_name").agg(
-      sum("cnt").as("n"),
-      sum(when(col("val").isNull, col("cnt")).otherwise(0L)).as("nulls"),
-      count(when(col("val").isNotNull, lit(1))).as("n_distinct"),
-      min("val").as("min_val"), max("val").as("max_val"))
-    val mode = g.filter(col("val").isNotNull)
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("col_name")
-          .orderBy(col("cnt").desc, col("val"))))
-      .filter(col("rnk") === 1)
-      .select(col("col_name"), col("val").as("top_val"),
-        col("cnt").as("top_n"))
-    stats.join(mode, Seq("col_name"), "left")
+    g.groupBy("col_name").agg(
+        sum("cnt").as("n"),
+        sum(when(col("val").isNull, col("cnt")).otherwise(0L)).as("nulls"),
+        count(when(col("val").isNotNull, lit(1))).as("n_distinct"),
+        min("val").as("min_val"), max("val").as("max_val"),
+        min(when(col("val").isNotNull,
+          struct((-col("cnt")).as("nc"), col("val").as("v")))).as("m"))
       .select(col("col_name"), col("n"),
         expr("(nulls * 1000000) div n").as("null_ppm"),
         col("n_distinct"), col("min_val"), col("max_val"),
-        col("top_val"), col("top_n"),
-        expr("(top_n * 1000000) div n").as("top_ppm"))
+        col("m.v").as("top_val"), (-col("m.nc")).as("top_n"),
+        expr("((-m.nc) * 1000000) div n").as("top_ppm"))
       .orderBy("col_name")
   }
 
@@ -204,18 +200,36 @@ object Profile {
     * discovery cost. Violations are counted, not just flagged, so
     * "almost-FDs" (data-quality bugs) surface with their magnitude. */
   def functionalDeps(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val frames = for {
-      a <- cols; b <- cols if a != b
-    } yield df.select(col(a).cast("string").as("lhs_val"),
-        col(b).cast("string").as("rhs_val"))
+    // ONE scan + one generic pipeline for ALL ordered pairs (the E26
+    // unpivot trick applied to pairs): stack the pair values long-form
+    // map-side, then distinct → per-(pair, lhs) count → per-pair
+    // aggregate. The per-pair-frame original ran #pairs separate
+    // 3-stage pipelines — #pairs scans of the table and 2·#pairs
+    // exchanges (12 scans / 24 exchanges for 4 columns; measured
+    // 1.8 → ~0.6 s at sf0.1); this is 1 scan / 2 exchanges, and at
+    // 100 TB the table is read once instead of #pairs times.
+    val pairs = for { a <- cols; b <- cols if a != b } yield (a, b)
+    // the pair tag that rides every long-form row through the distinct
+    // is a 4-byte int, not two column-name strings — the names attach
+    // to the #pairs aggregated rows at the very end
+    val args = lit(pairs.size) +: pairs.zipWithIndex.flatMap {
+      case ((a, b), i) =>
+        Seq(lit(i), col(a).cast("string"), col(b).cast("string")) }
+    val lhsName = pairs.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, ((a, _), i)) => when(col("pair") === i, lit(a)).otherwise(acc) }
+    val rhsName = pairs.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, ((_, b), i)) => when(col("pair") === i, lit(b)).otherwise(acc) }
+    df.select(stack(args: _*).as(Seq("pair", "lhs_val", "rhs_val")))
       .distinct()
-      .groupBy("lhs_val")
+      .groupBy("pair", "lhs_val")
       .agg(count(lit(1)).as("n_rhs"))
+      .groupBy("pair")
       .agg(count(lit(1)).as("n_lhs"),
         sum(when(col("n_rhs") > 1, 1L).otherwise(0L)).as("n_violating"))
-      .select(lit(a).as("lhs"), lit(b).as("rhs"), col("n_lhs"),
-        col("n_violating"), (col("n_violating") === 0).as("holds"))
-    frames.reduce(_.unionByName(_)).orderBy("lhs", "rhs")
+      .select(lhsName.as("lhs"), rhsName.as("rhs"),
+        col("n_lhs"), col("n_violating"),
+        (col("n_violating") === 0).as("holds"))
+      .orderBy("lhs", "rhs")
   }
 
   private val FdCols =

@@ -60,7 +60,12 @@ object Retention {
     val survivedParts = survivors.select(part).distinct().collect()
       .map(_.get(0)).toSet
     if (survivedParts.nonEmpty)
-      survivors.write.mode("overwrite")
+      // cluster by the partition column before the dynamic overwrite:
+      // an unclustered write fans every task across every partition
+      // value (#tasks × #partitions files of a few KB each — the
+      // small-files trap, guide §6); hash-clustered, each rewritten
+      // partition is one file per holding task
+      survivors.repartition(col(part)).write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(part).parquet(path)
     // fully-expired partitions: no surviving row reaches the writer,
@@ -84,6 +89,11 @@ object Retention {
       ProcessHandle.current().pid() + "_" + System.nanoTime()
     Tables.orders(s, dir)
       .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      // cluster by partition value (same small-files rationale as the
+      // sweep's rewrite): one file per month instead of up to
+      // #tasks × #months — the sweep then lists, reads, and rewrites
+      // ~32× fewer files
+      .repartition(col("o_month"))
       .write.partitionBy("o_month").parquet(path)
     path
   }

@@ -226,24 +226,31 @@ object Graph {
     * joins node-keyed) + a degree aggregation; localCheckpoint cuts
     * lineage each round. */
   def kcore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    // The round is reshaped (r13) from e⋈surv_src⋈surv_dst→count to
+    // e⋈surv_dst→count-by-src→semi-join surv_src — the same survivor
+    // set (degree-within-survivors is computed for all src, then
+    // non-survivors are dropped), but the joined edge stream crosses
+    // ONE exchange per round (the count regroup on src) instead of
+    // three. (An explicit repartition-pin of the edge list was
+    // measured and REJECTED: it defeats AQE partition coalescing, and
+    // the fixed-width tiny tasks cost more than the saved exchange.)
     val e = edges.persist()
     var surv = e.select(col("src").as("node")).distinct().localCheckpoint()
+    def inCoreDegrees(surv: DataFrame): DataFrame = e
+      .join(surv.select(col("node").as("sb")), col("dst") === col("sb"))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("deg"))
+      .join(surv.select(col("node").as("sa")), col("src") === col("sa"),
+        "left_semi")
     for (_ <- 1 to rounds) {
-      surv = e
-        .join(surv.select(col("node").as("sa")), col("src") === col("sa"))
-        .join(surv.select(col("node").as("sb")), col("dst") === col("sb"))
-        .groupBy(col("src"))
-        .agg(count(lit(1)).as("deg"))
+      surv = inCoreDegrees(surv)
         .filter(col("deg") >= k)
         .select(col("src").as("node"))
         .localCheckpoint()
     }
     // in-core degree w.r.t. the FINAL survivor set
-    val out = e
-      .join(surv.select(col("node").as("sa")), col("src") === col("sa"))
-      .join(surv.select(col("node").as("sb")), col("dst") === col("sb"))
-      .groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("core_degree"))
+    val out = inCoreDegrees(surv)
+      .select(col("src").as("node"), col("deg").as("core_degree"))
     e.unpersist()
     out
   }

@@ -193,6 +193,9 @@ object Ranks {
         graft.functions.Text.qualityScore(col("text")).as("quality"),
         graft.functions.Text.whitespaceTokenCount(col("text"))
           .cast("long").as("tok"))
+        // two consumers (the budget total + the ranked pass): cached,
+        // the canonicalize+split quality projection runs once per run
+        .cache()
       val total = docs.agg(sum("tok")).head().getLong(0)
       val budget = math.floor(BudgetFraction * total).toLong
       globalPrefixSum(docs, Seq(col("quality").desc, col("doc_id")),
@@ -238,6 +241,9 @@ object Ranks {
       val docs = Tables.documents(s, d).select(col("doc_id"),
         graft.functions.Text.whitespaceTokenCount(col("text"))
           .cast("long").as("tok"))
+        // three consumers (count + sorted leg + arrival leg): cached,
+        // the canonicalize+split token count runs once per run
+        .cache()
       val nBatches = math.ceil(docs.count().toDouble / BatchSize).toLong
       val sorted = globalRowNumber(docs, Seq(col("tok"), col("doc_id")),
           32, "rnk")

@@ -98,6 +98,19 @@ object Ivf {
     queries.select(col("vec_id").as("q_id"),
       explode(probeCells(col("embedding"), codebook, nprobe)).as("cell"))
 
+  /** (q_id, q_emb, cell, probe_rank): EVERY codebook cell per query in
+    * probe order. [[probeCells]]`(np)` is exactly the `probe_rank ≤ np`
+    * prefix of this list, so one scored candidate frame can serve a
+    * whole nprobe sweep as ONE plan instead of a per-width job fan-out
+    * (the r13 nprobe-curve fusion). */
+  def probeRanks(queries: DataFrame, codebook: Seq[Seq[Double]]): DataFrame =
+    queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"),
+        posexplode(probeCells(col("embedding"), codebook, codebook.size))
+          .as(Seq("pos", "cell")))
+      .select(col("q_id"), col("q_emb"), col("cell"),
+        (col("pos") + 1).as("probe_rank"))
+
   /** Codebooks are trained once per corpus and reused — exactly how a
     * deployment persists its IVF index. Callers that can name their
     * corpus stably (e.g. a dataset directory) pass `cacheKey`. */
