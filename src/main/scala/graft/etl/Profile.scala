@@ -142,7 +142,13 @@ object Profile {
     }
     val src =
       if (shuffleFree && df.rdd.getNumPartitions < cores)
-        df.repartition(cores)
+        // HASH-keyed on the profiled columns, not round-robin: every
+        // keyless repartition(n) first pays a local sort of its input
+        // (spark.sql.execution.sortBeforeRepartition, guide §2.5) so
+        // retried tasks reproduce their row routing — hashing the
+        // profiled columns spreads just as evenly (high-cardinality
+        // key set) with no sort and stays deterministic under retry
+        df.repartition(cores, cols.map(col): _*)
       else df
     val aggs = count(lit(1)).as("n") +: cols.flatMap { c =>
       Seq(

