@@ -306,16 +306,36 @@ object Graph {
     val e = edges.persist()
     var lab = e.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node")).localCheckpoint()
+    // Plurality argmax as ONE comparable long (r13): labels are always
+    // node ids, so with sh > max(id) + 1 the encoding
+    //   score = cnt * sh + (sh - 1 - lbl)
+    // orders by cnt first and minimum lbl second — exactly
+    // max(struct(cnt, -lbl)) — but max(LONG) is hash-aggregable, where
+    // the struct max forced a Sort + SortAggregate pair into every
+    // round. One tiny driver scalar per CALL (not per round); score
+    // fits a long while (maxdeg + 2) * (maxid + 2) < 2^63 — at the
+    // 2^31-node / 2^31-degree extreme that is 2^62.
+    val sh = e.agg(greatest(max(col("src")), max(col("dst"))))
+      .first().getLong(0) + 2L
     for (_ <- 1 to rounds) {
       val nbrVotes = e
         .join(lab.select(col("node").as("nb"), col("lbl")),
           col("dst") === col("nb"))
         .select(col("src").as("node"), col("lbl"))
+      // ONE exchange per round (r13): hash the vote stream by node
+      // once — HashPartitioning(node) satisfies BOTH downstream
+      // aggregations' clustering ((node,lbl) count, then the node
+      // argmax), so neither plans its own exchange. The unfused shape
+      // paid two post-aggregation exchanges; the raw-vote shuffle is
+      // at most #edges + #nodes rows of (long, long), cheaper than two
+      // exchanges plus their stage boundaries, and AQE still coalesces
+      // a REPARTITION_BY_COL shuffle.
       lab = nbrVotes.unionByName(lab) // self-vote
+        .repartition(col("node"))
         .groupBy("node", "lbl").agg(count(lit(1)).as("cnt"))
         .groupBy("node")
-        .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
-        .select(col("node"), (-col("m.nl")).as("lbl"))
+        .agg(max(col("cnt") * lit(sh) + (lit(sh - 1) - col("lbl"))).as("sc"))
+        .select(col("node"), (lit(sh - 1) - (col("sc") % lit(sh))).as("lbl"))
         .localCheckpoint()
     }
     e.unpersist()
