@@ -42,6 +42,13 @@ object Sessions {
       // AQE re-plans at runtime: broadcast-downgrade of shuffle joins
       // when the built side turns out small, skew-join splitting.
       .config("spark.sql.adaptive.enabled", "true")
+      // Join planning policy (optimization guide §3.1): when false the
+      // planner may pick shuffled-hash join over sort-merge when its
+      // size conditions hold (smaller side under threshold × shuffle
+      // partitions), skipping both sort passes. Parameterized for A/B;
+      // the default is the measured choice for this suite.
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "true"))
       // graft's native expressions (graft_cosine, ...)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // keep bucketed-table metadata out of the repo working dir

@@ -143,11 +143,11 @@ object LmScore {
     // per-group w1/w2 is deterministic (first() is not)
     val types = bi.groupBy("g2").agg(
       count(lit(1)).as("c2"), min("w1").as("tw1"), min("w2").as("tw2"))
-    val c1 = types.groupBy("tw1").agg(sum("c2").as("c1"))
-      .withColumnRenamed("tw1", "w1")
-    // continuation counts read off the O(types) table — no second
-    // corpus shuffle, no countDistinct Expand
-    val n1f = types.groupBy("tw1").agg(count(lit(1)).as("n1f"))
+    // context total AND forward continuation count share the key (w1)
+    // — ONE aggregation over the types table feeds both (r13: the
+    // split form paid a second O(types) shuffle and a second join)
+    val c1n1f = types.groupBy("tw1")
+      .agg(sum("c2").as("c1"), count(lit(1)).as("n1f"))
       .withColumnRenamed("tw1", "w1")
     val n1b = types.groupBy("tw2").agg(count(lit(1)).as("n1b"))
       .withColumnRenamed("tw2", "w2")
@@ -157,8 +157,7 @@ object LmScore {
         lit(0.75) * col("n1f") / col("c1") *
           (col("n1b").cast("double") / col("t_types")))
     types.withColumnRenamed("tw1", "w1").withColumnRenamed("tw2", "w2")
-      .join(c1, "w1")
-      .join(n1f, "w1")
+      .join(c1n1f, "w1")
       .join(n1b, "w2")
       .crossJoin(broadcast(tTot))
       .select(col("g2"), col("c2"), col("c1"), col("n1f"), col("n1b"),
