@@ -49,48 +49,33 @@ object Pca {
     val mu = sums.map(q => q.toDouble / (n.toDouble * Q)).toArray
 
     // (x−μ) doubles, computed once — every iteration reuses this
-    // projection (persist: it feeds one aggregate per power step; the
-    // pin is NOT unpersisted here because the returned frame is lazy
-    // and still consumes it — the session cache clear between bench
-    // reps / entries reclaims it, the repo-wide .cache() convention)
+    // projection (persist: it feeds one aggregate per power step)
     val muL = typedlit(mu.toSeq)
     val xm = xq.select(transform(col("xq"), (q, i) =>
       q.cast("double") / Q - element_at(muL, i + 1)).as("xm")).persist()
 
-    // r13: all power steps fused into ONE lazy plan — each vₖ is a
-    // 1-row frame chained through broadcast cross joins, so a run pays
-    // a single driver action (one analysis/codegen pass) instead of a
-    // collect-and-replan per step (measured ~2.9 → ~1.3 s at sf0.1;
-    // the arithmetic below mirrors the collected-v original term for
-    // term, so every memoized oracle value carries over).
-    val v0 = Seq.fill(d)(1.0 / math.sqrt(d.toDouble))
-    var v = s.range(1).select(typedlit(v0).as("v"))
-    for (_ <- 1 to iters) {
-      val srExpr = aggregate(
-        zip_with(col("xm"), col("v"), (m, vi) => floor(m * vi * QS).cast("long")),
-        lit(0L), (acc, x) => acc + x)
-      val u = xm.crossJoin(broadcast(v))
-        .select(col("xm"), srExpr.as("s"))
-        .select(transform(col("xm"), m =>
-          floor(m * (col("s").cast("double") / QS) * Q).cast("long")).as("c"))
-        .agg(call_function("graft_vec_sum_long", col("c")).as("u"))
-      // normalize — identical arithmetic to the oracle's v{k} CTE
-      v = u
-        .select(transform(col("u"), ui => ui.cast("double") / Q).as("w"),
-          aggregate(transform(col("u"), ui =>
-              floor((ui.cast("double") / Q) * (ui.cast("double") / Q) * Q)
-                .cast("long")),
-            lit(0L), (acc, x) => acc + x).as("nsq"))
-        .select(when(col("nsq") > 0L,
-            transform(col("w"), wi =>
-              floor(wi / sqrt(col("nsq").cast("double") / Q) * QS) / QS))
-          .otherwise(raise_error(lit("degenerate component (zero norm)"))
-            .cast("array<double>"))
-          .as("v"))
-    }
-    v.select(posexplode(col("v")).as(Seq("i", "loading")))
-      .select((col("i") + 1).as("dim"), col("loading"))
-      .orderBy("dim")
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    try {
+      for (_ <- 1 to iters) {
+        val vL = typedlit(v.toSeq)
+        val srExpr = aggregate(
+          zip_with(col("xm"), vL, (m, vi) => floor(m * vi * QS).cast("long")),
+          lit(0L), (acc, x) => acc + x)
+        val u = xm.select(col("xm"), srExpr.as("s"))
+          .select(transform(col("xm"), m =>
+            floor(m * (col("s").cast("double") / QS) * Q).cast("long")).as("c"))
+          .agg(call_function("graft_vec_sum_long", col("c")))
+          .head().getSeq[Long](0)
+        // normalize — identical arithmetic to the oracle's v{k} CTE
+        val w = u.map(_.toDouble / Q)
+        val nsq = w.map(wi => math.floor(wi * wi * Q).toLong).sum
+        require(nsq > 0L, "degenerate component (zero norm)")
+        val norm = math.sqrt(nsq.toDouble / Q)
+        v = w.map(wi => math.floor(wi / norm * QS) / QS).toArray
+      }
+    } finally xm.unpersist()
+    v.zipWithIndex.map { case (l, i) => (i + 1, l) }.toSeq
+      .toDF("dim", "loading").orderBy("dim")
   }
 
   private val Iters = 3

@@ -223,11 +223,7 @@ class RelationalSpec extends SparkSpec {
       "q_decayed_topk",
       // inherits the D6/ann family's bounded-broadcast eval scan: the
       // exact baseline + per-nprobe probe passes all run in-entry
-      "ann_nprobe_curve",
-      // r13 one-plan power chain: each step crossJoins the previous
-      // step's 1-row aggregated vector back onto the corpus — the
-      // q_sketch_rollup 1-row stats-broadcast class, O(d) bytes
-      "emb_top_pc")
+      "ann_nprobe_curve")
     graft.SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
