@@ -20,6 +20,15 @@ Test / unmanagedJars ++= {
   (cache ** "duckdb_jdbc-*.jar").classpath
 }
 run / fork := true
+// The correctness/bench driver parses the forked main's FINAL stdout
+// line as JSON out of a fixed-size tail. sbt's default LoggedOutput
+// wraps every forked-output line in "[info] " and appends a
+// "[success] Total time" line, which defeated that parse in rounds
+// 1-13 (BENCH_r*.json "parsed: null"). Forward the forked JVM's
+// streams verbatim and drop the success banner; exit codes are
+// unaffected.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

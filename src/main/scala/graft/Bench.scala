@@ -73,24 +73,46 @@ object Bench {
     val total = timings.values.sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
-    println(line)
     // the driver's committed artifact truncates long lines; when
     // SPARK_GRAFT_BENCH_OUT is set, keep the FULL per-query record as a
     // repo file so round-over-round drift analysis never needs /tmp
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       val w = new java.io.PrintWriter(p); try w.println(line) finally w.close()
     }
-    // The driver captures a FIXED-SIZE stdout tail; the full per-query
-    // line outgrew it at ~300 entries (BENCH_r08 "parsed: null"). The
-    // LAST line is therefore a compact record that always fits: the
-    // same metric contract, a bounded headline-queries map (the TPC-H
-    // q<N>_* family), and counts — the full record lives one line up
-    // and in the committed bench/ file.
-    val headline = timings.filter { case (k, _) => k.matches("q\\d+_.*") }
-    val hq = headline.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$hq,""" +
-      s""""n":${timings.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
+    // The driver captures a FIXED-SIZE ~2000-char stdout tail and has
+    // never parsed a bench line (BENCH_r01..r13 "parsed: null"): the
+    // full per-query line outgrew the tail at ~300 entries, and the
+    // r09 compact line arrived wrapped in sbt's "[info] " prefix with a
+    // "[success]" line after it. Fix (r14): build.sbt now forwards the
+    // forked JVM's stdout verbatim (outputStrategy := StdoutOutput) and
+    // suppresses the "[success]" line (showSuccess := false), and the
+    // LAST stdout line — printed after spark.stop() so no late log can
+    // trail it — is a compact record sized to a conservative 1850-byte
+    // budget: same metric contract, ms-rounded timings, the TPC-H
+    // q<N>_* family always included, then the slowest remaining entries
+    // while they fit. The full-precision 312-entry record is the line
+    // right above it and in the committed bench/ file.
+    def fmt(v: Double) = f"$v%.3f"
+    val esC = errors.map { case (k, v) => s""""$k":"${v.take(60)}"""" }
+      .mkString("{", ",", "}")
+    val prefix =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{"""
+    val suffix =
+      s"""},"errors":$esC,"n":${timings.size},"n_errors":${errors.size},"sf":"$sfDir"}"""
+    var budget = 1850 - prefix.length - suffix.length
+    val ordered = timings.toSeq.sortBy { case (k, v) =>
+      (if (k.matches("q\\d+_.*")) 0 else 1, -v)
+    }
+    val kept = scala.collection.mutable.ArrayBuffer[String]()
+    ordered.foreach { case (k, v) =>
+      val piece = s""""$k":${fmt(v)}"""
+      val cost = piece.length + (if (kept.nonEmpty) 1 else 0)
+      if (cost <= budget) { kept += piece; budget -= cost }
+    }
+    val compact = prefix + kept.mkString(",") + suffix
     spark.stop()
+    println(line)
+    println(compact)
     if (errors.nonEmpty) sys.exit(1)
   }
 }
