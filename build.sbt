@@ -29,6 +29,9 @@ run / fork := true
 // unaffected.
 outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / showSuccess := false
+// showSuccess is read by sbt's command loop, not by a task — silence
+// the unused-key lint (the smoke test proves the banner is gone)
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -57,23 +57,63 @@ object AllPairs {
       .withColumn("n", size(col("sh")))
   }
 
-  /** Prefix tokens: each doc's first n − ⌈τ·n⌉ + 1 shingles in global
-    * (df asc, value asc) order. Exposed for the spec's pruning assert. */
+  /** The verifier keeps pairs by ROUNDED similarity (`round(J, 6) ≥ τ`
+    * / `floor(c·1e6) ≥ ⌊τ·1e6⌋`), so a pair with true similarity a
+    * hair under τ can still qualify. Every pruning bound therefore
+    * uses this RELAXED threshold: strictly below τ − 5e-7, so no
+    * boundary pair is ever pruned, while costing no measurable
+    * selectivity. Relaxing τ only LENGTHENS prefixes (⌈τ'·n⌉ ≤ ⌈τ·n⌉)
+    * and LOOSENS the length/positional bounds — always the safe
+    * direction, including against double-rounding of τ'·n itself. */
+  private def tauLow(tau: Double): Double = tau - 1e-6
+
+  /** Prefix tokens: each doc's first n − ⌈τ'·n⌉ + 1 shingles in global
+    * (df asc, value asc) order (τ' the round-slackened τ). Carries the
+    * set size `n`, the token's global-order position `rn` (1-based,
+    * over the FULL sorted set) and the token's corpus df — the inputs
+    * the PPJoin-style length/positional filters in [[candidatePairs]]
+    * need. Exposed for the spec's pruning assert. */
   def prefixTokens(sets: DataFrame, tau: Double): DataFrame = {
     val toks = sets.select(col("doc_id"), col("n"), explode(col("sh")).as("tok"))
     val dfTab = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     toks.join(dfTab, "tok")
       .withColumn("rn", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))))
-      .filter(col("rn") <= col("n") - ceil(lit(tau) * col("n")) + lit(1))
-      .select("doc_id", "tok")
+      .filter(col("rn") <= col("n") - ceil(lit(tauLow(tau)) * col("n")) + lit(1))
+      .select("doc_id", "tok", "n", "rn", "df")
   }
 
-  /** Candidate (doc_a < doc_b) pairs sharing ≥1 prefix shingle. */
+  /** Candidate (doc_a < doc_b) pairs sharing ≥1 prefix shingle,
+    * pruned by the exactness-preserving AllPairs/PPJoin filters
+    * (Bayardo et al. WWW'07; Xiao et al. WWW'08 — public literature):
+    *
+    *  - df ≥ 2: a prefix shingle occurring in ONE doc corpus-wide can
+    *    only self-join; dropping it before the join loses no pair and
+    *    removes the (rarest-first, hence df-1-heavy) bulk of the
+    *    prefix stream.
+    *  - length filter: J ≥ τ forces min(nₐ,n_b) ≥ τ·max(nₐ,n_b), so
+    *    size-mismatched candidates never verify — prune them before
+    *    the distinct + set join-backs.
+    *  - positional filter: sort both shingle lists by the global
+    *    order; for the pair's FIRST common shingle (positions i, j —
+    *    everything before it on either side is non-shared), overlap
+    *    ≤ 1 + min(nₐ−i, n_b−j), while J ≥ τ needs overlap ≥
+    *    τ/(1+τ)·(nₐ+n_b). Rows failing the bound can be dropped: the
+    *    first-common-shingle row of every qualifying pair passes, and
+    *    one surviving row per pair is all the distinct needs.
+    *
+    * All bounds use the round-slackened τ' ([[tauLow]]) with a 1e-9
+    * float-guard, so no `round(J,6) ≥ τ` pair is ever lost. */
   def candidatePairs(sets: DataFrame, tau: Double): DataFrame = {
-    val pref = prefixTokens(sets, tau)
+    val t = tauLow(tau)
+    val pref = prefixTokens(sets, tau).filter(col("df") >= 2)
     pref.as("pa").join(pref.as("pb"),
-        col("pa.tok") === col("pb.tok") && col("pa.doc_id") < col("pb.doc_id"))
+        col("pa.tok") === col("pb.tok") && col("pa.doc_id") < col("pb.doc_id")
+          && col("pa.n") >= lit(t) * col("pb.n")
+          && col("pb.n") >= lit(t) * col("pa.n")
+          && (lit(1) + least(col("pa.n") - col("pa.rn"),
+                col("pb.n") - col("pb.rn"))).cast("double")
+             >= lit(t / (1.0 + t)) * (col("pa.n") + col("pb.n")) - lit(1e-9))
       .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
       .distinct()
   }
@@ -96,8 +136,9 @@ object AllPairs {
   def containedPairs(docs: DataFrame, k: Int = 3, tau: Double = 0.8,
       hashed: Boolean = true): DataFrame = {
     val sets = shingleSets(docs, k, hashed).cache()
-    val prefA = prefixTokens(sets, tau)
-      .join(sets.select(col("doc_id"), col("n")), Seq("doc_id"))
+    // df ≥ 2 prune (see candidatePairs): a shingle occurring in one
+    // doc corpus-wide cannot hit a DIFFERENT doc's full set
+    val prefA = prefixTokens(sets, tau).filter(col("df") >= 2)
     val fullB = sets.select(col("doc_id").as("doc_b"), col("n").as("n_b"),
       explode(col("sh")).as("tok"))
     val cand = prefA.join(fullB,
