@@ -25,9 +25,8 @@ object Bench {
     // bench contract is local[32] unless the driver overrides
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("WARN")
-    // time production paths, not in-entry exact SV baselines (the
-    // correctness gate and specs run with the default, baselines on)
-    spark.conf.set("spark.graft.svBaselines", "false")
+    // r14: no svBaselines gate — the bench times every declared query
+    // body exactly as verify and the oracle gate execute it
 
     def runOnce(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)

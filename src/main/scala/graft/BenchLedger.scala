@@ -350,7 +350,6 @@ object BenchSweep {
     val seed = seedS.toInt
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("WARN")
-    spark.conf.set("spark.graft.svBaselines", "false")
     val all = SparkEntry.queries.keys.toSeq.sorted
     val names = args.lift(3)
       .map(f => { val s = f.split(",").toSet; all.filter(s) }).getOrElse(all)

@@ -55,11 +55,9 @@ object ClusterCheck {
     // ---- phase 1: baseline digests under a single-JVM local master
     val localS = Sessions.withMaster(s"local[$cpus]", cpus)
     localS.sparkContext.setLogLevel("WARN")
-    // BOTH phases compare the production path: svBaselines gates
-    // in-entry SV instrumentation columns (ANN recall evidence, the
-    // profile sketch's exact baseline) — setting it on only one side
-    // made 8 entries digest-differ on schema, not on results
-    localS.conf.set("spark.graft.svBaselines", "false")
+    // BOTH phases run the identical declared bodies (the r13
+    // svBaselines gate is gone in r14), so digests compare like for
+    // like by construction
     val baseline = scala.collection.mutable.LinkedHashMap[String, (Int, String)]()
     val baseErr = scala.collection.mutable.LinkedHashMap[String, String]()
     names.foreach { n =>
@@ -73,7 +71,6 @@ object ClusterCheck {
     val masterUrl = s"local-cluster[$w,$c,$m]"
     val spark = Sessions.withMaster(masterUrl, cpus)
     spark.sparkContext.setLogLevel("WARN")
-    spark.conf.set("spark.graft.svBaselines", "false")
     awaitExecutors(spark, w.toInt)
     val parityFail = scala.collection.mutable.LinkedHashMap[String, String]()
     val secs = scala.collection.mutable.LinkedHashMap[String, Double]()

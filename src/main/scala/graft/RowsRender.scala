@@ -43,15 +43,19 @@ object RowsRender {
     * documented randomized-compaction class in SURVEY §2. */
   val sketchValueExempt: Set[String] = Set(
     "q_approx_percentile",      // QuantileSummaries merge-order drift
+    "q_approx_percentile_eval", // same sketch beside its exact baseline
     "q_quantile_rollup",        // KLL compaction randomized on merge
+    "q_quantile_rollup_eval",   // same sketch beside its exact baseline
     "q_theta_algebra",          // theta-sketch sampling under union
     "q_sketch_overlap",         // theta intersection estimates
     "q_topk_sketch_rollup",     // approx_top_k sketch merge order
     "text_heavy_hitters",       // approx_top_k sketch merge order
     "etl_profile_sketch",       // per-column HLL/top-k profile
+    "etl_profile_sketch_eval",  // same profile beside its exact baseline
     "q_watermark_plan",         // QuantileSummaries over arrival lag
     "q_approx_distinct",        // HLL++ sparse/dense merge threshold
     "q_sketch_rollup",          // HLL++ sparse/dense merge threshold
+    "q_sketch_rollup_eval",     // same sketch beside its exact baseline
     "q_rolling_distinct_sketch" // HLL++ sparse/dense merge threshold
   )
 

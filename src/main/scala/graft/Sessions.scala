@@ -46,9 +46,19 @@ object Sessions {
       // planner may pick shuffled-hash join over sort-merge when its
       // size conditions hold (smaller side under threshold × shuffle
       // partitions), skipping both sort passes. Parameterized for A/B;
-      // the default is the measured choice for this suite.
+      // the default is the measured choice for this suite. The env
+      // value is VALIDATED here: a non-boolean would otherwise surface
+      // later as an opaque conf parse error at session build.
       .config("spark.sql.join.preferSortMergeJoin",
-        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "true"))
+        sys.env.get("SPARK_GRAFT_PREFER_SMJ") match {
+          case Some(v) if v.equalsIgnoreCase("true")
+            || v.equalsIgnoreCase("false") => v.toLowerCase
+          case Some(v) =>
+            System.err.println(
+              s"[sessions] ignoring non-boolean SPARK_GRAFT_PREFER_SMJ=$v")
+            "true"
+          case None => "true"
+        })
       // graft's native expressions (graft_cosine, ...)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // keep bucketed-table metadata out of the repo working dir
@@ -85,14 +95,13 @@ object Sessions {
       }
     withCluster.getOrCreate()
   }
-
-  /** Whether self-verifying entries should compute their in-entry
-    * EXACT baselines (default on: the correctness gate and the specs
-    * rely on the evidence columns). The bench turns it off so sweep
-    * timings measure the production path, not the instrumentation —
-    * the two baseline-heavy entries (etl_profile_sketch,
-    * dedup_method_eval) would otherwise spend 3-6× their production
-    * cost re-deriving exact truth in-entry. */
-  def svBaselines(s: SparkSession): Boolean =
-    s.conf.getOption("spark.graft.svBaselines").forall(_.toBoolean)
+  // The r9-r13 `spark.graft.svBaselines` bench gate is gone (r14):
+  // conf-gated entries timed a smaller computation in bench mode than
+  // the one verify and the specs executed. The exact-baseline
+  // instrumentation now lives in dedicated `*_eval` entries
+  // (q_approx_percentile_eval, q_sketch_rollup_eval,
+  // q_quantile_rollup_eval, etl_profile_sketch_eval), and the
+  // recall/truth-evidence entries whose oracles COVER that evidence
+  // (ann_lsh/ann_ivf/ann_ivf_imi/..., dedup_method_eval) compute it
+  // unconditionally — bench and verify time identical query bodies.
 }

@@ -2719,16 +2719,12 @@ object PipelineQueries {
         Dedup.simhashSignatures(Dedup.withPlantedDups(Tables.documents(s, d))))
       val Tau = 0.5
       val corpus = Dedup.withPlantedDups(Tables.documents(s, d))
-      // the exact truth set is the eval's BASELINE; the bench disables
-      // it (spark.graft.svBaselines=false) so the sweep times the two
-      // candidate generators — the production path — with sentinel -1
-      // metrics keeping the schema stable
-      val withTruth = graft.Sessions.svBaselines(s)
-      val truthOpt =
-        if (withTruth) Some(
-          graft.dedup.AllPairs.similarPairs(corpus, k = 3, tau = Tau)
-            .select(col("doc_a"), col("doc_b")).cache())
-        else None
+      // r14: the r13 svBaselines bench gate is gone — the exact truth
+      // set is what makes this entry an EVAL (and what its full
+      // oracle re-derives), so the bench times the declared body
+      val truthOpt = Some(
+        graft.dedup.AllPairs.similarPairs(corpus, k = 3, tau = Tau)
+          .select(col("doc_a"), col("doc_b")).cache())
       val nTruth = truthOpt.fold(-1L)(_.count())
       def evalMethod(name: String, cand: org.apache.spark.sql.DataFrame) = {
         val c = cand.select(col("doc_a"), col("doc_b")).distinct().cache()

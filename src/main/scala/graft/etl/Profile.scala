@@ -171,26 +171,33 @@ object Profile {
         col("approx_top_val"))
   }
 
+  /** Production entry: the one-pass sketch profile alone. The exact
+    * countDistinct instrumentation is [[etlProfileSketchEval]] (r14
+    * un-fork of the r13 svBaselines conf gate: bench, verify and the
+    * specs all execute the same declared bodies). */
   val etlProfileSketch = QueryDef(
     "etl_profile_sketch",
+    (s, d) => profileSketch(Tables.lineitem(s, d), LineitemCols)
+      .orderBy("col_name"),
+    None)
+
+  /** Eval companion: exact distinct per column (one aggregation — the
+    * full E26 count-table profile in here would triple the entry's
+    * cost; the sketch MODE is exactness-verified in ProfileSpec)
+    * joined into the sketch profile with the relative error the spec
+    * bounds. */
+  val etlProfileSketchEval = QueryDef(
+    "etl_profile_sketch_eval",
     (s, d) => {
-      val sketch = profileSketch(Tables.lineitem(s, d), LineitemCols)
-      if (!graft.Sessions.svBaselines(s)) sketch.orderBy("col_name")
-      else {
-        // SV baseline: exact distinct only (one aggregation — the full
-        // E26 count-table profile in here would triple the entry's
-        // cost; the sketch MODE is exactness-verified in ProfileSpec).
-        // The bench disables it (spark.graft.svBaselines=false) so the
-        // sweep times the production sketch pass alone.
-        val exact = unpivoted(Tables.lineitem(s, d), LineitemCols)
-          .groupBy("col_name")
-          .agg(countDistinct(col("val")).as("exact_distinct"))
-        sketch.join(exact, Seq("col_name"))
-          .withColumn("distinct_rel_err",
-            round(abs(col("approx_distinct") - col("exact_distinct"))
-              / col("exact_distinct"), 4))
-          .orderBy("col_name")
-      }
+      val exact = unpivoted(Tables.lineitem(s, d), LineitemCols)
+        .groupBy("col_name")
+        .agg(countDistinct(col("val")).as("exact_distinct"))
+      profileSketch(Tables.lineitem(s, d), LineitemCols)
+        .join(exact, Seq("col_name"))
+        .withColumn("distinct_rel_err",
+          round(abs(col("approx_distinct") - col("exact_distinct"))
+            / col("exact_distinct"), 4))
+        .orderBy("col_name")
     },
     None)
 
@@ -261,5 +268,5 @@ object Profile {
     })
 
   def all: Seq[QueryDef] = Seq(etlProfileTable, etlProfileSketch,
-    etlFdDiscovery)
+    etlProfileSketchEval, etlFdDiscovery)
 }

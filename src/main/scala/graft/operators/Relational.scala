@@ -797,28 +797,39 @@ object Relational {
     * Engine-specific sketch → no cross-engine oracle; SELF-VERIFYING
     * like R19: emits the exact values alongside the sketch values and
     * their relative errors, spec-bounded. */
+  private def approxPercentiles(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+      round(expr("approx_percentile(l_quantity, 0.5, 10000)"), 4)
+        .as("approx_med_qty"),
+      round(expr("approx_percentile(l_extendedprice, 0.9, 10000)"), 4)
+        .as("approx_p90_price"),
+      round(expr("approx_percentile(l_extendedprice, 0.99, 10000)"), 4)
+        .as("approx_p99_price"))
+
+  /** Production entry: the one-pass sketch aggregation alone. The
+    * exact baselines live in [[qApproxPercentileEval]] — the r13
+    * `spark.graft.svBaselines` mode fork is gone (r14): bench, verify
+    * and the specs all execute the same declared bodies. */
   val qApproxPercentile = QueryDef(
     "q_approx_percentile",
+    (s, d) => approxPercentiles(s, d).orderBy("l_returnflag"),
+    None)
+
+  /** Eval companion: joins the exact rank-arithmetic percentiles into
+    * the sketch answers and emits the relative errors the spec bounds
+    * — the evidence the sketch entry's SELF-VERIFYING status rests on,
+    * now a declared entry of its own instead of a conf-gated branch. */
+  val qApproxPercentileEval = QueryDef(
+    "q_approx_percentile_eval",
     (s, d) => {
-      val approx = Tables.lineitem(s, d).groupBy("l_returnflag").agg(
-        round(expr("approx_percentile(l_quantity, 0.5, 10000)"), 4)
-          .as("approx_med_qty"),
-        round(expr("approx_percentile(l_extendedprice, 0.9, 10000)"), 4)
-          .as("approx_p90_price"),
-        round(expr("approx_percentile(l_extendedprice, 0.99, 10000)"), 4)
-          .as("approx_p99_price"))
-      if (!graft.Sessions.svBaselines(s)) approx.orderBy("l_returnflag")
-      else {
-        // exact side = eval instrumentation (the etl_profile_sketch
-        // convention); the bench times the sketch aggregation alone
-        def err(a: String, e: String) =
-          round(abs(col(a) - col(e)) / col(e), 6)
-        exactPercentiles(s, d).join(approx, "l_returnflag")
-          .withColumn("med_rel_err", err("approx_med_qty", "med_qty"))
-          .withColumn("p90_rel_err", err("approx_p90_price", "p90_price"))
-          .withColumn("p99_rel_err", err("approx_p99_price", "p99_price"))
-          .orderBy("l_returnflag")
-      }
+      def err(a: String, e: String) =
+        round(abs(col(a) - col(e)) / col(e), 6)
+      exactPercentiles(s, d).join(approxPercentiles(s, d), "l_returnflag")
+        .withColumn("med_rel_err", err("approx_med_qty", "med_qty"))
+        .withColumn("p90_rel_err", err("approx_p90_price", "p90_price"))
+        .withColumn("p99_rel_err", err("approx_p99_price", "p99_price"))
+        .orderBy("l_returnflag")
     },
     None)
 
@@ -1372,42 +1383,49 @@ object Relational {
     * and the unioned ALL row carry the exact distinct count and the
     * relative error; the exact columns are eval instrumentation — a
     * production rollup executes only the sketch side. */
+  /** Production entry: sketch build, union and estimates alone. The
+    * exact-truth instrumentation is [[qSketchRollupEval]] (r14 un-fork
+    * of the r13 svBaselines conf gate). */
   val qSketchRollup = QueryDef(
     "q_sketch_rollup",
     (s, d) => {
       val li = Tables.lineitem(s, d)
-      if (!graft.Sessions.svBaselines(s)) {
-        // production path alone (the etl_profile_sketch convention —
-        // the bench sets spark.graft.svBaselines=false so the sweep
-        // times the sketch rollup, not its exact-truth instrumentation)
-        val perGroup = li.groupBy("l_returnflag")
-          .agg(expr("hll_sketch_agg(l_orderkey)").as("sk"))
-        val groups = perGroup.select(col("l_returnflag").as("grp"),
-          expr("hll_sketch_estimate(sk)").as("approx_distinct"))
-        val total = perGroup
-          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")
-            .as("approx_distinct"))
-          .select(lit("ALL").as("grp"), col("approx_distinct"))
-        groups.unionByName(total).orderBy("grp")
-      } else {
-        val perGroup = li.groupBy("l_returnflag")
-          .agg(expr("hll_sketch_agg(l_orderkey)").as("sk"),
-            countDistinct(col("l_orderkey")).as("exact_distinct"))
-        val groups = perGroup.select(col("l_returnflag").as("grp"),
-          expr("hll_sketch_estimate(sk)").as("approx_distinct"),
+      val perGroup = li.groupBy("l_returnflag")
+        .agg(expr("hll_sketch_agg(l_orderkey)").as("sk"))
+      val groups = perGroup.select(col("l_returnflag").as("grp"),
+        expr("hll_sketch_estimate(sk)").as("approx_distinct"))
+      val total = perGroup
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")
+          .as("approx_distinct"))
+        .select(lit("ALL").as("grp"), col("approx_distinct"))
+      groups.unionByName(total).orderBy("grp")
+    },
+    None)
+
+  /** Eval companion: the same sketch rollup beside exact
+    * countDistinct per group and corpus-wide, with relative errors —
+    * the self-verification evidence, as its own declared entry. */
+  val qSketchRollupEval = QueryDef(
+    "q_sketch_rollup_eval",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val perGroup = li.groupBy("l_returnflag")
+        .agg(expr("hll_sketch_agg(l_orderkey)").as("sk"),
+          countDistinct(col("l_orderkey")).as("exact_distinct"))
+      val groups = perGroup.select(col("l_returnflag").as("grp"),
+        expr("hll_sketch_estimate(sk)").as("approx_distinct"),
+        col("exact_distinct"))
+      val total = perGroup
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_distinct"))
+        .crossJoin(broadcast(
+          li.agg(countDistinct(col("l_orderkey")).as("exact_distinct"))))
+        .select(lit("ALL").as("grp"), col("approx_distinct"),
           col("exact_distinct"))
-        val total = perGroup
-          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_distinct"))
-          .crossJoin(broadcast(
-            li.agg(countDistinct(col("l_orderkey")).as("exact_distinct"))))
-          .select(lit("ALL").as("grp"), col("approx_distinct"),
-            col("exact_distinct"))
-        groups.unionByName(total)
-          .withColumn("rel_err",
-            round(abs(col("approx_distinct") - col("exact_distinct")) /
-              col("exact_distinct"), 4))
-          .orderBy("grp")
-      }
+      groups.unionByName(total)
+        .withColumn("rel_err",
+          round(abs(col("approx_distinct") - col("exact_distinct")) /
+            col("exact_distinct"), 4))
+        .orderBy("grp")
     },
     None)
 
@@ -1428,54 +1446,66 @@ object Relational {
     * the TRUE empirical rank of each sketch answer driver-side and
     * gates on it — `kll_sketch_get_rank` can't compose in-plan (its
     * quantile argument must be foldable). */
+  private def quantileRollupInput(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderpriority").as("grp"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+
+  /** Production entry: KLL sketch build, merge and quantile reads
+    * alone. The exact percentile() instrumentation is
+    * [[qQuantileRollupEval]] (r14 un-fork of the svBaselines gate). */
   val qQuantileRollup = QueryDef(
     "q_quantile_rollup",
     (s, d) => {
-      val o = Tables.orders(s, d)
-        .select(col("o_orderpriority").as("grp"),
-          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
-      if (!graft.Sessions.svBaselines(s)) {
-        // production path alone (the etl_profile_sketch convention):
-        // the exact percentile() columns are eval instrumentation
-        val perGroup = o.groupBy("grp")
-          .agg(expr("kll_sketch_agg_bigint(cents)").as("sk"),
-            count(lit(1)).as("n"))
-        val groups = perGroup.select(col("grp"), col("n"),
-          expr("kll_sketch_get_quantile_bigint(sk, 0.5)").as("ap_p50"),
-          expr("kll_sketch_get_quantile_bigint(sk, 0.95)").as("ap_p95"))
-        val total = perGroup
-          .agg(expr("kll_merge_agg_bigint(sk)").as("msk"),
-            sum(col("n")).as("n"))
-          .select(lit("ALL").as("grp"), col("n"),
-            expr("kll_sketch_get_quantile_bigint(msk, 0.5)").as("ap_p50"),
-            expr("kll_sketch_get_quantile_bigint(msk, 0.95)").as("ap_p95"))
-        groups.unionByName(total).orderBy("grp")
-      } else {
-        val perGroup = o.groupBy("grp")
-          .agg(expr("kll_sketch_agg_bigint(cents)").as("sk"),
-            count(lit(1)).as("n"),
-            expr("percentile(cents, 0.5)").as("ex_p50"),
-            expr("percentile(cents, 0.95)").as("ex_p95"))
-        val groups = perGroup.select(col("grp"), col("n"),
-          col("ex_p50"), col("ex_p95"),
-          expr("kll_sketch_get_quantile_bigint(sk, 0.5)").as("ap_p50"),
-          expr("kll_sketch_get_quantile_bigint(sk, 0.95)").as("ap_p95"))
-        val total = perGroup
-          .agg(expr("kll_merge_agg_bigint(sk)").as("msk"))
-          .crossJoin(broadcast(o.agg(count(lit(1)).as("n"),
-            expr("percentile(cents, 0.5)").as("ex_p50"),
-            expr("percentile(cents, 0.95)").as("ex_p95"))))
-          .select(lit("ALL").as("grp"), col("n"), col("ex_p50"),
-            col("ex_p95"),
-            expr("kll_sketch_get_quantile_bigint(msk, 0.5)").as("ap_p50"),
-            expr("kll_sketch_get_quantile_bigint(msk, 0.95)").as("ap_p95"))
-        groups.unionByName(total)
-          .withColumn("relerr_p50",
-            round(abs(col("ap_p50") - col("ex_p50")) / col("ex_p50"), 4))
-          .withColumn("relerr_p95",
-            round(abs(col("ap_p95") - col("ex_p95")) / col("ex_p95"), 4))
-          .orderBy("grp")
-      }
+      val o = quantileRollupInput(s, d)
+      val perGroup = o.groupBy("grp")
+        .agg(expr("kll_sketch_agg_bigint(cents)").as("sk"),
+          count(lit(1)).as("n"))
+      val groups = perGroup.select(col("grp"), col("n"),
+        expr("kll_sketch_get_quantile_bigint(sk, 0.5)").as("ap_p50"),
+        expr("kll_sketch_get_quantile_bigint(sk, 0.95)").as("ap_p95"))
+      val total = perGroup
+        .agg(expr("kll_merge_agg_bigint(sk)").as("msk"),
+          sum(col("n")).as("n"))
+        .select(lit("ALL").as("grp"), col("n"),
+          expr("kll_sketch_get_quantile_bigint(msk, 0.5)").as("ap_p50"),
+          expr("kll_sketch_get_quantile_bigint(msk, 0.95)").as("ap_p95"))
+      groups.unionByName(total).orderBy("grp")
+    },
+    None)
+
+  /** Eval companion: sketch quantiles beside exact percentile() per
+    * group and merged, with relative errors — the self-verification
+    * evidence, as its own declared entry. */
+  val qQuantileRollupEval = QueryDef(
+    "q_quantile_rollup_eval",
+    (s, d) => {
+      val o = quantileRollupInput(s, d)
+      val perGroup = o.groupBy("grp")
+        .agg(expr("kll_sketch_agg_bigint(cents)").as("sk"),
+          count(lit(1)).as("n"),
+          expr("percentile(cents, 0.5)").as("ex_p50"),
+          expr("percentile(cents, 0.95)").as("ex_p95"))
+      val groups = perGroup.select(col("grp"), col("n"),
+        col("ex_p50"), col("ex_p95"),
+        expr("kll_sketch_get_quantile_bigint(sk, 0.5)").as("ap_p50"),
+        expr("kll_sketch_get_quantile_bigint(sk, 0.95)").as("ap_p95"))
+      val total = perGroup
+        .agg(expr("kll_merge_agg_bigint(sk)").as("msk"))
+        .crossJoin(broadcast(o.agg(count(lit(1)).as("n"),
+          expr("percentile(cents, 0.5)").as("ex_p50"),
+          expr("percentile(cents, 0.95)").as("ex_p95"))))
+        .select(lit("ALL").as("grp"), col("n"), col("ex_p50"),
+          col("ex_p95"),
+          expr("kll_sketch_get_quantile_bigint(msk, 0.5)").as("ap_p50"),
+          expr("kll_sketch_get_quantile_bigint(msk, 0.95)").as("ap_p95"))
+      groups.unionByName(total)
+        .withColumn("relerr_p50",
+          round(abs(col("ap_p50") - col("ex_p50")) / col("ex_p50"), 4))
+        .withColumn("relerr_p95",
+          round(abs(col("ap_p95") - col("ex_p95")) / col("ex_p95"), 4))
+        .orderBy("grp")
     },
     None)
 
@@ -2178,10 +2208,11 @@ object Relational {
     qUnionDedup, qScalarFuncs, qAsofJoin, qAsofNearest, qVectorAgg,
     qApproxDistinct,
     qPivot, qCubeGrouping, qWindowFuncs, qRangeJoin, qRangeJoinRewrite, qSaltedJoin, qWeightedMedian,
-    qApproxPercentile, qOuterJoin, qSlidingWindow, qSlidingWindowBlocked,
+    qApproxPercentile, qApproxPercentileEval, qOuterJoin, qSlidingWindow, qSlidingWindowBlocked,
     qSetOps, qSqlSurface,
     qGroupingSets, qBloomJoin, qArgmax, qUnpivot, q18LargeOrders,
-    qCorrStats, qRecursiveCte, qWindowDist, qSketchRollup, qQuantileRollup,
+    qCorrStats, qRecursiveCte, qWindowDist, qSketchRollup, qSketchRollupEval,
+    qQuantileRollup, qQuantileRollupEval,
     qSketchOverlap, qThetaAlgebra, qTopkSketchRollup, qTheilSen,
     qTrendSlope, qListagg, qLateralTopn, qGapfill, qNullsafeJoin, qWinsorize)
 }

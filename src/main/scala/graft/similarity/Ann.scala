@@ -174,11 +174,9 @@ object Ann {
     * [[MaxBroadcastQueries]] × k rows), so the corpus-level stats are
     * a 1-row broadcast cross join, never a global window over data. */
   def withRecallVsExact(ann: DataFrame, exact: => DataFrame, k: Int): DataFrame = {
-    // the exact baseline is SV instrumentation: under
-    // spark.graft.svBaselines=false (bench / scale sweeps) only the
-    // production ANN path runs — `exact` is by-name so the brute-force
-    // plan is never even constructed
-    if (!graft.Sessions.svBaselines(ann.sparkSession)) return ann
+    // r14: the r13 svBaselines bench gate is gone — the recall
+    // evidence IS these entries' declared (and fixture-oracled)
+    // output, so the bench times the same body the oracle verifies
     // both sides feed two consumers (stats + output / membership +
     // top-1); they are ≤ queries×k rows, so caching stops the ANN and
     // brute-force subtrees from running twice

@@ -38,7 +38,7 @@ class ProfileSpec extends SparkSpec {
   }
 
   test("E26b: sketch profile — exact parts exact, sketch parts bounded, skewed modes right") {
-    val out = Profile.etlProfileSketch.fn(spark, sf).collect()
+    val out = Profile.etlProfileSketchEval.fn(spark, sf).collect()
       .map(r => r.getAs[String]("col_name") -> r).toMap
     val exact = Profile.profile(Tables.lineitem(spark, sf),
       Seq("l_orderkey", "l_quantity", "l_returnflag", "l_linestatus"))

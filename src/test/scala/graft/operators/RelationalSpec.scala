@@ -95,7 +95,8 @@ class RelationalSpec extends SparkSpec {
   }
 
   test("R25: approx percentiles stay within 1% of the exact rank-arithmetic values") {
-    val rows = graft.SparkEntry.queries("q_approx_percentile")(spark, sf).collect()
+    val rows = graft.SparkEntry.queries("q_approx_percentile_eval")(spark, sf)
+      .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       Seq("med_rel_err", "p90_rel_err", "p99_rel_err").foreach { c =>
@@ -152,11 +153,11 @@ class RelationalSpec extends SparkSpec {
       "text_ppl_buckets",
       // 1-row stats broadcasts (sketch-union exact total, RI orphan
       // count, planted-recall evidence rows, DSIR's corpus-constant row)
-      "q_sketch_rollup", "etl_quality_checks", "dedup_incremental",
-      "text_dsir_select",
+      "q_sketch_rollup", "q_sketch_rollup_eval", "etl_quality_checks",
+      "dedup_incremental", "text_dsir_select",
       // R129's merged-ALL row crossJoins its 1-row exact-percentile
       // instrumentation — the q_sketch_rollup convention
-      "q_quantile_rollup",
+      "q_quantile_rollup", "q_quantile_rollup_eval",
       // bounded-broadcast eval-set scan, same class as ann_bruteforce
       "emb_decontaminate",
       // bounded-broadcast anchor-set corpus scan (D71's documented
@@ -234,7 +235,7 @@ class RelationalSpec extends SparkSpec {
   }
 
   test("R40: per-group HLL sketches and their union estimate within 5% of exact") {
-    val rows = Relational.qSketchRollup.fn(spark, sf).collect()
+    val rows = Relational.qSketchRollupEval.fn(spark, sf).collect()
     assert(rows.length >= 2, "at least one group row plus the ALL union row")
     rows.foreach { r =>
       assert(r.getAs[Double]("rel_err") < 0.05,
@@ -251,7 +252,7 @@ class RelationalSpec extends SparkSpec {
 
   test("R129: KLL quantile store — true rank error bounded, merged row tracks exact") {
     import org.apache.spark.sql.functions._
-    val rows = Relational.qQuantileRollup.fn(spark, sf).collect()
+    val rows = Relational.qQuantileRollupEval.fn(spark, sf).collect()
     assert(rows.length >= 2, "group rows plus the merged ALL row")
     // the honest KLL guarantee is on RANK against the TRUE distribution:
     // recompute each sketch answer's empirical rank driver-side
