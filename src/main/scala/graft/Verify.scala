@@ -28,6 +28,12 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         deleteRec(new java.io.File(s"$outDir/$name"))
       }
+      // cache hygiene (r13 verdict item 7): entries may cache reused
+      // subtrees for the duration of their own computation; a 300+
+      // entry session must not ACCUMULATE that pinned storage (at sf1+
+      // it becomes guide-§5 memory pressure). Bench already clears
+      // between reps; clear here after every entry's write.
+      spark.sqlContext.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
